@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central table loaders for the driver-generated fixture tables
+  * (`/root/testdata/sf*`; see TESTDATA.md).
+  *
+  * All readers are plain parquet scans so Catalyst's predicate pushdown /
+  * column pruning reach the file scan (verify with
+  * `.explain("formatted")` → `PushedFilters` / `ReadSchema`). At 100 TB the
+  * same entry points would read a partitioned table root; nothing here
+  * assumes single-file layout.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark cannot
+    * map to a Catalyst timestamp; normalize to microsecond TimestampType
+    * here so every consumer sees one schema. DuckDB (the oracle) truncates
+    * the same nanos to micros, so the two engines agree. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType.typeName match {
+      case "long" => // read via legacy nanosAsLong flag
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
+}

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB against the sfDir tables, and
+compares: schema (column names, sorted), row count, and a value hash over
+rows with columns sorted by name. Mirrors (our best understanding of) the
+driver gate so oracle-parity bugs surface before the round ends.
+
+Dev-only tool: runs driver-side python (duckdb/pandas). The Scala library
+itself has no python dependency.
+"""
+import sys, json, glob, os, math
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # tolerate float formatting differences at 1e-9 relative
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def frame_fingerprint(df: pd.DataFrame):
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    return list(df.columns), len(rows), rows
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(
+        os.path.basename(d.rstrip("/"))
+        for d in glob.glob(f"{out_dir}/*/")
+    )
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL  {name}: no spark output parquet")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        if name not in oracle:
+            status = "ROWS" if len(got) > 0 else "FAIL(empty)"
+            print(f"{status:5s} {name}: rows={len(got)} (no oracle)")
+            n_rowsonly += 1
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        gc, gn, gr = frame_fingerprint(got)
+        ec, en, er = frame_fingerprint(exp)
+        if gc != ec:
+            print(f"FAIL  {name}: columns {gc} != {ec}")
+            n_fail += 1
+        elif gn != en:
+            print(f"FAIL  {name}: rowcount {gn} != {en}")
+            n_fail += 1
+        elif gr != er:
+            bad = next(i for i, (a, b) in enumerate(zip(gr, er)) if a != b)
+            print(f"FAIL  {name}: first diff at row {bad}:\n  spark={gr[bad]}\n  duck ={er[bad]}")
+            n_fail += 1
+        else:
+            print(f"OK    {name}: rows={gn}")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
