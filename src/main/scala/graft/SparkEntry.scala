@@ -10,7 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    _root_.graft.queries.WordCount
+    _root_.graft.queries.WordCount,
+    _root_.graft.queries.Relational,
+    _root_.graft.queries.Scalars,
+    _root_.graft.queries.Windows
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

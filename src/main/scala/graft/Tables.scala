@@ -26,16 +26,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark cannot
-    * map to a Catalyst timestamp; normalize to microsecond TimestampType
-    * here so every consumer sees one schema. DuckDB (the oracle) truncates
-    * the same nanos to micros, so the two engines agree. */
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark cannot
+    * map to a Catalyst timestamp (analysis error on read). Read it as raw
+    * nanos via the legacy flag and normalize to microsecond TimestampType
+    * so every consumer sees one schema. DuckDB (the oracle) truncates the
+    * same nanos to micros, so the two engines agree. `DIV` (integer
+    * division) is load-bearing: nanos since epoch (~1.7e18) exceed 2^53,
+    * so `/` (double division) would silently lose microseconds. */
   def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType.typeName match {
-      case "long" => // read via legacy nanosAsLong flag
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-      case _ => raw
+      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _      => raw
     }
   }
 }

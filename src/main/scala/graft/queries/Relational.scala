@@ -1,0 +1,309 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational capability breadth on the fixture star schema (SURVEY.md
+  * §7.2 step 3): scan/filter/project, the join family, aggregation
+  * (multi-key, rollup, distinct, having), top-k, and set operations.
+  *
+  * The reference has none of these (SURVEY.md §2.1 "explicitly absent");
+  * they are what a user of a general-purpose engine runs daily, so
+  * capability parity means covering them with built-in Spark operators and
+  * letting Catalyst plan them (predicate pushdown into the parquet scan,
+  * broadcast joins for dims, partial aggregation — all free, §4.1).
+  *
+  * Oracle-safety conventions (SURVEY.md §7.4):
+  *  - money doubles (`l_extendedprice`, `o_totalprice`) are cast to
+  *    DECIMAL(18,2) *before* SUM on both sides — decimal addition is
+  *    order-independent where float summation is not — then the final
+  *    aggregate is cast back to DOUBLE (identical nearest-double in both
+  *    engines);
+  *  - averages are written as sum/count (single division of identical
+  *    values) rather than AVG (engine-specific accumulation);
+  *  - every query ends in an ORDER BY chain with a unique tie-breaker.
+  *
+  * Scale notes (100 TB): dimension joins (`region`, `nation`, `supplier`)
+  * are explicitly `broadcast()`; fact-fact joins (lineitem⋈orders) shuffle
+  * on the join key and AQE handles skew; top-k uses orderBy+limit which
+  * Spark plans as TakeOrderedAndProject (per-partition heap + driver merge
+  * of k rows, never a global sort).
+  */
+object Relational extends QueryModule {
+
+  /** Order-independent exact money arithmetic: double → DECIMAL(18,2). */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  val queries: Map[String, Q] = Map(
+
+    // Scan + filter + project: predicates and column pruning reach the
+    // parquet scan (PushedFilters in .explain).
+    "filter_project" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-03-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // TPC-H Q1 shape: multi-aggregate group-by with exact decimal money
+    // math. Catalyst plans partial+final hash aggregation (the combiner the
+    // reference lacks, worker.go:277-281).
+    "q1_pricing" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")) *
+            dec(lit(1) + col("l_tax"))).cast("double").as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)))
+            .as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // TPC-H Q3 shape: fact⋈fact⋈dim join + grouped revenue + top-10.
+    "q3_shipping" -> { (s, d) =>
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape: 6-way join; dims broadcast, facts shuffle on keys.
+    "q5_region_revenue" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val cust = Tables.customer(s, d)
+      val supp = broadcast(Tables.supplier(s, d))
+      val nat = broadcast(Tables.nation(s, d))
+      val reg = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Left-semi join (EXISTS): orders having any heavy lineitem.
+    "join_semi" -> { (s, d) =>
+      val heavy = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      Tables.orders(s, d)
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Left-anti join (NOT EXISTS): customers with no orders.
+    "join_anti" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Left-outer join preserved in aggregation: nations with zero
+    // customers still appear (count of non-null keys = 0).
+    "join_outer_agg" -> { (s, d) =>
+      broadcast(Tables.nation(s, d))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_customers"),
+          coalesce(sum(dec(col("c_acctbal"))).cast("double"), lit(0.0)).as("total_bal"))
+        .orderBy(col("n_name"))
+    },
+
+    // ROLLUP over the region→nation hierarchy (grouping sets).
+    "agg_rollup" -> { (s, d) =>
+      broadcast(Tables.region(s, d))
+        .join(broadcast(Tables.nation(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    },
+
+    // Exact multi-column COUNT(DISTINCT) per group (Catalyst expands to a
+    // two-phase aggregate; the approx variant lives in TextAnalysis).
+    "agg_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // GROUP BY + HAVING.
+    "agg_having" -> { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .filter(col("n_customers") >= 5)
+        .orderBy(col("c_nationkey"))
+    },
+
+    // Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject
+    // (per-partition heaps, no global sort — the 100 TB-safe top-k).
+    "topk_global" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+    },
+
+    // Set operations on key projections: customers active in 1995 vs 1996.
+    "set_ops" -> { (s, d) =>
+      val ord = Tables.orders(s, d)
+      def custsIn(y: Int): DataFrame =
+        ord.filter(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+      val c95 = custsIn(1995)
+      val c96 = custsIn(1996)
+      c95.intersect(c96).withColumn("op", lit("both"))
+        .unionAll(c95.except(c96).withColumn("op", lit("only_1995")))
+        .unionAll(c96.except(c95).withColumn("op", lit("only_1996")))
+        .select(col("op"), col("o_custkey"))
+        .orderBy(col("op"), col("o_custkey"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+        |       sum(l_quantity) / count(*) AS avg_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, order_date
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "join_semi" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_outer_agg" ->
+      """SELECT n_name, count(c_custkey) AS n_customers,
+        |       coalesce(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_bal
+        |FROM nation
+        |LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_having" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |GROUP BY c_nationkey
+        |HAVING count(*) >= 5
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "topk_global" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin,
+
+    "set_ops" ->
+      """WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |     c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT 'both' AS op, o_custkey FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+        |UNION ALL
+        |SELECT 'only_1995' AS op, o_custkey FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)
+        |UNION ALL
+        |SELECT 'only_1996' AS op, o_custkey FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c95)
+        |ORDER BY op, o_custkey""".stripMargin
+  )
+}

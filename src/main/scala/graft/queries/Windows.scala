@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions + event-time windowing, batch-verified (SURVEY.md
+  * §7.2 steps 3 & 5).
+  *
+  * `events_*` are the batch analogs of the Structured Streaming jobs in
+  * [[graft.streaming]] — same `window`/`session_window` expressions, so
+  * the DuckDB oracle applies; the streaming path is exercised in
+  * ScalaTest with a memory sink.
+  *
+  * Oracle-safety: window starts are emitted as epoch seconds/micros
+  * (BIGINT) rather than timestamps — integer epochs hash identically
+  * across engines while timestamp column representations (tz-aware vs
+  * naive) do not. Moving sums go through DECIMAL: DuckDB evaluates
+  * sliding frames with a segment tree (different float association order
+  * than Spark's running accumulation), so double sums would drift in the
+  * last ulp; decimal addition is associative.
+  *
+  * Scale notes: all windows partition by a key (`o_custkey`, `user_id`) —
+  * no global ORDER BY windows, which would single-task at 100 TB. The
+  * tumbling/sliding aggregations are plain hash aggregations after the
+  * window-assignment projection (narrow), so they scale like any groupBy.
+  */
+object Windows extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+
+    // Ranking family: row_number over a unique ordering; rank/dense_rank
+    // over a tied ordering (order year) — tie semantics exercised.
+    "window_rank" -> { (s, d) =>
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val byYear = Window.partitionBy(col("o_custkey"))
+        .orderBy(year(col("o_orderdate")))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(byPrice))
+        .withColumn("year_rank", rank().over(byYear))
+        .withColumn("year_dense", dense_rank().over(byYear))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+          col("year_rank"), col("year_dense"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // Running aggregate + lag/lead over each customer's order history.
+    "window_running" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_spend"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          row_number().over(w).as("order_seq"))
+        .orderBy(col("o_custkey"), col("order_seq"))
+    },
+
+    // Sliding ROWS frame: trailing-3 moving sum/avg of event value per
+    // user (decimal for cross-engine associativity).
+    "window_moving" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(
+          col("user_id"), col("event_id"),
+          sum(col("value").cast("decimal(18,2)"))
+            .over(w.rowsBetween(-2, Window.currentRow))
+            .cast("double").as("moving_sum"),
+          count(lit(1)).over(w.rowsBetween(-2, Window.currentRow))
+            .as("moving_n"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // Tumbling 1-hour event-time window (streaming analog: groupBy(
+    // window($"ts", "1 hour")) — identical expression in readStream).
+    "events_tumbling" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // Sliding 1-hour window every 30 min: each event lands in 2 windows.
+    "events_sliding" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("n"), col("total_value"))
+        .orderBy(col("window_start"))
+    },
+
+    // Session windows: 10-minute inactivity gap per user (streaming
+    // analog: session_window with watermark). session_window.start is the
+    // first event's ts, so the oracle's gaps-and-islands min(ts) matches.
+    "events_session" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |       rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate)) AS year_rank,
+        |       dense_rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate)) AS year_dense
+        |FROM orders
+        |QUALIFY rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |       lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        |       lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order,
+        |       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+        |FROM orders
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "window_moving" ->
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+        |       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_n
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "events_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "events_sliding" ->
+      """SELECT ws // 1000000 AS window_start, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT unnest([ (epoch_us(ts) // 1800000000) * 1800000000,
+        |                      (epoch_us(ts) // 1800000000 - 1) * 1800000000 ]) AS ws,
+        |             value
+        |      FROM events)
+        |GROUP BY ws
+        |ORDER BY window_start""".stripMargin,
+
+    "events_session" ->
+      """WITH brk AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS is_break
+        |  FROM events),
+        |grp AS (
+        |  SELECT user_id, ts, value,
+        |         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM brk)
+        |SELECT user_id,
+        |       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM grp
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin
+  )
+}
