@@ -13,7 +13,11 @@ object SparkEntry {
     _root_.graft.queries.WordCount,
     _root_.graft.queries.Relational,
     _root_.graft.queries.Scalars,
-    _root_.graft.queries.Windows
+    _root_.graft.queries.Windows,
+    _root_.graft.queries.TextAnalysis,
+    _root_.graft.queries.Dedup,
+    _root_.graft.queries.Similarity,
+    _root_.graft.queries.Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

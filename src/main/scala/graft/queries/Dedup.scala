@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for a training-data pipeline (builder prompt):
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection.
+  *
+  * Scale design (the whole point of these ops at 100 TB):
+  *  - NOTHING here is O(n²) over documents. Every near-dup variant
+  *    generates candidate pairs through a blocking key — LSH band
+  *    signature, SimHash chunk, bounded id-window — then verifies only
+  *    candidates. The shuffle keys are (band, signature) / chunk values,
+  *    so equal signatures co-locate and the join is a plain shuffle join.
+  *  - Hot buckets (a signature shared by thousands of near-identical
+  *    docs) are the classic skew risk; AQE skew-join handles moderate
+  *    cases, and the band width (4 rows/band) keeps bucket sizes small.
+  *  - All hashes are md5-derived so the DuckDB oracle can reproduce them
+  *    bit-for-bit (Spark's murmur3 `hash()` is not portable).
+  *
+  * MinHash math: P[band collision] = 1-(1-J^r)^b with r=4 rows, b=4
+  * bands → ~0.97 at J=0.8, ~0.04 at J=0.3 — tuned to catch the fixture's
+  * planted near-dups (J≈0.9+) with few false candidates.
+  */
+object Dedup extends QueryModule {
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, greatest(size(t) - 2, 1)), i -> concat_ws(' ', slice(t, i, 3)))"))
+          .as("s"))
+      .distinct()
+
+  /** 16 portable minhashes → 4 LSH bands of 4; returns (doc_id, band, sig). */
+  private def bandSignatures(s: SparkSession, d: String): DataFrame =
+    shingles(s, d)
+      .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn("h", md5(concat(col("j").cast("string"), lit("|"), col("s"))))
+      .groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("mh"))
+      .groupBy(col("doc_id"), expr("CAST(j DIV 4 AS INT)").as("band"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(j, mh))), x -> x.mh), '')")
+        .as("sig"))
+
+  val queries: Map[String, Q] = Map(
+
+    // Exact dedup: content-hash groupBy; canonical = min doc_id. The
+    // output keeps every group (n_copies = 1 for uniques) so the oracle
+    // verifies the full grouping, not just the dup tail.
+    "dedup_exact" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("canonical_id"))
+    },
+
+    // MinHash + LSH: band-collision candidates, then exact-Jaccard
+    // verification of candidates only. Emits verified near-dup pairs.
+    "dedup_minhash" -> { (s, d) =>
+      val bands = bandSignatures(s, d)
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val sh = shingles(s, d)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("x"), col("d1") === col("x.doc_id"))
+        .join(sh.as("y"), col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ninter"))
+      inter
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .withColumn("jaccard",
+          round(col("ninter") * lit(1.0) / (col("s1.n") + col("s2.n") - col("ninter")), 6))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // SimHash near-dup: block on any equal 16-bit chunk (pigeonhole: a
+    // pair within hamming 3 of a 64-bit signature shares ≥1 of 4 chunks),
+    // verify hamming ≤ 3 via xor+popcount.
+    "dedup_simhash" -> { (s, d) =>
+      val sig = TextAnalysis.queries("text_simhash")(s, d)
+      val joined = (0 to 3).map { c =>
+        sig.as("a").join(sig.as("b"),
+          col(s"a.c$c") === col(s"b.c$c") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            ((0 to 3).map(i =>
+              bit_count(col(s"a.c$i").bitwiseXOR(col(s"b.c$i")))): Seq[org.apache.spark.sql.Column])
+              .reduce(_ + _).as("hamming"))
+      }.reduce(_ unionAll _).distinct()
+      joined.filter(col("hamming") <= 3)
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // Exact char-4-gram Jaccard over a bounded id-window pair set (the
+    // "given candidates from any blocker, verify exactly" primitive).
+    "dedup_ngram" -> { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .withColumn("norm", lower(col("text")))
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, greatest(length(norm) - 3, 1)), i -> substr(norm, i, 4))"))
+            .as("g"))
+        .distinct()
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val cand = docs.as("a").join(docs.as("b"),
+        col("b.doc_id") > col("a.doc_id") && col("b.doc_id") <= col("a.doc_id") + 5)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val inter = cand
+        .join(grams.as("x"), col("d1") === col("x.doc_id"))
+        .join(grams.as("y"), col("d2") === col("y.doc_id") && col("x.g") === col("y.g"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ninter"))
+      cand.join(inter, Seq("d1", "d2"), "left")
+        .withColumn("ninter", coalesce(col("ninter"), lit(0L)))
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .withColumn("jaccard",
+          round(col("ninter") * lit(1.0) / (col("s1.n") + col("s2.n") - col("ninter")), 6))
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    }
+  )
+
+  private val shingleSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY canonical_id""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $shingleSql,
+        |mh AS (
+        |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS j)
+        |  GROUP BY doc_id, j),
+        |bands AS (
+        |  SELECT doc_id, j // 4 AS band, string_agg(h, '' ORDER BY j) AS sig
+        |  FROM mh GROUP BY doc_id, j // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.d1, c.d2, count(*) AS ninter
+        |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND y.s = x.s
+        |  GROUP BY c.d1, c.d2)
+        |SELECT d1, d2, round(ninter * 1.0 / (s1.n + s2.n - ninter), 6) AS jaccard
+        |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE round(ninter * 1.0 / (s1.n + s2.n - ninter), 6) >= 0.6
+        |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_simhash" -> {
+      val simhashCte = TextAnalysis.oracles("text_simhash")
+        .replaceAll("(?s)ORDER BY doc_id$", "")
+      s"""WITH sig AS ($simhashCte),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |         bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+        |         bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |       AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3))
+        |SELECT d1, d2, hamming FROM pairs
+        |WHERE hamming <= 3
+        |ORDER BY d1, d2""".stripMargin
+    },
+
+    "dedup_ngram" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id, substr(norm, i, 4) AS g
+        |  FROM (SELECT doc_id, norm, unnest(generate_series(1, greatest(length(norm) - 3, 1))) AS i
+        |        FROM (SELECT doc_id, lower(text) AS norm FROM documents))),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5),
+        |inter AS (
+        |  SELECT c.d1, c.d2, count(*) AS ninter
+        |  FROM cand c JOIN grams x ON x.doc_id = c.d1 JOIN grams y ON y.doc_id = c.d2 AND y.g = x.g
+        |  GROUP BY c.d1, c.d2)
+        |SELECT c.d1, c.d2,
+        |       round(coalesce(i.ninter, 0) * 1.0 / (s1.n + s2.n - coalesce(i.ninter, 0)), 6) AS jaccard
+        |FROM cand c
+        |LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+        |JOIN sizes s1 ON s1.doc_id = c.d1
+        |JOIN sizes s2 ON s2.doc_id = c.d2
+        |ORDER BY c.d1, c.d2""".stripMargin
+  )
+}

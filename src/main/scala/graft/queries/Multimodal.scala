@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Multimodal-column plumbing (builder prompt): image/audio/video payloads
+  * as opaque `BinaryType` columns with typed metadata, plus a
+  * decode/feature-extract stage.
+  *
+  * The fixture corpus has no real media files, so the *payload* is the
+  * document text re-encoded as UTF-8 bytes — which keeps every byte-level
+  * operation (lengths, hashes, magic-byte sniffing, frame sampling
+  * arithmetic) real and oracle-checkable. The *decoder* is the part that
+  * would call an image/audio library; per the builder contract it is a
+  * clearly-marked deterministic stub (`FakeDecoder`), while everything
+  * Spark-side — binary schema, typed Dataset encoders, mapPartitions
+  * batch shape, partition-preserving narrow execution — is real.
+  *
+  * Scale notes: media payloads at 100 TB dominate row width, so the
+  * queries never shuffle payload bytes — metadata is projected out first
+  * (column pruning drops the blob from the scan when untouched), and the
+  * mapPartitions stage is narrow (no exchange before or after it).
+  */
+object Multimodal extends QueryModule {
+
+  /** Input row for the decode stage. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], source: String)
+
+  /** Decoded-metadata row produced by the (stubbed) decoder. */
+  final case class MediaMeta(
+      doc_id: Long,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      sample_frame_offsets: Seq[Long],
+      source: String)
+
+  /** STUB — stands in for an image/audio decode library (not available in
+    * this environment). Deterministic arithmetic over the payload bytes so
+    * the pipeline remains verifiable end-to-end; a real deployment swaps
+    * `decode` for e.g. an ImageIO/ffmpeg call with the same signature. */
+  object FakeDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      val n = payload.length
+      val width = n % 640
+      val height = (n * 7) % 480
+      val nFrames = n % 30 + 1
+      (width, height, nFrames)
+    }
+
+    /** Evenly-spaced frame byte offsets — the batch shape a real frame
+      * sampler produces. */
+    def frameOffsets(byteLen: Long, nFrames: Int): Seq[Long] =
+      (0 until math.min(nFrames, 4)).map(i => i * byteLen / math.min(nFrames, 4))
+  }
+
+  /** The decode stage: typed mapPartitions over binary payloads — the
+    * Spark-side plumbing (encoders, batch iteration, narrow execution)
+    * that a real decoder plugs into. */
+  def decodeStage(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, f) = FakeDecoder.decode(r.payload)
+        MediaMeta(r.doc_id, r.payload.length.toLong, w, h, f,
+          FakeDecoder.frameOffsets(r.payload.length.toLong, f), r.source)
+      }
+    }
+  }
+
+  private def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("source"))
+      .as[MediaRow]
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Binary metadata without decode: lengths, content hash, magic-byte
+    // sniff — blob never shuffles (aggregates after projection).
+    "mm_binary_meta" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("source"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).as("byte_len"),
+          md5(col("payload")).as("payload_md5"),
+          substring(hex(col("payload")), 1, 8).as("magic_hex"),
+          col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Full decode pipeline through typed mapPartitions (stubbed decoder,
+    // real plumbing). Frame offsets come back as a flattened string so
+    // the oracle compares arrays without list-representation drift.
+    "mm_decode" -> { (s, d) =>
+      decodeStage(mediaTable(s, d)).toDF()
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+          col("n_frames"),
+          concat_ws(",", col("sample_frame_offsets")).as("frame_offsets"),
+          col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-source media stats: group AFTER metadata projection (the blob
+    // is pruned from the shuffle — only ints travel).
+    "mm_source_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), length(encode(col("text"), "UTF-8")).as("byte_len"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("byte_len")).as("total_bytes"),
+          min(col("byte_len")).as("min_bytes"),
+          max(col("byte_len")).as("max_bytes"))
+        .orderBy(col("source"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |       octet_length(encode(text)) AS byte_len,
+        |       md5(text) AS payload_md5,
+        |       upper(substr(hex(encode(text)), 1, 8)) AS magic_hex,
+        |       source
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm_decode" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS byte_len, source FROM documents),
+        |meta AS (
+        |  SELECT doc_id, byte_len,
+        |         byte_len % 640 AS width,
+        |         (byte_len * 7) % 480 AS height,
+        |         byte_len % 30 + 1 AS n_frames,
+        |         source
+        |  FROM m)
+        |SELECT doc_id, byte_len, width, height, n_frames,
+        |       array_to_string(list_transform(generate_series(0, least(n_frames, 4) - 1),
+        |                                      i -> i * byte_len // least(n_frames, 4)), ',') AS frame_offsets,
+        |       source
+        |FROM meta
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       min(octet_length(encode(text))) AS min_bytes,
+        |       max(octet_length(encode(text))) AS max_bytes
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
+  )
+}

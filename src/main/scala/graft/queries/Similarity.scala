@@ -1,0 +1,259 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (`embedding:
+  * Array[Float]`, 64-dim) — builder prompt's ANN requirement.
+  *
+  *  - `ann_brute`: exact cosine top-k for a query set, via broadcast of
+  *    the (small, bounded) query vectors against the full corpus — the
+  *    correct baseline at any scale when |queries| is small: one narrow
+  *    pass over the corpus, a per-partition top-k, no corpus self-join.
+  *  - `ann_lsh`: random-hyperplane LSH variant — the 100 TB path when
+  *    the query side is also huge: bucket by sign-pattern, search only
+  *    same-bucket candidates. Hyperplanes are md5-derived so both engines
+  *    (and reruns) see identical planes. Oracle-checked for exactness of
+  *    the bucketing + scoring; recall vs `ann_brute` is asserted in
+  *    ScalaTest (approximate ops have no exact SQL ground truth).
+  *  - `emb_knn_class`: k-NN label vote for the query set (classification
+  *    shape on top of top-k).
+  *
+  * Cross-engine float discipline: float×float promoted to double is
+  * EXACT (24-bit mantissas); the sum of those products is the only
+  * order-sensitive step, so both sides accumulate in DECIMAL(38,12)
+  * (associative) and convert once to double at the end. Every comparison
+  * and rank therefore sees bit-identical doubles in both engines.
+  */
+object Similarity extends QueryModule {
+
+  private val K = 10
+  private val NQ = 8 // query vectors: vec_id < NQ
+
+  /** Exact decimal dot product of two float-array columns. */
+  private def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(20,12)")),
+      lit(0).cast("decimal(20,12)"),
+      // (20,12)+(20,12) widens to (21,12) — same scale, so the value is
+      // exact and the cast back to the accumulator type never rounds
+      // (values stay ≪ 1e8). At (38,12) Spark would instead drop to
+      // scale 11 and round every step — order-dependent vs the oracle.
+      (acc, v) => (acc + v).cast("decimal(20,12)"))
+
+  private def normDec(a: Column): Column = dotDec(a, a)
+
+  /** (vec_id, embedding, n2dec) with the squared norm precomputed. */
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), normDec(col("embedding")).as("n2"))
+
+  /** Brute-force scored pairs (query_id, vec_id, cosine) for vec_id<NQ
+    * queries against the whole corpus, self-pairs excluded. */
+  private def scoredPairs(s: SparkSession, d: String): DataFrame = {
+    val base = withNorm(s, d)
+    val q = broadcast(base.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2")))
+    base.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dotDec(col("qe"), col("embedding")).cast("double") /
+          sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Exact top-k neighbors per query vector (ties broken by vec_id).
+    "ann_brute" -> { (s, d) =>
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scoredPairs(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          round(col("cosine"), 9).as("cosine"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // k-NN classification: majority label among the exact top-k
+    // (tie-break: higher count, then smaller label).
+    "emb_knn_class" -> { (s, d) =>
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val topk = scoredPairs(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val votes = topk.join(labels, "vec_id")
+        .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("n_votes"))
+      val wv = Window.partitionBy(col("query_id"))
+        .orderBy(col("n_votes").desc, col("label"))
+      votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+        .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
+        .orderBy(col("query_id"))
+    },
+
+    // LSH-bucketed ANN: 8 md5-derived random hyperplanes → 8-bit sign
+    // bucket; candidates = same-bucket vectors; exact rescoring inside
+    // the bucket. At 100 TB the bucket id is the shuffle key and each
+    // bucket is a small local problem (multi-probe would widen recall).
+    "ann_lsh" -> { (s, d) =>
+      val base = withNorm(s, d)
+      // plane p (0..7), dim i (0..63): coefficient in [-1,1) derived from
+      // md5(p|i) — deterministic, engine-reproducible pseudo-randomness.
+      val planeCoef = expr(
+        """transform(sequence(0, 7), p ->
+          |  transform(sequence(0, 63), i ->
+          |    CAST(conv(substr(md5(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 6), 16, 10) AS DOUBLE)
+          |      / 8388608.0 - 1.0))""".stripMargin)
+      val bucketed = base
+        .withColumn("planes", planeCoef)
+        .withColumn("bucket", expr(
+          """aggregate(sequence(0, 7), 0, (acc, p) ->
+            |  acc * 2 + CASE WHEN aggregate(zip_with(planes[p], embedding, (c, x) -> c * CAST(x AS DOUBLE)),
+            |                                CAST(0 AS DOUBLE), (a, v) -> a + v) >= 0 THEN 1 ELSE 0 END)""".stripMargin))
+        .select(col("vec_id"), col("embedding"), col("n2"), col("bucket"))
+      val q = broadcast(bucketed.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("n2").as("qn2"), col("bucket").as("qbucket")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      bucketed.join(q, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          dotDec(col("qe"), col("embedding")).cast("double") /
+            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          round(col("cosine"), 9).as("cosine"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // Embedding near-duplicate pairs: label-blocked (IVF-flavored) exact
+    // cosine ≥ threshold inside each block — never the full n² cross.
+    "dedup_embedding" -> { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          normDec(col("embedding")).as("n2"))
+      base.as("a")
+        .join(base.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cosine",
+          dotDec(col("a.embedding"), col("b.embedding")).cast("double") /
+            sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
+        .filter(col("cosine") >= 0.99)
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+          col("a.label").as("label"), round(col("cosine"), 9).as("cosine"))
+        .orderBy(col("d1"), col("d2"))
+    }
+  )
+
+  /** Shared oracle CTEs: per-element exploded view + decimal norms. */
+  private val exSql =
+    """ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+      |       FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id,
+      |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
+      |  FROM ex GROUP BY vec_id)""".stripMargin
+
+  private def pairSql(nq: Int): String =
+    s"""pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |         CAST(sum(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+       |           / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosine
+       |  FROM ex q
+       |  JOIN ex c ON q.i = c.i AND q.vec_id < $nq AND c.vec_id <> q.vec_id
+       |  JOIN norms nq ON nq.vec_id = q.vec_id
+       |  JOIN norms nc ON nc.vec_id = c.vec_id
+       |  GROUP BY q.vec_id, c.vec_id, nq.n2, nc.n2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "ann_brute" ->
+      s"""WITH $exSql,
+         |${pairSql(NQ)}
+         |SELECT query_id, rk, vec_id, round(cosine, 9) AS cosine
+         |FROM (SELECT query_id, vec_id, cosine,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+         |      FROM pairs)
+         |WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
+
+    "emb_knn_class" ->
+      s"""WITH $exSql,
+         |${pairSql(NQ)},
+         |topk AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+         |    FROM pairs)
+         |  WHERE rk <= $K),
+         |votes AS (
+         |  SELECT t.query_id, e.label, count(*) AS n_votes
+         |  FROM topk t JOIN embeddings e ON e.vec_id = t.vec_id
+         |  GROUP BY t.query_id, e.label)
+         |SELECT query_id, label AS pred_label, n_votes
+         |FROM (SELECT query_id, label, n_votes,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS vr
+         |      FROM votes)
+         |WHERE vr = 1
+         |ORDER BY query_id""".stripMargin,
+
+    "ann_lsh" ->
+      s"""WITH $exSql,
+         |planes AS (
+         |  SELECT p, i,
+         |         ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 6))::INTEGER
+         |           / 8388608.0 - 1.0 AS c
+         |  FROM (SELECT unnest(generate_series(0, 7)) AS p),
+         |       (SELECT unnest(generate_series(0, 63)) AS i)),
+         |projections AS (
+         |  SELECT e.vec_id, pl.p, sum(pl.c * CAST(e.x AS DOUBLE) ORDER BY pl.i) AS proj
+         |  FROM ex e JOIN planes pl ON pl.i = e.i - 1
+         |  GROUP BY e.vec_id, pl.p),
+         |buckets AS (
+         |  SELECT vec_id,
+         |         sum(CASE WHEN proj >= 0 THEN (1 << (7 - p)) ELSE 0 END) AS bucket
+         |  FROM projections GROUP BY vec_id),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NQ),
+         |scored AS (
+         |  SELECT cd.query_id, cd.vec_id,
+         |         CAST(sum(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         |           / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosine
+         |  FROM cand cd
+         |  JOIN ex q ON q.vec_id = cd.query_id
+         |  JOIN ex c ON c.vec_id = cd.vec_id AND c.i = q.i
+         |  JOIN norms nq ON nq.vec_id = cd.query_id
+         |  JOIN norms nc ON nc.vec_id = cd.vec_id
+         |  GROUP BY cd.query_id, cd.vec_id, nq.n2, nc.n2)
+         |SELECT query_id, rk, vec_id, round(cosine, 9) AS cosine
+         |FROM (SELECT query_id, vec_id, cosine,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+         |      FROM scored)
+         |WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH $exSql,
+         |pairs AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2, ea.label,
+         |         CAST(sum(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         |           / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+         |  FROM ex a
+         |  JOIN ex b ON b.i = a.i AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id AND eb.label = ea.label
+         |  JOIN norms na ON na.vec_id = a.vec_id
+         |  JOIN norms nb ON nb.vec_id = b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id, ea.label, na.n2, nb.n2)
+         |SELECT d1, d2, label, round(cosine, 9) AS cosine
+         |FROM pairs
+         |WHERE cosine >= 0.99
+         |ORDER BY d1, d2""".stripMargin
+  )
+}

@@ -1,0 +1,209 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (builder prompt /
+  * SURVEY.md §7.2 step 4): token counting, quality scoring, language ID,
+  * document fingerprinting, and SimHash signatures.
+  *
+  * Everything is built from codegen'd built-in functions — no UDFs — so
+  * each per-document stage is a narrow map over the documents table (the
+  * only shuffles are SimHash's per-(doc,bit) aggregation and the final
+  * oracle-determinism ORDER BY).
+  *
+  * Portability notes: regexes stay within the class-subset shared by Java
+  * regex (Spark) and RE2 (DuckDB); hex→int goes via `conv` (Spark) /
+  * `('0x'||h)::INT` (DuckDB) on single hex digits, so values are tiny and
+  * unsigned-overflow-free.
+  */
+object TextAnalysis extends QueryModule {
+
+  /** Marker stopwords per language for the stopword-count language-ID
+    * heuristic. Fixture texts are synthetic word-soup, so the heuristic's
+    * value here is determinism, not classification accuracy. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "zh" -> Seq("de", "le", "shi", "bu"))
+
+  val queries: Map[String, Q] = Map(
+
+    // Token counting: whitespace tokens, distinct tokens, and a BPE-ish
+    // regex segmentation (letter runs / digit runs / single other-chars).
+    "text_tokens" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_ws_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_computed"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: length/stopword/diversity ratios — single-division
+    // doubles rounded to 6 places for cross-engine stability.
+    "text_quality" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val nStop = size(filter(toks, t => t === "the" || t === "a"))
+      val nDistinct = size(array_distinct(toks))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        nStop.as("n_stopwords"),
+        round(nStop.cast("double") / nTok, 6).as("stopword_ratio"),
+        round(nDistinct.cast("double") / nTok, 6).as("distinct_ratio"),
+        round(length(col("text")).cast("double") / nTok, 6).as("avg_token_span"),
+        (nTok >= 20 && nDistinct.cast("double") / nTok > 0.05).as("passes_filter"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language ID: argmax over per-language marker-word hit counts with
+    // deterministic tie-breaking (score desc, then language name asc).
+    "text_langid" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val scored = langMarkers.map { case (lang, markers) =>
+        struct(
+          size(filter(toks, t => markers.map(t === _).reduce(_ || _))).as("score"),
+          lit(lang).as("lang"))
+      }
+      Tables.documents(s, d)
+        // sort (score, lang) descending → ties sit lang-desc; re-sort the
+        // max-score prefix ascending to get the lang-asc tie-break.
+        .withColumn("all_scores", reverse(array_sort(array(scored: _*))))
+        .select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          element_at(
+            array_sort(filter(col("all_scores"),
+              x => x.getField("score") === element_at(col("all_scores"), 1).getField("score"))),
+            1).getField("lang").as("pred_lang"),
+          element_at(col("all_scores"), 1).getField("score").as("pred_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprinting: full-content hash over normalized text +
+    // a winnowing-style compact fingerprint (min over char-5-gram hashes).
+    "text_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+        .select(
+          col("doc_id"),
+          md5(col("norm")).as("content_hash"),
+          substring(
+            array_min(transform(
+              sequence(lit(1), greatest(length(col("norm")) - 4, lit(1))),
+              i => md5(col("norm").substr(i, lit(5))))),
+            1, 12).as("winnow_min"),
+          length(col("norm")).as("norm_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // SimHash-64 per document as 4×16-bit chunks (chunk equality is the
+    // classic near-dup blocking key — consumed by dedup_simhash).
+    // Weight = token occurrence count; bit source = md5(token).
+    "text_simhash" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("h", md5(col("w")))
+        .select(col("doc_id"), col("cnt"), col("h"),
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .withColumn("hexd",
+          conv(col("h").substr((col("b") / lit(4)).cast("int") + lit(1), lit(1)), 16, 10)
+            .cast("int"))
+        .withColumn("contrib", expr(
+          "CASE WHEN shiftright(hexd, 3 - CAST(b % 4 AS INT)) % 2 = 1 THEN cnt ELSE -cnt END"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("contrib")).as("tot"))
+        .withColumn("sbit", (col("tot") > 0).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(
+          expr("sum(CASE WHEN b < 16 THEN sbit * shiftleft(CAST(1 AS BIGINT), 15 - CAST(b AS INT)) ELSE 0 END)").as("c0"),
+          expr("sum(CASE WHEN b >= 16 AND b < 32 THEN sbit * shiftleft(CAST(1 AS BIGINT), 31 - CAST(b AS INT)) ELSE 0 END)").as("c1"),
+          expr("sum(CASE WHEN b >= 32 AND b < 48 THEN sbit * shiftleft(CAST(1 AS BIGINT), 47 - CAST(b AS INT)) ELSE 0 END)").as("c2"),
+          expr("sum(CASE WHEN b >= 48 THEN sbit * shiftleft(CAST(1 AS BIGINT), 63 - CAST(b AS INT)) ELSE 0 END)").as("c3"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private def langScoreSql(lang: String, markers: Seq[String]): String = {
+    val hits = markers.map(m => s"t = '$m'").mkString(" OR ")
+    s"SELECT doc_id, '$lang' AS lang, count(*) FILTER (WHERE $hits) AS score FROM tok GROUP BY doc_id"
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_ws_tokens,
+        |       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+        |       length(text) AS n_chars_computed
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS n_stopwords,
+        |       round(CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+        |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 6) AS distinct_ratio,
+        |       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_span,
+        |       (len(string_split(text, ' ')) >= 20 AND
+        |        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' ')) > 0.05) AS passes_filter
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val scores = langMarkers.map { case (l, ms) => langScoreSql(l, ms) }.mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |scores AS ($scores),
+         |ranked AS (
+         |  SELECT doc_id, lang, score,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+         |  FROM scores)
+         |SELECT d.doc_id, d.lang AS labeled_lang, r.lang AS pred_lang, r.score AS pred_score
+         |FROM documents d JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents)
+        |SELECT doc_id,
+        |       md5(norm) AS content_hash,
+        |       substr(list_min(list_transform(generate_series(1, greatest(length(norm) - 4, 1)),
+        |                                      i -> md5(substr(norm, i, 5)))), 1, 12) AS winnow_min,
+        |       length(norm) AS norm_len
+        |FROM n
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_simhash" ->
+      """WITH tc AS (
+        |  SELECT doc_id, w, count(*) AS cnt, md5(w) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY doc_id, w),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (('0x' || substr(h, b // 4 + 1, 1))::INTEGER >> (3 - b % 4)) % 2 = 1
+        |                  THEN cnt ELSE -cnt END) AS tot
+        |  FROM tc, (SELECT unnest(generate_series(0, 63)) AS b)
+        |  GROUP BY doc_id, b),
+        |sb AS (SELECT doc_id, b, CASE WHEN tot > 0 THEN 1 ELSE 0 END AS sbit FROM bits)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN b < 16  THEN sbit * (1::BIGINT << (15 - b)) ELSE 0 END) AS BIGINT) AS c0,
+        |       CAST(sum(CASE WHEN b >= 16 AND b < 32 THEN sbit * (1::BIGINT << (31 - b)) ELSE 0 END) AS BIGINT) AS c1,
+        |       CAST(sum(CASE WHEN b >= 32 AND b < 48 THEN sbit * (1::BIGINT << (47 - b)) ELSE 0 END) AS BIGINT) AS c2,
+        |       CAST(sum(CASE WHEN b >= 48 THEN sbit * (1::BIGINT << (63 - b)) ELSE 0 END) AS BIGINT) AS c3
+        |FROM sb
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+  )
+}
