@@ -94,32 +94,42 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"))
     },
 
-    // LSH-bucketed ANN: 8 md5-derived random hyperplanes → 8-bit sign
-    // bucket; candidates = same-bucket vectors; exact rescoring inside
-    // the bucket. At 100 TB the bucket id is the shuffle key and each
-    // bucket is a small local problem (multi-probe would widen recall).
+    // LSH-bucketed ANN, multi-table: 4 bands × 4 md5-derived hyperplanes.
+    // A vector lands in one 4-bit sign bucket per band; candidates =
+    // vectors sharing (band, bucket) with the query, union over bands,
+    // then exact rescoring. Multi-table is the standard recall lever —
+    // P[close pair shares ≥1 band] = 1-(1-p^4)^4 with p = 1-θ/π — and at
+    // 100 TB (band, bucket) is the shuffle key, each bucket a small
+    // local problem (a single wide table over-partitions instead).
     "ann_lsh" -> { (s, d) =>
       val base = withNorm(s, d)
-      // plane p (0..7), dim i (0..63): coefficient in [-1,1) derived from
-      // md5(p|i) — deterministic, engine-reproducible pseudo-randomness.
+      // plane p (0..15), dim i (0..63): coefficient in [-1,1) derived
+      // from md5(p|i) — deterministic, engine-reproducible randomness.
       val planeCoef = expr(
-        """transform(sequence(0, 7), p ->
+        """transform(sequence(0, 15), p ->
           |  transform(sequence(0, 63), i ->
           |    CAST(conv(substr(md5(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 6), 16, 10) AS DOUBLE)
           |      / 8388608.0 - 1.0))""".stripMargin)
       val bucketed = base
         .withColumn("planes", planeCoef)
+        // one row per (vector, band): bucket = 4 sign bits of band planes
+        .withColumn("band", explode(sequence(lit(0), lit(3))))
         .withColumn("bucket", expr(
-          """aggregate(sequence(0, 7), 0, (acc, p) ->
-            |  acc * 2 + CASE WHEN aggregate(zip_with(planes[p], embedding, (c, x) -> c * CAST(x AS DOUBLE)),
+          """aggregate(sequence(0, 3), 0, (acc, j) ->
+            |  acc * 2 + CASE WHEN aggregate(zip_with(planes[band * 4 + j], embedding, (c, x) -> c * CAST(x AS DOUBLE)),
             |                                CAST(0 AS DOUBLE), (a, v) -> a + v) >= 0 THEN 1 ELSE 0 END)""".stripMargin))
-        .select(col("vec_id"), col("embedding"), col("n2"), col("bucket"))
+        .select(col("vec_id"), col("embedding"), col("n2"), col("band"), col("bucket"))
       val q = broadcast(bucketed.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("n2").as("qn2"), col("bucket").as("qbucket")))
+          col("n2").as("qn2"), col("band").as("qband"), col("bucket").as("qbucket")))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
-      bucketed.join(q, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      bucketed
+        .join(q, col("band") === col("qband") && col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("qe"), col("embedding"),
+          col("qn2"), col("n2"))
+        .distinct() // union over bands: a pair may collide in several
         .withColumn("cosine",
           dotDec(col("qe"), col("embedding")).cast("double") /
             sqrt(col("qn2").cast("double") * col("n2").cast("double")))
@@ -207,19 +217,20 @@ object Similarity extends QueryModule {
          |  SELECT p, i,
          |         ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 6))::INTEGER
          |           / 8388608.0 - 1.0 AS c
-         |  FROM (SELECT unnest(generate_series(0, 7)) AS p),
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS p),
          |       (SELECT unnest(generate_series(0, 63)) AS i)),
          |projections AS (
          |  SELECT e.vec_id, pl.p, sum(pl.c * CAST(e.x AS DOUBLE) ORDER BY pl.i) AS proj
          |  FROM ex e JOIN planes pl ON pl.i = e.i - 1
          |  GROUP BY e.vec_id, pl.p),
          |buckets AS (
-         |  SELECT vec_id,
-         |         sum(CASE WHEN proj >= 0 THEN (1 << (7 - p)) ELSE 0 END) AS bucket
-         |  FROM projections GROUP BY vec_id),
+         |  SELECT vec_id, p // 4 AS band,
+         |         CAST(sum(CASE WHEN proj >= 0 THEN (1 << (3 - p % 4)) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM projections GROUP BY vec_id, p // 4),
          |cand AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id
-         |  FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM buckets q
+         |  JOIN buckets c ON c.band = q.band AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < $NQ),
          |scored AS (
          |  SELECT cd.query_id, cd.vec_id,

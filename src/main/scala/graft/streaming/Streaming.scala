@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming jobs over the events table (SURVEY.md §7.2 step 5).
+  *
+  * The reference has no streaming at all; this is the capability-parity
+  * extension for stream processing. Each job's aggregation expression is
+  * IDENTICAL to its batch twin in [[graft.queries.Windows]] — that is the
+  * point of Structured Streaming's unified model: the same logical plan
+  * runs incrementally with watermark-bounded state. The batch twins carry
+  * the DuckDB oracle; the streaming paths are verified in ScalaTest by
+  * running them on a file source to completion (memory sink) and
+  * comparing to the batch result.
+  *
+  * Scale notes: state is keyed by (window/session, group key) and pruned
+  * by the watermark, so state size is bounded by (#keys × windows inside
+  * the watermark horizon), not by stream length. `maxFilesPerTrigger`
+  * governs micro-batch size under backfill.
+  */
+object Streaming {
+
+  /** File-source stream over the same parquet fixture (schema must be
+    * supplied for streaming reads). ts arrives as nanos (see
+    * Tables.events) and is normalized identically. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.table(spark, dir, "events").schema
+    // FileStreamSource requires a directory source (it pins basePath to
+    // the source path itself); the fixture dir mixes all tables, so stage
+    // the events file alone into a per-fixture stream dir.
+    val streamDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-stream-" + Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"), link)
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    if (schema("ts").dataType.typeName == "long")
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 1-hour watermark —
+    * streaming twin of the `events_tumbling` batch query. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Session windows (10-minute gap) per user — streaming twin of
+    * `events_session`. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("session_value"))
+
+  final case class Event(event_id: Long, user_id: Long, event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful accumulation via mapGroupsWithState: per-user
+    * running totals (the arbitrary-state API the built-in windows can't
+    * express — SURVEY.md §7.3 ladder, step before custom operators). */
+  def userRunningTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunning(uid, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drive a streaming DataFrame to completion against the (finite) file
+    * source and return the final result via a named memory sink. */
+  def runToCompletion(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

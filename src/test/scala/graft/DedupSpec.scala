@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends GraftSuite {
+
+  test("dedup_exact partitions the corpus: n_copies sums to table size") {
+    val total = q("dedup_exact").agg(sum("n_copies")).collect().head.getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("dedup_minhash finds the planted near-duplicate pairs") {
+    val pairs = q("dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // highest-Jaccard planted pairs in sf0.001 (verified against exact
+    // all-pairs Jaccard): must be recovered by 4x4 LSH banding
+    for (p <- Seq((474L, 498L), (110L, 467L), (260L, 391L), (144L, 161L)))
+      assert(pairs.contains(p), s"missing planted pair $p")
+  }
+
+  test("dedup_minhash jaccard values are valid and ordered pairs unique") {
+    val rows = q("dedup_minhash").collect()
+    assert(rows.forall(r => r.getDouble(2) >= 0.6 && r.getDouble(2) <= 1.0))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    val ids = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("dedup_simhash pairs are a subset of near-dups by construction") {
+    val rows = q("dedup_simhash").collect()
+    assert(rows.forall(r => r.getInt(2) <= 3 && r.getInt(2) >= 0))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("dedup_ngram jaccard of a doc with itself-like neighbor bounded") {
+    val rows = q("dedup_ngram").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+class SimilaritySpec extends GraftSuite {
+
+  test("ann_brute: k results per query, cosine in [-1,1], no self-match") {
+    val rows = q("ann_brute").collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 8)
+    assert(byQuery.values.forall(_.length == 10))
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    assert(rows.forall(r => r.getLong(2) != r.getLong(0)))
+  }
+
+  test("ann_lsh (4 bands x 4 planes) recalls a useful share of exact top-k") {
+    val exact = q("ann_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = q("ann_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // uniformly random vectors are LSH's worst case (neighbors are
+    // near-orthogonal), so this guards the multi-table mechanism works
+    // at all, not production-grade recall
+    assert(recall >= 0.2, s"recall=$recall")
+    assert(approx.forall { case (a, b) => a != b })
+  }
+
+  test("emb_knn_class predicts a label for every query vector") {
+    val rows = q("emb_knn_class").collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getLong(2) >= 1))
+  }
+
+  test("dedup_embedding: pairs are same-label, ordered, cosine >= 0.99") {
+    val rows = q("dedup_embedding").collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(3) >= 0.99))
+  }
+}

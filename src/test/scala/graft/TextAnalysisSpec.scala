@@ -1,0 +1,34 @@
+package graft
+
+class TextAnalysisSpec extends GraftSuite {
+
+  test("text_simhash: near-duplicate docs land within hamming 3") {
+    val sig = q("text_simhash").collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    def hamming(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    // planted near-dup pair (jaccard ~0.99)
+    assert(hamming(sig(474L), sig(498L)) <= 3)
+    // chunks stay within 16 bits
+    assert(sig.values.forall(_.forall(c => c >= 0 && c <= 0xFFFF)))
+  }
+
+  test("text_quality ratios are consistent") {
+    val rows = q("text_quality").collect()
+    assert(rows.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 1)) // stopword_ratio
+    assert(rows.forall(r => r.getDouble(4) > 0 && r.getDouble(4) <= 1))  // distinct_ratio
+  }
+
+  test("text_fingerprint: content hash is 32 hex chars, winnow stable prefix") {
+    val rows = q("text_fingerprint").collect()
+    assert(rows.forall(_.getString(1).matches("[0-9a-f]{32}")))
+    assert(rows.forall(_.getString(2).matches("[0-9a-f]{12}")))
+  }
+
+  test("text_langid picks the max-score language deterministically") {
+    val rows = q("text_langid").collect()
+    assert(rows.forall(r => Set("en", "de", "es", "fr", "zh").contains(r.getString(2))))
+    assert(rows.forall(_.getInt(3) >= 0))
+  }
+}

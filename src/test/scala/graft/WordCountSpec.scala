@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class WordCountSpec extends GraftSuite {
+
+  test("wordcount and wordcount_mr agree exactly") {
+    val a = q("wordcount").collect().map(r => (r.getString(0), r.getLong(1)))
+    val b = q("wordcount_mr").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a.nonEmpty)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("wordcount total equals token count of the corpus") {
+    val total = q("wordcount").agg(sum("cnt")).collect().head.getLong(0)
+    val expected = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), "[^a-zA-Z]+")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(total == expected)
+  }
+
+  test("every query in SparkEntry has either an oracle or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only queries must be a deliberate, documented set
+    assert(missing.subsetOf(Set.empty[String]), s"queries without oracle: $missing")
+  }
+}
