@@ -50,6 +50,19 @@ object WordCount extends QueryModule {
         .toDF("word", "cnt_str")
         .select(col("word"), col("cnt_str").cast("long").as("cnt"))
         .orderBy(col("word"))
+    },
+
+    // Bit-exact reference partitioner parity (O5): bucket =
+    // fnv32a(word) & 0x7fffffff % 4 (worker.go:226-239, nReduce=4,
+    // master.go:341) via the codegen'd Fnv32a Catalyst expression.
+    "partition_fnv" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), tokenRe)).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("bucket", graft.functions.Fnv32a.fnvBucket(col("word"), 4))
+        .orderBy(col("word"))
     }
   )
 
@@ -71,6 +84,20 @@ object WordCount extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "wordcount" -> wcOracle,
-    "wordcount_mr" -> wcMrOracle
+    "wordcount_mr" -> wcMrOracle,
+    // FNV-1a 32 reproduced in SQL: fold over byte values with
+    // xor-then-multiply, masked to 32 bits (tokens are pure ASCII).
+    "partition_fnv" ->
+      """SELECT word, count(*) AS cnt,
+        |       CAST((list_reduce(
+        |               list_prepend(2166136261::BIGINT,
+        |                 list_transform(range(length(word)), i -> ascii(substr(word, i + 1, 1)))),
+        |               (h, b) -> (xor(h, b) * 16777619) & 4294967295)
+        |             & 2147483647) % 4 AS INTEGER) AS bucket
+        |FROM (SELECT unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY word""".stripMargin
   )
 }

@@ -1,0 +1,23 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionColumnNode
+
+/** Expression ↔ Column bridge for the graft library.
+  *
+  * Spark 4 moved `Column` to a plan-agnostic ColumnNode representation
+  * and made the classic converters `private[sql]`
+  * (`classic.ExpressionColumnNode`, `classic.ExpressionUtils`), so
+  * libraries that define native Catalyst expressions need an in-package
+  * bridge — the established pattern for Spark-extension libraries.
+  */
+object GraftColumnBridge {
+
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = new Column(ExpressionColumnNode(e))
+
+  /** Resolve a Column back to its Catalyst expression via the active
+    * classic session's converter. */
+  def expression(c: Column): Expression =
+    classic.SparkSession.active.expression(c)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.Fnv32a
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class OperatorsSpec extends GraftSuite {
+
+  test("Fnv32a matches the published FNV-1a 32-bit test vectors") {
+    // vectors from the FNV reference (Fowler/Noll/Vo); Go hash/fnv
+    // New32a (worker.go:236) implements the same function
+    assert(Fnv32a.hash(UTF8String.fromString("")) == 2166136261L)
+    assert(Fnv32a.hash(UTF8String.fromString("a")) == 0xe40c292cL)
+    assert(Fnv32a.hash(UTF8String.fromString("abc")) == 0x1a47e90bL)
+    assert(Fnv32a.hash(UTF8String.fromString("foobar")) == 0xbf9cf968L)
+  }
+
+  test("Fnv32a codegen path agrees with interpreted eval") {
+    import spark.implicits._
+    val words = Seq("spark", "graft", "the", "x", "").toDF("w")
+    val viaExpr = words.select(Fnv32a.fnv32a(col("w")).as("h")).collect().map(_.getLong(0))
+    val expected = Seq("spark", "graft", "the", "x", "")
+      .map(s => Fnv32a.hash(UTF8String.fromString(s)))
+    assert(viaExpr.toSeq == expected)
+  }
+
+  test("partition_fnv buckets are the reference's nReduce=4 range") {
+    val rows = q("partition_fnv").collect()
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 4))
+    // all 4 buckets used on the 31-word vocabulary
+    assert(rows.map(_.getInt(2)).distinct.length == 4)
+  }
+
+  test("asof join: every matched click is the latest at-or-before the purchase") {
+    val rows = q("asof_purchase_click").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(5) >= 0)) // gap_us >= 0
+    // spot-verify one row against a direct computation
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id")).collect()
+    val r = rows.head
+    val (uid, tsUs) = (r.getLong(1), r.getLong(2))
+    val bestClick = ev.filter(e => e.getLong(0) == uid && e.getString(1) == "click"
+      && e.getLong(2) <= tsUs).maxBy(_.getLong(2))
+    assert(r.getLong(3) == bestClick.getLong(3), "click_id mismatch")
+  }
+
+  test("asof join plans a single shuffle (window exchange only)") {
+    val df = q("asof_purchase_click")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one hash exchange for the window partition; the final orderBy adds
+    // a range exchange but no additional hash shuffles
+    assert(shuffles <= 2, s"too many shuffles ($shuffles):\n$p")
+  }
+}
