@@ -34,15 +34,21 @@ object Dedup extends QueryModule {
           .as("s"))
       .distinct()
 
-  /** 16 portable minhashes → 4 LSH bands of 4; returns (doc_id, band, sig). */
+  /** 16 portable minhashes → 4 LSH bands of 4; returns (doc_id, band,
+    * sig). One md5 per (shingle, band) supplies the band's four 32-bit
+    * minhash lanes as non-overlapping 8-hex chunks (md5 bits are
+    * well-mixed, so the chunks act as independent hash functions) —
+    * 4 hashes per shingle instead of 16, one aggregation instead of two,
+    * same r=4/b=4 LSH collision curve. Fixed-width lowercase hex makes
+    * lexicographic MIN equal numeric MIN per lane. */
   private def bandSignatures(s: SparkSession, d: String): DataFrame =
     shingles(s, d)
-      .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(15))).as("j"))
-      .withColumn("h", md5(concat(col("j").cast("string"), lit("|"), col("s"))))
-      .groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("mh"))
-      .groupBy(col("doc_id"), expr("CAST(j DIV 4 AS INT)").as("band"))
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(j, mh))), x -> x.mh), '')")
-        .as("sig"))
+      .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("h", md5(concat(col("band").cast("string"), lit("|"), col("s"))))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat(
+        min(substring(col("h"), 1, 8)), min(substring(col("h"), 9, 8)),
+        min(substring(col("h"), 17, 8)), min(substring(col("h"), 25, 8))).as("sig"))
 
   val queries: Map[String, Q] = Map(
 
@@ -110,9 +116,14 @@ object Dedup extends QueryModule {
         .distinct()
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val docs = Tables.documents(s, d).select(col("doc_id"))
-      val cand = docs.as("a").join(docs.as("b"),
-        col("b.doc_id") > col("a.doc_id") && col("b.doc_id") <= col("a.doc_id") + 5)
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      // candidate pairs by construction (explode the id offsets, keep
+      // pairs whose partner exists via an equi semi join) — a non-equi
+      // range self-join would plan as a nested-loop scan
+      val cand = docs
+        .select(col("doc_id").as("d1"),
+          explode(expr("sequence(doc_id + 1, doc_id + 5)")).as("d2"))
+        .join(docs.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+        .select(col("d1"), col("d2"))
       val inter = cand
         .join(grams.as("x"), col("d1") === col("x.doc_id"))
         .join(grams.as("y"), col("d2") === col("y.doc_id") && col("x.g") === col("y.g"))
@@ -144,13 +155,14 @@ object Dedup extends QueryModule {
 
     "dedup_minhash" ->
       s"""WITH $shingleSql,
-        |mh AS (
-        |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) AS h
-        |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS j)
-        |  GROUP BY doc_id, j),
         |bands AS (
-        |  SELECT doc_id, j // 4 AS band, string_agg(h, '' ORDER BY j) AS sig
-        |  FROM mh GROUP BY doc_id, j // 4),
+        |  SELECT doc_id, band,
+        |         min(substr(md5(CAST(band AS VARCHAR) || '|' || s), 1, 8)) ||
+        |         min(substr(md5(CAST(band AS VARCHAR) || '|' || s), 9, 8)) ||
+        |         min(substr(md5(CAST(band AS VARCHAR) || '|' || s), 17, 8)) ||
+        |         min(substr(md5(CAST(band AS VARCHAR) || '|' || s), 25, 8)) AS sig
+        |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS band)
+        |  GROUP BY doc_id, band),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),

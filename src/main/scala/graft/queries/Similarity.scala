@@ -45,10 +45,21 @@ object Similarity extends QueryModule {
 
   private def normDec(a: Column): Column = dotDec(a, a)
 
-  /** (vec_id, embedding, n2dec) with the squared norm precomputed. */
+  /** Fast in-order double dot product — NOT oracle-stable on its own
+    * (accumulation order differs from the oracle's exact decimal sum by
+    * ulps), so it is only ever used as a pre-filter with a safety margin
+    * well above that error (~1e-12), never for output values or ranking. */
+  private def dotDbl(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** (vec_id, label, embedding, n2dec) with the squared norm precomputed. */
   private def withNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), normDec(col("embedding")).as("n2"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        normDec(col("embedding")).as("n2"))
 
   /** Brute-force scored pairs (query_id, vec_id, cosine) for vec_id<NQ
     * queries against the whole corpus, self-pairs excluded. */
@@ -62,30 +73,29 @@ object Similarity extends QueryModule {
           sqrt(col("qn2").cast("double") * col("n2").cast("double")))
   }
 
+  private def topkPairs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scoredPairs(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Exact top-k neighbors per query vector (ties broken by vec_id).
     "ann_brute" -> { (s, d) =>
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      scoredPairs(s, d)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= K)
+      topkPairs(s, d)
         .select(col("query_id"), col("rk"), col("vec_id"),
           round(col("cosine"), 9).as("cosine"))
         .orderBy(col("query_id"), col("rk"))
     },
 
     // k-NN classification: majority label among the exact top-k
-    // (tie-break: higher count, then smaller label).
+    // (tie-break: higher count, then smaller label). The candidate label
+    // rides along from the base projection — no second embeddings scan.
     "emb_knn_class" -> { (s, d) =>
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      val topk = scoredPairs(s, d)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= K)
-      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-      val votes = topk.join(labels, "vec_id")
+      val votes = topkPairs(s, d)
         .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("n_votes"))
       val wv = Window.partitionBy(col("query_id"))
         .orderBy(col("n_votes").desc, col("label"))
@@ -142,13 +152,19 @@ object Similarity extends QueryModule {
 
     // Embedding near-duplicate pairs: label-blocked (IVF-flavored) exact
     // cosine ≥ threshold inside each block — never the full n² cross.
+    // Two-phase scoring: a cheap double-accumulated prefilter at 0.985
+    // discards ~all of the block pairs, then the oracle-exact decimal
+    // dot re-scores only survivors (double-vs-decimal drift is ~1e-12,
+    // five orders of magnitude inside the 0.005 margin).
     "dedup_embedding" -> { (s, d) =>
-      val base = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"),
-          normDec(col("embedding")).as("n2"))
+      val base = withNorm(s, d)
       base.as("a")
         .join(base.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos_fast",
+          dotDbl(col("a.embedding"), col("b.embedding")) /
+            sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
+        .filter(col("cos_fast") >= 0.985)
         .withColumn("cosine",
           dotDec(col("a.embedding"), col("b.embedding")).cast("double") /
             sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
