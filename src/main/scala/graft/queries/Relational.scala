@@ -177,6 +177,33 @@ object Relational extends QueryModule {
         .limit(10)
     },
 
+    // Exact interpolated percentiles (both engines: linear interpolation
+    // over the sorted set — identical arithmetic on identical doubles).
+    "agg_percentile" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("qs"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("q25"),
+          element_at(col("qs"), 2).as("q50"),
+          element_at(col("qs"), 3).as("q75"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Sketch-based aggregates — approximate by design, so no SQL oracle
+    // (rows-only driver check); accuracy vs the exact twins is asserted
+    // in RelationalSpec. At 100 TB these replace exact distinct counts
+    // wherever a ±2% answer is acceptable: no O(distinct) state, no
+    // second shuffle for the distinct expansion.
+    "agg_approx" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Set operations on key projections: customers active in 1995 vs 1996.
     "set_ops" -> { (s, d) =>
       val ord = Tables.orders(s, d)
@@ -295,6 +322,15 @@ object Relational extends QueryModule {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 10""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS q25,
+        |       quantile_cont(l_quantity, 0.50) AS q50,
+        |       quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "set_ops" ->
       """WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),

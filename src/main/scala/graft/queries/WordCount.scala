@@ -28,6 +28,22 @@ object WordCount extends QueryModule {
     * `[^a-zA-Z]+` (SURVEY.md §7.4 — avoid `\p{L}` engine subtleties). */
   private val tokenRe = "[^a-zA-Z]+"
 
+  /** O1/O2-faithful source: a directory of plain-text files, one row per
+    * whole file (the reference's input model — `master.go:327-339` lists
+    * the dir, `worker.go:131-140` reads files whole). Spark's `wholetext`
+    * preserves per-file semantics; `input_file_name()` recovers the
+    * identity the reference threads through its task table. At scale the
+    * directory listing and file splits are handled by the data source —
+    * one small file per task is exactly the reference's layout. */
+  def wordcountFromTextDir(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    s.read.option("wholetext", "true").text(dir)
+      .select(input_file_name().as("file"), col("value").as("text"))
+      .select(explode(split(col("text"), tokenRe)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("word"))
+
   val queries: Map[String, Q] = Map(
     "wordcount" -> { (s, d) =>
       Tables.documents(s, d)

@@ -20,4 +20,14 @@ object GraftColumnBridge {
     * classic session's converter. */
   def expression(c: Column): Expression =
     classic.SparkSession.active.expression(c)
+
+  /** Register a function builder on an EXISTING session's registry —
+    * the runtime analog of SparkSessionExtensions.injectFunction for
+    * sessions the library did not construct. */
+  def registerFunction(
+      session: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    session.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

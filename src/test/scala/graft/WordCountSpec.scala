@@ -21,7 +21,9 @@ class WordCountSpec extends GraftSuite {
 
   test("every query in SparkEntry has either an oracle or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only queries must be a deliberate, documented set
-    assert(missing.subsetOf(Set.empty[String]), s"queries without oracle: $missing")
+    // rows-only queries must be a deliberate, documented set: sketches
+    // are approximate by design (accuracy asserted in ScaleSpec instead)
+    val deliberatelyRowsOnly = Set("agg_approx")
+    assert(missing.subsetOf(deliberatelyRowsOnly), s"queries without oracle: $missing")
   }
 }
