@@ -25,14 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** Word-3-gram shingles per doc: (doc_id, s). `distinct = false`
+    * skips the dedup shuffle — correct wherever the consumer is
+    * duplicate-insensitive (MIN for minhash signatures); the exact
+    * Jaccard verification needs the true set semantics. */
+  private def shingles(s: SparkSession, d: String, distinct: Boolean = true): DataFrame = {
+    val raw = Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, greatest(size(t) - 2, 1)), i -> concat_ws(' ', slice(t, i, 3)))"))
           .as("s"))
-      .distinct()
+    if (distinct) raw.distinct() else raw
+  }
 
   /** 16 portable minhashes → 4 LSH bands of 4; returns (doc_id, band,
     * sig). One md5 per (shingle, band) supplies the band's four 32-bit
@@ -41,6 +45,11 @@ object Dedup extends QueryModule {
     * 4 hashes per shingle instead of 16, one aggregation instead of two,
     * same r=4/b=4 LSH collision curve. Fixed-width lowercase hex makes
     * lexicographic MIN equal numeric MIN per lane. */
+  // NOTE: distinct shingles feed the signatures even though MIN would
+  // tolerate duplicates — the distinct exchange is the SAME subtree the
+  // verification join uses, so Catalyst reuses one shuffle
+  // (ReusedExchange) instead of rescanning+re-exploding the corpus;
+  // measured faster than the "skip the distinct" variant.
   private def bandSignatures(s: SparkSession, d: String): DataFrame =
     shingles(s, d)
       .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(3))).as("band"))

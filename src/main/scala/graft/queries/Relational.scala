@@ -177,6 +177,28 @@ object Relational extends QueryModule {
         .limit(10)
     },
 
+    // Top-k per group via the single-pass bounded Aggregator
+    // (operators/TopK): partial aggregation reduces each map task to ≤k
+    // rows per group BEFORE the shuffle — the exchange carries
+    // O(groups×k), where the window formulation (window_rank) shuffles
+    // and sorts every row. Same results, different physics.
+    "topk_per_group" -> { (s, d) =>
+      import s.implicits._
+      val byCust = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+      byCust.agg(graft.operators.TopK.topK(3).toColumn.name("top"))
+        .flatMap { case (cust, entries) =>
+          entries.zipWithIndex.map { case ((price, okey), i) =>
+            (cust, i + 1, okey, price)
+          }
+        }
+        .toDF("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_custkey"), col("rk"))
+    },
+
     // Exact interpolated percentiles (both engines: linear interpolation
     // over the sorted set — identical arithmetic on identical doubles).
     "agg_percentile" -> { (s, d) =>
@@ -322,6 +344,14 @@ object Relational extends QueryModule {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 10""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT o_custkey,
+        |       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |       o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
 
     "agg_percentile" ->
       """SELECT l_returnflag,

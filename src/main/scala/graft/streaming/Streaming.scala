@@ -93,6 +93,39 @@ object Streaming {
       }
   }
 
+  final case class TsEvent(user_id: Long, ts_us: Long, value: Double)
+  final case class Session(user_id: Long, session_start_us: Long, n_events: Long)
+
+  /** Custom sessionization through flatMapGroupsWithState — the
+    * arbitrary-state formulation of what `session_window` does natively
+    * (events_session / sessionCounts). Shown as the escape hatch for
+    * session semantics the built-in gap-window can't express (dynamic
+    * gaps, max-length caps, per-session early emission). Gap fixed at
+    * 10 minutes to stay comparable to the built-in twin. */
+  def sessionize(events: Dataset[TsEvent], gapUs: Long = 600000000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TsEvent], _: GroupState[Long]) =>
+          val ts = batch.map(_.ts_us).toArray.sorted
+          if (ts.isEmpty) Iterator.empty
+          else {
+            val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var start = ts(0); var prev = ts(0); var n = 1L
+            for (t <- ts.iterator.drop(1)) {
+              if (t - prev >= gapUs) {
+                sessions += Session(uid, start, n); start = t; n = 0L
+              }
+              prev = t; n += 1
+            }
+            sessions += Session(uid, start, n)
+            sessions.iterator
+          }
+      }
+  }
+
   /** Drive a streaming DataFrame to completion against the (finite) file
     * source and return the final result via a named memory sink. */
   def runToCompletion(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -29,6 +29,18 @@ class StreamingSpec extends GraftSuite {
     assert(normalize(got) == normalize(want))
   }
 
+  test("flatMapGroupsWithState sessionization equals session_window") {
+    import spark.implicits._
+    val tsEvents = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Streaming.TsEvent]
+    val custom = Streaming.sessionize(tsEvents).collect()
+      .map(s => (s.user_id, s.session_start_us, s.n_events)).toSet
+    val builtin = q("events_session").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(custom == builtin)
+  }
+
   test("mapGroupsWithState running totals match a batch groupBy") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
