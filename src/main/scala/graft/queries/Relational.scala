@@ -148,6 +148,16 @@ object Relational extends QueryModule {
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     },
 
+    // CUBE over two independent dimensions (the full grouping-sets
+    // lattice; rollup covers the hierarchical case).
+    "agg_cube" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(asc_nulls_first("o_year"), asc_nulls_first("o_orderstatus"))
+    },
+
     // Exact multi-column COUNT(DISTINCT) per group (Catalyst expands to a
     // two-phase aggregate; the approx variant lives in TextAnalysis).
     "agg_distinct" -> { (s, d) =>
@@ -238,6 +248,23 @@ object Relational extends QueryModule {
         .unionAll(c96.except(c95).withColumn("op", lit("only_1996")))
         .select(col("op"), col("o_custkey"))
         .orderBy(col("op"), col("o_custkey"))
+    },
+
+    // Bag-semantics set ops (ALL variants): per-customer order-year
+    // multisets — intersectAll keeps min(multiplicity), exceptAll
+    // subtracts multiplicities.
+    "set_ops_all" -> { (s, d) =>
+      val ord = Tables.orders(s, d)
+      def years(lo: Int, hi: Int): DataFrame =
+        ord.filter(year(col("o_orderdate")).between(lo, hi))
+          .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      val early = years(1995, 1997)
+      val late = years(1996, 1998)
+      early.intersectAll(late).withColumn("op", lit("inter_all"))
+        .unionAll(early.exceptAll(late).withColumn("op", lit("except_all")))
+        .groupBy(col("op"), col("o_custkey"), col("y"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("op"), col("o_custkey"), col("y"))
     }
   )
 
@@ -322,6 +349,30 @@ object Relational extends QueryModule {
         |JOIN customer ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderstatus,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_year, o_orderstatus)
+        |ORDER BY o_year NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "set_ops_all" ->
+      """WITH early AS (SELECT o_custkey, year(o_orderdate) AS y FROM orders
+        |               WHERE year(o_orderdate) BETWEEN 1995 AND 1997),
+        |     late  AS (SELECT o_custkey, year(o_orderdate) AS y FROM orders
+        |               WHERE year(o_orderdate) BETWEEN 1996 AND 1998),
+        |tagged AS (
+        |  SELECT 'inter_all' AS op, o_custkey, y
+        |  FROM (SELECT o_custkey, y FROM early INTERSECT ALL SELECT o_custkey, y FROM late)
+        |  UNION ALL
+        |  SELECT 'except_all' AS op, o_custkey, y
+        |  FROM (SELECT o_custkey, y FROM early EXCEPT ALL SELECT o_custkey, y FROM late))
+        |SELECT op, o_custkey, y, count(*) AS n
+        |FROM tagged
+        |GROUP BY op, o_custkey, y
+        |ORDER BY op, o_custkey, y""".stripMargin,
 
     "agg_distinct" ->
       """SELECT l_returnflag,

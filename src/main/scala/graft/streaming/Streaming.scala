@@ -93,6 +93,27 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks from the preceding 30 minutes. Watermarks on both
+    * sides bound the join state (clicks older than watermark + interval
+    * are evicted) — without them a stream-stream join buffers forever. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+  }
+
   final case class TsEvent(user_id: Long, ts_us: Long, value: Double)
   final case class Session(user_id: Long, session_start_us: Long, n_events: Long)
 

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage and layout techniques: the reference only
+  * knows text directories (O1/O2/O11); a usable engine round-trips the
+  * standard columnar/row formats and exploits partitioned layout. */
+class SourcesSpec extends GraftSuite {
+
+  private lazy val sample = Tables.lineitem(spark, sf)
+    .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  private def roundtrip(fmt: String, opts: Map[String, String] = Map.empty): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$fmt").toString + "/t"
+    sample.write.options(opts).format(fmt).save(dir)
+    val back = spark.read.options(opts).format(fmt)
+      .schema(sample.schema) // csv/json would otherwise re-infer types
+      .load(dir)
+    assert(back.count() == sample.count(), s"$fmt row count")
+    val a = sample.collect().map(_.mkString("|")).sorted
+    val b = back.collect().map(_.mkString("|")).sorted
+    assert(a.toSeq == b.toSeq, s"$fmt contents")
+  }
+
+  test("csv round-trip preserves data")  { roundtrip("csv", Map("header" -> "true")) }
+  test("json round-trip preserves data") { roundtrip("json") }
+  test("orc round-trip preserves data")  { roundtrip("orc") }
+
+  test("reference-style text sink: 'key value' lines (O11)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-txtout").toString + "/out"
+    q("wordcount")
+      .select(concat_ws(" ", col("word"), col("cnt")))
+      .write.text(dir)
+    val lines = spark.read.text(dir).collect().map(_.getString(0)).sorted
+    assert(lines.nonEmpty)
+    assert(lines.forall(_.matches("[a-zA-Z]+ \\d+")))
+    val expected = q("wordcount").collect().map(r => s"${r.getString(0)} ${r.getLong(1)}").sorted
+    assert(lines.toSeq == expected.toSeq)
+  }
+
+  test("hive-partitioned write enables partition pruning at read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/docs"
+    Tables.documents(spark, sf).write.partitionBy("lang").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), s"no partition filter:\n$plan")
+    val expected = Tables.documents(spark, sf).filter(col("lang") === "en").count()
+    assert(pruned.count() == expected)
+  }
+}

@@ -29,6 +29,15 @@ class StreamingSpec extends GraftSuite {
     assert(normalize(got) == normalize(want))
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val got = Streaming.runToCompletion(
+      Streaming.purchaseClickJoin(Streaming.eventsStream(spark, sf)),
+      "ssjoin_out", OutputMode.Append())
+    val want = Streaming.purchaseClickJoin(Tables.events(spark, sf))
+    assert(normalize(got) == normalize(want))
+    assert(want.count() > 0)
+  }
+
   test("flatMapGroupsWithState sessionization equals session_window") {
     import spark.implicits._
     val tsEvents = Tables.events(spark, sf)
