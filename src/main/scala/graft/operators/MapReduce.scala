@@ -34,18 +34,21 @@ object MapReduce {
   type KeyValue = (String, String)
 
   /** Direct analog of the reference contract: arbitrary mapf + reducef.
-    * reducef sees ALL values for a key (sorted grouping semantics). */
+    * reducef sees ALL values for a key (sorted grouping semantics). The
+    * shuffle width is governed by spark.sql.shuffle.partitions — the
+    * engine-level analog of the reference's hard-coded nReduce=4
+    * (master.go:341). */
   def run(
       input: Dataset[(String, String)],
       mapf: (String, String) => IterableOnce[KeyValue],
-      reducef: (String, Iterator[String]) => String,
-      numPartitions: Option[Int] = None
+      reducef: (String, Iterator[String]) => String
   ): Dataset[(String, String)] = {
     val spark = input.sparkSession
     import spark.implicits._
-    val mapped = input.flatMap { case (k1, v1) => mapf(k1, v1) }
-    val grouped = mapped.groupByKey(_._1)
-    grouped.mapGroups { (k, vs) => (k, reducef(k, vs.map(_._2))) }
+    input
+      .flatMap { case (k1, v1) => mapf(k1, v1) }
+      .groupByKey(_._1)
+      .mapGroups { (k, vs) => (k, reducef(k, vs.map(_._2))) }
   }
 
   /** Combiner-friendly variant: reducef must be associative+commutative

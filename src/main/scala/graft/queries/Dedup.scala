@@ -114,6 +114,28 @@ object Dedup extends QueryModule {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // Edit-distance near-dup over the bounded id-window pair set:
+    // levenshtein is O(len²) per pair, so it only ever runs on blocked
+    // candidates (here the id window; in production an LSH/simhash
+    // blocker) — never corpus × corpus.
+    "dedup_levenshtein" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val cand = docs.select(col("doc_id").as("d1"), col("text").as("t1"),
+        explode(expr("sequence(doc_id + 1, doc_id + 3)")).as("d2"))
+      cand.join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          levenshtein(col("t1"), col("t2")).as("edit_dist"),
+          greatest(length(col("t1")), length(col("t2"))).as("max_len"))
+        // filter on the RAW value (the oracle's WHERE is unrounded too);
+        // filtering on the rounded column would flip boundary pairs
+        .withColumn("sim_raw",
+          lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
+        .filter(col("sim_raw") >= 0.8)
+        .select(col("d1"), col("d2"), col("edit_dist"),
+          round(col("sim_raw"), 6).as("similarity"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // Exact char-4-gram Jaccard over a bounded id-window pair set (the
     // "given candidates from any blocker, verify exactly" primitive).
     "dedup_ngram" -> { (s, d) =>
@@ -199,6 +221,20 @@ object Dedup extends QueryModule {
         |WHERE hamming <= 3
         |ORDER BY d1, d2""".stripMargin
     },
+
+    "dedup_levenshtein" ->
+      """WITH cand AS (
+        |  SELECT a.doc_id AS d1, a.text AS t1, b.doc_id AS d2, b.text AS t2
+        |  FROM documents a
+        |  JOIN documents b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3)
+        |SELECT d1, d2,
+        |       levenshtein(t1, t2) AS edit_dist,
+        |       round(1.0 - CAST(levenshtein(t1, t2) AS DOUBLE)
+        |                   / greatest(length(t1), length(t2)), 6) AS similarity
+        |FROM cand
+        |WHERE 1.0 - CAST(levenshtein(t1, t2) AS DOUBLE)
+        |            / greatest(length(t1), length(t2)) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
 
     "dedup_ngram" ->
       """WITH grams AS (

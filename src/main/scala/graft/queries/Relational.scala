@@ -250,6 +250,36 @@ object Relational extends QueryModule {
         .orderBy(col("op"), col("o_custkey"))
     },
 
+    // Pivot: one row per return flag, one count column per line status.
+    // Values enumerated explicitly — at scale an implicit pivot scans
+    // once just to discover the column set.
+    "agg_pivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+        .select(col("l_returnflag"),
+          coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("n_o"), lit(0L)).as("n_o"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // SQL-text interface parity: the same engine surface through
+    // spark.sql over registered views (TPC-H Q6 shape).
+    "sql_tpch_q6" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem_v
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)
+    },
+
     // Bag-semantics set ops (ALL variants): per-customer order-year
     // multisets — intersectAll keeps min(multiplicity), exceptAll
     // subtracts multiplicities.
@@ -357,6 +387,24 @@ object Relational extends QueryModule {
         |FROM orders
         |GROUP BY CUBE (o_year, o_orderstatus)
         |ORDER BY o_year NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |       count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |       count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "sql_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "set_ops_all" ->
       """WITH early AS (SELECT o_custkey, year(o_orderdate) AS y FROM orders

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *
   * Cross-engine float discipline: float×float promoted to double is
   * EXACT (24-bit mantissas); the sum of those products is the only
-  * order-sensitive step, so both sides accumulate in DECIMAL(38,12)
+  * order-sensitive step, so both sides accumulate in DECIMAL(20,12)
   * (associative) and convert once to double at the end. Every comparison
   * and rank therefore sees bit-identical doubles in both engines.
   */
