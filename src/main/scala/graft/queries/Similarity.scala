@@ -45,15 +45,13 @@ object Similarity extends QueryModule {
 
   private def normDec(a: Column): Column = dotDec(a, a)
 
-  /** Fast in-order double dot product — NOT oracle-stable on its own
+  /** Fast in-order double dot product (codegen'd fused loop — see
+    * [[graft.functions.FloatDotProduct]]) — NOT oracle-stable on its own
     * (accumulation order differs from the oracle's exact decimal sum by
     * ulps), so it is only ever used as a pre-filter with a safety margin
     * well above that error (~1e-12), never for output values or ranking. */
   private def dotDbl(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.FloatDotProduct.float_dot(a, b)
 
   /** (vec_id, label, embedding, n2dec) with the squared norm precomputed. */
   private def withNorm(s: SparkSession, d: String): DataFrame =

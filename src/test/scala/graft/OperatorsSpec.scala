@@ -32,6 +32,21 @@ class OperatorsSpec extends GraftSuite {
     assert(rows.map(_.getInt(2)).distinct.length == 4)
   }
 
+  test("FloatDotProduct equals the HOF double dot product bit-for-bit") {
+    import graft.functions.FloatDotProduct.float_dot
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val pairs = emb.select(col("vec_id").as("i"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("j"), col("embedding").as("b")))
+      .filter(col("i") < col("j"))
+    val viaExpr = pairs.select(float_dot(col("a"), col("b")).as("d")).collect().map(_.getDouble(0))
+    val viaHof = pairs.select(
+      aggregate(
+        zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("d")).collect().map(_.getDouble(0))
+    assert(viaExpr.length == viaHof.length && viaExpr.nonEmpty)
+    assert(viaExpr.zip(viaHof).forall { case (a, b) => a == b }, "bit-exact equality")
+  }
+
   test("asof join: every matched click is the latest at-or-before the purchase") {
     val rows = q("asof_purchase_click").collect()
     assert(rows.nonEmpty)
