@@ -61,20 +61,30 @@ object Similarity extends QueryModule {
 
   /** Brute-force scored pairs (query_id, vec_id, cosine) for vec_id<NQ
     * queries against the whole corpus, self-pairs excluded. */
-  private def scoredPairs(s: SparkSession, d: String): DataFrame = {
+  /** Exact top-k per query, two-phase: (1) rank ALL pairs by the cheap
+    * codegen double cosine and keep top K+32 per query; (2) decimal-
+    * rescore only those and re-rank exactly. Safe because phase-1 can
+    * only misorder pairs whose cosines differ by ≲1e-12 (double vs
+    * decimal accumulation), so the true top-K always sits inside a
+    * K+32 double-ranked prefix. The corpus-wide decimal HOF work drops
+    * from O(corpus×queries) to O(K×queries). */
+  private def topkPairs(s: SparkSession, d: String): DataFrame = {
     val base = withNorm(s, d)
     val q = broadcast(base.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2")))
+    val wFast = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_fast").desc, col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
     base.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("cos_fast",
+        dotDbl(col("qe"), col("embedding")) /
+          sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+      .withColumn("rk_fast", row_number().over(wFast))
+      .filter(col("rk_fast") <= K + 32)
       .withColumn("cosine",
         dotDec(col("qe"), col("embedding")).cast("double") /
           sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-  }
-
-  private def topkPairs(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scoredPairs(s, d)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
   }

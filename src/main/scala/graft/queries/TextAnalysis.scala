@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline (builder prompt /
@@ -83,6 +84,25 @@ object TextAnalysis extends QueryModule {
               x => x.getField("score") === element_at(col("all_scores"), 1).getField("score"))),
             1).getField("lang").as("pred_lang"),
           element_at(col("all_scores"), 1).getField("score").as("pred_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Repetition scoring (training-data quality signal): longest run of
+    // consecutive identical tokens and total distinct runs per doc —
+    // positional analysis via posexplode + gaps-and-islands windows, all
+    // partitioned by doc_id (no global window).
+    "text_repetition" -> { (s, d) =>
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("brk",
+          when(col("w") === lag(col("w"), 1).over(byPos), 0).otherwise(1))
+        .withColumn("run_id", sum(col("brk"))
+          .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("run_id")).agg(count(lit(1)).as("run_len"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("run_len")).as("max_run"),
+          count(lit(1)).as("n_runs"))
         .orderBy(col("doc_id"))
     },
 
@@ -174,6 +194,26 @@ object TextAnalysis extends QueryModule {
          |FROM documents d JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |brk AS (
+        |  SELECT doc_id, pos, w,
+        |         CASE WHEN w = lag(w) OVER (PARTITION BY doc_id ORDER BY pos)
+        |              THEN 0 ELSE 1 END AS brk
+        |  FROM tok),
+        |runs AS (
+        |  SELECT doc_id,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM brk),
+        |rl AS (SELECT doc_id, run_id, count(*) AS run_len FROM runs GROUP BY doc_id, run_id)
+        |SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run, count(*) AS n_runs
+        |FROM rl
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents)

@@ -101,6 +101,26 @@ object Windows extends QueryModule {
         .orderBy(col("window_start"))
     },
 
+    // Composite ETL pipeline: JSON extraction + broadcast dim join +
+    // event-time tumbling window + multi-aggregate — the "enrich a
+    // stream against a dimension" shape. Customer is the broadcast side
+    // (bounded dim); the events fact never re-shuffles before the
+    // window aggregation.
+    "events_enriched" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+      val cust = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      ev.join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "6 hours"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+          sum(col("k_val")).as("k_sum"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("c_mktsegment"), col("n"), col("total_value"), col("k_sum"))
+        .orderBy(col("window_start"), col("c_mktsegment"))
+    },
+
     // Session windows: 10-minute inactivity gap per user (streaming
     // analog: session_window with watermark). session_window.start is the
     // first event's ts, so the oracle's gaps-and-islands min(ts) matches.
@@ -165,6 +185,16 @@ object Windows extends QueryModule {
         |      FROM events)
         |GROUP BY ws
         |ORDER BY window_start""".stripMargin,
+
+    "events_enriched" ->
+      """SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start,
+        |       c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |GROUP BY window_start, c_mktsegment
+        |ORDER BY window_start, c_mktsegment""".stripMargin,
 
     "events_session" ->
       """WITH brk AS (
