@@ -49,8 +49,14 @@ object AsofJoin {
       .select((Seq(col(key), col(ts), col("__side")) ++
         payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
         leftOnly.map(col)): _*)
+    // ordering: ts, then side (right before left at equal ts = ASOF >=),
+    // then the payload columns — with a unique payload column (e.g. an
+    // event id) this makes the carried row deterministic even when two
+    // right rows share an exact timestamp (without it, `last` would pick
+    // whichever duplicate the shuffle sorted last; note a SQL ASOF JOIN
+    // is equally unspecified on such ties)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts) +: col("__side") +: payload.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(rightAligned.unionByName(leftAligned)) {
       case (df, c) =>

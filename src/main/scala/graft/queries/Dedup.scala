@@ -25,18 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  /** Word-3-gram shingles per doc: (doc_id, s). `distinct = false`
-    * skips the dedup shuffle — correct wherever the consumer is
-    * duplicate-insensitive (MIN for minhash signatures); the exact
-    * Jaccard verification needs the true set semantics. */
-  private def shingles(s: SparkSession, d: String, distinct: Boolean = true): DataFrame = {
-    val raw = Tables.documents(s, d)
+  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, greatest(size(t) - 2, 1)), i -> concat_ws(' ', slice(t, i, 3)))"))
           .as("s"))
-    if (distinct) raw.distinct() else raw
-  }
+      .distinct()
 
   /** 16 portable minhashes → 4 LSH bands of 4; returns (doc_id, band,
     * sig). One md5 per (shingle, band) supplies the band's four 32-bit

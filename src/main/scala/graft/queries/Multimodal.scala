@@ -45,7 +45,9 @@ object Multimodal extends QueryModule {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       val n = payload.length
       val width = n % 640
-      val height = (n * 7) % 480
+      // long arithmetic: the oracle computes byte_len * 7 in 64-bit, and
+      // Int would wrap for payloads past ~307 MB
+      val height = ((n.toLong * 7) % 480).toInt
       val nFrames = n % 30 + 1
       (width, height, nFrames)
     }

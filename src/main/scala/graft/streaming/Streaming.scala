@@ -37,8 +37,10 @@ object Streaming {
       "graft-stream-" + Integer.toHexString(dir.hashCode))
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"), link)
+    // always refresh: a stale copy would silently stream old fixture data
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"), link,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -122,7 +124,16 @@ object Streaming {
     * (events_session / sessionCounts). Shown as the escape hatch for
     * session semantics the built-in gap-window can't express (dynamic
     * gaps, max-length caps, per-session early emission). Gap fixed at
-    * 10 minutes to stay comparable to the built-in twin. */
+    * 10 minutes to stay comparable to the built-in twin.
+    *
+    * BATCH-MODE formulation: each key's full history arrives in one
+    * invocation (Spark calls the function once per group on batch
+    * Datasets), so sessions close correctly and the trailing session is
+    * emitted immediately. On a multi-micro-batch STREAM this function
+    * would need to carry the open tail session in GroupState with an
+    * event-time timeout flush — use the built-in `sessionCounts`
+    * (session_window) for the streaming path, which maintains that state
+    * natively. */
   def sessionize(events: Dataset[TsEvent], gapUs: Long = 600000000L): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
