@@ -119,6 +119,11 @@ object Dedup extends QueryModule {
       val cand = docs.select(col("doc_id").as("d1"), col("text").as("t1"),
         explode(expr("sequence(doc_id + 1, doc_id + 3)")).as("d2"))
       cand.join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
+        // length prefilter, semantics-preserving: |len1-len2| lower-bounds
+        // edit distance, so a pair violating it cannot reach similarity
+        // 0.8 — skips the O(len^2) DP for most candidates
+        .filter(abs(length(col("t1")) - length(col("t2"))) <=
+          lit(0.2) * greatest(length(col("t1")), length(col("t2"))))
         .select(col("d1"), col("d2"),
           levenshtein(col("t1"), col("t2")).as("edit_dist"),
           greatest(length(col("t1")), length(col("t2"))).as("max_len"))
