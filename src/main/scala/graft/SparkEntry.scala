@@ -16,6 +16,7 @@ object SparkEntry {
     _root_.graft.queries.Windows,
     _root_.graft.queries.TextAnalysis,
     _root_.graft.queries.Temporal,
+    _root_.graft.queries.Subqueries,
     _root_.graft.queries.Dedup,
     _root_.graft.queries.Similarity,
     _root_.graft.queries.Multimodal

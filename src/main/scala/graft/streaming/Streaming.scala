@@ -158,6 +158,62 @@ object Streaming {
       }
   }
 
+  final case class StampedEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long)
+
+  /** STREAMING-mode sessionization with cross-micro-batch state: the
+    * open tail session is carried in GroupState and flushed by
+    * event-time timeout once the watermark passes its gap. This is the
+    * correct multi-batch form of [[sessionize]] (which is batch-scoped):
+    * events for one user split across micro-batches merge into one
+    * session instead of two.
+    *
+    * Emission contract (inherent to watermark-driven state): a session
+    * is emitted once the watermark passes `last event + gap`; sessions
+    * still open when the stream ends may never flush. Callers that need
+    * a final flush drain the source and advance the watermark (or use
+    * the built-in session_window, which has the same contract).
+    */
+  def sessionizeStreaming(
+      events: Dataset[StampedEvent],
+      gapUs: Long = 600000000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapUs / 1000L
+    // EventTimeTimeout requires a watermark on the input (batch mode
+    // ignores it)
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[StampedEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val open = state.get
+            state.remove()
+            Iterator.single(Session(uid, open.start_us, open.n))
+          } else {
+            val ts = batch.map(e => e.ts.getTime * 1000L +
+              (e.ts.getNanos / 1000L) % 1000L).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var open = state.getOption.orNull
+            for (t <- ts) {
+              open match {
+                case null => open = OpenSession(t, t, 1L)
+                case o if t - o.last_us >= gapUs =>
+                  closed += Session(uid, o.start_us, o.n)
+                  open = OpenSession(t, t, 1L)
+                case o => open = OpenSession(o.start_us, t, o.n + 1L)
+              }
+            }
+            if (open != null) {
+              state.update(open)
+              state.setTimeoutTimestamp(open.last_us / 1000L + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Drive a streaming DataFrame to completion against the (finite) file
     * source and return the final result via a named memory sink. */
   def runToCompletion(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -50,6 +50,65 @@ class StreamingSpec extends GraftSuite {
     assert(custom == builtin)
   }
 
+  test("sessionizeStreaming merges sessions across micro-batches (no splits)") {
+    import spark.implicits._
+    // stage events into 4 time-quartile files → 4 micro-batches
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("ts"))
+    val bounds = ev.select(unix_micros(min(col("ts"))), unix_micros(max(col("ts"))))
+      .collect().head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mb")
+    for (i <- 0 until 4) {
+      val (a, b) = (lo + (hi - lo + 1) * i / 4, lo + (hi - lo + 1) * (i + 1) / 4)
+      val tmp = dir.resolve(s"stage$i")
+      ev.filter(unix_micros(col("ts")) >= a && unix_micros(col("ts")) < b)
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dir.resolve(f"batch$i%02d.parquet"))
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .as[Streaming.StampedEvent]
+    val got = Streaming.runToCompletion(
+      Streaming.sessionizeStreaming(stream).toDF(), "mb_sessions", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // expected sessions computed directly from the data
+    val gap = 600000000L
+    val byUser = ev.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val expected = byUser.flatMap { case (uid, rows) =>
+      val ts = rows.map(_._2).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var (start, prev, n) = (ts.head, ts.head, 1L)
+      for (t <- ts.tail) {
+        if (t - prev >= gap) { sessions += ((uid, start, n)); start = t; n = 0L }
+        prev = t; n += 1
+      }
+      sessions += ((uid, start, n))
+      sessions
+    }.toSet
+    val finalSessions = byUser.map { case (uid, rows) =>
+      val ts = rows.map(_._2).sorted
+      // the trailing session's start: walk the same split
+      var (start, prev) = (ts.head, ts.head)
+      for (t <- ts.tail) { if (t - prev >= gap) start = t; prev = t }
+      (uid, start)
+    }.toSet
+
+    assert(got.nonEmpty)
+    // no split/corrupt sessions: everything emitted is a true session
+    assert(got.subsetOf(expected),
+      s"emitted non-sessions: ${(got -- expected).take(5)}")
+    // every session closed by later data must have been emitted; only a
+    // user's final session may be withheld (watermark/timeout contract)
+    val nonFinal = expected.filterNot { case (u, s, _) => finalSessions.contains((u, s)) }
+    assert(nonFinal.subsetOf(got),
+      s"missing closed sessions: ${(nonFinal -- got).take(5)}")
+  }
+
   test("mapGroupsWithState running totals match a batch groupBy") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
