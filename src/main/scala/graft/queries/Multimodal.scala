@@ -107,6 +107,36 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Featurize→similarity composition: a deterministic 8-dim feature
+    // vector from payload bytes (char-class histogram, the stand-in for
+    // a real image/audio feature extractor), then exact decimal cosine
+    // between id-adjacent payloads — the "extract features from media,
+    // then run similarity" pipeline end to end.
+    "mm_embed" -> { (s, d) =>
+      def classCount(c: org.apache.spark.sql.Column, cls: String) =
+        (length(c) - length(regexp_replace(c, cls, ""))).cast("double")
+      val classes = Seq("[aeiou]", "[b-df-hj-np-tv-z]", "[A-Z]", "[0-9]",
+        "[ ]", "[.,;:]", "[qwxz]", "[stnr]")
+      val feat = array(classes.map(cl =>
+        round(classCount(col("text"), cl) / length(col("text")), 9)): _*)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), feat.as("f"))
+      // decimal-exact cosine (same discipline as Similarity.dotDec)
+      def dotDec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(
+          zip_with(a, b, (x, y) => (x * y).cast("decimal(20,12)")),
+          lit(0).cast("decimal(20,12)"),
+          (acc, v) => (acc + v).cast("decimal(20,12)"))
+      docs.as("a")
+        .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          round(
+            dotDec(col("a.f"), col("b.f")).cast("double") /
+              sqrt(dotDec(col("a.f"), col("a.f")).cast("double") *
+                dotDec(col("b.f"), col("b.f")).cast("double")), 9).as("feature_cosine"))
+        .orderBy(col("d1"))
+    },
+
     // Per-source media stats: group AFTER metadata projection (the blob
     // is pruned from the shuffle — only ints travel).
     "mm_source_stats" -> { (s, d) =>
@@ -121,7 +151,34 @@ object Multimodal extends QueryModule {
     }
   )
 
+  /** mm_embed oracle generated from the same class list as the Spark
+    * side, so the two can't drift. */
+  private val mmEmbedOracle: String = {
+    val classes = Seq("[aeiou]", "[b-df-hj-np-tv-z]", "[A-Z]", "[0-9]",
+      "[ ]", "[.,;:]", "[qwxz]", "[stnr]")
+    val feats = classes.zipWithIndex.map { case (cl, i) =>
+      s"round(CAST(length(text) - length(regexp_replace(text, '$cl', '', 'g')) AS DOUBLE) / length(text), 9) AS f$i"
+    }.mkString(",\n         ")
+    def dot(x: String, y: String) = (0 until 8)
+      .map(i => s"CAST($x.f$i * $y.f$i AS DECIMAL(20,12))").mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         $feats
+       |  FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |         CAST(${dot("a", "b")} AS DOUBLE) AS dot,
+       |         CAST(${dot("a", "a")} AS DOUBLE) AS na,
+       |         CAST(${dot("b", "b")} AS DOUBLE) AS nb
+       |  FROM f a JOIN f b ON b.doc_id = a.doc_id + 1)
+       |SELECT d1, d2, round(dot / sqrt(na * nb), 9) AS feature_cosine
+       |FROM p
+       |ORDER BY d1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "mm_embed" -> mmEmbedOracle,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -38,6 +38,25 @@ class SourcesSpec extends GraftSuite {
     assert(lines.toSeq == expected.toSeq)
   }
 
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/docs"
+    Tables.documents(spark, sf).write.partitionBy("lang").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // DPP requires a selective FILTER over a real relation on the dim
+    // side (a literal LocalRelation doesn't qualify as a pruning filter)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString + "/dim"
+    Seq(("en", "keep"), ("de", "drop"), ("fr", "drop"), ("es", "drop"), ("zh", "drop"))
+      .toDF("lang", "tag").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    val joined = fact.join(dim, Seq("lang")).select("doc_id", "tag")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP subquery in fact scan:\n$plan")
+    val expected = Tables.documents(spark, sf).filter(col("lang") === "en").count()
+    assert(joined.count() == expected)
+  }
+
   test("hive-partitioned write enables partition pruning at read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/docs"
     Tables.documents(spark, sf).write.partitionBy("lang").parquet(dir)
