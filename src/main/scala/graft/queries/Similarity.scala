@@ -158,6 +158,50 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // IVF (inverted-file) ANN: deterministic coarse quantizer — the 10
+    // lowest non-query vec_ids serve as centroids — assigns every vector
+    // to its nearest centroid (one narrow pass against the broadcast
+    // centroid set); queries probe their 2 nearest centroid buckets and
+    // rescore only those buckets' members. At 100 TB the centroid id is
+    // the shuffle/bucket key and nprobe trades recall for bucket reads —
+    // same physics as a production IVF index. Approximate ⇒ rows-only
+    // for the driver; recall vs ann_brute asserted in ScalaTest.
+    "ann_ivf" -> { (s, d) =>
+      val base = withNorm(s, d)
+      val cent = broadcast(base.filter(col("vec_id") >= NQ)
+        .orderBy(col("vec_id")).limit(10)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("n2").as("c_n2")))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = base.join(cent)
+        .withColumn("c_cos",
+          dotDbl(col("embedding"), col("c_emb")) /
+            sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
+        .withColumn("c_rank", row_number().over(wAssign))
+      val members = assigned.filter(col("c_rank") === 1)
+        .select(col("vec_id"), col("embedding"), col("n2"), col("c_id"))
+      val probes = assigned.filter(col("vec_id") < NQ && col("c_rank") <= 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("n2").as("qn2"), col("c_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      members.join(broadcast(probes),
+        Seq("c_id")).filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("qe"), col("embedding"),
+          col("qn2"), col("n2"))
+        // no dedup needed: each member lives in exactly one bucket and a
+        // query's probes are distinct buckets
+        .withColumn("cosine",
+          dotDec(col("qe"), col("embedding")).cast("double") /
+            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          round(col("cosine"), 9).as("cosine"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Embedding near-duplicate pairs: label-blocked (IVF-flavored) exact
     // cosine ≥ threshold inside each block — never the full n² cross.
     // Two-phase scoring: a cheap double-accumulated prefilter at 0.985

@@ -24,6 +24,18 @@ class SimilaritySpec extends GraftSuite {
     assert(approx.forall { case (a, b) => a != b })
   }
 
+  test("ann_ivf (nprobe=2 of 10) recalls a useful share of exact top-k") {
+    val exact = q("ann_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = q("ann_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // probing 2 of 10 coarse buckets on uniformly random vectors: the
+    // guard is that bucketing + probing works, not production recall
+    assert(recall >= 0.15, s"recall=$recall")
+    assert(approx.forall { case (a, b) => a != b })
+  }
+
   test("emb_knn_class predicts a label for every query vector") {
     val rows = q("emb_knn_class").collect()
     assert(rows.length == 8)
