@@ -123,6 +123,23 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Reproducible train/val/test split: assignment is a pure function
+    // of a content-stable key hash (md5), never rand() — re-runs,
+    // retries, and engine changes all produce the identical split, and
+    // adding documents never reshuffles existing assignments. The
+    // standard discipline for 100 TB training-data pipelines.
+    "data_split" -> { (s, d) =>
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 10
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"), col("lang"))
+    },
+
     // SimHash-64 per document as 4×16-bit chunks (chunk equality is the
     // classic near-dup blocking key — consumed by dedup_simhash).
     // Weight = token occurrence count; bit source = md5(token).
@@ -224,6 +241,16 @@ object TextAnalysis extends QueryModule {
         |       length(norm) AS norm_len
         |FROM n
         |ORDER BY doc_id""".stripMargin,
+
+    "data_split" ->
+      """SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+        |       lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (SELECT lang, n_chars,
+        |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10 AS b
+        |      FROM documents)
+        |GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
 
     "text_simhash" ->
       """WITH tc AS (

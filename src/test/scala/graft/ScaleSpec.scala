@@ -71,6 +71,51 @@ class ScaleSpec extends GraftSuite {
     assert(fromText.toSeq == fromParquet.toSeq)
   }
 
+  test("stratified sampling by lang holds fractions with a fixed seed") {
+    val docs = Tables.documents(spark, sf)
+    val fractions = Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
+    val sampled = docs.stat.sampleBy("lang", fractions, seed = 42L)
+    // deterministic across runs with the same seed
+    val again = docs.stat.sampleBy("lang", fractions, seed = 42L)
+    assert(sampled.collect().map(_.getLong(0)).toSeq ==
+      again.collect().map(_.getLong(0)).toSeq)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, frac) <- fractions) {
+      val got = byLang.getOrElse(lang, 0L).toDouble / total(lang)
+      assert(math.abs(got - frac) < 0.15, s"$lang sampled $got vs $frac")
+    }
+  }
+
+  test("data_split is stable: assignments don't move when the corpus grows") {
+    val full = q("data_split").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // recompute the split on a subset: every doc keeps its assignment,
+    // so subset counts can never exceed full-corpus counts
+    val half = Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 10
+    val halfCounts = half.withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+      .groupBy("split", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(halfCounts.forall { case (k, n) => n <= full.getOrElse(k, 0L) })
+    assert(halfCounts.nonEmpty)
+  }
+
+  test("parquet mergeSchema reads files written with evolving schemas") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/v=1")
+    Seq((2L, "b", 3.5)).toDF("id", "name", "score").write.parquet(s"$dir/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score", "v"))
+    assert(merged.count() == 2)
+    assert(merged.filter(col("score").isNull).count() == 1)
+  }
+
   test("fnv32a is callable from SQL after registration") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT fnv32a('abc') AS h, fnv32a('') AS h0")
