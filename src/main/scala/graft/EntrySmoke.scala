@@ -1,0 +1,16 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev helper mirroring the driver's t1 smoke: entry() must return >0 rows. */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = SparkEntry.entry(spark).count()
+    println(s"entry rows: $n")
+    assert(n > 0)
+    spark.stop()
+  }
+}
