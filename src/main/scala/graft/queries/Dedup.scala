@@ -137,6 +137,28 @@ object Dedup extends QueryModule {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // End-to-end curation pipeline — the composition a training-data
+    // user actually runs: quality-filter the corpus, drop near-duplicate
+    // losers (keep the lower doc_id of each verified MinHash pair), and
+    // attach the reproducible split. One pass over documents plus the
+    // LSH candidate machinery; the dedup exclusion is a broadcast-able
+    // anti join on the (small) loser set.
+    "pipeline_curate" -> { (s, d) =>
+      val quality = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 20 &&
+          size(array_distinct(col("toks"))).cast("double") / size(col("toks")) > 0.05)
+      val losers = queries("dedup_minhash")(s, d).select(col("d2").as("doc_id")).distinct()
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 10
+      quality
+        .join(losers, Seq("doc_id"), "left_anti")
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+        .select(col("doc_id"), col("lang"), col("split"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact char-4-gram Jaccard over a bounded id-window pair set (the
     // "given candidates from any blocker, verify exactly" primitive).
     "dedup_ngram" -> { (s, d) =>
@@ -177,15 +199,7 @@ object Dedup extends QueryModule {
       |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)))""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-
-    "dedup_exact" ->
-      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
-        |FROM documents
-        |GROUP BY md5(text)
-        |ORDER BY canonical_id""".stripMargin,
-
-    "dedup_minhash" ->
+  private val minhashOracle =
       s"""WITH $shingleSql,
         |bands AS (
         |  SELECT doc_id, band,
@@ -206,7 +220,33 @@ object Dedup extends QueryModule {
         |SELECT d1, d2, round(ninter * 1.0 / (s1.n + s2.n - ninter), 6) AS jaccard
         |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
         |WHERE round(ninter * 1.0 / (s1.n + s2.n - ninter), 6) >= 0.6
-        |ORDER BY d1, d2""".stripMargin,
+        |ORDER BY d1, d2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY canonical_id""".stripMargin,
+
+    "dedup_minhash" -> minhashOracle,
+
+    "pipeline_curate" ->
+      s"""WITH losers AS (SELECT DISTINCT d2 FROM ($minhashOracle) mh),
+        |q AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10 AS b
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 20
+        |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) > 0.05)
+        |SELECT doc_id, lang,
+        |       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+        |       n_chars
+        |FROM q
+        |WHERE doc_id NOT IN (SELECT d2 FROM losers)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> {
       val simhashCte = TextAnalysis.oracles("text_simhash")

@@ -109,6 +109,19 @@ class StreamingSpec extends GraftSuite {
       s"missing closed sessions: ${(nonFinal -- got).take(5)}")
   }
 
+  test("foreachBatch sink: streamed rows land in parquet, count matches source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fb").toString + "/out"
+    val stream = Streaming.eventsStream(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(dir)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(dir).count() == Tables.events(spark, sf).count())
+  }
+
   test("mapGroupsWithState running totals match a batch groupBy") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
