@@ -143,11 +143,16 @@ object Similarity extends QueryModule {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
       bucketed
-        .join(q, col("band") === col("qband") && col("bucket") === col("qbucket") &&
+        // multi-probe: a query searches its own bucket plus the four
+        // hamming-1 buckets per band (flip each sign bit) — the standard
+        // way to buy recall without more tables; candidate volume grows
+        // 5×, still bounded by bucket size
+        .join(q, col("band") === col("qband") &&
+          expr("bucket IN (qbucket, qbucket ^ 8, qbucket ^ 4, qbucket ^ 2, qbucket ^ 1)") &&
           col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), col("qe"), col("embedding"),
           col("qn2"), col("n2"))
-        .distinct() // union over bands: a pair may collide in several
+        .distinct() // union over bands/probes: a pair may collide in several
         .withColumn("cosine",
           dotDec(col("qe"), col("embedding")).cast("double") /
             sqrt(col("qn2").cast("double") * col("n2").cast("double")))
@@ -298,7 +303,10 @@ object Similarity extends QueryModule {
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
          |  FROM buckets q
-         |  JOIN buckets c ON c.band = q.band AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |  JOIN buckets c ON c.band = q.band
+         |   AND c.bucket IN (q.bucket, xor(q.bucket, 8), xor(q.bucket, 4),
+         |                    xor(q.bucket, 2), xor(q.bucket, 1))
+         |   AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < $NQ),
          |scored AS (
          |  SELECT cd.query_id, cd.vec_id,

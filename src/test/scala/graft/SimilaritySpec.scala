@@ -17,10 +17,10 @@ class SimilaritySpec extends GraftSuite {
     val approx = q("ann_lsh").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // uniformly random vectors are LSH's worst case (neighbors are
-    // near-orthogonal), so this guards the multi-table mechanism works
-    // at all, not production-grade recall
-    assert(recall >= 0.2, s"recall=$recall")
+    // multi-probe (own bucket + 4 hamming-1 buckets per band) measured
+    // 0.95 at sf0.001/sf0.01; 0.5 floor leaves margin for data changes
+    // on LSH's worst case (uniformly random vectors)
+    assert(recall >= 0.5, s"recall=$recall")
     assert(approx.forall { case (a, b) => a != b })
   }
 
