@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryModule, Tables}
+import graft.{QueryModule, Staging, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,14 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
+  /** Distinct word-3-gram shingles per doc: (doc_id, s), staged to
+    * parquet once per input dir (see [[graft.Staging]]): every consumer
+    * (band signatures, both verify sides, both size aggregates) reads the
+    * staged table instead of re-scanning + re-exploding the corpus. */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("t", split(col("text"), " "))
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, greatest(size(t) - 2, 1)), i -> concat_ws(' ', slice(t, i, 3)))"))
-          .as("s"))
-      .distinct()
+    Staging.stage(s, "shingles", d) {
+      Tables.documents(s, d)
+        .withColumn("t", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, greatest(size(t) - 2, 1)), i -> concat_ws(' ', slice(t, i, 3)))"))
+            .as("s"))
+        .distinct()
+    }
 
   /** 16 portable minhashes → 4 LSH bands of 4; returns (doc_id, band,
     * sig). One md5 per (shingle, band) supplies the band's four 32-bit
@@ -41,19 +46,36 @@ object Dedup extends QueryModule {
     * 4 hashes per shingle instead of 16, one aggregation instead of two,
     * same r=4/b=4 LSH collision curve. Fixed-width lowercase hex makes
     * lexicographic MIN equal numeric MIN per lane. */
-  // NOTE: distinct shingles feed the signatures even though MIN would
-  // tolerate duplicates — the distinct exchange is the SAME subtree the
-  // verification join uses, so Catalyst reuses one shuffle
-  // (ReusedExchange) instead of rescanning+re-exploding the corpus;
-  // measured faster than the "skip the distinct" variant.
+  // Built from the staged shingle table and staged itself: the a/b sides
+  // of the candidate self-join each read the (tiny) signature parquet
+  // rather than recomputing explode+md5+groupBy. Round-1 plans showed the
+  // canonicalized-subtree ReusedExchange this code used to count on never
+  // fired across the join tree — 12 corpus scans per query; staging is
+  // the standard two-job dedup shape and makes reuse unconditional.
   private def bandSignatures(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
-      .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("h", md5(concat(col("band").cast("string"), lit("|"), col("s"))))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat(
-        min(substring(col("h"), 1, 8)), min(substring(col("h"), 9, 8)),
-        min(substring(col("h"), 17, 8)), min(substring(col("h"), 25, 8))).as("sig"))
+    Staging.stage(s, "band_sigs", d) {
+      shingles(s, d)
+        .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("h", md5(concat(col("band").cast("string"), lit("|"), col("s"))))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(concat(
+          min(substring(col("h"), 1, 8)), min(substring(col("h"), 9, 8)),
+          min(substring(col("h"), 17, 8)), min(substring(col("h"), 25, 8))).as("sig"))
+    }
+
+  /** LSH band-collision candidate pairs (d1 < d2), deduplicated — the
+    * content-based blocker feeding both verify paths (exact Jaccard in
+    * dedup_minhash, edit distance in dedup_lev_blocked). Reads the staged
+    * signature table twice; never touches the corpus. */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val bands = bandSignatures(s, d)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
 
   val queries: Map[String, Q] = Map(
 
@@ -70,13 +92,7 @@ object Dedup extends QueryModule {
     // MinHash + LSH: band-collision candidates, then exact-Jaccard
     // verification of candidates only. Emits verified near-dup pairs.
     "dedup_minhash" -> { (s, d) =>
-      val bands = bandSignatures(s, d)
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
+      val cand = lshCandidates(s, d)
       val sh = shingles(s, d)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = cand
@@ -95,18 +111,33 @@ object Dedup extends QueryModule {
 
     // SimHash near-dup: block on any equal 16-bit chunk (pigeonhole: a
     // pair within hamming 3 of a 64-bit signature shares ≥1 of 4 chunks),
-    // verify hamming ≤ 3 via xor+popcount.
+    // verify hamming ≤ 3 via xor+popcount. Signatures are computed ONCE
+    // (staged), unpivoted to (doc_id, chunk_idx, chunk_val), and candidate
+    // pairs come from a SINGLE self-join on (chunk_idx, chunk_val) — the
+    // round-1 shape (4 unionAll'd self-joins) recomputed the signature DAG
+    // 8×. Chunk-value skew (many docs sharing one 16-bit chunk) is the
+    // known hazard at corpus scale; AQE skew-join splits hot buckets, and
+    // the distinct-before-verify keeps the verify side |pairs|-sized.
     "dedup_simhash" -> { (s, d) =>
-      val sig = TextAnalysis.queries("text_simhash")(s, d)
-      val joined = (0 to 3).map { c =>
-        sig.as("a").join(sig.as("b"),
-          col(s"a.c$c") === col(s"b.c$c") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            ((0 to 3).map(i =>
-              bit_count(col(s"a.c$i").bitwiseXOR(col(s"b.c$i")))): Seq[org.apache.spark.sql.Column])
-              .reduce(_ + _).as("hamming"))
-      }.reduce(_ unionAll _).distinct()
-      joined.filter(col("hamming") <= 3)
+      val sig = Staging.stage(s, "simhash_sigs", d) {
+        TextAnalysis.queries("text_simhash")(s, d)
+      }
+      val chunks = sig.select(col("doc_id"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))).as(Seq("ci", "cv")))
+      val cand = chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(sig.as("x"), col("d1") === col("x.doc_id"))
+        .join(sig.as("y"), col("d2") === col("y.doc_id"))
+        .select(col("d1"), col("d2"),
+          ((0 to 3).map(i =>
+            bit_count(col(s"x.c$i").bitwiseXOR(col(s"y.c$i")))): Seq[org.apache.spark.sql.Column])
+            .reduce(_ + _).as("hamming"))
+        .filter(col("hamming") <= 3)
         .orderBy(col("d1"), col("d2"))
     },
 
@@ -129,6 +160,32 @@ object Dedup extends QueryModule {
           greatest(length(col("t1")), length(col("t2"))).as("max_len"))
         // filter on the RAW value (the oracle's WHERE is unrounded too);
         // filtering on the rounded column would flip boundary pairs
+        .withColumn("sim_raw",
+          lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
+        .filter(col("sim_raw") >= 0.8)
+        .select(col("d1"), col("d2"), col("edit_dist"),
+          round(col("sim_raw"), 6).as("similarity"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // Content-blocked edit-distance dedup — the composition a real
+    // pipeline runs: MinHash LSH proposes candidates by CONTENT (no
+    // positional assumption), levenshtein verifies each candidate pair.
+    // The length prefilter is semantics-preserving (|len1-len2| lower-
+    // bounds edit distance, so a violating pair can't reach 0.8) and
+    // skips the O(len²) DP for most candidates. The candidate set is
+    // |pairs|-sized, so joining the text back is a small shuffle — the
+    // corpus itself never self-joins.
+    "dedup_lev_blocked" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      lshCandidates(s, d)
+        .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), Seq("d1"))
+        .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
+        .filter(abs(length(col("t1")) - length(col("t2"))) <=
+          lit(0.2) * greatest(length(col("t1")), length(col("t2"))))
+        .select(col("d1"), col("d2"),
+          levenshtein(col("t1"), col("t2")).as("edit_dist"),
+          greatest(length(col("t1")), length(col("t2"))).as("max_len"))
         .withColumn("sim_raw",
           lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
         .filter(col("sim_raw") >= 0.8)
@@ -162,12 +219,16 @@ object Dedup extends QueryModule {
     // Exact char-4-gram Jaccard over a bounded id-window pair set (the
     // "given candidates from any blocker, verify exactly" primitive).
     "dedup_ngram" -> { (s, d) =>
-      val grams = Tables.documents(s, d)
-        .withColumn("norm", lower(col("text")))
-        .select(col("doc_id"),
-          explode(expr("transform(sequence(1, greatest(length(norm) - 3, 1)), i -> substr(norm, i, 4))"))
-            .as("g"))
-        .distinct()
+      // staged: the x/y verify sides and the size aggregate all read the
+      // distinct-gram parquet instead of re-exploding ~n_chars rows/doc
+      val grams = Staging.stage(s, "char4grams", d) {
+        Tables.documents(s, d)
+          .withColumn("norm", lower(col("text")))
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, greatest(length(norm) - 3, 1)), i -> substr(norm, i, 4))"))
+              .as("g"))
+          .distinct()
+      }
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val docs = Tables.documents(s, d).select(col("doc_id"))
       // candidate pairs by construction (explode the id offsets, keep
@@ -199,8 +260,10 @@ object Dedup extends QueryModule {
       |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)))""".stripMargin
 
-  private val minhashOracle =
-      s"""WITH $shingleSql,
+  /** shingles + band signatures + LSH candidate pairs — shared by the
+    * minhash verify and the content-blocked levenshtein verify. */
+  private val bandCandSql =
+      s"""$shingleSql,
         |bands AS (
         |  SELECT doc_id, band,
         |         min(substr(md5(CAST(band AS VARCHAR) || '|' || s), 1, 8)) ||
@@ -211,7 +274,10 @@ object Dedup extends QueryModule {
         |  GROUP BY doc_id, band),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val minhashOracle =
+      s"""WITH $bandCandSql,
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT c.d1, c.d2, count(*) AS ninter
@@ -231,6 +297,19 @@ object Dedup extends QueryModule {
         |ORDER BY canonical_id""".stripMargin,
 
     "dedup_minhash" -> minhashOracle,
+
+    // same LSH candidate CTEs as dedup_minhash; levenshtein verify.
+    // No length prefilter here: it is implied by similarity >= 0.8.
+    "dedup_lev_blocked" ->
+      s"""WITH $bandCandSql
+        |SELECT d1, d2,
+        |       levenshtein(a.text, b.text) AS edit_dist,
+        |       round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |                   / greatest(length(a.text), length(b.text)), 6) AS similarity
+        |FROM cand JOIN documents a ON a.doc_id = d1 JOIN documents b ON b.doc_id = d2
+        |WHERE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |            / greatest(length(a.text), length(b.text)) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
 
     "pipeline_curate" ->
       s"""WITH losers AS (SELECT DISTINCT d2 FROM ($minhashOracle) mh),

@@ -126,14 +126,25 @@ object Relational extends QueryModule {
         .orderBy(col("c_custkey"))
     },
 
-    // Left-outer join preserved in aggregation: nations with zero
-    // customers still appear (count of non-null keys = 0).
+    // Outer join preserved in aggregation: nations with zero customers
+    // still appear. A broadcast hash join can never broadcast the
+    // PRESERVED side of an outer join (an unmatched broadcast row can't
+    // be detected locally), so "broadcast(nation) left-join customer"
+    // silently shuffled the whole customer table (round-1 hint warning).
+    // The scalable shape is aggregate-before-outer-join: collapse
+    // customer to ≤|nation| rows first (map-side partial agg does most of
+    // the work), then nation left-joins the tiny aggregate — which Spark
+    // broadcasts as the legal build side.
     "join_outer_agg" -> { (s, d) =>
-      broadcast(Tables.nation(s, d))
-        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"), "left")
-        .groupBy(col("n_name"))
-        .agg(count(col("c_custkey")).as("n_customers"),
-          coalesce(sum(dec(col("c_acctbal"))).cast("double"), lit(0.0)).as("total_bal"))
+      val perNation = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(col("c_custkey")).as("cnt"),
+          sum(dec(col("c_acctbal"))).cast("double").as("bal"))
+      Tables.nation(s, d)
+        .join(broadcast(perNation), col("c_nationkey") === col("n_nationkey"), "left")
+        .select(col("n_name"),
+          coalesce(col("cnt"), lit(0L)).as("n_customers"),
+          coalesce(col("bal"), lit(0.0)).as("total_bal"))
         .orderBy(col("n_name"))
     },
 

@@ -32,6 +32,16 @@ class DedupSpec extends GraftSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("dedup_lev_blocked verifies LSH candidates by edit distance") {
+    val rows = q("dedup_lev_blocked").collect()
+    assert(rows.nonEmpty, "planted near-dups should survive lev verification")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(3) >= 0.8 && r.getDouble(3) <= 1.0))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+    assert(rows.forall(r => r.getInt(2) >= 0))
+  }
+
   test("dedup_ngram jaccard of a doc with itself-like neighbor bounded") {
     val rows = q("dedup_ngram").collect()
     assert(rows.nonEmpty)

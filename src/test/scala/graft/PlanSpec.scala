@@ -47,4 +47,22 @@ class PlanSpec extends GraftSuite {
     val p = plan("join_semi")
     assert(p.contains("LeftSemi"), p)
   }
+
+  test("join_outer_agg broadcasts the pre-aggregated side (no fact shuffle join)") {
+    // aggregate-before-outer-join: the customer pre-agg (≤|nation| rows)
+    // must be the broadcast build side; a SortMergeJoin here means the
+    // rewrite regressed to shuffling the fact table
+    val p = plan("join_outer_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"outer join fell back to shuffle:\n$p")
+  }
+
+  test("dedup_minhash reads staged shingles instead of rescanning documents") {
+    // the two-job staging shape: at most one scan of the documents table
+    // (inside the stage build) may remain in the final query plan
+    val p = plan("dedup_minhash")
+    val docScans = "documents".r.findAllIn(p).length
+    assert(!p.contains("documents"),
+      s"query plan still scans the raw corpus ($docScans hits):\n$p")
+  }
 }
