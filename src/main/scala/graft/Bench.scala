@@ -40,7 +40,13 @@ object Bench {
     // -1 sentinels mark failures; only successful timings enter the total
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // belt-and-braces for parsers scraping a logger-decorated stdout:
+    // the bare JSON line is also written to a known file
+    java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/bench_out.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -89,6 +89,38 @@ object Similarity extends QueryModule {
       .filter(col("rk") <= K)
   }
 
+  /** Random-hyperplane LSH bucketing: one row per (vector, band) with a
+    * sign-pattern bucket — (vec_id, label, embedding, n2, band, bucket).
+    *
+    * bitsPerBand is the scale lever: buckets/band = 2^bits, and bits
+    * should track log2(corpus / target bucket size) — 4 bits (16
+    * buckets) fits the fixtures; a 1B-vector corpus wants ~16 bits for
+    * ~15k-row buckets. Configurable per session via
+    * `spark.graft.ann.bitsPerBand`; the SQL oracle pins the default (4),
+    * non-default settings are covered by the recall spec. Hyperplane
+    * coefficients are md5-derived so engines and reruns agree exactly.
+    */
+  private def lshBucketed(s: SparkSession, d: String, nBands: Int, bitsPerBand: Int): DataFrame = {
+    val nPlanes = nBands * bitsPerBand
+    val planeCoef = expr(
+      s"""transform(sequence(0, ${nPlanes - 1}), p ->
+         |  transform(sequence(0, 63), i ->
+         |    CAST(conv(substr(md5(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 6), 16, 10) AS DOUBLE)
+         |      / 8388608.0 - 1.0))""".stripMargin)
+    withNorm(s, d)
+      .withColumn("planes", planeCoef)
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(0, ${bitsPerBand - 1}), 0, (acc, j) ->
+           |  acc * 2 + CASE WHEN aggregate(zip_with(planes[band * $bitsPerBand + j], embedding, (c, x) -> c * CAST(x AS DOUBLE)),
+           |                                CAST(0 AS DOUBLE), (a, v) -> a + v) >= 0 THEN 1 ELSE 0 END)""".stripMargin))
+      .select(col("vec_id"), col("label"), col("embedding"), col("n2"),
+        col("band"), col("bucket"))
+  }
+
+  private def annBitsPerBand(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ann.bitsPerBand").map(_.toInt).getOrElse(4)
+
   val queries: Map[String, Q] = Map(
 
     // Exact top-k neighbors per query vector (ties broken by vec_id).
@@ -112,43 +144,31 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"))
     },
 
-    // LSH-bucketed ANN, multi-table: 4 bands × 4 md5-derived hyperplanes.
-    // A vector lands in one 4-bit sign bucket per band; candidates =
-    // vectors sharing (band, bucket) with the query, union over bands,
-    // then exact rescoring. Multi-table is the standard recall lever —
-    // P[close pair shares ≥1 band] = 1-(1-p^4)^4 with p = 1-θ/π — and at
+    // LSH-bucketed ANN, multi-table: 4 bands × bitsPerBand md5-derived
+    // hyperplanes (default 4 bits = 16 buckets/band; see lshBucketed for
+    // the corpus-size scaling rule). Candidates = vectors sharing
+    // (band, bucket) with the query, union over bands, then exact
+    // rescoring. Multi-table is the standard recall lever —
+    // P[close pair shares ≥1 band] = 1-(1-p^b)^4 with p = 1-θ/π — and at
     // 100 TB (band, bucket) is the shuffle key, each bucket a small
     // local problem (a single wide table over-partitions instead).
     "ann_lsh" -> { (s, d) =>
-      val base = withNorm(s, d)
-      // plane p (0..15), dim i (0..63): coefficient in [-1,1) derived
-      // from md5(p|i) — deterministic, engine-reproducible randomness.
-      val planeCoef = expr(
-        """transform(sequence(0, 15), p ->
-          |  transform(sequence(0, 63), i ->
-          |    CAST(conv(substr(md5(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 6), 16, 10) AS DOUBLE)
-          |      / 8388608.0 - 1.0))""".stripMargin)
-      val bucketed = base
-        .withColumn("planes", planeCoef)
-        // one row per (vector, band): bucket = 4 sign bits of band planes
-        .withColumn("band", explode(sequence(lit(0), lit(3))))
-        .withColumn("bucket", expr(
-          """aggregate(sequence(0, 3), 0, (acc, j) ->
-            |  acc * 2 + CASE WHEN aggregate(zip_with(planes[band * 4 + j], embedding, (c, x) -> c * CAST(x AS DOUBLE)),
-            |                                CAST(0 AS DOUBLE), (a, v) -> a + v) >= 0 THEN 1 ELSE 0 END)""".stripMargin))
-        .select(col("vec_id"), col("embedding"), col("n2"), col("band"), col("bucket"))
+      val bits = annBitsPerBand(s)
+      val bucketed = lshBucketed(s, d, 4, bits)
       val q = broadcast(bucketed.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("n2").as("qn2"), col("band").as("qband"), col("bucket").as("qbucket")))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
+      // multi-probe: a query searches its own bucket plus every
+      // hamming-1 bucket per band (flip each sign bit) — the standard
+      // way to buy recall without more tables; candidate volume grows
+      // (bits+1)×, still bounded by bucket size
+      val probeList =
+        ("qbucket" +: (0 until bits).map(b => s"qbucket ^ ${1 << b}")).mkString(", ")
       bucketed
-        // multi-probe: a query searches its own bucket plus the four
-        // hamming-1 buckets per band (flip each sign bit) — the standard
-        // way to buy recall without more tables; candidate volume grows
-        // 5×, still bounded by bucket size
         .join(q, col("band") === col("qband") &&
-          expr("bucket IN (qbucket, qbucket ^ 8, qbucket ^ 4, qbucket ^ 2, qbucket ^ 1)") &&
+          expr(s"bucket IN ($probeList)") &&
           col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), col("qe"), col("embedding"),
           col("qn2"), col("n2"))
@@ -163,20 +183,46 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rk"))
     },
 
-    // IVF (inverted-file) ANN: deterministic coarse quantizer — the 10
-    // lowest non-query vec_ids serve as centroids — assigns every vector
-    // to its nearest centroid (one narrow pass against the broadcast
-    // centroid set); queries probe their 2 nearest centroid buckets and
-    // rescore only those buckets' members. At 100 TB the centroid id is
-    // the shuffle/bucket key and nprobe trades recall for bucket reads —
-    // same physics as a production IVF index. Approximate ⇒ rows-only
-    // for the driver; recall vs ann_brute asserted in ScalaTest.
+    // IVF (inverted-file) ANN with a TRAINED coarse quantizer: seed
+    // centroids (10 lowest non-query vec_ids) are refined by one
+    // deterministic k-means (Lloyd) iteration — assign every vector to
+    // its nearest seed, recenter each cluster at the member mean — so
+    // centroids move toward the data's actual modes and buckets balance.
+    // Per-dimension means accumulate in DECIMAL (order-independent), so
+    // the trained centroids are bit-stable across runs and partitionings.
+    // Queries probe their 2 nearest centroid buckets and rescore only
+    // those buckets' members. At 100 TB the centroid id is the
+    // shuffle/bucket key and nprobe trades recall for bucket reads —
+    // same physics as a production IVF index; more Lloyd rounds are the
+    // same dataflow iterated. Approximate ⇒ rows-only for the driver;
+    // recall vs ann_brute asserted in ScalaTest.
     "ann_ivf" -> { (s, d) =>
       val base = withNorm(s, d)
-      val cent = broadcast(base.filter(col("vec_id") >= NQ)
+      val seeds = broadcast(base.filter(col("vec_id") >= NQ)
         .orderBy(col("vec_id")).limit(10)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           col("n2").as("c_n2")))
+      val wSeed = Window.partitionBy(col("vec_id"))
+        .orderBy(col("s_cos").desc, col("c_id"))
+      val seedAssign = base.join(seeds)
+        .withColumn("s_cos",
+          dotDbl(col("embedding"), col("c_emb")) /
+            sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
+        .withColumn("s_rank", row_number().over(wSeed))
+        .filter(col("s_rank") === 1)
+        .select(col("c_id"), col("embedding"))
+      val trained = seedAssign
+        .select(col("c_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("c_id"), col("i"))
+        .agg((sum(col("x").cast("decimal(20,12)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
+        .select(col("c_id"),
+          expr("transform(ms, e -> CAST(e.m AS FLOAT))").as("c_emb"))
+      val cent = broadcast(trained
+        .withColumn("c_n2", normDec(col("c_emb")))
+        .filter(col("c_n2") > 0))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("c_cos").desc, col("c_id"))
       val assigned = base.join(cent)
@@ -207,27 +253,42 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rk"))
     },
 
-    // Embedding near-duplicate pairs: label-blocked (IVF-flavored) exact
-    // cosine ≥ threshold inside each block — never the full n² cross.
+    // Embedding near-duplicate pairs: blocked by (label, LSH band,
+    // hyperplane bucket) — never the full n² cross, and never a full
+    // label² cross either: a hot label at corpus scale is sub-divided
+    // into 2^bits sign-pattern buckets per band, so within-block work is
+    // bounded by bucket size, not label size. Multi-band union keeps
+    // recall: a cosine≥0.99 pair is split by one 4-plane band with
+    // P≈0.17, by all 4 independent bands with P≈0.001 — and because the
+    // md5-derived planes are identical in the DuckDB oracle, even a
+    // dropped pair is dropped identically on both sides (hash-exact).
     // Two-phase scoring: a cheap double-accumulated prefilter at 0.985
     // discards ~all of the block pairs, then the oracle-exact decimal
     // dot re-scores only survivors (double-vs-decimal drift is ~1e-12,
     // five orders of magnitude inside the 0.005 margin).
     "dedup_embedding" -> { (s, d) =>
+      val bucketed = lshBucketed(s, d, 4, 4)
+      val cand = bucketed.as("a")
+        .join(bucketed.as("b"),
+          col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+        .distinct()
       val base = withNorm(s, d)
-      base.as("a")
-        .join(base.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      cand
+        .join(base.select(col("vec_id").as("d1"), col("label"),
+          col("embedding").as("e1"), col("n2").as("na")), Seq("d1"))
+        .join(base.select(col("vec_id").as("d2"),
+          col("embedding").as("e2"), col("n2").as("nb")), Seq("d2"))
         .withColumn("cos_fast",
-          dotDbl(col("a.embedding"), col("b.embedding")) /
-            sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
+          dotDbl(col("e1"), col("e2")) /
+            sqrt(col("na").cast("double") * col("nb").cast("double")))
         .filter(col("cos_fast") >= 0.985)
         .withColumn("cosine",
-          dotDec(col("a.embedding"), col("b.embedding")).cast("double") /
-            sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
+          dotDec(col("e1"), col("e2")).cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")))
         .filter(col("cosine") >= 0.99)
-        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-          col("a.label").as("label"), round(col("cosine"), 9).as("cosine"))
+        .select(col("d1"), col("d2"), col("label"), round(col("cosine"), 9).as("cosine"))
         .orderBy(col("d1"), col("d2"))
     }
   )
@@ -251,6 +312,25 @@ object Similarity extends QueryModule {
        |  JOIN norms nq ON nq.vec_id = q.vec_id
        |  JOIN norms nc ON nc.vec_id = c.vec_id
        |  GROUP BY q.vec_id, c.vec_id, nq.n2, nc.n2)""".stripMargin
+
+  /** Hyperplane LSH bucketing CTEs (planes → projections → buckets) —
+    * mirrors lshBucketed at the default 4 bands × 4 bits; shared by the
+    * ann_lsh and dedup_embedding oracles. */
+  private val lshBucketsSql =
+    s"""planes AS (
+       |  SELECT p, i,
+       |         ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 6))::INTEGER
+       |           / 8388608.0 - 1.0 AS c
+       |  FROM (SELECT unnest(generate_series(0, 15)) AS p),
+       |       (SELECT unnest(generate_series(0, 63)) AS i)),
+       |projections AS (
+       |  SELECT e.vec_id, pl.p, sum(pl.c * CAST(e.x AS DOUBLE) ORDER BY pl.i) AS proj
+       |  FROM ex e JOIN planes pl ON pl.i = e.i - 1
+       |  GROUP BY e.vec_id, pl.p),
+       |buckets AS (
+       |  SELECT vec_id, p // 4 AS band,
+       |         CAST(sum(CASE WHEN proj >= 0 THEN (1 << (3 - p % 4)) ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM projections GROUP BY vec_id, p // 4)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -286,20 +366,7 @@ object Similarity extends QueryModule {
 
     "ann_lsh" ->
       s"""WITH $exSql,
-         |planes AS (
-         |  SELECT p, i,
-         |         ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 6))::INTEGER
-         |           / 8388608.0 - 1.0 AS c
-         |  FROM (SELECT unnest(generate_series(0, 15)) AS p),
-         |       (SELECT unnest(generate_series(0, 63)) AS i)),
-         |projections AS (
-         |  SELECT e.vec_id, pl.p, sum(pl.c * CAST(e.x AS DOUBLE) ORDER BY pl.i) AS proj
-         |  FROM ex e JOIN planes pl ON pl.i = e.i - 1
-         |  GROUP BY e.vec_id, pl.p),
-         |buckets AS (
-         |  SELECT vec_id, p // 4 AS band,
-         |         CAST(sum(CASE WHEN proj >= 0 THEN (1 << (3 - p % 4)) ELSE 0 END) AS INTEGER) AS bucket
-         |  FROM projections GROUP BY vec_id, p // 4),
+         |$lshBucketsSql,
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
          |  FROM buckets q
@@ -327,17 +394,23 @@ object Similarity extends QueryModule {
 
     "dedup_embedding" ->
       s"""WITH $exSql,
+         |$lshBucketsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2, ea.label
+         |  FROM buckets a
+         |  JOIN buckets b ON b.band = a.band AND b.bucket = a.bucket AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id AND eb.label = ea.label),
          |pairs AS (
-         |  SELECT a.vec_id AS d1, b.vec_id AS d2, ea.label,
+         |  SELECT c.d1, c.d2, c.label,
          |         CAST(sum(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
          |           / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
-         |  FROM ex a
-         |  JOIN ex b ON b.i = a.i AND a.vec_id < b.vec_id
-         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-         |  JOIN embeddings eb ON eb.vec_id = b.vec_id AND eb.label = ea.label
-         |  JOIN norms na ON na.vec_id = a.vec_id
-         |  JOIN norms nb ON nb.vec_id = b.vec_id
-         |  GROUP BY a.vec_id, b.vec_id, ea.label, na.n2, nb.n2)
+         |  FROM cand c
+         |  JOIN ex a ON a.vec_id = c.d1
+         |  JOIN ex b ON b.vec_id = c.d2 AND b.i = a.i
+         |  JOIN norms na ON na.vec_id = c.d1
+         |  JOIN norms nb ON nb.vec_id = c.d2
+         |  GROUP BY c.d1, c.d2, c.label, na.n2, nb.n2)
          |SELECT d1, d2, label, round(cosine, 9) AS cosine
          |FROM pairs
          |WHERE cosine >= 0.99

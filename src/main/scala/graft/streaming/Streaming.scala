@@ -116,6 +116,33 @@ object Streaming {
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
   }
 
+  /** Stream-stream LEFT-OUTER interval join: every purchase emits — with
+    * its same-user clicks from the preceding 30 minutes, or one row with
+    * null click columns if none arrived ("purchases with no prior
+    * click"). Outer semantics on streams are watermark-driven: a purchase
+    * can only be declared unmatched once the watermark proves no further
+    * click could still join it, so null rows are emitted late (on state
+    * eviction), and purchases still inside the watermark horizon when the
+    * stream ends are withheld — the same contract as every watermarked
+    * outer operator. */
+  def purchaseClickLeftJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+  }
+
   final case class TsEvent(user_id: Long, ts_us: Long, value: Double)
   final case class Session(user_id: Long, session_start_us: Long, n_events: Long)
 
@@ -223,6 +250,12 @@ object Streaming {
       .format("memory")
       .queryName(name)
       .start()
+    q.processAllAvailable()
+    // watermark-driven emissions (outer-join nulls, event-time timeouts)
+    // fire in the NO-DATA micro-batch scheduled after the last data batch
+    // commits its watermark — and processAllAvailable only waits for
+    // data, so give that batch a chance to run before stopping
+    Thread.sleep(2000)
     q.processAllAvailable()
     q.stop()
     spark.table(name)

@@ -24,14 +24,30 @@ class SimilaritySpec extends GraftSuite {
     assert(approx.forall { case (a, b) => a != b })
   }
 
-  test("ann_ivf (nprobe=2 of 10) recalls a useful share of exact top-k") {
+  test("ann_lsh bits/band is configurable: coarser buckets still recall") {
+    val exact = q("ann_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    spark.conf.set("spark.graft.ann.bitsPerBand", "3")
+    try {
+      val approx = q("ann_lsh").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      // 3 bits = 8 buckets/band → bigger buckets → recall should be at
+      // least as good as the 4-bit default's floor
+      assert(recall >= 0.5, s"recall=$recall at 3 bits/band")
+      assert(approx.forall { case (a, b) => a != b })
+    } finally spark.conf.unset("spark.graft.ann.bitsPerBand")
+  }
+
+  test("ann_ivf (trained quantizer, nprobe=2 of 10) recalls a useful share of exact top-k") {
     val exact = q("ann_brute").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val approx = q("ann_ivf").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // probing 2 of 10 coarse buckets on uniformly random vectors: the
-    // guard is that bucketing + probing works, not production recall
+    // probing 2 of 10 k-means-refined buckets on uniformly random
+    // vectors: the guard is that training + bucketing + probing works,
+    // not production recall
     assert(recall >= 0.15, s"recall=$recall")
     assert(approx.forall { case (a, b) => a != b })
   }

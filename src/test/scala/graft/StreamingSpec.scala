@@ -38,6 +38,44 @@ class StreamingSpec extends GraftSuite {
     assert(want.count() > 0)
   }
 
+  test("stream-stream LEFT-OUTER interval join: watermark-driven null emission") {
+    val got = Streaming.runToCompletion(
+      Streaming.purchaseClickLeftJoin(Streaming.eventsStream(spark, sf)),
+      "ssleft_out", OutputMode.Append()).collect()
+    // batch twin (watermarks are no-ops in batch): full ground truth
+    val batch = Streaming.purchaseClickLeftJoin(Tables.events(spark, sf)).collect()
+    val batchMatched = batch.filterNot(_.isNullAt(1)).map(_.mkString("|")).toSet
+    val batchUnmatched = batch.filter(_.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // purchase_id -> p_us
+    val gotMatched = got.filterNot(_.isNullAt(1)).map(_.mkString("|")).toSet
+    val gotNullIds = got.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+
+    // matched pairs are watermark-independent: streaming == batch exactly
+    assert(gotMatched == batchMatched)
+    // a null row may only appear for a genuinely unmatched purchase
+    assert(gotNullIds.subsetOf(batchUnmatched.keySet),
+      s"false unmatched: ${(gotNullIds -- batchUnmatched.keySet).take(5)}")
+    // null emission happens once the watermark proves no click can still
+    // match. The global watermark is min over BOTH sides' per-column
+    // watermarks (max purchase ts, max click ts, each minus the 1h
+    // delay), so bound from that minimum, minus the 30m join interval
+    // and 10m slack: purchases below it MUST have been declared
+    // unmatched...
+    val ev = Tables.events(spark, sf)
+    val maxSideUs = math.min(
+      ev.filter(col("event_type") === "purchase")
+        .agg(max(unix_micros(col("ts")))).head().getLong(0),
+      ev.filter(col("event_type") === "click")
+        .agg(max(unix_micros(col("ts")))).head().getLong(0))
+    val safeUs = maxSideUs - (3600L + 1800L + 600L) * 1000000L
+    val mustEmit = batchUnmatched.collect { case (pid, pus) if pus < safeUs => pid }.toSet
+    assert(mustEmit.subsetOf(gotNullIds),
+      s"unmatched purchases below watermark not emitted: ${(mustEmit -- gotNullIds).take(5)}")
+    // ...and ones the watermark never cleared must be withheld, so the
+    // streaming nulls sit between the two bounds
+    assert(mustEmit.nonEmpty && gotNullIds.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization equals session_window") {
     import spark.implicits._
     val tsEvents = Tables.events(spark, sf)
