@@ -152,12 +152,20 @@ object Dedup extends QueryModule {
       cand.join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
         // length prefilter, semantics-preserving: |len1-len2| lower-bounds
         // edit distance, so a pair violating it cannot reach similarity
-        // 0.8 — skips the O(len^2) DP for most candidates
+        // 0.8 — skips the DP for most candidates
         .filter(abs(length(col("t1")) - length(col("t2"))) <=
           lit(0.2) * greatest(length(col("t1")), length(col("t2"))))
+        // BOUNDED levenshtein: a pair can only survive with dist ≤
+        // 0.2·max_len, so cap the DP there — Spark's 3-arg levenshtein
+        // runs the O(len·k) banded DP and returns -1 past the cap, and
+        // every -1 pair is exactly a pair the unbounded filter would
+        // drop (dist > 0.2·max_len ⇔ sim < 0.8), so results are
+        // identical to the oracle's full DP
         .select(col("d1"), col("d2"),
-          levenshtein(col("t1"), col("t2")).as("edit_dist"),
+          expr("levenshtein(t1, t2, CAST(FLOOR(0.2 * greatest(length(t1), length(t2))) AS INT))")
+            .as("edit_dist"),
           greatest(length(col("t1")), length(col("t2"))).as("max_len"))
+        .filter(col("edit_dist") >= 0)
         // filter on the RAW value (the oracle's WHERE is unrounded too);
         // filtering on the rounded column would flip boundary pairs
         .withColumn("sim_raw",
@@ -183,9 +191,12 @@ object Dedup extends QueryModule {
         .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
         .filter(abs(length(col("t1")) - length(col("t2"))) <=
           lit(0.2) * greatest(length(col("t1")), length(col("t2"))))
+        // bounded DP with -1 sentinel excluded — see dedup_levenshtein
         .select(col("d1"), col("d2"),
-          levenshtein(col("t1"), col("t2")).as("edit_dist"),
+          expr("levenshtein(t1, t2, CAST(FLOOR(0.2 * greatest(length(t1), length(t2))) AS INT))")
+            .as("edit_dist"),
           greatest(length(col("t1")), length(col("t2"))).as("max_len"))
+        .filter(col("edit_dist") >= 0)
         .withColumn("sim_raw",
           lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
         .filter(col("sim_raw") >= 0.8)

@@ -291,6 +291,46 @@ object Relational extends QueryModule {
           |  AND l_quantity < 24""".stripMargin)
     },
 
+    // TPC-H Q14 shape (promo revenue share) through the SQL interface:
+    // fact ⋈ dim with an explicit broadcast hint, CASE-gated decimal
+    // sums, one exact division at the end. Adapted to the fixture's
+    // schema (p_type IS the promo marker; no date filter column beyond
+    // l_shipdate).
+    "sql_tpch_q14" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      s.sql(
+        """SELECT /*+ BROADCAST(part_v) */
+          |       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+          |                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                      CAST(1 - l_discount AS DECIMAL(18,2))
+          |                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+          |             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                        CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE),
+          |             6) AS promo_revenue_pct,
+          |       count(*) AS n_items
+          |FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin)
+    },
+
+    // TPC-H Q4 shape (priority counts gated by EXISTS) through the SQL
+    // interface — Catalyst plans the correlated EXISTS as a left-semi
+    // join, never a per-row subquery.
+    "sql_tpch_q4" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM orders_v
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem_v
+          |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // Bag-semantics set ops (ALL variants): per-customer order-year
     // multisets — intersectAll keeps min(multiplicity), exceptAll
     // subtracts multiplicities.
@@ -416,6 +456,29 @@ object Relational extends QueryModule {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "sql_tpch_q14" ->
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                      CAST(1 - l_discount AS DECIMAL(18,2))
+        |                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                        CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE),
+        |             6) AS promo_revenue_pct,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin,
+
+    "sql_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "set_ops_all" ->
       """WITH early AS (SELECT o_custkey, year(o_orderdate) AS y FROM orders

@@ -116,6 +116,23 @@ object Streaming {
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
   }
 
+  /** Streaming exact deduplication — the streaming twin of dedup_exact's
+    * "first copy wins". dropDuplicatesWithinWatermark keys state by
+    * event_id and prunes entries once the watermark passes them, so
+    * state is bounded by (arrival rate × watermark horizon) instead of
+    * stream length — the only formulation that survives an unbounded
+    * 100 TB ingest. Contract: duplicates arriving within the watermark
+    * delay of the first copy are dropped; a duplicate arriving later
+    * than that is either dropped as late input or re-emitted (state for
+    * its key was already pruned) — the standard at-least-once-unique
+    * guarantee of watermarked dedup. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+
   /** Stream-stream LEFT-OUTER interval join: every purchase emits — with
     * its same-user clicks from the preceding 30 minutes, or one row with
     * null click columns if none arrived ("purchases with no prior

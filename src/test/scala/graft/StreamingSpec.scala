@@ -147,6 +147,32 @@ class StreamingSpec extends GraftSuite {
       s"missing closed sessions: ${(nonFinal -- got).take(5)}")
   }
 
+  test("streaming dedup drops cross-micro-batch duplicates (one copy per event)") {
+    // stage the SAME events file twice → micro-batch 2 redelivers every
+    // event; dropDuplicatesWithinWatermark must emit each exactly once
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd")
+    val src = java.nio.file.Paths.get(sf, "events.parquet")
+    java.nio.file.Files.copy(src, dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(src, dir.resolve("b.parquet"))
+    java.nio.file.Files.setLastModifiedTime(dir.resolve("b.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 2000))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.table(spark, sf, "events").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val stream =
+      if (schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    val got = Streaming.runToCompletion(
+      Streaming.dedupEvents(stream), "dedup_out", OutputMode.Append())
+    val want = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    assert(got.count() == want.count(), "each event must be emitted exactly once")
+    assert(normalize(got) == normalize(want))
+  }
+
   test("foreachBatch sink: streamed rows land in parquet, count matches source") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fb").toString + "/out"
     val stream = Streaming.eventsStream(spark, sf)
