@@ -243,7 +243,10 @@ object Relational extends QueryModule {
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median"))
+          // accuracy 1000 (the default): rank error ≤ n/1000, far inside
+          // the ±1-quantity-unit need; 10× that only inflates the
+          // per-row QuantileSummaries insertion cost
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median"))
         .orderBy(col("l_returnflag"))
     },
 

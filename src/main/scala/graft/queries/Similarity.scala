@@ -158,6 +158,8 @@ object Similarity extends QueryModule {
       val q = broadcast(bucketed.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("n2").as("qn2"), col("band").as("qband"), col("bucket").as("qbucket")))
+      val wFast = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_fast").desc, col("vec_id"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
       // multi-probe: a query searches its own bucket plus every
@@ -173,6 +175,15 @@ object Similarity extends QueryModule {
         .select(col("query_id"), col("vec_id"), col("qe"), col("embedding"),
           col("qn2"), col("n2"))
         .distinct() // union over bands/probes: a pair may collide in several
+        // two-phase rescoring (same argument as topkPairs): rank all
+        // candidates by the codegen double cosine, decimal-rescore only
+        // the top K+32 — double-vs-decimal drift ~1e-12 can't push a
+        // true top-K pair out of a K+32 prefix
+        .withColumn("cos_fast",
+          dotDbl(col("qe"), col("embedding")) /
+            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+        .withColumn("rk_fast", row_number().over(wFast))
+        .filter(col("rk_fast") <= K + 32)
         .withColumn("cosine",
           dotDec(col("qe"), col("embedding")).cast("double") /
             sqrt(col("qn2").cast("double") * col("n2").cast("double")))
@@ -235,6 +246,8 @@ object Similarity extends QueryModule {
       val probes = assigned.filter(col("vec_id") < NQ && col("c_rank") <= 2)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("n2").as("qn2"), col("c_id"))
+      val wFastIvf = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_fast").desc, col("vec_id"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
       members.join(broadcast(probes),
@@ -242,7 +255,14 @@ object Similarity extends QueryModule {
         .select(col("query_id"), col("vec_id"), col("qe"), col("embedding"),
           col("qn2"), col("n2"))
         // no dedup needed: each member lives in exactly one bucket and a
-        // query's probes are distinct buckets
+        // query's probes are distinct buckets. Two-phase rescoring as in
+        // topkPairs/ann_lsh: double-rank the bucket members, decimal-
+        // rescore only the K+32 prefix.
+        .withColumn("cos_fast",
+          dotDbl(col("qe"), col("embedding")) /
+            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+        .withColumn("rk_fast", row_number().over(wFastIvf))
+        .filter(col("rk_fast") <= K + 32)
         .withColumn("cosine",
           dotDec(col("qe"), col("embedding")).cast("double") /
             sqrt(col("qn2").cast("double") * col("n2").cast("double")))
