@@ -143,27 +143,35 @@ object TextAnalysis extends QueryModule {
     // SimHash-64 per document as 4×16-bit chunks (chunk equality is the
     // classic near-dup blocking key — consumed by dedup_simhash).
     // Weight = token occurrence count; bit source = md5(token).
+    // Shape: project the md5's 16 leading hex digits ONCE per (doc, word)
+    // row (codegen conv), then take the 64 per-bit totals as 64 codegen
+    // SUM(CASE) aggregates — ONE hash aggregate with map-side combine, no
+    // 64-way row explosion and no (doc, bit) shuffle (the round-1 shape
+    // pushed |doc×word|×64 rows through an exchange; an intermediate
+    // rewrite via a transform() array was interpreted, not codegen'd, and
+    // measured slower). Per-bit totals are integer sums, so the result is
+    // bit-identical under any accumulation order.
     "text_simhash" -> { (s, d) =>
+      val digits = (0 to 15).map(i =>
+        conv(col("h").substr(i + 1, 1), 16, 10).cast("int").as(s"d$i"))
+      val bitSums = (0 to 63).map { b =>
+        val bitSet = shiftright(col(s"d${b / 4}"), 3 - b % 4) % 2 === 1
+        sum(when(bitSet, col("cnt")).otherwise(-col("cnt"))).as(s"t$b")
+      }
+      val chunks = (0 to 3).map { c =>
+        (16 * c until 16 * (c + 1)).map(b =>
+          when(col(s"t$b") > 0, lit(1L << (15 - (b - 16 * c))))
+            .otherwise(lit(0L)))
+          .reduce(_ + _).as(s"c$c")
+      }
       Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
         .withColumn("h", md5(col("w")))
-        .select(col("doc_id"), col("cnt"), col("h"),
-          explode(sequence(lit(0), lit(63))).as("b"))
-        .withColumn("hexd",
-          conv(col("h").substr((col("b") / lit(4)).cast("int") + lit(1), lit(1)), 16, 10)
-            .cast("int"))
-        .withColumn("contrib", expr(
-          "CASE WHEN shiftright(hexd, 3 - CAST(b % 4 AS INT)) % 2 = 1 THEN cnt ELSE -cnt END"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(col("contrib")).as("tot"))
-        .withColumn("sbit", (col("tot") > 0).cast("long"))
+        .select(Seq(col("doc_id"), col("cnt")) ++ digits: _*)
         .groupBy(col("doc_id"))
-        .agg(
-          expr("sum(CASE WHEN b < 16 THEN sbit * shiftleft(CAST(1 AS BIGINT), 15 - CAST(b AS INT)) ELSE 0 END)").as("c0"),
-          expr("sum(CASE WHEN b >= 16 AND b < 32 THEN sbit * shiftleft(CAST(1 AS BIGINT), 31 - CAST(b AS INT)) ELSE 0 END)").as("c1"),
-          expr("sum(CASE WHEN b >= 32 AND b < 48 THEN sbit * shiftleft(CAST(1 AS BIGINT), 47 - CAST(b AS INT)) ELSE 0 END)").as("c2"),
-          expr("sum(CASE WHEN b >= 48 THEN sbit * shiftleft(CAST(1 AS BIGINT), 63 - CAST(b AS INT)) ELSE 0 END)").as("c3"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id") +: chunks: _*)
         .orderBy(col("doc_id"))
     }
   )
