@@ -100,23 +100,18 @@ object Similarity extends QueryModule {
     * non-default settings are covered by the recall spec. Hyperplane
     * coefficients are md5-derived so engines and reruns agree exactly.
     */
-  private def lshBucketed(s: SparkSession, d: String, nBands: Int, bitsPerBand: Int): DataFrame = {
-    val nPlanes = nBands * bitsPerBand
-    val planeCoef = expr(
-      s"""transform(sequence(0, ${nPlanes - 1}), p ->
-         |  transform(sequence(0, 63), i ->
-         |    CAST(conv(substr(md5(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 6), 16, 10) AS DOUBLE)
-         |      / 8388608.0 - 1.0))""".stripMargin)
+  // Bucketing runs through the codegen HyperplaneBuckets expression —
+  // one fused pass per vector computing every band's sign-pattern bucket
+  // (the HOF formulation it replaces was interpreted per element and was
+  // the measured hot spot of this stage). Coefficients are the same
+  // md5-derived doubles the SQL oracle computes, so buckets are
+  // bit-identical across engines.
+  private def lshBucketed(s: SparkSession, d: String, nBands: Int, bitsPerBand: Int): DataFrame =
     withNorm(s, d)
-      .withColumn("planes", planeCoef)
-      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
-      .withColumn("bucket", expr(
-        s"""aggregate(sequence(0, ${bitsPerBand - 1}), 0, (acc, j) ->
-           |  acc * 2 + CASE WHEN aggregate(zip_with(planes[band * $bitsPerBand + j], embedding, (c, x) -> c * CAST(x AS DOUBLE)),
-           |                                CAST(0 AS DOUBLE), (a, v) -> a + v) >= 0 THEN 1 ELSE 0 END)""".stripMargin))
+      .withColumn("buckets",
+        graft.functions.HyperplaneBuckets.buckets(col("embedding"), nBands, bitsPerBand))
       .select(col("vec_id"), col("label"), col("embedding"), col("n2"),
-        col("band"), col("bucket"))
-  }
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
 
   private def annBitsPerBand(s: SparkSession): Int =
     s.conf.getOption("spark.graft.ann.bitsPerBand").map(_.toInt).getOrElse(4)

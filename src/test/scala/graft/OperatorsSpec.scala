@@ -47,6 +47,34 @@ class OperatorsSpec extends GraftSuite {
     assert(viaExpr.zip(viaHof).forall { case (a, b) => a == b }, "bit-exact equality")
   }
 
+  test("HyperplaneBuckets equals the HOF bucketing bit-for-bit") {
+    import graft.functions.HyperplaneBuckets
+    val (nBands, bits) = (4, 4)
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val viaExpr = emb
+      .select(col("vec_id"),
+        HyperplaneBuckets.buckets(col("embedding"), nBands, bits).as("bk"))
+      .select(col("vec_id"), posexplode(col("bk")).as(Seq("band", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // the SQL-HOF formulation this expression replaced (and which the
+    // DuckDB oracle mirrors): same planes, same fold order, same packing
+    val planeCoef = expr(
+      s"""transform(sequence(0, ${nBands * bits - 1}), p ->
+         |  transform(sequence(0, 63), i ->
+         |    CAST(conv(substr(md5(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 6), 16, 10) AS DOUBLE)
+         |      / 8388608.0 - 1.0))""".stripMargin)
+    val viaHof = emb
+      .withColumn("planes", planeCoef)
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(0, ${bits - 1}), 0, (acc, j) ->
+           |  acc * 2 + CASE WHEN aggregate(zip_with(planes[band * $bits + j], embedding, (c, x) -> c * CAST(x AS DOUBLE)),
+           |                                CAST(0 AS DOUBLE), (a, v) -> a + v) >= 0 THEN 1 ELSE 0 END)""".stripMargin))
+      .select(col("vec_id"), col("band"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(viaExpr.nonEmpty && viaExpr == viaHof)
+  }
+
   test("asof join: every matched click is the latest at-or-before the purchase") {
     val rows = q("asof_purchase_click").collect()
     assert(rows.nonEmpty)
