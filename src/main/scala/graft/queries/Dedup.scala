@@ -29,13 +29,17 @@ object Dedup extends QueryModule {
     * parquet once per input dir (see [[graft.Staging]]): every consumer
     * (band signatures, both verify sides, both size aggregates) reads the
     * staged table instead of re-scanning + re-exploding the corpus. */
+  // explode positions, then build each shingle with codegen slice/concat
+  // — exploding a transform(...) array does the same work through an
+  // interpreted per-element lambda
   private def shingles(s: SparkSession, d: String): DataFrame =
     Staging.stage(s, "shingles", d) {
       Tables.documents(s, d)
         .withColumn("t", split(col("text"), " "))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), greatest(size(col("t")) - 2, lit(1)))).as("i"))
         .select(col("doc_id"),
-          explode(expr("transform(sequence(1, greatest(size(t) - 2, 1)), i -> concat_ws(' ', slice(t, i, 3)))"))
-            .as("s"))
+          concat_ws(" ", slice(col("t"), col("i"), lit(3))).as("s"))
         .distinct()
     }
 
@@ -231,13 +235,15 @@ object Dedup extends QueryModule {
     // "given candidates from any blocker, verify exactly" primitive).
     "dedup_ngram" -> { (s, d) =>
       // staged: the x/y verify sides and the size aggregate all read the
-      // distinct-gram parquet instead of re-exploding ~n_chars rows/doc
+      // distinct-gram parquet instead of re-exploding ~n_chars rows/doc.
+      // positions exploded, gram cut with codegen substr (a transform()
+      // array would run the cut through an interpreted lambda)
       val grams = Staging.stage(s, "char4grams", d) {
         Tables.documents(s, d)
           .withColumn("norm", lower(col("text")))
-          .select(col("doc_id"),
-            explode(expr("transform(sequence(1, greatest(length(norm) - 3, 1)), i -> substr(norm, i, 4))"))
-              .as("g"))
+          .select(col("doc_id"), col("norm"),
+            explode(sequence(lit(1), greatest(length(col("norm")) - 3, lit(1)))).as("i"))
+          .select(col("doc_id"), col("norm").substr(col("i"), lit(4)).as("g"))
           .distinct()
       }
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
