@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Path}
 import java.util.Comparator
+import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -20,14 +21,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet write is spill-free, survives executor loss, and reads back
   * with column pruning.
   *
-  * A stage is written once per (name, input dir) per JVM and read back by
-  * every consumer. The stage root is a fresh temp dir per JVM (so reruns
-  * never see stale data); at cluster scale point `spark.graft.stage.dir`
-  * at distributed storage instead.
+  * Lifecycle contract: a stage is written once per (name, input dir) per
+  * JVM and read back by every consumer — the input under `dir` is assumed
+  * IMMUTABLE for the life of the JVM (true for the driver's run-once
+  * verify/bench processes). A long-lived session whose inputs mutate must
+  * call [[reset]] to drop the cache; nothing invalidates automatically.
+  * The stage root is a fresh temp dir per JVM (so reruns never see stale
+  * data); at cluster scale point `spark.graft.stage.dir` at distributed
+  * storage instead.
   */
 object Staging {
 
-  private val cache = scala.collection.mutable.Map.empty[(String, String), String]
+  /** Per-key build cell: `computeIfAbsent` only ever constructs the
+    * (cheap) cell, and the `lazy val`'s per-instance monitor is the
+    * per-key latch — two consumers of the SAME stage serialize on the
+    * build, while builds of DIFFERENT stages proceed in parallel (a
+    * global lock here would serialize unrelated stages behind one slow
+    * write). */
+  private final class Cell(thunk: () => String) { lazy val path: String = thunk() }
+
+  private val cache = new ConcurrentHashMap[(String, String), Cell]()
+
+  // build-time ledger (seconds per stage name) so a bench harness can
+  // attribute one-time staging cost separately from per-query cost
+  private val ledger = scala.collection.mutable.Map.empty[String, Double]
 
   private lazy val localRoot: Path = {
     val p = Files.createTempDirectory("graft-stage-")
@@ -44,13 +61,33 @@ object Staging {
   /** Build-once, read-many: the first call per (name, dir) writes
     * `build` to parquet; every call returns a fresh scan of that file. */
   def stage(s: SparkSession, name: String, dir: String)(build: => DataFrame): DataFrame = {
-    val path = cache.synchronized {
-      cache.getOrElseUpdate((name, dir), {
-        val p = rootFor(s) + "/" + name + "-" + Integer.toHexString(dir.hashCode)
-        build.write.mode("overwrite").parquet(p)
-        p
-      })
-    }
-    s.read.parquet(path)
+    val cell = cache.computeIfAbsent((name, dir), _ => new Cell(() => {
+      val p = rootFor(s) + "/" + name + "-" + Integer.toHexString(dir.hashCode)
+      val t0 = System.nanoTime()
+      build.write.mode("overwrite").parquet(p)
+      val secs = (System.nanoTime() - t0) / 1e9
+      ledger.synchronized {
+        ledger.update(name, ledger.getOrElse(name, 0.0) + secs)
+      }
+      p
+    }))
+    s.read.parquet(cell.path)
+  }
+
+  /** Drop every cached stage; the next consumer rebuilds from the current
+    * input. For long-lived sessions whose input dirs mutate (the
+    * build-once contract above assumes immutable inputs). */
+  def reset(): Unit = {
+    cache.clear()
+    ledger.synchronized(ledger.clear())
+  }
+
+  /** Seconds spent building each stage since the last drain — lets a
+    * bench report staging as its own line instead of billing it to
+    * whichever query touched the stage first. */
+  def drainBuildTimes(): Map[String, Double] = ledger.synchronized {
+    val snap = ledger.toMap
+    ledger.clear()
+    snap
   }
 }

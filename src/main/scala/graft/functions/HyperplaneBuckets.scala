@@ -21,19 +21,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * packing — but without per-element lambda dispatch or intermediate
   * array allocation (interpreted HOFs were the measured hot spot of the
   * bucketing stage). Assumes non-null elements; a null array propagates
-  * null via UnaryExpression's null handling.
+  * null via UnaryExpression's null handling. An EMPTY array also yields
+  * null: every plane would project to exactly 0.0 and produce an
+  * all-ones bucket row, while the SQL oracle's unnest-based projection
+  * CTE emits no row at all for an empty array — returning null (the
+  * downstream posexplode then drops the vector) keeps both engines
+  * dropping empty vectors identically.
   */
 case class HyperplaneBuckets(child: Expression, nBands: Int, bitsPerBand: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // empty arrays map to null
 
   @transient private lazy val planes: Array[Array[Double]] =
     HyperplaneBuckets.planes(nBands * bitsPerBand)
 
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
+    if (x.numElements() == 0) return null
     val buckets = new Array[Int](nBands)
     var b = 0
     while (b < nBands) {
@@ -69,21 +76,25 @@ case class HyperplaneBuckets(child: Expression, nBands: Int, bitsPerBand: Int)
       val i = ctx.freshName("i")
       val bucket = ctx.freshName("bucket")
       s"""
-         |int[] $bkts = new int[$nBands];
-         |for (int $b = 0; $b < $nBands; $b++) {
-         |  int $bucket = 0;
-         |  for (int $j = 0; $j < $bitsPerBand; $j++) {
-         |    double[] $pl = $pls[$b * $bitsPerBand + $j];
-         |    int $n = java.lang.Math.min($pl.length, $c.numElements());
-         |    double $acc = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $acc += $pl[$i] * (double) $c.getFloat($i);
+         |if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $bkts = new int[$nBands];
+         |  for (int $b = 0; $b < $nBands; $b++) {
+         |    int $bucket = 0;
+         |    for (int $j = 0; $j < $bitsPerBand; $j++) {
+         |      double[] $pl = $pls[$b * $bitsPerBand + $j];
+         |      int $n = java.lang.Math.min($pl.length, $c.numElements());
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        $acc += $pl[$i] * (double) $c.getFloat($i);
+         |      }
+         |      $bucket = $bucket * 2 + ($acc >= 0.0 ? 1 : 0);
          |    }
-         |    $bucket = $bucket * 2 + ($acc >= 0.0 ? 1 : 0);
+         |    $bkts[$b] = $bucket;
          |  }
-         |  $bkts[$b] = $bucket;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bkts);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bkts);
        """.stripMargin
     })
 

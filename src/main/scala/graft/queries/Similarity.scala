@@ -32,6 +32,26 @@ object Similarity extends QueryModule {
   private val K = 10
   private val NQ = 8 // query vectors: vec_id < NQ
 
+  /** Tie-aware phase-1 cutoff margin: after ranking candidates by the
+    * fast double cosine, keep every candidate within this epsilon of the
+    * K-th fast score (not a fixed K+n buffer). Phase-1 can only misorder
+    * pairs whose cosines differ by ≲1e-12 (double vs decimal
+    * accumulation), so 1e-9 ≫ that drift guarantees the true top-K is
+    * inside the kept set — while a fixed buffer could evict a true
+    * top-K pair if >n near-identical candidates crowd the cutoff. */
+  private val RescoreEps = 1e-9
+
+  /** Keep phase-1 survivors: the top-K by fast rank plus everything
+    * tied (within [[RescoreEps]]) with the K-th fast score. Expects
+    * columns query_id/cos_fast/rk_fast; same window partitioning as the
+    * rank, so no extra shuffle. A partition with < K rows has a null
+    * K-th score and keeps all rows via the rank predicate. */
+  private def tieAwareCut(df: DataFrame): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+    df.withColumn("kth_fast", max(when(col("rk_fast") === K, col("cos_fast"))).over(wq))
+      .filter(col("rk_fast") <= K || col("cos_fast") >= col("kth_fast") - RescoreEps)
+  }
+
   /** Exact decimal dot product of two float-array columns. */
   private def dotDec(a: Column, b: Column): Column =
     aggregate(
@@ -62,12 +82,10 @@ object Similarity extends QueryModule {
   /** Brute-force scored pairs (query_id, vec_id, cosine) for vec_id<NQ
     * queries against the whole corpus, self-pairs excluded. */
   /** Exact top-k per query, two-phase: (1) rank ALL pairs by the cheap
-    * codegen double cosine and keep top K+32 per query; (2) decimal-
-    * rescore only those and re-rank exactly. Safe because phase-1 can
-    * only misorder pairs whose cosines differ by ≲1e-12 (double vs
-    * decimal accumulation), so the true top-K always sits inside a
-    * K+32 double-ranked prefix. The corpus-wide decimal HOF work drops
-    * from O(corpus×queries) to O(K×queries). */
+    * codegen double cosine and keep the tie-aware top-K prefix (see
+    * [[tieAwareCut]]); (2) decimal-rescore only those and re-rank
+    * exactly. The corpus-wide decimal HOF work drops from
+    * O(corpus×queries) to O(K×queries). */
   private def topkPairs(s: SparkSession, d: String): DataFrame = {
     val base = withNorm(s, d)
     val q = broadcast(base.filter(col("vec_id") < NQ)
@@ -76,12 +94,11 @@ object Similarity extends QueryModule {
       .orderBy(col("cos_fast").desc, col("vec_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    base.join(q, col("vec_id") =!= col("query_id"))
+    tieAwareCut(base.join(q, col("vec_id") =!= col("query_id"))
       .withColumn("cos_fast",
         dotDbl(col("qe"), col("embedding")) /
           sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-      .withColumn("rk_fast", row_number().over(wFast))
-      .filter(col("rk_fast") <= K + 32)
+      .withColumn("rk_fast", row_number().over(wFast)))
       .withColumn("cosine",
         dotDec(col("qe"), col("embedding")).cast("double") /
           sqrt(col("qn2").cast("double") * col("n2").cast("double")))
@@ -170,15 +187,14 @@ object Similarity extends QueryModule {
         .select(col("query_id"), col("vec_id"), col("qe"), col("embedding"),
           col("qn2"), col("n2"))
         .distinct() // union over bands/probes: a pair may collide in several
-        // two-phase rescoring (same argument as topkPairs): rank all
-        // candidates by the codegen double cosine, decimal-rescore only
-        // the top K+32 — double-vs-decimal drift ~1e-12 can't push a
-        // true top-K pair out of a K+32 prefix
         .withColumn("cos_fast",
           dotDbl(col("qe"), col("embedding")) /
             sqrt(col("qn2").cast("double") * col("n2").cast("double")))
         .withColumn("rk_fast", row_number().over(wFast))
-        .filter(col("rk_fast") <= K + 32)
+        // two-phase rescoring (same argument as topkPairs): rank all
+        // candidates by the codegen double cosine, decimal-rescore only
+        // the tie-aware top-K prefix
+        .transform(tieAwareCut)
         .withColumn("cosine",
           dotDec(col("qe"), col("embedding")).cast("double") /
             sqrt(col("qn2").cast("double") * col("n2").cast("double")))
@@ -252,12 +268,12 @@ object Similarity extends QueryModule {
         // no dedup needed: each member lives in exactly one bucket and a
         // query's probes are distinct buckets. Two-phase rescoring as in
         // topkPairs/ann_lsh: double-rank the bucket members, decimal-
-        // rescore only the K+32 prefix.
+        // rescore only the tie-aware top-K prefix.
         .withColumn("cos_fast",
           dotDbl(col("qe"), col("embedding")) /
             sqrt(col("qn2").cast("double") * col("n2").cast("double")))
         .withColumn("rk_fast", row_number().over(wFastIvf))
-        .filter(col("rk_fast") <= K + 32)
+        .transform(tieAwareCut)
         .withColumn("cosine",
           dotDec(col("qe"), col("embedding")).cast("double") /
             sqrt(col("qn2").cast("double") * col("n2").cast("double")))

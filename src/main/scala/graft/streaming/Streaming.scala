@@ -271,9 +271,21 @@ object Streaming {
     // watermark-driven emissions (outer-join nulls, event-time timeouts)
     // fire in the NO-DATA micro-batch scheduled after the last data batch
     // commits its watermark — and processAllAvailable only waits for
-    // data, so give that batch a chance to run before stopping
-    Thread.sleep(2000)
-    q.processAllAvailable()
+    // data. A fixed sleep is timing-dependent on a loaded machine, so
+    // poll lastProgress instead: exit once the committed watermark has
+    // been stable across several polls (the no-data batch has then fired),
+    // with a generous deadline as the backstop. Queries with no watermark
+    // never report one and exit after two quick polls.
+    val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+    var last = ""
+    var stable = 0
+    while (stable < (if (last.isEmpty) 2 else 4) && System.nanoTime() < deadline) {
+      Thread.sleep(250)
+      q.processAllAvailable()
+      val wm = Option(q.lastProgress)
+        .flatMap(p => Option(p.eventTime.get("watermark"))).getOrElse("")
+      if (wm == last) stable += 1 else { stable = 0; last = wm }
+    }
     q.stop()
     spark.table(name)
   }
