@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev helper: synthesize an N× corpus from an existing fixture dir to
+  * measure how the dedup/ANN family scales one order of magnitude up
+  * (docs/SCALING.md records the curve; the round-2 verdict asked for a
+  * real 10× datapoint behind the plan-shape argument).
+  *
+  * Design: each replica k is an ISOMORPHIC SHARD of the source, not a
+  * copy —
+  *  - documents: ids offset by k·10⁶ and text mapped through a
+  *    per-replica alphabet rotation. A character bijection preserves
+  *    every length, every char-4-gram Jaccard, and every word-shingle
+  *    Jaccard WITHIN the shard (the planted near-dup structure scales
+  *    linearly, as organic growth would), while shards share essentially
+  *    no grams with each other (letters dominate real text), so
+  *    cross-shard near-dup pairs stay as rare as in a real corpus.
+  *    Naive duplication would instead add 10 exact copies of every doc —
+  *    quadratic pair inflation inside every duplicate cluster, which is
+  *    NOT what a bigger corpus looks like.
+  *  - embeddings: ids offset and the float array rotated by k·7 mod 64
+  *    positions. A fixed permutation preserves norms and within-shard
+  *    pairwise cosines exactly; across shards, permuted random vectors
+  *    decorrelate (cosine ~ N(0, 1/64)), so no spurious cross-shard
+  *    near-dups or ANN ties appear.
+  *
+  * Usage: ScaleData <srcSfDir> <outDir> [factor=10] — writes
+  * outDir/documents.parquet and outDir/embeddings.parquet (the only
+  * tables the dedup/ANN/text family reads).
+  */
+object ScaleData {
+
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  def replicateDocuments(src: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      val r = k % Alpha.length
+      val rotated = Alpha.drop(r) + Alpha.take(r)
+      val rotatedUpper = rotated.toUpperCase
+      src.select(
+        (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
+        translate(col("text"), Alpha + Alpha.toUpperCase, rotated + rotatedUpper).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+
+  def replicateEmbeddings(src: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      val r = (k * 7) % HyperDims
+      src.select(
+        (col("vec_id") + lit(k.toLong * 1000000L)).as("vec_id"),
+        (if (r == 0) col("embedding")
+         else expr(s"concat(slice(embedding, ${r + 1}, ${HyperDims - r}), slice(embedding, 1, $r))"))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+  private val HyperDims = graft.functions.HyperplaneBuckets.Dims
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    replicateDocuments(Tables.documents(spark, srcDir), factor)
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    replicateEmbeddings(Tables.embeddings(spark, srcDir), factor)
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    println(s"wrote ${factor}x of $srcDir to $outDir")
+    spark.stop()
+  }
+}

@@ -81,6 +81,22 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
+  /** Distinct lowercase char-4-grams per doc: (doc_id, g), staged to
+    * parquet once per input dir — the x/y verify sides and the size
+    * aggregate all read the gram parquet instead of re-exploding
+    * ~n_chars rows/doc. Positions are exploded and the gram cut with
+    * codegen substr (a transform() array would run the cut through an
+    * interpreted lambda). */
+  private def char4grams(s: SparkSession, d: String): DataFrame =
+    Staging.stage(s, "char4grams", d) {
+      Tables.documents(s, d)
+        .withColumn("norm", lower(col("text")))
+        .select(col("doc_id"), col("norm"),
+          explode(sequence(lit(1), greatest(length(col("norm")) - 3, lit(1)))).as("i"))
+        .select(col("doc_id"), col("norm").substr(col("i"), lit(4)).as("g"))
+        .distinct()
+    }
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup: content-hash groupBy; canonical = min doc_id. The
@@ -231,21 +247,34 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Content-blocked n-gram dedup — the composition a real corpus pass
+    // runs (round-2 verdict #1): MinHash LSH proposes candidate pairs by
+    // CONTENT, exact char-4-gram Jaccard verifies each. Both inputs are
+    // staged tables (band signatures, distinct grams), so the corpus is
+    // scanned only during staging and the query itself is candidate-sized
+    // equi-joins — the positionally-blocked dedup_ngram below stays as
+    // the "verify any blocker's candidates" primitive.
+    "dedup_ngram_blocked" -> { (s, d) =>
+      val grams = char4grams(s, d)
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = lshCandidates(s, d)
+        .join(grams.as("x"), col("d1") === col("x.doc_id"))
+        .join(grams.as("y"), col("d2") === col("y.doc_id") && col("x.g") === col("y.g"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ninter"))
+      inter
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .withColumn("jaccard",
+          round(col("ninter") * lit(1.0) / (col("s1.n") + col("s2.n") - col("ninter")), 6))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // Exact char-4-gram Jaccard over a bounded id-window pair set (the
     // "given candidates from any blocker, verify exactly" primitive).
     "dedup_ngram" -> { (s, d) =>
-      // staged: the x/y verify sides and the size aggregate all read the
-      // distinct-gram parquet instead of re-exploding ~n_chars rows/doc.
-      // positions exploded, gram cut with codegen substr (a transform()
-      // array would run the cut through an interpreted lambda)
-      val grams = Staging.stage(s, "char4grams", d) {
-        Tables.documents(s, d)
-          .withColumn("norm", lower(col("text")))
-          .select(col("doc_id"), col("norm"),
-            explode(sequence(lit(1), greatest(length(col("norm")) - 3, lit(1)))).as("i"))
-          .select(col("doc_id"), col("norm").substr(col("i"), lit(4)).as("g"))
-          .distinct()
-      }
+      val grams = char4grams(s, d)
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val docs = Tables.documents(s, d).select(col("doc_id"))
       // candidate pairs by construction (explode the id offsets, keep
@@ -305,7 +334,27 @@ object Dedup extends QueryModule {
         |WHERE round(ninter * 1.0 / (s1.n + s2.n - ninter), 6) >= 0.6
         |ORDER BY d1, d2""".stripMargin
 
+  private val gramsSql =
+    """grams AS (
+      |  SELECT DISTINCT doc_id, substr(norm, i, 4) AS g
+      |  FROM (SELECT doc_id, norm, unnest(generate_series(1, greatest(length(norm) - 3, 1))) AS i
+      |        FROM (SELECT doc_id, lower(text) AS norm FROM documents)))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    // same LSH candidate CTEs as dedup_minhash; exact gram-Jaccard verify
+    "dedup_ngram_blocked" ->
+      s"""WITH $bandCandSql,
+        |$gramsSql,
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.d1, c.d2, count(*) AS ninter
+        |  FROM cand c JOIN grams x ON x.doc_id = c.d1 JOIN grams y ON y.doc_id = c.d2 AND y.g = x.g
+        |  GROUP BY c.d1, c.d2)
+        |SELECT d1, d2, round(ninter * 1.0 / (s1.n + s2.n - ninter), 6) AS jaccard
+        |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE round(ninter * 1.0 / (s1.n + s2.n - ninter), 6) >= 0.6
+        |ORDER BY d1, d2""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
@@ -374,10 +423,7 @@ object Dedup extends QueryModule {
         |ORDER BY d1, d2""".stripMargin,
 
     "dedup_ngram" ->
-      """WITH grams AS (
-        |  SELECT DISTINCT doc_id, substr(norm, i, 4) AS g
-        |  FROM (SELECT doc_id, norm, unnest(generate_series(1, greatest(length(norm) - 3, 1))) AS i
-        |        FROM (SELECT doc_id, lower(text) AS norm FROM documents))),
+      s"""WITH $gramsSql,
         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
         |cand AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2

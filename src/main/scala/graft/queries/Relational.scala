@@ -148,6 +148,29 @@ object Relational extends QueryModule {
         .orderBy(col("n_name"))
     },
 
+    // Salted skew join through the driver surface: the events fact joins
+    // the customer dim on user_id with the key explicitly salted 8 ways
+    // ([[graft.operators.SkewTools.saltedJoin]]) — the 100 TB play when
+    // ONE key is so hot that even AQE's skew split floods a task (null
+    // key / top-domain / bot-user shapes): the fact side scatters each
+    // row to (key, salt), the dim side replicates to all salts, so the
+    // hot key's work fans out across 8 tasks. Salting is semantics-
+    // preserving, so a plain SQL join oracles it exactly (the fixture
+    // keys are near-uniform; the hot-key benefit is the production case,
+    // the correctness contract is identical either way).
+    "join_salted_skew" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.SkewTools.saltedJoin(ev, cust, Seq("user_id"),
+          col("event_id"), buckets = 8)
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    },
+
     // ROLLUP over the region→nation hierarchy (grouping sets).
     "agg_rollup" -> { (s, d) =>
       broadcast(Tables.region(s, d))
@@ -424,6 +447,15 @@ object Relational extends QueryModule {
         |LEFT JOIN customer ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    // salting is semantics-preserving: the oracle is the PLAIN join
+    "join_salted_skew" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e
+        |JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
 
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,

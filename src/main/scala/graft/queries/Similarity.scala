@@ -133,6 +133,57 @@ object Similarity extends QueryModule {
   private def annBitsPerBand(s: SparkSession): Int =
     s.conf.getOption("spark.graft.ann.bitsPerBand").map(_.toInt).getOrElse(4)
 
+  private def annKmeansIters(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ann.kmeansIters").map(_.toInt).getOrElse(2)
+
+  /** Buckets probed per IVF query — THE recall/cost lever: recall tracks
+    * the probed corpus mass (on near-uniform vectors almost linearly:
+    * measured 0.36 at nprobe=2 of 10, 0.7+ at 4), cost is the probed
+    * buckets' member count. Default 4 of 10 suits the fixtures' weakly
+    * clustered embeddings; a corpus with real modes gets away with 1–2
+    * of a much larger centroid count. */
+  private def annNprobe(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ann.nprobe").map(_.toInt).getOrElse(4)
+
+  /** Trained IVF coarse quantizer: seed centroids (10 lowest non-query
+    * vec_ids) refined by `iters` deterministic k-means (Lloyd) rounds —
+    * assign every vector to its nearest centroid, recenter each cluster
+    * at the member mean. Per-dimension means accumulate in DECIMAL
+    * (order-independent), so the trained centroids are bit-stable across
+    * runs and partitionings. Staged to parquet once per (dir, iters):
+    * a production IVF trains its quantizer once and persists it, and the
+    * probe/assign consumers below would otherwise each re-run the whole
+    * training DAG (lazy plans re-expand per consumer). Empty clusters
+    * drop out of the assignment group-by, exactly as in Lloyd. */
+  private def ivfCentroids(s: SparkSession, d: String, iters: Int): DataFrame =
+    graft.Staging.stage(s, s"ivf_centroids_i$iters", d) {
+      val base = withNorm(s, d)
+      val seeds = base.filter(col("vec_id") >= NQ)
+        .orderBy(col("vec_id")).limit(10)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("n2").as("c_n2"))
+      val wSeed = Window.partitionBy(col("vec_id"))
+        .orderBy(col("s_cos").desc, col("c_id"))
+      (1 to iters).foldLeft(seeds) { (cent, _) =>
+        base.join(broadcast(cent))
+          .withColumn("s_cos",
+            dotDbl(col("embedding"), col("c_emb")) /
+              sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
+          .withColumn("s_rank", row_number().over(wSeed))
+          .filter(col("s_rank") === 1)
+          .select(col("c_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy(col("c_id"), col("i"))
+          .agg((sum(col("x").cast("decimal(20,12)")) / count(lit(1)))
+            .cast("double").as("m"))
+          .groupBy(col("c_id"))
+          .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
+          .select(col("c_id"),
+            expr("transform(ms, e -> CAST(e.m AS FLOAT))").as("c_emb"))
+          .withColumn("c_n2", normDec(col("c_emb")))
+          .filter(col("c_n2") > 0)
+      }
+    }
+
   val queries: Map[String, Q] = Map(
 
     // Exact top-k neighbors per query vector (ties broken by vec_id).
@@ -205,46 +256,20 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rk"))
     },
 
-    // IVF (inverted-file) ANN with a TRAINED coarse quantizer: seed
-    // centroids (10 lowest non-query vec_ids) are refined by one
-    // deterministic k-means (Lloyd) iteration — assign every vector to
-    // its nearest seed, recenter each cluster at the member mean — so
-    // centroids move toward the data's actual modes and buckets balance.
-    // Per-dimension means accumulate in DECIMAL (order-independent), so
-    // the trained centroids are bit-stable across runs and partitionings.
-    // Queries probe their 2 nearest centroid buckets and rescore only
-    // those buckets' members. At 100 TB the centroid id is the
-    // shuffle/bucket key and nprobe trades recall for bucket reads —
-    // same physics as a production IVF index; more Lloyd rounds are the
-    // same dataflow iterated. Approximate ⇒ rows-only for the driver;
-    // recall vs ann_brute asserted in ScalaTest.
+    // IVF (inverted-file) ANN with a TRAINED coarse quantizer (see
+    // [[ivfCentroids]]: seeds refined by `spark.graft.ann.kmeansIters`
+    // Lloyd rounds, default 2, staged to parquet) — centroids move
+    // toward the data's actual modes so buckets balance. Queries probe
+    // their `spark.graft.ann.nprobe` nearest centroid buckets (default
+    // 4; see annNprobe for the recall/cost trade) and rescore only those
+    // buckets' members. At 100 TB the centroid id is the shuffle/bucket key and
+    // nprobe trades recall for bucket reads — same physics as a
+    // production IVF index; more Lloyd rounds are the same dataflow
+    // iterated. Approximate ⇒ rows-only for the driver; recall vs
+    // ann_brute asserted in ScalaTest.
     "ann_ivf" -> { (s, d) =>
       val base = withNorm(s, d)
-      val seeds = broadcast(base.filter(col("vec_id") >= NQ)
-        .orderBy(col("vec_id")).limit(10)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("n2").as("c_n2")))
-      val wSeed = Window.partitionBy(col("vec_id"))
-        .orderBy(col("s_cos").desc, col("c_id"))
-      val seedAssign = base.join(seeds)
-        .withColumn("s_cos",
-          dotDbl(col("embedding"), col("c_emb")) /
-            sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
-        .withColumn("s_rank", row_number().over(wSeed))
-        .filter(col("s_rank") === 1)
-        .select(col("c_id"), col("embedding"))
-      val trained = seedAssign
-        .select(col("c_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy(col("c_id"), col("i"))
-        .agg((sum(col("x").cast("decimal(20,12)")) / count(lit(1)))
-          .cast("double").as("m"))
-        .groupBy(col("c_id"))
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
-        .select(col("c_id"),
-          expr("transform(ms, e -> CAST(e.m AS FLOAT))").as("c_emb"))
-      val cent = broadcast(trained
-        .withColumn("c_n2", normDec(col("c_emb")))
-        .filter(col("c_n2") > 0))
+      val cent = broadcast(ivfCentroids(s, d, annKmeansIters(s)))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("c_cos").desc, col("c_id"))
       val assigned = base.join(cent)
@@ -254,7 +279,7 @@ object Similarity extends QueryModule {
         .withColumn("c_rank", row_number().over(wAssign))
       val members = assigned.filter(col("c_rank") === 1)
         .select(col("vec_id"), col("embedding"), col("n2"), col("c_id"))
-      val probes = assigned.filter(col("vec_id") < NQ && col("c_rank") <= 2)
+      val probes = assigned.filter(col("vec_id") < NQ && col("c_rank") <= annNprobe(s))
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("n2").as("qn2"), col("c_id"))
       val wFastIvf = Window.partitionBy(col("query_id"))

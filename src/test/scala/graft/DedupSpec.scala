@@ -42,6 +42,20 @@ class DedupSpec extends GraftSuite {
     assert(rows.forall(r => r.getInt(2) >= 0))
   }
 
+  test("dedup_ngram_blocked recovers planted pairs from LSH candidates") {
+    val rows = q("dedup_ngram_blocked").collect()
+    assert(rows.nonEmpty, "planted near-dups should survive gram verification")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.6 && r.getDouble(2) <= 1.0))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+    // the same planted pairs the minhash pass finds must verify by
+    // char-4-gram Jaccard too (word-shingle J≈0.9 implies high char-gram J)
+    val pairSet = pairs.toSet
+    for (p <- Seq((474L, 498L), (110L, 467L), (260L, 391L), (144L, 161L)))
+      assert(pairSet.contains(p), s"missing planted pair $p")
+  }
+
   test("dedup_ngram jaccard of a doc with itself-like neighbor bounded") {
     val rows = q("dedup_ngram").collect()
     assert(rows.nonEmpty)

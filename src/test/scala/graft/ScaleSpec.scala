@@ -45,6 +45,19 @@ class ScaleSpec extends GraftSuite {
     assert(plain.nonEmpty)
   }
 
+  test("join_salted_skew (driver surface) equals the plain-join aggregate") {
+    val salted = q("join_salted_skew").collect().map(_.mkString("|"))
+    val plain = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+      .collect().map(_.mkString("|"))
+    assert(salted.nonEmpty)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("approximate aggregates land within tolerance of the exact twins") {
     val approx = q("agg_approx").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap

@@ -18,9 +18,9 @@ class SimilaritySpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     // multi-probe (own bucket + 4 hamming-1 buckets per band) measured
-    // 0.95 at sf0.001/sf0.01; 0.5 floor leaves margin for data changes
-    // on LSH's worst case (uniformly random vectors)
-    assert(recall >= 0.5, s"recall=$recall")
+    // 0.95 at sf0.001/sf0.01; this floor is the ONLY quality gate the
+    // driver-rows-only approximate op has, so keep it tight (r2 verdict)
+    assert(recall >= 0.9, s"recall=$recall")
     assert(approx.forall { case (a, b) => a != b })
   }
 
@@ -34,22 +34,42 @@ class SimilaritySpec extends GraftSuite {
       val recall = (exact & approx).size.toDouble / exact.size
       // 3 bits = 8 buckets/band → bigger buckets → recall should be at
       // least as good as the 4-bit default's floor
-      assert(recall >= 0.5, s"recall=$recall at 3 bits/band")
+      assert(recall >= 0.9, s"recall=$recall at 3 bits/band")
       assert(approx.forall { case (a, b) => a != b })
     } finally spark.conf.unset("spark.graft.ann.bitsPerBand")
   }
 
-  test("ann_ivf (trained quantizer, nprobe=2 of 10) recalls a useful share of exact top-k") {
+  test("ann_ivf (trained quantizer, nprobe=4 of 10) recalls a useful share of exact top-k") {
     val exact = q("ann_brute").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val approx = q("ann_ivf").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // probing 2 of 10 k-means-refined buckets on uniformly random
-    // vectors: the guard is that training + bucketing + probing works,
-    // not production recall
-    assert(recall >= 0.15, s"recall=$recall")
+    // defaults: 2 Lloyd rounds, nprobe=4 of 10 buckets. This floor is
+    // the op's only quality gate (driver sees rows-only), so it must
+    // catch a broken quantizer or probe path
+    assert(recall >= 0.6, s"recall=$recall")
     assert(approx.forall { case (a, b) => a != b })
+  }
+
+  test("ann_ivf Lloyd iterations and nprobe are configurable levers") {
+    val exact = q("ann_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallWith(confs: (String, String)*): Double = {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val approx = q("ann_ivf").collect()
+          .map(r => (r.getLong(0), r.getLong(2))).toSet
+        (exact & approx).size.toDouble / exact.size
+      } finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    // fewer probes trade recall for cost but must stay useful; more
+    // Lloyd rounds must not break the index at the default probe count
+    val rNarrow = recallWith("spark.graft.ann.nprobe" -> "2",
+      "spark.graft.ann.kmeansIters" -> "1")
+    val rTrained = recallWith("spark.graft.ann.kmeansIters" -> "4")
+    assert(rNarrow >= 0.25, s"recall=$rNarrow at nprobe=2, 1 iter")
+    assert(rTrained >= 0.6, s"recall=$rTrained at nprobe=4, 4 iters")
   }
 
   test("emb_knn_class predicts a label for every query vector") {
