@@ -357,6 +357,54 @@ object Relational extends QueryModule {
           |ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // TPC-H Q10 shape (returned-item revenue by customer): 3-fact chain
+    // join + broadcast nation dim, decimal revenue, top-20. The
+    // fact⋈fact joins shuffle on their keys; only the bounded dim is
+    // broadcast; TakeOrderedAndProject caps the driver at 20 rows.
+    "sql_tpch_q10" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql(
+        """SELECT /*+ BROADCAST(nation_v) */ c_custkey, c_name,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |       n_name
+          |FROM customer_v
+          |JOIN orders_v ON c_custkey = o_custkey
+          |JOIN lineitem_v ON l_orderkey = o_orderkey
+          |JOIN nation_v ON c_nationkey = n_nationkey
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1996-04-01'
+          |  AND l_returnflag = 'R'
+          |GROUP BY c_custkey, c_name, n_name
+          |ORDER BY revenue DESC, c_custkey
+          |LIMIT 20""".stripMargin)
+    },
+
+    // TPC-H Q18 shape (large-volume orders): the HAVING subquery feeds a
+    // semi join — lineitem is pre-aggregated to qualifying orderkeys
+    // (map-side partial agg), so the big table joins a summary, not
+    // itself row-for-row.
+    "sql_tpch_q18" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT c_custkey, c_name, o_orderkey,
+          |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM customer_v
+          |JOIN orders_v ON c_custkey = o_custkey
+          |JOIN lineitem_v ON l_orderkey = o_orderkey
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_v
+          |                     GROUP BY l_orderkey
+          |                     HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+          |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+          |ORDER BY total_price DESC, o_orderkey""".stripMargin)
+    },
+
     // Bag-semantics set ops (ALL variants): per-customer order-year
     // multisets — intersectAll keeps min(multiplicity), exceptAll
     // subtracts multiplicities.
@@ -514,6 +562,35 @@ object Relational extends QueryModule {
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "sql_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "sql_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+        |ORDER BY total_price DESC, o_orderkey""".stripMargin,
 
     "set_ops_all" ->
       """WITH early AS (SELECT o_custkey, year(o_orderdate) AS y FROM orders
