@@ -272,14 +272,21 @@ object Similarity extends QueryModule {
       val cent = broadcast(ivfCentroids(s, d, annKmeansIters(s)))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("c_cos").desc, col("c_id"))
-      val assigned = base.join(cent)
+      // rank a vector's centroids: per-vector window, so ranking the
+      // filtered query set alone gives identical ranks to ranking inside
+      // the corpus-wide pass — which lets the probe branch rank |queries|
+      // rows instead of re-running the corpus × centroids assignment
+      // (lazy plans re-expand per consumer; the corpus-wide subtree used
+      // to be computed twice)
+      def ranked(df: DataFrame): DataFrame = df.join(cent)
         .withColumn("c_cos",
           dotDbl(col("embedding"), col("c_emb")) /
             sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
         .withColumn("c_rank", row_number().over(wAssign))
-      val members = assigned.filter(col("c_rank") === 1)
+      val members = ranked(base).filter(col("c_rank") === 1)
         .select(col("vec_id"), col("embedding"), col("n2"), col("c_id"))
-      val probes = assigned.filter(col("vec_id") < NQ && col("c_rank") <= annNprobe(s))
+      val probes = ranked(base.filter(col("vec_id") < NQ))
+        .filter(col("c_rank") <= annNprobe(s))
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("n2").as("qn2"), col("c_id"))
       val wFastIvf = Window.partitionBy(col("query_id"))

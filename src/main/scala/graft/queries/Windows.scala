@@ -106,6 +106,18 @@ object Windows extends QueryModule {
       out.orderBy(col("window_start"), col("event_type"))
     },
 
+    // Session-window streaming twin through the driver gate (same
+    // rationale as streaming_tumbling, but exercising the session-state
+    // machine: gap-merged windows, watermark-pruned state).
+    "streaming_session" -> { (s, d) =>
+      val out = graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.sessionCounts(
+          graft.streaming.Streaming.eventsStream(s, d)),
+        "streaming_session_" + java.util.UUID.randomUUID().toString.take(8),
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      out.orderBy(col("user_id"), col("session_start_us"))
+    },
+
     // Sliding 1-hour window every 30 min: each event lands in 2 windows.
     "events_sliding" -> { (s, d) =>
       Tables.events(s, d)
@@ -221,6 +233,27 @@ object Windows extends QueryModule {
         |JOIN customer ON user_id = c_custkey
         |GROUP BY window_start, c_mktsegment
         |ORDER BY window_start, c_mktsegment""".stripMargin,
+
+    // streamed session result equals the batch one (Complete mode):
+    // identical gaps-and-islands oracle
+    "streaming_session" ->
+      """WITH brk AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS is_break
+        |  FROM events),
+        |grp AS (
+        |  SELECT user_id, ts, value,
+        |         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM brk)
+        |SELECT user_id,
+        |       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM grp
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "events_session" ->
       """WITH brk AS (
