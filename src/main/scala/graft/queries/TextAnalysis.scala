@@ -107,25 +107,21 @@ object TextAnalysis extends QueryModule {
     },
 
     // Document fingerprinting: full-content hash over normalized text +
-    // a winnowing-style compact fingerprint (min over char-5-gram hashes).
-    // Shape: explode the gram positions and take MIN through a codegen
-    // hash aggregate keyed on doc_id alone (the 2 KB norm body rides as a
-    // first() aggregate, NOT in the grouping key — hashing the body per
-    // exploded row measured slower than the interpreted HOF it replaced).
-    // A doc's exploded rows never leave their input partition, so partial
-    // agg collapses them to one row per doc before the exchange.
+    // a winnowing-style compact fingerprint (min over char-5-gram hashes),
+    // folded per document inside the codegen [[graft.functions.WinnowMin]]
+    // expression — a pure narrow projection, no generated rows, no
+    // aggregate. (History: an interpreted HOF, then a gram-explode +
+    // codegen MIN aggregate — the explode shape pushed ~n_chars rows/doc
+    // through aggregate machinery just to fold them back to one row, and
+    // went super-linear at 10× fixture scale from GC/spill pressure.)
     "text_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
         .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
-        .select(col("doc_id"), col("norm"),
-          explode(sequence(lit(1), greatest(length(col("norm")) - 4, lit(1)))).as("i"))
-        .withColumn("g", md5(col("norm").substr(col("i"), lit(5))))
-        .groupBy(col("doc_id"))
-        .agg(min(col("g")).as("wm"), first(col("norm")).as("norm"))
         .select(
           col("doc_id"),
           md5(col("norm")).as("content_hash"),
-          substring(col("wm"), 1, 12).as("winnow_min"),
+          substring(graft.functions.WinnowMin.winnow_min(col("norm"), 5), 1, 12)
+            .as("winnow_min"),
           length(col("norm")).as("norm_len"))
         .orderBy(col("doc_id"))
     },

@@ -1,6 +1,24 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 class TextAnalysisSpec extends GraftSuite {
+
+  test("WinnowMin expression equals the explode+min-aggregate formulation") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+    val viaExpr = docs.select(col("doc_id"),
+        graft.functions.WinnowMin.winnow_min(col("norm"), 5).as("wm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaExplode = docs
+      .select(col("doc_id"), col("norm"),
+        explode(sequence(lit(1), greatest(length(col("norm")) - 4, lit(1)))).as("i"))
+      .withColumn("g", md5(col("norm").substr(col("i"), lit(5))))
+      .groupBy(col("doc_id")).agg(min(col("g")).as("wm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaExpr.nonEmpty)
+    assert(viaExpr == viaExplode)
+  }
 
   test("text_simhash: near-duplicate docs land within hamming 3") {
     val sig = q("text_simhash").collect()
