@@ -249,23 +249,25 @@ object Dedup extends QueryModule {
 
     // Content-blocked n-gram dedup — the composition a real corpus pass
     // runs (round-2 verdict #1): MinHash LSH proposes candidate pairs by
-    // CONTENT, exact char-4-gram Jaccard verifies each. Both inputs are
-    // staged tables (band signatures, distinct grams), so the corpus is
-    // scanned only during staging and the query itself is candidate-sized
-    // equi-joins — the positionally-blocked dedup_ngram below stays as
-    // the "verify any blocker's candidates" primitive.
+    // CONTENT, exact char-4-gram Jaccard verifies each. The LSH
+    // candidate set is output-sized (pairs that actually collide), so
+    // the verify is computed PER PAIR by the codegen GramSet expressions
+    // over the two normalized bodies — candidate-sized joins carrying
+    // two ~n_chars strings beat a gram equi-join whose exchange carries
+    // ~n_chars rows per involved document. (The id-window dedup_ngram
+    // below keeps the gram-join shape: its pair set is corpus-sized,
+    // where per-pair set building measured allocation-bound.)
     "dedup_ngram_blocked" -> { (s, d) =>
-      val grams = char4grams(s, d)
-      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = lshCandidates(s, d)
-        .join(grams.as("x"), col("d1") === col("x.doc_id"))
-        .join(grams.as("y"), col("d2") === col("y.doc_id") && col("x.g") === col("y.g"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ninter"))
-      inter
-        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), lower(col("text")).as("norm"))
+        .withColumn("n", graft.functions.GramSet.distinct_gram_count(col("norm"), 4))
+      lshCandidates(s, d)
+        .join(docs.select(col("doc_id").as("d1"), col("norm").as("na"), col("n").as("n1")), Seq("d1"))
+        .join(docs.select(col("doc_id").as("d2"), col("norm").as("nb"), col("n").as("n2")), Seq("d2"))
+        .withColumn("ninter",
+          graft.functions.GramSet.gram_intersect_count(col("na"), col("nb"), 4))
         .withColumn("jaccard",
-          round(col("ninter") * lit(1.0) / (col("s1.n") + col("s2.n") - col("ninter")), 6))
+          round(col("ninter") * lit(1.0) / (col("n1") + col("n2") - col("ninter")), 6))
         .filter(col("jaccard") >= 0.6)
         .select(col("d1"), col("d2"), col("jaccard"))
         .orderBy(col("d1"), col("d2"))
@@ -273,6 +275,13 @@ object Dedup extends QueryModule {
 
     // Exact char-4-gram Jaccard over a bounded id-window pair set (the
     // "given candidates from any blocker, verify exactly" primitive).
+    // PAIR-VOLUME NOTE: this pair set is corpus-sized (5 offsets × every
+    // doc), so the intersection goes through the staged-gram equi-join —
+    // streaming hash aggregation, no per-row set building. The per-pair
+    // GramSet-expression shape (see dedup_ngram_blocked) measured 10×
+    // WORSE here at 10× scale (250k pairs × 2 fresh hash sets per pair
+    // is allocation-bound); it only wins when the candidate set is
+    // output-sized, which an id-window by construction is not.
     "dedup_ngram" -> { (s, d) =>
       val grams = char4grams(s, d)
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

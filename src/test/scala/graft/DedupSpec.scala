@@ -56,6 +56,23 @@ class DedupSpec extends GraftSuite {
       assert(pairSet.contains(p), s"missing planted pair $p")
   }
 
+  test("GramSet expressions match independently computed distinct grams / intersections") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("norm"))
+      .withColumn("n", graft.functions.GramSet.distinct_gram_count(col("norm"), 4))
+      .collect()
+    def gset(s: String): Set[String] = if (s.length <= 4) Set(s) else s.sliding(4).toSet
+    rows.foreach { r =>
+      assert(r.getInt(2) == gset(r.getString(1)).size, s"doc ${r.getLong(0)}")
+    }
+    import spark.implicits._
+    val (a, b) = (rows(0).getString(1), rows(1).getString(1))
+    val inter = Seq((a, b)).toDF("a", "b")
+      .select(graft.functions.GramSet.gram_intersect_count(col("a"), col("b"), 4).as("x"))
+      .collect().head.getInt(0)
+    assert(inter == (gset(a) & gset(b)).size)
+  }
+
   test("dedup_ngram jaccard of a doc with itself-like neighbor bounded") {
     val rows = q("dedup_ngram").collect()
     assert(rows.nonEmpty)
