@@ -275,16 +275,21 @@ object Streaming {
     // poll lastProgress instead: exit once the committed watermark has
     // been stable across several polls (the no-data batch has then fired),
     // with a generous deadline as the backstop. Queries with no watermark
-    // never report one and exit after two quick polls.
-    val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
-    var last = ""
-    var stable = 0
-    while (stable < (if (last.isEmpty) 2 else 4) && System.nanoTime() < deadline) {
-      Thread.sleep(250)
-      q.processAllAvailable()
-      val wm = Option(q.lastProgress)
-        .flatMap(p => Option(p.eventTime.get("watermark"))).getOrElse("")
-      if (wm == last) stable += 1 else { stable = 0; last = wm }
+    // never report one and exit after two quick polls. Complete mode
+    // skips the wait entirely: it re-emits FULL state every batch, so
+    // nothing is held back behind the watermark and the table is final
+    // once processAllAvailable returns.
+    if (mode != OutputMode.Complete()) {
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      var last = ""
+      var stable = 0
+      while (stable < (if (last.isEmpty) 2 else 4) && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        q.processAllAvailable()
+        val wm = Option(q.lastProgress)
+          .flatMap(p => Option(p.eventTime.get("watermark"))).getOrElse("")
+        if (wm == last) stable += 1 else { stable = 0; last = wm }
+      }
     }
     q.stop()
     spark.table(name)
