@@ -10,17 +10,27 @@ import org.apache.spark.sql.SparkSession
   * lets Catalyst prune computed columns — so timings reflect the full
   * operator work.
   *
-  * Measurement discipline (round-2 verdict findings):
+  * Measurement discipline (round-2/3 verdict findings):
   *  - Single-JVM timings are noisy (JIT/GC drift of ±0.3–1.7 s per query
   *    was observed round-over-round with zero code change), so each query
   *    runs SPARK_GRAFT_BENCH_REPS times (default 3): "queries" reports
-  *    the per-query MEDIAN, "queries_first" the first (cold) run, so a
-  *    regression can be told apart from one slow sample.
+  *    the per-query MEDIAN; the first (cold) run is recorded in
+  *    bench_out.json as "queries_first".
   *  - Shared [[Staging]] parquet builds used to be billed to whichever
   *    query touched the stage first (alphabetical accident); now each
-  *    query's cold run drains the staging ledger, the build seconds are
-  *    reported under "staging" as their own line, and the cold time is
-  *    net of them — so per-query numbers + staging sum to "value".
+  *    rep drains the staging ledger, build seconds are reported under
+  *    "staging_total" as their own line, and the touching rep's time is
+  *    net of them — so per-query medians + staging sum to "value".
+  *    Staging triggered by a query that ultimately FAILS is excluded
+  *    from the headline value (recorded as "staging_failed" in
+  *    bench_out.json) so a broken query can't inflate the total.
+  *  - NOTE on cross-round comparison: since round 3 "value" = sum of
+  *    per-query MEDIANS + successful staging, not the cold single-run
+  *    total that rounds 1–2 reported; medians are systematically warmer.
+  *  - The stdout line is kept COMPACT (3-decimal timings, no per-query
+  *    cold runs) because the driver captures only a bounded tail of
+  *    stdout — round 3's full-precision line outgrew that buffer and
+  *    failed to parse. Full precision lives in bench_out.json.
   */
 object Bench {
 
@@ -28,6 +38,11 @@ object Bench {
     val s = xs.sorted
     s(s.length / 2)
   }
+
+  private def r3(d: Double): Double = math.rint(d * 1000) / 1000
+
+  private def jmap(m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,12 +65,19 @@ object Bench {
     spark.catalog.clearCache()
     Staging.drainBuildTimes() // zero the ledger before timed runs
 
-    val stagingTotals = scala.collection.mutable.Map.empty[String, Double]
+    val stagingOk = scala.collection.mutable.Map.empty[String, Double]
+    val stagingFailed = scala.collection.mutable.Map.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate queries from each other: drop cached relations/broadcasts
       // from the previous query so its GC debt isn't billed to this one
       spark.catalog.clearCache()
       System.gc()
+      // defensive: any ledger residue from a previous query's aborted
+      // build must not be netted out of (or billed to) this query
+      Staging.drainBuildTimes().foreach { case (st, secs) =>
+        stagingFailed.update(st, stagingFailed.getOrElse(st, 0.0) + secs)
+      }
+      val qStaging = scala.collection.mutable.Map.empty[String, Double]
       val times = (1 to reps).flatMap { i =>
         val t0 = System.nanoTime()
         val ok =
@@ -68,36 +90,47 @@ object Bench {
         // are attributed to the shared "staging" line, not this query
         val staged = Staging.drainBuildTimes()
         staged.foreach { case (st, secs) =>
-          stagingTotals.update(st, stagingTotals.getOrElse(st, 0.0) + secs)
+          qStaging.update(st, qStaging.getOrElse(st, 0.0) + secs)
         }
         if (ok) Some(raw - staged.values.sum) else None
       }
-      if (times.length == reps) name -> (times.head, median(times))
+      val passed = times.length == reps
+      // staging billed to a failed query is excluded from the headline
+      // total (the query itself reports -1) — tracked for bench_out.json
+      val sink = if (passed) stagingOk else stagingFailed
+      qStaging.foreach { case (st, secs) =>
+        sink.update(st, sink.getOrElse(st, 0.0) + secs)
+      }
+      if (passed) name -> (times.head, median(times))
       else name -> (-1.0, -1.0) // any failed rep marks the query failed
     }
 
-    val qs = results.map { case (k, (_, med)) => "\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    val qsFirst = results.map { case (k, (first, _)) => "\"" + k + "\":" + first }
-      .mkString("{", ",", "}")
-    val stg = stagingTotals.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val stagingTotal = stagingTotals.values.sum
+    val stagingTotal = stagingOk.values.sum
     // -1 sentinels mark failures; only successful timings enter the total
     val total = results.collect { case (_, (_, med)) if med >= 0 => med }.sum + stagingTotal
     val nFailed = results.count(_._2._2 < 0)
+
+    // compact stdout line — must fit the driver's bounded stdout tail
+    val qsCompact = jmap(results.map { case (k, (_, med)) => k -> r3(med) })
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"reps":$reps,""" +
-        s""""staging_total":$stagingTotal,"staging":$stg,"queries":$qs,""" +
-        s""""queries_first":$qsFirst,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFailed,""" +
+        s""""reps":$reps,"staging_total":${r3(stagingTotal)},"queries":$qsCompact,""" +
+        s""""sf":"$sfDir"}"""
     println(json)
-    // belt-and-braces for parsers scraping a logger-decorated stdout: the
-    // bare JSON line is also written to a known file (path derived from
-    // the checkout, overridable — a hardcoded /root/repo threw elsewhere)
+
+    // full-precision detail for humans and post-hoc analysis
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"reps":$reps,""" +
+        s""""staging_total":$stagingTotal,""" +
+        s""""staging":${jmap(stagingOk.toSeq.sortBy(_._1))},""" +
+        s""""staging_failed":${jmap(stagingFailed.toSeq.sortBy(_._1))},""" +
+        s""""queries":${jmap(results.map { case (k, (_, m)) => k -> m })},""" +
+        s""""queries_first":${jmap(results.map { case (k, (f, _)) => k -> f })},""" +
+        s""""sf":"$sfDir"}"""
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         sys.props.getOrElse("user.dir", ".") + "/bench_out.json")
-      java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(out), (detail + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
     }

@@ -62,12 +62,25 @@ object ScaleData {
     val srcDir = args(0)
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    // the alphabet rotation is only a DISTINCT bijection per replica for
+    // k < 26 — beyond that k % 26 cycles and plants exact cross-shard
+    // text duplicates, breaking the isomorphic-shard property (factor
+    // ≤ 26 also keeps k·7 mod 64 embedding rotations distinct: 7 is
+    // coprime with 64, cycling only at k = 64)
+    require(factor >= 1 && factor <= Alpha.length,
+      s"factor must be in [1, ${Alpha.length}]: alphabet rotations repeat beyond that")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // replica ids are offset by k·10⁶ — source ids must stay below that
+    // or shards collide on id
+    val maxIds = Tables.documents(spark, srcDir).agg(max("doc_id")).head.getLong(0) max
+      Tables.embeddings(spark, srcDir).agg(max("vec_id")).head.getLong(0)
+    require(maxIds < 1000000L,
+      s"source ids reach $maxIds >= 1e6 — replica id offsets (k*1e6) would collide")
     replicateDocuments(Tables.documents(spark, srcDir), factor)
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     replicateEmbeddings(Tables.embeddings(spark, srcDir), factor)

@@ -43,12 +43,18 @@ object Similarity extends QueryModule {
 
   /** Keep phase-1 survivors: the top-K by fast rank plus everything
     * tied (within [[RescoreEps]]) with the K-th fast score. Expects
-    * columns query_id/cos_fast/rk_fast; same window partitioning as the
-    * rank, so no extra shuffle. A partition with < K rows has a null
-    * K-th score and keeps all rows via the rank predicate. */
+    * columns query_id/cos_fast/rk_fast ranked by (cos_fast desc, vec_id)
+    * — the K-th score is read through a RUNNING frame over that same
+    * ordering, so CollapseWindow merges it into the rank's WindowExec
+    * (one sort, one pass) instead of adding a second unordered
+    * whole-partition window over the corpus-sized candidate set. Rows
+    * ranked below K always have the rank-K row earlier in the frame;
+    * rows at rank < K see null and pass via the rank predicate. */
   private def tieAwareCut(df: DataFrame): DataFrame = {
-    val wq = Window.partitionBy(col("query_id"))
-    df.withColumn("kth_fast", max(when(col("rk_fast") === K, col("cos_fast"))).over(wq))
+    val wRun = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_fast").desc, col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("kth_fast", max(when(col("rk_fast") === K, col("cos_fast"))).over(wRun))
       .filter(col("rk_fast") <= K || col("cos_fast") >= col("kth_fast") - RescoreEps)
   }
 

@@ -79,6 +79,32 @@ object WordCount extends QueryModule {
         .agg(count(lit(1)).as("cnt"))
         .withColumn("bucket", graft.functions.Fnv32a.fnvBucket(col("word"), 4))
         .orderBy(col("word"))
+    },
+
+    // O12 partition-id extraction (worker.go:220-223): the reference's
+    // reduce worker recovers its bucket index from the intermediate
+    // filename `m-<src>-<i>` (worker.go:143-166 naming) by splitting on
+    // "-" and taking the LAST token. Reproduced end-to-end: build the
+    // reference's intermediate filename per token pair (1 doc = 1 map
+    // task under its 1-file-1-task model, bucket = fnv32a per O5), drop
+    // the bucket column, and re-derive it from the filename string alone
+    // — then summarize each recovered reduce task's input (pair count,
+    // contributing map files, distinct keys).
+    "partition_recover" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), tokenRe)).as("word"))
+        .filter(col("word") =!= "")
+        .withColumn("fname",
+          concat(lit("m-"), col("doc_id"), lit("-"),
+            graft.functions.Fnv32a.fnvBucket(col("word"), 4)))
+        // from here on the bucket is ONLY knowable via the filename
+        .select(col("doc_id"), col("word"), col("fname"))
+        .withColumn("bucket", element_at(split(col("fname"), "-"), -1).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_id")).as("n_files"),
+          countDistinct(col("word")).as("n_words"))
+        .orderBy(col("bucket"))
     }
   )
 
@@ -108,6 +134,33 @@ object WordCount extends QueryModule {
         |      FROM documents)
         |WHERE word <> ''
         |GROUP BY word
-        |ORDER BY word""".stripMargin
+        |ORDER BY word""".stripMargin,
+    // Same FNV fold builds the filename; recovery mirrors the reference
+    // literally — split on '-', take the last token (worker.go:220-223).
+    "partition_recover" ->
+      """WITH toks AS (
+        |  SELECT doc_id, word
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
+        |        FROM documents)
+        |  WHERE word <> ''
+        |), named AS (
+        |  SELECT doc_id, word,
+        |         'm-' || CAST(doc_id AS VARCHAR) || '-' ||
+        |         CAST(CAST((list_reduce(
+        |                 list_prepend(2166136261::BIGINT,
+        |                   list_transform(range(length(word)), i -> ascii(substr(word, i + 1, 1)))),
+        |                 (h, b) -> (xor(h, b) * 16777619) & 4294967295)
+        |               & 2147483647) % 4 AS INTEGER) AS VARCHAR) AS fname
+        |  FROM toks
+        |), parts AS (
+        |  SELECT doc_id, word, string_split(fname, '-') AS p FROM named
+        |)
+        |SELECT CAST(p[len(p)] AS INTEGER) AS bucket,
+        |       count(*) AS n_pairs,
+        |       count(DISTINCT doc_id) AS n_files,
+        |       count(DISTINCT word) AS n_words
+        |FROM parts
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin
   )
 }

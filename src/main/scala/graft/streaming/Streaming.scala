@@ -271,24 +271,47 @@ object Streaming {
     // watermark-driven emissions (outer-join nulls, event-time timeouts)
     // fire in the NO-DATA micro-batch scheduled after the last data batch
     // commits its watermark — and processAllAvailable only waits for
-    // data. A fixed sleep is timing-dependent on a loaded machine, so
-    // poll lastProgress instead: exit once the committed watermark has
-    // been stable across several polls (the no-data batch has then fired),
-    // with a generous deadline as the backstop. Queries with no watermark
-    // never report one and exit after two quick polls. Complete mode
-    // skips the wait entirely: it re-emits FULL state every batch, so
-    // nothing is held back behind the watermark and the table is final
-    // once processAllAvailable returns.
+    // data. "Watermark stable across N polls" alone is NOT evidence that
+    // batch ran (lastProgress keeps reporting the pre-advance watermark
+    // while it is still pending), so the primary exit is direct evidence
+    // in recentProgress: a completed batch with numInputRows == 0, a
+    // batchId beyond the last data batch, and the final watermark. When
+    // the last data batch didn't advance the watermark Spark schedules
+    // no such batch (and nothing is newly due), so a stability exit
+    // remains as fallback — gated behind a minimum grace period so a
+    // loaded machine can't blow through it in ~1 s of quick polls.
+    // Queries with no watermark never report one and exit after two
+    // quick polls. Complete mode skips the wait entirely: it re-emits
+    // FULL state every batch, so nothing is held back behind the
+    // watermark and the table is final once processAllAvailable returns.
     if (mode != OutputMode.Complete()) {
-      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      import org.apache.spark.sql.streaming.StreamingQueryProgress
+      def wmOf(p: StreamingQueryProgress): String =
+        Option(p.eventTime.get("watermark")).getOrElse("")
+      val t0 = System.nanoTime()
+      val deadline = t0 + 20L * 1000 * 1000 * 1000
+      val graceNs = 2L * 1000 * 1000 * 1000
       var last = ""
       var stable = 0
-      while (stable < (if (last.isEmpty) 2 else 4) && System.nanoTime() < deadline) {
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
         Thread.sleep(250)
         q.processAllAvailable()
-        val wm = Option(q.lastProgress)
-          .flatMap(p => Option(p.eventTime.get("watermark"))).getOrElse("")
-        if (wm == last) stable += 1 else { stable = 0; last = wm }
+        val ps = q.recentProgress.toSeq
+        if (!ps.exists(p => wmOf(p).nonEmpty)) {
+          // unwatermarked query: nothing can be held back
+          stable += 1
+          done = stable >= 2
+        } else {
+          val lastDataBatch =
+            ps.filter(_.numInputRows > 0).map(_.batchId).foldLeft(-1L)(_ max _)
+          val curWm = ps.maxByOption(_.batchId).map(wmOf).getOrElse("")
+          val noDataBatchRan = curWm.nonEmpty && ps.exists(p =>
+            p.numInputRows == 0 && p.batchId > lastDataBatch && wmOf(p) == curWm)
+          if (curWm == last) stable += 1 else { stable = 0; last = curWm }
+          done = noDataBatchRan ||
+            (stable >= 4 && System.nanoTime() - t0 >= graceNs)
+        }
       }
     }
     q.stop()
