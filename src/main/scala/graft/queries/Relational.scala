@@ -420,6 +420,105 @@ object Relational extends QueryModule {
         .groupBy(col("op"), col("o_custkey"), col("y"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("op"), col("o_custkey"), col("y"))
+    },
+
+    // TPC-H Q7 shape (bilateral trade volume): a 4-fact/dim chain with
+    // TWO roles of the same dim (supplier nation, customer nation) and a
+    // disjunctive nation-pair predicate. Both nation roles broadcast;
+    // the fact⋈fact joins shuffle on their keys; the pair predicate
+    // lands as a join residual after pushdown.
+    "sql_tpch_q7" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql(
+        """SELECT /*+ BROADCAST(n1), BROADCAST(n2) */
+          |       n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |       year(l_shipdate) AS l_year,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM lineitem_v
+          |JOIN orders_v ON l_orderkey = o_orderkey
+          |JOIN customer_v ON o_custkey = c_custkey
+          |JOIN supplier_v ON l_suppkey = s_suppkey
+          |JOIN nation_v n1 ON s_nationkey = n1.n_nationkey
+          |JOIN nation_v n2 ON c_nationkey = n2.n_nationkey
+          |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |GROUP BY supp_nation, cust_nation, l_year
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+    },
+
+    // TPC-H Q19 shape (disjunctive AND-clusters over fact ⋈ dim): three
+    // OR'd (brand, size-range, quantity-range) clusters. Catalyst
+    // factors the common p_partkey equi-key out of the disjunction, so
+    // this still plans as ONE hash join with the OR as residual — the
+    // shape that tests predicate factoring, not three self-unions.
+    "sql_tpch_q19" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      s.sql(
+        """SELECT /*+ BROADCAST(part_v) */
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+          |       AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+    },
+
+    // TPC-H Q22 shape (rich customers gone inactive): scalar subquery
+    // (positive-balance average) broadcast as a one-row filter + NOT
+    // EXISTS anti join against recent orders, grouped by nation code.
+    // The scalar subquery computes once; the anti join shuffles on
+    // custkey — no per-row subquery execution anywhere. ("Inactive" =
+    // no orders since 1998, the fixture's analog of Q22's 7-year gap —
+    // every fixture customer has SOME order.)
+    "sql_tpch_q22" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_nationkey AS cntrycode, count(*) AS n_cust,
+          |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+          |FROM customer_v
+          |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          |                          / count(*)
+          |                   FROM customer_v
+          |                   WHERE c_acctbal > 0.0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_v
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+          |GROUP BY c_nationkey
+          |ORDER BY cntrycode""".stripMargin)
+    },
+
+    // Explicit GROUPING SETS (beyond the rollup/cube shorthands): the
+    // four-set lattice over (returnflag, linestatus) in ONE pass —
+    // Catalyst expands the sets into a single Expand + hash aggregate,
+    // not four scans. Fixture columns are non-null, so COALESCE
+    // sentinels disambiguate grouping nulls deterministically.
+    "agg_grouping_sets" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rflag"), col("lstatus"))
     }
   )
 
@@ -655,6 +754,60 @@ object Relational extends QueryModule {
         |SELECT 'only_1995' AS op, o_custkey FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)
         |UNION ALL
         |SELECT 'only_1996' AS op, o_custkey FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c95)
-        |ORDER BY op, o_custkey""".stripMargin
+        |ORDER BY op, o_custkey""".stripMargin,
+
+    "sql_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "sql_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "sql_tpch_q22" ->
+      """SELECT c_nationkey AS cntrycode, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                          / count(*)
+        |                   FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY cntrycode""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus), ())
+        |ORDER BY rflag, lstatus""".stripMargin
   )
 }

@@ -31,6 +31,7 @@ object Similarity extends QueryModule {
 
   private val K = 10
   private val NQ = 8 // query vectors: vec_id < NQ
+  private val RangeTau = 0.25 // ann_range radius (≈2σ of fixture cosines)
 
   /** Tie-aware phase-1 cutoff margin: after ranking candidates by the
     * fast double cosine, keep every candidate within this epsilon of the
@@ -198,6 +199,31 @@ object Similarity extends QueryModule {
         .select(col("query_id"), col("rk"), col("vec_id"),
           round(col("cosine"), 9).as("cosine"))
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // Range (radius) similarity search — the API twin of top-k: every
+    // corpus vector within a cosine threshold of each query. Same
+    // two-phase discipline as topkPairs: one narrow corpus pass scored
+    // by the codegen double dot with an epsilon guard band at the
+    // threshold, decimal-exact rescore of the (output-sized) survivor
+    // set only — the boundary can't misclassify because phase-1 drift
+    // (~1e-12) ≪ the guard band.
+    "ann_range" -> { (s, d) =>
+      val base = withNorm(s, d)
+      val q = broadcast(base.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("n2").as("qn2")))
+      base.join(q, col("vec_id") =!= col("query_id"))
+        .withColumn("cos_fast",
+          dotDbl(col("qe"), col("embedding")) /
+            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+        .filter(col("cos_fast") >= RangeTau - RescoreEps)
+        .withColumn("cosine",
+          dotDec(col("qe"), col("embedding")).cast("double") /
+            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+        .filter(col("cosine") >= RangeTau)
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 9).as("cosine"))
+        .orderBy(col("query_id"), col("vec_id"))
     },
 
     // k-NN classification: majority label among the exact top-k
@@ -412,6 +438,14 @@ object Similarity extends QueryModule {
          |      FROM pairs)
          |WHERE rk <= $K
          |ORDER BY query_id, rk""".stripMargin,
+
+    "ann_range" ->
+      s"""WITH $exSql,
+         |${pairSql(NQ)}
+         |SELECT query_id, vec_id, round(cosine, 9) AS cosine
+         |FROM pairs
+         |WHERE cosine >= $RangeTau
+         |ORDER BY query_id, vec_id""".stripMargin,
 
     "emb_knn_class" ->
       s"""WITH $exSql,

@@ -176,6 +176,25 @@ object TextAnalysis extends QueryModule {
         .agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id") +: chunks: _*)
         .orderBy(col("doc_id"))
+    },
+
+    // Corpus n-gram statistics: top-30 word bigrams with counts — the
+    // "frequent phrases" pass of a corpus profile. One narrow
+    // explode → hash aggregate with map-side combine; the top-30 is
+    // TakeOrderedAndProject, so only 30 rows ever reach the driver.
+    "text_ngram_freq" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(filter(split(lower(col("text")), "[^a-z]+"),
+          w => w =!= "").as("words"))
+        .filter(size(col("words")) >= 2)
+        // adjacent pairs: index-aware transform over the first n-1 words
+        .select(explode(expr(
+          "transform(slice(words, 1, size(words) - 1), (w, i) -> concat(w, ' ', words[i + 1]))"))
+          .as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(30)
     }
   )
 
@@ -282,6 +301,22 @@ object TextAnalysis extends QueryModule {
         |       CAST(sum(CASE WHEN b >= 48 THEN sbit * (1::BIGINT << (63 - b)) ELSE 0 END) AS BIGINT) AS c3
         |FROM sb
         |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_ngram_freq" ->
+      """WITH w AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(words)),
+        |                               i -> words[i] || ' ' || words[i + 1])) AS bigram
+        |  FROM w
+        |  WHERE len(words) >= 2)
+        |SELECT bigram, count(*) AS cnt
+        |FROM b
+        |GROUP BY bigram
+        |ORDER BY cnt DESC, bigram
+        |LIMIT 30""".stripMargin
   )
 }

@@ -161,6 +161,25 @@ object Windows extends QueryModule {
           unix_micros(col("session_window.start")).as("session_start_us"),
           col("n_events"), col("session_value"))
         .orderBy(col("user_id"), col("session_start_us"))
+    },
+
+    // Distribution/positional window family: ntile buckets,
+    // percent_rank/cume_dist (exact doubles — (rank-1)/(n-1) and
+    // peers/n over identical operands are bit-equal across engines),
+    // first_value and nth_value over the default running frame. One
+    // window spec → one WindowExec pass for all five functions.
+    "window_distribution" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(
+          col("user_id"), col("event_id"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"),
+          first_value(col("value")).over(w).as("first_val"),
+          nth_value(col("value"), 2).over(w).as("second_val"))
+        .orderBy(col("user_id"), col("event_id"))
     }
   )
 
@@ -272,6 +291,17 @@ object Windows extends QueryModule {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM grp
         |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start_us""".stripMargin
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "window_distribution" ->
+      """SELECT user_id, event_id,
+        |       ntile(4) OVER w AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cum_dist,
+        |       first_value(value) OVER w AS first_val,
+        |       nth_value(value, 2) OVER w AS second_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

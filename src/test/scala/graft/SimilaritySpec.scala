@@ -83,4 +83,20 @@ class SimilaritySpec extends GraftSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(r => r.getDouble(3) >= 0.99))
   }
+
+  test("ann_range agrees with ann_brute above the radius") {
+    val tau = 0.25
+    val range = q("ann_range").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(range.forall(_._3 >= tau))
+    val rangeSet = range.map(r => (r._1, r._2)).toSet
+    // every exact top-k neighbor at or above the radius must be in the
+    // range result (range search is exact, not approximate)
+    q("ann_brute").collect()
+      .filter(_.getDouble(3) >= tau)
+      .foreach { r =>
+        assert(rangeSet.contains((r.getLong(0), r.getLong(2))),
+          s"top-k neighbor above radius missing from ann_range: $r")
+      }
+  }
 }

@@ -49,4 +49,12 @@ class TextAnalysisSpec extends GraftSuite {
     assert(rows.forall(r => Set("en", "de", "es", "fr", "zh").contains(r.getString(2))))
     assert(rows.forall(_.getInt(3) >= 0))
   }
+
+  test("text_ngram_freq: top bigrams are well-formed and rank-ordered") {
+    val rows = q("text_ngram_freq").collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.getString(0).matches("[a-z]+ [a-z]+")))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
 }
