@@ -29,18 +29,17 @@ object Dedup extends QueryModule {
     * parquet once per input dir (see [[graft.Staging]]): every consumer
     * (band signatures, both verify sides, both size aggregates) reads the
     * staged table instead of re-scanning + re-exploding the corpus. */
-  // explode positions, then build each shingle with codegen slice/concat
-  // — exploding a transform(...) array does the same work through an
+  // one codegen WordShingles call per doc builds the DISTINCT shingle
+  // set locally (see GramSet) — explode-all-positions + corpus-wide
+  // .distinct() did the same dedup through a full gram-volume exchange
+  // (the key is (doc_id, s), so deduplication is per-doc by definition
+  // and needs no shuffle); a transform(...) array would instead run an
   // interpreted per-element lambda
   private def shingles(s: SparkSession, d: String): DataFrame =
     Staging.stage(s, "shingles", d) {
       Tables.documents(s, d)
-        .withColumn("t", split(col("text"), " "))
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(1), greatest(size(col("t")) - 2, lit(1)))).as("i"))
         .select(col("doc_id"),
-          concat_ws(" ", slice(col("t"), col("i"), lit(3))).as("s"))
-        .distinct()
+          explode(graft.functions.GramSet.word_shingles(col("text"), 3)).as("s"))
     }
 
   /** 16 portable minhashes → 4 LSH bands of 4; returns (doc_id, band,
@@ -87,14 +86,13 @@ object Dedup extends QueryModule {
     * ~n_chars rows/doc. Positions are exploded and the gram cut with
     * codegen substr (a transform() array would run the cut through an
     * interpreted lambda). */
+  // per-doc distinct grams from one codegen call (same rationale as
+  // [[shingles]]: the dedup key is (doc_id, g) — no shuffle required)
   private def char4grams(s: SparkSession, d: String): DataFrame =
     Staging.stage(s, "char4grams", d) {
       Tables.documents(s, d)
-        .withColumn("norm", lower(col("text")))
-        .select(col("doc_id"), col("norm"),
-          explode(sequence(lit(1), greatest(length(col("norm")) - 3, lit(1)))).as("i"))
-        .select(col("doc_id"), col("norm").substr(col("i"), lit(4)).as("g"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(graft.functions.GramSet.distinct_grams(lower(col("text")), 4)).as("g"))
     }
 
   val queries: Map[String, Q] = Map(

@@ -157,9 +157,14 @@ object TextAnalysis extends QueryModule {
     "text_simhash" -> { (s, d) =>
       val digits = (0 to 15).map(i =>
         conv(col("h").substr(i + 1, 1), 16, 10).cast("int").as(s"d$i"))
+      // term-frequency weighting falls out of per-OCCURRENCE ±1 sums:
+      // Σ_distinct-words cnt·(±1) ≡ Σ_occurrences (±1), so no
+      // (doc_id, word) pre-count is needed — that groupBy was a full
+      // token-volume shuffle; this shape shuffles only the per-partition
+      // partial sums (one 64-counter row per doc per partition).
       val bitSums = (0 to 63).map { b =>
         val bitSet = shiftright(col(s"d${b / 4}"), 3 - b % 4) % 2 === 1
-        sum(when(bitSet, col("cnt")).otherwise(-col("cnt"))).as(s"t$b")
+        sum(when(bitSet, lit(1L)).otherwise(lit(-1L))).as(s"t$b")
       }
       val chunks = (0 to 3).map { c =>
         (16 * c until 16 * (c + 1)).map(b =>
@@ -169,9 +174,8 @@ object TextAnalysis extends QueryModule {
       }
       Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
         .withColumn("h", md5(col("w")))
-        .select(Seq(col("doc_id"), col("cnt")) ++ digits: _*)
+        .select(col("doc_id") +: digits: _*)
         .groupBy(col("doc_id"))
         .agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id") +: chunks: _*)

@@ -98,9 +98,10 @@ object Windows extends QueryModule {
     // regardless of watermark timing), so the batch oracle above applies
     // verbatim — the unified-model contract, checked by the driver gate.
     "streaming_tumbling" -> { (s, d) =>
+      val ss = graft.streaming.Streaming.stateSizedSession(s)
       val out = graft.streaming.Streaming.runToCompletion(
         graft.streaming.Streaming.tumblingCounts(
-          graft.streaming.Streaming.eventsStream(s, d)),
+          graft.streaming.Streaming.eventsStream(ss, d)),
         "streaming_tumbling_" + java.util.UUID.randomUUID().toString.take(8),
         org.apache.spark.sql.streaming.OutputMode.Complete())
       out.orderBy(col("window_start"), col("event_type"))
@@ -110,9 +111,10 @@ object Windows extends QueryModule {
     // rationale as streaming_tumbling, but exercising the session-state
     // machine: gap-merged windows, watermark-pruned state).
     "streaming_session" -> { (s, d) =>
+      val ss = graft.streaming.Streaming.stateSizedSession(s)
       val out = graft.streaming.Streaming.runToCompletion(
         graft.streaming.Streaming.sessionCounts(
-          graft.streaming.Streaming.eventsStream(s, d)),
+          graft.streaming.Streaming.eventsStream(ss, d)),
         "streaming_session_" + java.util.UUID.randomUUID().toString.take(8),
         org.apache.spark.sql.streaming.OutputMode.Complete())
       out.orderBy(col("user_id"), col("session_start_us"))

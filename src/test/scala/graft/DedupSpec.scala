@@ -73,6 +73,37 @@ class DedupSpec extends GraftSuite {
     assert(inter == (gset(a) & gset(b)).size)
   }
 
+  test("DistinctGrams / WordShingles arrays equal the explode+distinct formulation") {
+    val docs = Tables.documents(spark, sf)
+    // char 4-grams: codegen array vs explode-positions + distinct
+    val viaExpr = docs
+      .select(col("doc_id"),
+        explode(graft.functions.GramSet.distinct_grams(lower(col("text")), 4)).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaExplode = docs
+      .withColumn("norm", lower(col("text")))
+      .select(col("doc_id"), col("norm"),
+        explode(sequence(lit(1), greatest(length(col("norm")) - 3, lit(1)))).as("i"))
+      .select(col("doc_id"), col("norm").substr(col("i"), lit(4)).as("g"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaExpr == viaExplode)
+    // word 3-shingles: codegen array vs slice/concat_ws + distinct
+    val shExpr = docs
+      .select(col("doc_id"),
+        explode(graft.functions.GramSet.word_shingles(col("text"), 3)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val shExplode = docs
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), greatest(size(col("t")) - 2, lit(1)))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("t"), col("i"), lit(3))).as("s"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(shExpr == shExplode)
+  }
+
   test("dedup_ngram jaccard of a doc with itself-like neighbor bounded") {
     val rows = q("dedup_ngram").collect()
     assert(rows.nonEmpty)
