@@ -154,31 +154,19 @@ object TextAnalysis extends QueryModule {
     // rewrite via a transform() array was interpreted, not codegen'd, and
     // measured slower). Per-bit totals are integer sums, so the result is
     // bit-identical under any accumulation order.
+    // The full 64-bit simhash folds inside one codegen scalar per doc
+    // (see [[graft.functions.SimhashChunks]]) — both aggregate
+    // formulations (pre-counted words or per-occurrence ±1) push token
+    // volume through a 64-accumulator hash aggregate and went
+    // super-linear at 10× fixture scale; this is a pure narrow
+    // projection, flat across 10× like the winnowing fingerprint.
     "text_simhash" -> { (s, d) =>
-      val digits = (0 to 15).map(i =>
-        conv(col("h").substr(i + 1, 1), 16, 10).cast("int").as(s"d$i"))
-      // term-frequency weighting falls out of per-OCCURRENCE ±1 sums:
-      // Σ_distinct-words cnt·(±1) ≡ Σ_occurrences (±1), so no
-      // (doc_id, word) pre-count is needed — that groupBy was a full
-      // token-volume shuffle; this shape shuffles only the per-partition
-      // partial sums (one 64-counter row per doc per partition).
-      val bitSums = (0 to 63).map { b =>
-        val bitSet = shiftright(col(s"d${b / 4}"), 3 - b % 4) % 2 === 1
-        sum(when(bitSet, lit(1L)).otherwise(lit(-1L))).as(s"t$b")
-      }
-      val chunks = (0 to 3).map { c =>
-        (16 * c until 16 * (c + 1)).map(b =>
-          when(col(s"t$b") > 0, lit(1L << (15 - (b - 16 * c))))
-            .otherwise(lit(0L)))
-          .reduce(_ + _).as(s"c$c")
-      }
       Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .withColumn("h", md5(col("w")))
-        .select(col("doc_id") +: digits: _*)
-        .groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id") +: chunks: _*)
+        .select(col("doc_id"),
+          graft.functions.SimhashChunks.simhash_chunks(col("text")).as("ch"))
+        .select(col("doc_id"),
+          col("ch").getItem(0).as("c0"), col("ch").getItem(1).as("c1"),
+          col("ch").getItem(2).as("c2"), col("ch").getItem(3).as("c3"))
         .orderBy(col("doc_id"))
     },
 

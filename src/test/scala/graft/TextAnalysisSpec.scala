@@ -20,6 +20,40 @@ class TextAnalysisSpec extends GraftSuite {
     assert(viaExpr == viaExplode)
   }
 
+  test("SimhashChunks expression equals the explode+64-sum aggregate formulation") {
+    val docs = Tables.documents(spark, sf)
+    val viaExpr = q("text_simhash").collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // the pre-round-4 formulation: explode words, md5 hex digits,
+    // 64 tf-weighted SUM(CASE) bit counters, chunk-pack
+    val digits = (0 to 15).map(i =>
+      conv(col("h").substr(i + 1, 1), 16, 10).cast("int").as(s"d$i"))
+    val bitSums = (0 to 63).map { b =>
+      val bitSet = shiftright(col(s"d${b / 4}"), 3 - b % 4) % 2 === 1
+      sum(when(bitSet, col("cnt")).otherwise(-col("cnt"))).as(s"t$b")
+    }
+    val chunks = (0 to 3).map { c =>
+      (16 * c until 16 * (c + 1)).map(b =>
+        when(col(s"t$b") > 0, lit(1L << (15 - (b - 16 * c))))
+          .otherwise(lit(0L)))
+        .reduce(_ + _).as(s"c$c")
+    }
+    val viaAgg = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("w")))
+      .select(Seq(col("doc_id"), col("cnt")) ++ digits: _*)
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id") +: chunks: _*)
+      .collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(viaExpr.nonEmpty)
+    assert(viaExpr == viaAgg)
+  }
+
   test("text_simhash: near-duplicate docs land within hamming 3") {
     val sig = q("text_simhash").collect()
       .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
