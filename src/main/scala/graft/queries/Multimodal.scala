@@ -137,6 +137,31 @@ object Multimodal extends QueryModule {
         .orderBy(col("d1"))
     },
 
+    // Frame sampling as a per-frame pipeline stage: explode the decode
+    // stage's sampled offsets into frame rows, slice each frame's BYTES
+    // out of the payload, fingerprint per frame — the "sample frames,
+    // then featurize each" shape of a video pipeline. The k sampled
+    // frames tile [0, byte_len) (offset_i = i·len/k), so frame_len is
+    // next offset − own offset; slicing happens on the binary payload
+    // (narrow, after posexplode — payload bytes still never shuffle;
+    // the per-frame rows carry only offsets and a 32-char digest).
+    "mm_frame_sample" -> { (s, d) =>
+      decodeStage(mediaTable(s, d)).toDF()
+        .join(Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")), Seq("doc_id"))
+        .withColumn("k", least(col("n_frames"), lit(4)))
+        .select(col("doc_id"), col("byte_len"), col("k"), col("payload"),
+          posexplode(col("sample_frame_offsets")).as(Seq("frame_idx", "off")))
+        // integer division, matching FakeDecoder.frameOffsets' Long math
+        .withColumn("frame_len",
+          expr("(CAST(frame_idx AS BIGINT) + 1) * byte_len DIV k - off"))
+        .select(col("doc_id"), col("frame_idx"),
+          col("off"), col("frame_len"),
+          md5(expr("substring(payload, CAST(off AS INT) + 1, CAST(frame_len AS INT))"))
+            .as("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // Per-source media stats: group AFTER metadata projection (the blob
     // is pruned from the shuffle — only ints travel).
     "mm_source_stats" -> { (s, d) =>
@@ -212,6 +237,27 @@ object Multimodal extends QueryModule {
         |       max(octet_length(encode(text))) AS max_bytes
         |FROM documents
         |GROUP BY source
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    // frame slicing on text equals slicing the payload bytes: the corpus
+    // is pure ASCII (byte offset = char offset), and the payload IS
+    // encode(text). Offsets/lengths use DuckDB's // integer division to
+    // match the Long arithmetic in FakeDecoder.
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS byte_len,
+        |         least(octet_length(encode(text)) % 30 + 1, 4) AS k
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, text, byte_len, k,
+        |         unnest(generate_series(0, k - 1)) AS frame_idx
+        |  FROM m)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       CAST(frame_idx * byte_len // k AS BIGINT) AS off,
+        |       CAST((frame_idx + 1) * byte_len // k - frame_idx * byte_len // k AS BIGINT) AS frame_len,
+        |       md5(substr(text, CAST(frame_idx * byte_len // k AS INT) + 1,
+        |                  CAST((frame_idx + 1) * byte_len // k - frame_idx * byte_len // k AS INT))) AS frame_md5
+        |FROM fr
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

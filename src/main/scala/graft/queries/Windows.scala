@@ -120,6 +120,21 @@ object Windows extends QueryModule {
       out.orderBy(col("user_id"), col("session_start_us"))
     },
 
+    // Sliding-window streaming twin through the driver gate (same
+    // rationale as streaming_tumbling: Complete mode makes the final
+    // table equal the batch result, so the batch oracle applies
+    // verbatim). Exercises overlapping-window state: each event updates
+    // two windows per micro-batch.
+    "streaming_sliding" -> { (s, d) =>
+      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val out = graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.slidingCounts(
+          graft.streaming.Streaming.eventsStream(ss, d)),
+        "streaming_sliding_" + java.util.UUID.randomUUID().toString.take(8),
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      out.orderBy(col("window_start"))
+    },
+
     // Sliding 1-hour window every 30 min: each event lands in 2 windows.
     "events_sliding" -> { (s, d) =>
       Tables.events(s, d)
@@ -234,6 +249,18 @@ object Windows extends QueryModule {
         |FROM events
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // the streamed sliding result equals the batch one (Complete mode):
+    // identical oracle
+    "streaming_sliding" ->
+      """SELECT ws // 1000000 AS window_start, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT unnest([ (epoch_us(ts) // 1800000000) * 1800000000,
+        |                      (epoch_us(ts) // 1800000000 - 1) * 1800000000 ]) AS ws,
+        |             value
+        |      FROM events)
+        |GROUP BY ws
+        |ORDER BY window_start""".stripMargin,
 
     "events_sliding" ->
       """SELECT ws // 1000000 AS window_start, count(*) AS n,

@@ -78,6 +78,19 @@ object Streaming {
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding 1-hour windows every 30 minutes — streaming twin of
+    * `events_sliding`: each event lands in two windows; the window
+    * assignment is the same Expand projection as in batch, and state is
+    * per (window), pruned by the watermark. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("n"), col("total_value"))
+
   /** Session windows (10-minute gap) per user — streaming twin of
     * `events_session`. */
   def sessionCounts(events: DataFrame): DataFrame =

@@ -28,4 +28,21 @@ class MultimodalSpec extends GraftSuite {
     val plan = Multimodal.decodeStage(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode stage should not shuffle:\n$plan")
   }
+
+  test("mm_frame_sample frames tile the payload exactly") {
+    val rows = q("mm_frame_sample").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byteLens = q("mm_binary_meta").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.groupBy(_._1).foreach { case (doc, fs) =>
+      val sorted = fs.sortBy(_._2)
+      // frames start at 0, are contiguous, and sum to the payload length
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"gap in doc $doc")
+        case _ =>
+      }
+      assert(fs.map(_._4).sum == byteLens(doc), s"doc $doc frames don't tile")
+    }
+  }
 }
