@@ -49,21 +49,21 @@ object Dedup extends QueryModule {
     * 4 hashes per shingle instead of 16, one aggregation instead of two,
     * same r=4/b=4 LSH collision curve. Fixed-width lowercase hex makes
     * lexicographic MIN equal numeric MIN per lane. */
-  // Built from the staged shingle table and staged itself: the a/b sides
-  // of the candidate self-join each read the (tiny) signature parquet
-  // rather than recomputing explode+md5+groupBy. Round-1 plans showed the
-  // canonicalized-subtree ReusedExchange this code used to count on never
-  // fired across the join tree — 12 corpus scans per query; staging is
-  // the standard two-job dedup shape and makes reuse unconditional.
+  // One codegen MinhashBandSigs call per doc folds all 4 band signatures
+  // (see the expression's scaladoc: min is idempotent, so per-occurrence
+  // folding equals the groupBy over distinct staged shingles) — the old
+  // build exploded shingles × bands into a 4-lane min aggregate, a
+  // shingle-volume shuffle. Still staged: the a/b sides of the candidate
+  // self-join each read the (tiny) signature parquet rather than
+  // rescanning documents — round-1 plans showed canonicalized-subtree
+  // ReusedExchange never fired across the join tree (12 corpus scans);
+  // staging makes reuse unconditional.
   private def bandSignatures(s: SparkSession, d: String): DataFrame =
     Staging.stage(s, "band_sigs", d) {
-      shingles(s, d)
-        .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("h", md5(concat(col("band").cast("string"), lit("|"), col("s"))))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(concat(
-          min(substring(col("h"), 1, 8)), min(substring(col("h"), 9, 8)),
-          min(substring(col("h"), 17, 8)), min(substring(col("h"), 25, 8))).as("sig"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(graft.functions.MinhashBandSigs.minhash_band_sigs(col("text"), 3))
+            .as(Seq("band", "sig")))
     }
 
   /** LSH band-collision candidate pairs (d1 < d2), deduplicated — the

@@ -104,6 +104,27 @@ class DedupSpec extends GraftSuite {
     assert(shExpr == shExplode)
   }
 
+  test("MinhashBandSigs equals the explode+min-aggregate band signatures") {
+    val docs = Tables.documents(spark, sf)
+    val viaExpr = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinhashBandSigs.minhash_band_sigs(col("text"), 3))
+          .as(Seq("band", "sig")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaAgg = docs
+      .select(col("doc_id"),
+        explode(graft.functions.GramSet.word_shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("h", md5(concat(col("band").cast("string"), lit("|"), col("s"))))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat(
+        min(substring(col("h"), 1, 8)), min(substring(col("h"), 9, 8)),
+        min(substring(col("h"), 17, 8)), min(substring(col("h"), 25, 8))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaExpr.nonEmpty)
+    assert(viaExpr == viaAgg)
+  }
+
   test("dedup_ngram jaccard of a doc with itself-like neighbor bounded") {
     val rows = q("dedup_ngram").collect()
     assert(rows.nonEmpty)
