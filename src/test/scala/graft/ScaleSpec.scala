@@ -136,4 +136,24 @@ class ScaleSpec extends GraftSuite {
     assert(got.getLong(0) == 0x1a47e90bL)
     assert(got.getLong(1) == 2166136261L)
   }
+
+  test("every graft native function is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT winnow_min('abcdefg', 5) AS wm,
+        |       distinct_gram_count('abcabc', 4) AS dgc,
+        |       gram_intersect_count('abcd', 'abcd', 4) AS gic,
+        |       size(distinct_grams('abcabc', 4)) AS dg,
+        |       size(word_shingles('a b c d', 3)) AS ws,
+        |       size(simhash_chunks('hello world')) AS sc,
+        |       size(minhash_band_sigs('a b c d', 3)) AS mbs""".stripMargin)
+      .collect().head
+    assert(r.getString(0).matches("[0-9a-f]{32}"))
+    assert(r.getInt(1) == 3) // abca, bcab, cabc
+    assert(r.getInt(2) == 1)
+    assert(r.getInt(3) == 3)
+    assert(r.getInt(4) == 2) // "a b c", "b c d"
+    assert(r.getInt(5) == 4)
+    assert(r.getInt(6) == 4)
+  }
 }
