@@ -27,10 +27,12 @@ import org.apache.spark.sql.SparkSession
   *  - NOTE on cross-round comparison: since round 3 "value" = sum of
   *    per-query MEDIANS + successful staging, not the cold single-run
   *    total that rounds 1–2 reported; medians are systematically warmer.
-  *  - The stdout line is kept COMPACT (3-decimal timings, no per-query
-  *    cold runs) because the driver captures only a bounded tail of
-  *    stdout — round 3's full-precision line outgrew that buffer and
-  *    failed to parse. Full precision lives in bench_out.json.
+  *  - The stdout line is kept COMPACT (fixed 2-decimal timings, 1 if the
+  *    line outgrows ~1850 chars) and printed LAST, after spark.stop(),
+  *    because the driver parses the JSON out of only the final 2000
+  *    chars of combined output — round 3's full-precision line outgrew
+  *    that buffer and failed to parse. Full precision lives in
+  *    bench_out.json.
   */
 object Bench {
 
@@ -39,10 +41,14 @@ object Bench {
     s(s.length / 2)
   }
 
-  private def r3(d: Double): Double = math.rint(d * 1000) / 1000
+  private def fmt(d: Double, dec: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
 
-  private def jmap(m: Seq[(String, Double)]): String =
-    m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+  /** dec < 0 → full double precision (detail file); else fixed decimals */
+  private def jmap(m: Seq[(String, Double)], dec: Int = -1): String =
+    m.map { case (k, v) =>
+      "\"" + k + "\":" + (if (dec < 0) v.toString else fmt(v, dec))
+    }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -110,13 +116,19 @@ object Bench {
     val total = results.collect { case (_, (_, med)) if med >= 0 => med }.sum + stagingTotal
     val nFailed = results.count(_._2._2 < 0)
 
-    // compact stdout line — must fit the driver's bounded stdout tail
-    val qsCompact = jmap(results.map { case (k, (_, med)) => k -> r3(med) })
-    val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$nFailed,""" +
-        s""""reps":$reps,"staging_total":${r3(stagingTotal)},"queries":$qsCompact,""" +
+    // compact stdout line — the driver parses the JSON out of the LAST
+    // 2000 chars of combined output (measured from BENCH_r01–r03: the tail
+    // field is exactly 2000 chars and round 3's full-precision line
+    // overflowed it → "parsed": null). Budget: 2000 minus sbt's
+    // "[success] Total time: …" epilogue (~80) minus safety. Fixed
+    // 2-decimal timings; if the line still outgrows the budget (more
+    // queries in a future round), fall back to 1 decimal.
+    def compactLine(dec: Int): String =
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec",""" +
+        s""""failed":$nFailed,"staging_total":${fmt(stagingTotal, dec)},""" +
+        s""""queries":${jmap(results.map { case (k, (_, med)) => k -> med }, dec)},""" +
         s""""sf":"$sfDir"}"""
-    println(json)
+    val json = { val j = compactLine(2); if (j.length <= 1850) j else compactLine(1) }
 
     // full-precision detail for humans and post-hoc analysis
     val detail =
@@ -135,5 +147,10 @@ object Bench {
       System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
     }
     spark.stop()
+    // the compact line is printed as the FINAL act — after spark.stop()
+    // and the detail-file write — so no shutdown/log noise can land
+    // between it and the end of the driver's bounded output tail
+    println(json)
+    System.out.flush()
   }
 }
