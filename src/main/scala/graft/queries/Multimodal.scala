@@ -72,6 +72,34 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** Decode output that KEEPS the payload — the row shape a downstream
+    * frame/slice stage consumes. Carrying the blob through the stage
+    * output is what keeps a decode→frame pipeline ONE narrow pass: the
+    * alternative (re-joining decode results back to the source table on
+    * doc_id) plans a join whose probe side carries every payload byte —
+    * broadcastable at fixture scale, a full-blob shuffle at 100 TB where
+    * a blob table never fits a broadcast. */
+  final case class MediaDecoded(
+      doc_id: Long,
+      payload: Array[Byte],
+      byte_len: Long,
+      n_frames: Int,
+      sample_frame_offsets: Seq[Long])
+
+  /** Decode stage variant for payload-consuming pipelines (frame
+    * sampling): same stubbed decoder, same narrow mapPartitions, but the
+    * payload rides in the output row so no join is ever needed. */
+  def decodeKeepPayload(media: Dataset[MediaRow]): Dataset[MediaDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, _, f) = FakeDecoder.decode(r.payload)
+        val len = r.payload.length.toLong
+        MediaDecoded(r.doc_id, r.payload, len, f, FakeDecoder.frameOffsets(len, f))
+      }
+    }
+  }
+
   private def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, d)
@@ -137,18 +165,20 @@ object Multimodal extends QueryModule {
         .orderBy(col("d1"))
     },
 
-    // Frame sampling as a per-frame pipeline stage: explode the decode
-    // stage's sampled offsets into frame rows, slice each frame's BYTES
-    // out of the payload, fingerprint per frame — the "sample frames,
-    // then featurize each" shape of a video pipeline. The k sampled
-    // frames tile [0, byte_len) (offset_i = i·len/k), so frame_len is
-    // next offset − own offset; slicing happens on the binary payload
-    // (narrow, after posexplode — payload bytes still never shuffle;
-    // the per-frame rows carry only offsets and a 32-char digest).
+    // Frame sampling as a per-frame pipeline stage: decode with the
+    // payload carried through the stage output ([[decodeKeepPayload]]),
+    // explode the sampled offsets into frame rows, slice each frame's
+    // BYTES out of the payload, fingerprint per frame — the "sample
+    // frames, then featurize each" shape of a video pipeline, as ONE
+    // narrow pass: scan → mapPartitions → posexplode → project. The k
+    // sampled frames tile [0, byte_len) (offset_i = i·len/k), so
+    // frame_len is next offset − own offset. Payload bytes never cross
+    // an exchange (PlanSpec asserts it): the only shuffle is the final
+    // oracle ORDER BY, which carries offsets and a 32-char digest.
+    // (Round-4 shape joined decode output back to documents on doc_id —
+    // broadcast at fixture scale, a full-blob shuffle at 100 TB.)
     "mm_frame_sample" -> { (s, d) =>
-      decodeStage(mediaTable(s, d)).toDF()
-        .join(Tables.documents(s, d)
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")), Seq("doc_id"))
+      decodeKeepPayload(mediaTable(s, d)).toDF()
         .withColumn("k", least(col("n_frames"), lit(4)))
         .select(col("doc_id"), col("byte_len"), col("k"), col("payload"),
           posexplode(col("sample_frame_offsets")).as(Seq("frame_idx", "off")))

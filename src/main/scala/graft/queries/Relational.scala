@@ -159,9 +159,20 @@ object Relational extends QueryModule {
     // keys are near-uniform; the hot-key benefit is the production case,
     // the correctness contract is identical either way).
     "join_salted_skew" -> { (s, d) =>
-      val ev = Tables.events(s, d)
+      // Conf-scoped session clone (same pattern as
+      // Streaming.stateSizedSession): at fixture scale the planner would
+      // broadcast the 8×-replicated dim side, so the salted sort-merge
+      // this query exists to exercise would never execute — disable
+      // auto-broadcast (both the static and the AQE-runtime threshold)
+      // in the clone so the gated plan IS the salted exchange, the shape
+      // salting buys anything at 100 TB. Parent-session queries are
+      // untouched (newSession shares the SparkContext, not the conf).
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val ev = Tables.events(ss, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val cust = Tables.customer(s, d)
+      val cust = Tables.customer(ss, d)
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
       graft.operators.SkewTools.saltedJoin(ev, cust, Seq("user_id"),
           col("event_id"), buckets = 8)
@@ -500,6 +511,43 @@ object Relational extends QueryModule {
           |ORDER BY cntrycode""".stripMargin)
     },
 
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the last
+    // uncovered relational pattern — EXISTS and NOT EXISTS correlated on
+    // the SAME fact table, i.e. two opposite-polarity self-semi-joins of
+    // lineitem stacked on one probe. Catalyst plans them as a left-semi
+    // and a left-anti join on l_orderkey with the l_suppkey inequality
+    // as residual — both shuffles reuse the orderkey partitioning, no
+    // per-row subquery execution. The fixture lineitem has no
+    // receipt/commit dates, so "kept waiting" is marked by
+    // l_returnflag = 'R' (same pattern, fixture-expressible predicate);
+    // multi-supplier orders exist because orderkeys draw suppliers
+    // independently per line.
+    "sql_tpch_q21" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql(
+        """SELECT /*+ BROADCAST(nation_v) */ s_name, count(*) AS numwait
+          |FROM supplier_v
+          |JOIN lineitem_v l1 ON s_suppkey = l1.l_suppkey
+          |JOIN orders_v ON o_orderkey = l1.l_orderkey
+          |JOIN nation_v ON s_nationkey = n_nationkey
+          |WHERE o_orderstatus = 'F'
+          |  AND l1.l_returnflag = 'R'
+          |  AND n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7','NATION_9')
+          |  AND EXISTS (SELECT 1 FROM lineitem_v l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem_v l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 100""".stripMargin)
+    },
+
     // Explicit GROUPING SETS (beyond the rollup/cube shorthands): the
     // four-set lattice over (returnflag, linestatus) in ONE pass —
     // Catalyst expands the sets into a single Expand + hash aggregate,
@@ -785,6 +833,26 @@ object Relational extends QueryModule {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "sql_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7','NATION_9')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
 
     "sql_tpch_q22" ->
       """SELECT c_nationkey AS cntrycode, count(*) AS n_cust,

@@ -257,12 +257,19 @@ object Similarity extends QueryModule {
         .orderBy(col("cos_fast").desc, col("vec_id"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
-      // multi-probe: a query searches its own bucket plus every
-      // hamming-1 bucket per band (flip each sign bit) — the standard
-      // way to buy recall without more tables; candidate volume grows
-      // (bits+1)×, still bounded by bucket size
-      val probeList =
-        ("qbucket" +: (0 until bits).map(b => s"qbucket ^ ${1 << b}")).mkString(", ")
+      // multi-probe: a query searches its own bucket plus every bucket
+      // within `spark.graft.ann.probeHamming` sign flips per band — the
+      // standard way to buy recall without more tables. Radius 1
+      // (default) probes bits+1 buckets; the radius should GROW with
+      // bits to keep probed corpus mass roughly constant (2^bits buckets
+      // but only ~bits·radius probed): 8-bit corpora want radius 2
+      // (1+8+28 = 37 of 256 buckets). Candidate volume stays bounded by
+      // (probes × bucket size).
+      val radius = s.conf.getOption("spark.graft.ann.probeHamming")
+        .map(_.toInt).getOrElse(1)
+      val probeList = (0 until (1 << bits))
+        .filter(m => Integer.bitCount(m) <= radius)
+        .map(m => s"qbucket ^ $m").mkString(", ")
       bucketed
         .join(q, col("band") === col("qband") &&
           expr(s"bucket IN ($probeList)") &&

@@ -170,6 +170,27 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Pure-SQL gate for the GraftExtensions-registered natives: the
+    // Spark side is nothing but SQL TEXT calling three native codegen
+    // expressions — simhash_chunks, distinct_gram_count, fnv32a — so the
+    // round-4 function registration is proven end-to-end through the
+    // driver gate (a SQL-only user gets the same surface the Column API
+    // exposes), not just in a unit test. The plan is one narrow
+    // projection over documents; the only shuffle is the oracle ORDER BY.
+    "sql_native_profile" -> { (s, d) =>
+      graft.GraftExtensions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT doc_id,
+          |       simhash_chunks(text)[0] AS sim_c0,
+          |       simhash_chunks(text)[3] AS sim_c3,
+          |       distinct_gram_count(lower(text), 4) AS n_grams4,
+          |       CAST((fnv32a(CAST(doc_id AS STRING)) & 2147483647) % 10 AS INT)
+          |         AS fnv_bucket
+          |FROM documents_v
+          |ORDER BY doc_id""".stripMargin)
+    },
+
     // Corpus n-gram statistics: top-30 word bigrams with counts — the
     // "frequent phrases" pass of a corpus profile. One narrow
     // explode → hash aggregate with map-side combine; the top-30 is
@@ -189,6 +210,29 @@ object TextAnalysis extends QueryModule {
         .limit(30)
     }
   )
+
+  /** text_simhash oracle body — shared with sql_native_profile (and,
+    * via [[oracles]], with Dedup's simhash CTE reuse). */
+  private val textSimhashOracle: String =
+    """WITH tc AS (
+      |  SELECT doc_id, w, count(*) AS cnt, md5(w) AS h
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY doc_id, w),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN (('0x' || substr(h, b // 4 + 1, 1))::INTEGER >> (3 - b % 4)) % 2 = 1
+      |                  THEN cnt ELSE -cnt END) AS tot
+      |  FROM tc, (SELECT unnest(generate_series(0, 63)) AS b)
+      |  GROUP BY doc_id, b),
+      |sb AS (SELECT doc_id, b, CASE WHEN tot > 0 THEN 1 ELSE 0 END AS sbit FROM bits)
+      |SELECT doc_id,
+      |       CAST(sum(CASE WHEN b < 16  THEN sbit * (1::BIGINT << (15 - b)) ELSE 0 END) AS BIGINT) AS c0,
+      |       CAST(sum(CASE WHEN b >= 16 AND b < 32 THEN sbit * (1::BIGINT << (31 - b)) ELSE 0 END) AS BIGINT) AS c1,
+      |       CAST(sum(CASE WHEN b >= 32 AND b < 48 THEN sbit * (1::BIGINT << (47 - b)) ELSE 0 END) AS BIGINT) AS c2,
+      |       CAST(sum(CASE WHEN b >= 48 THEN sbit * (1::BIGINT << (63 - b)) ELSE 0 END) AS BIGINT) AS c3
+      |FROM sb
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   private def langScoreSql(lang: String, markers: Seq[String]): String = {
     val hits = markers.map(m => s"t = '$m'").mkString(" OR ")
@@ -274,26 +318,31 @@ object TextAnalysis extends QueryModule {
         |GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin,
 
-    "text_simhash" ->
-      """WITH tc AS (
-        |  SELECT doc_id, w, count(*) AS cnt, md5(w) AS h
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-        |  GROUP BY doc_id, w),
-        |bits AS (
-        |  SELECT doc_id, b,
-        |         sum(CASE WHEN (('0x' || substr(h, b // 4 + 1, 1))::INTEGER >> (3 - b % 4)) % 2 = 1
-        |                  THEN cnt ELSE -cnt END) AS tot
-        |  FROM tc, (SELECT unnest(generate_series(0, 63)) AS b)
-        |  GROUP BY doc_id, b),
-        |sb AS (SELECT doc_id, b, CASE WHEN tot > 0 THEN 1 ELSE 0 END AS sbit FROM bits)
-        |SELECT doc_id,
-        |       CAST(sum(CASE WHEN b < 16  THEN sbit * (1::BIGINT << (15 - b)) ELSE 0 END) AS BIGINT) AS c0,
-        |       CAST(sum(CASE WHEN b >= 16 AND b < 32 THEN sbit * (1::BIGINT << (31 - b)) ELSE 0 END) AS BIGINT) AS c1,
-        |       CAST(sum(CASE WHEN b >= 32 AND b < 48 THEN sbit * (1::BIGINT << (47 - b)) ELSE 0 END) AS BIGINT) AS c2,
-        |       CAST(sum(CASE WHEN b >= 48 THEN sbit * (1::BIGINT << (63 - b)) ELSE 0 END) AS BIGINT) AS c3
-        |FROM sb
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "text_simhash" -> textSimhashOracle,
+
+    // natives reproduced in portable SQL: simhash chunks via the
+    // text_simhash fold, gram count via generate_series + substr, FNV-1a
+    // via the same byte fold the partition_fnv oracle uses
+    "sql_native_profile" -> {
+      val simhashCte = textSimhashOracle.replaceAll("(?s)ORDER BY doc_id$", "")
+      s"""WITH sig AS ($simhashCte),
+         |g AS (
+         |  SELECT doc_id, count(DISTINCT substr(norm, i, 4)) AS n_grams4
+         |  FROM (SELECT doc_id, norm, unnest(generate_series(1, greatest(length(norm) - 3, 1))) AS i
+         |        FROM (SELECT doc_id, lower(text) AS norm FROM documents))
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, sig.c0 AS sim_c0, sig.c3 AS sim_c3, g.n_grams4,
+         |       CAST((list_reduce(
+         |               list_prepend(2166136261::BIGINT,
+         |                 list_transform(range(length(CAST(d.doc_id AS VARCHAR))),
+         |                                i -> ascii(substr(CAST(d.doc_id AS VARCHAR), i + 1, 1)))),
+         |               (h, b) -> (xor(h, b) * 16777619) & 4294967295)
+         |             & 2147483647) % 10 AS INTEGER) AS fnv_bucket
+         |FROM documents d
+         |JOIN sig ON sig.doc_id = d.doc_id
+         |JOIN g ON g.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "text_ngram_freq" ->
       """WITH w AS (

@@ -135,6 +135,27 @@ object Windows extends QueryModule {
       out.orderBy(col("window_start"))
     },
 
+    // Streaming dedup-on-ingest through the driver gate (the LLM-ingest
+    // primitive: at-least-once delivery in, exactly-one-copy out). The
+    // source stages the events file TWICE (two micro-batches), so every
+    // event genuinely arrives twice; dropDuplicatesWithinWatermark drops
+    // the replay. The watermark delay is the RETRY HORIZON and must
+    // cover the redelivery lag — a whole-file replay lags by the file's
+    // ~30-day span, so 35 days makes every second copy a guaranteed
+    // within-watermark duplicate (nothing late-dropped, nothing evicted
+    // early: the outcome is deterministic, so the batch oracle is just
+    // the distinct event set). Append mode: dedup emits first copies
+    // immediately, nothing is held behind the watermark.
+    "streaming_dedup" -> { (s, d) =>
+      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val out = graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.dedupEvents(
+          graft.streaming.Streaming.eventsStream(ss, d, copies = 2), "35 days"),
+        "streaming_dedup_" + java.util.UUID.randomUUID().toString.take(8),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      out.orderBy(col("event_id"))
+    },
+
     // Sliding 1-hour window every 30 min: each event lands in 2 windows.
     "events_sliding" -> { (s, d) =>
       Tables.events(s, d)
@@ -261,6 +282,17 @@ object Windows extends QueryModule {
         |      FROM events)
         |GROUP BY ws
         |ORDER BY window_start""".stripMargin,
+
+    // the doubled source dedupes back to exactly one copy per event_id
+    // (see the query comment: the 35-day retry horizon covers the file
+    // span, so the outcome is deterministic) — the oracle is the plain
+    // distinct event set, which for the unique-keyed fixture is the
+    // events table itself
+    "streaming_dedup" ->
+      """SELECT event_id, user_id, event_type,
+        |       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "events_sliding" ->
       """SELECT ws // 1000000 AS window_start, count(*) AS n,

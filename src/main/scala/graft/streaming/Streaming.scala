@@ -42,8 +42,11 @@ object Streaming {
 
   /** File-source stream over the same parquet fixture (schema must be
     * supplied for streaming reads). ts arrives as nanos (see
-    * Tables.events) and is normalized identically. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    * Tables.events) and is normalized identically. `copies` stages the
+    * events file N times (N micro-batches at maxFilesPerTrigger=1), so
+    * every event arrives N times — the at-least-once-delivery shape
+    * streaming dedup exists for; 1 for the ordinary stream. */
+  def eventsStream(spark: SparkSession, dir: String, copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.table(spark, dir, "events").schema
     // FileStreamSource requires a directory source (it pins basePath to
@@ -51,13 +54,15 @@ object Streaming {
     // the events file alone into a per-fixture stream dir.
     val streamDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft-stream-" + Integer.toHexString(dir.hashCode))
+      s"graft-stream-${copies}x-" + Integer.toHexString(dir.hashCode))
     java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
     // always refresh: a stale copy would silently stream old fixture data
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"), link,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    (0 until copies).foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        streamDir.resolve(s"events_$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -155,10 +160,12 @@ object Streaming {
     * delay of the first copy are dropped; a duplicate arriving later
     * than that is either dropped as late input or re-emitted (state for
     * its key was already pruned) — the standard at-least-once-unique
-    * guarantee of watermarked dedup. */
-  def dedupEvents(events: DataFrame): DataFrame =
+    * guarantee of watermarked dedup. `delay` is therefore the RETRY
+    * HORIZON the pipeline tolerates: size it to the source's maximum
+    * redelivery lag (a whole-file replay needs the file's time span). */
+  def dedupEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))

@@ -57,6 +57,32 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("SortMergeJoin"), s"outer join fell back to shuffle:\n$p")
   }
 
+  test("mm_frame_sample is one narrow pass: no join, no payload bytes in any exchange") {
+    // the round-4 shape re-joined decode output to documents on doc_id —
+    // broadcastable at fixture scale but a full-blob shuffle at 100 TB
+    // (SCALING.md invariant 6). The fix carries payload through the
+    // decode stage's output row; assert the property on the actual plan.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case qs: QueryStageExec       => p +: allNodes(qs.plan)
+      case other                    => other +: other.children.flatMap(allNodes)
+    }
+    val df = q("mm_frame_sample")
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      s"frame sampling must not join the payload back:\n${df.queryExecution.executedPlan}")
+    val exchanges = nodes.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty, "expected the final ORDER BY exchange")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name.contains("payload")),
+        s"payload bytes cross an exchange:\n$e")
+    }
+  }
+
   test("dedup_minhash reads staged shingles instead of rescanning documents") {
     // the two-job staging shape: at most one scan of the documents table
     // (inside the stage build) may remain in the final query plan

@@ -46,7 +46,16 @@ class ScaleSpec extends GraftSuite {
   }
 
   test("join_salted_skew (driver surface) equals the plain-join aggregate") {
-    val salted = q("join_salted_skew").collect().map(_.mkString("|"))
+    val saltedDf = q("join_salted_skew")
+    val salted = saltedDf.collect().map(_.mkString("|"))
+    // the query scopes autoBroadcastJoinThreshold=-1 to its cloned
+    // session so the salted SORT-MERGE path actually executes at fixture
+    // scale (otherwise the 8×-replicated dim broadcasts and the salt
+    // machinery is dead code in the gated plan)
+    val plan = saltedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"salt path not exercised:\n$plan")
+    assert(plan.contains("__salt"), s"join keys not salted:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"dim side still broadcast:\n$plan")
     val plain = Tables.events(spark, sf)
       .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))

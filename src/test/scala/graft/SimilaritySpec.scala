@@ -39,6 +39,32 @@ class SimilaritySpec extends GraftSuite {
     } finally spark.conf.unset("spark.graft.ann.bitsPerBand")
   }
 
+  test("ann_lsh bits/band scales up: 8-bit buckets (corpus-size lever) still recall") {
+    // 8 bits = 256 buckets/band is the documented setting for corpora
+    // ~16× the fixture (bits ≈ log2(corpus / target bucket size)); on
+    // the SMALL fixture it over-partitions, so the probe radius must
+    // grow with it — the paired lever: radius 2 probes 37 of 256
+    // buckets/band, keeping probed corpus mass comparable to the 4-bit
+    // default (radius 1 alone measured recall 0.25 here). The floor is
+    // looser than the defaults' 0.9 by design: the bits lever trades
+    // per-band recall for bucket size, and this pins that the trade
+    // stays useful at the scaled-up setting, not that it is free.
+    val exact = q("ann_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    spark.conf.set("spark.graft.ann.bitsPerBand", "8")
+    spark.conf.set("spark.graft.ann.probeHamming", "2")
+    try {
+      val approx = q("ann_lsh").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      assert(recall >= 0.5, s"recall=$recall at 8 bits/band, probe radius 2")
+      assert(approx.forall { case (a, b) => a != b })
+    } finally {
+      spark.conf.unset("spark.graft.ann.bitsPerBand")
+      spark.conf.unset("spark.graft.ann.probeHamming")
+    }
+  }
+
   test("ann_ivf (trained quantizer, nprobe=4 of 10) recalls a useful share of exact top-k") {
     val exact = q("ann_brute").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
