@@ -26,9 +26,15 @@ import org.apache.spark.sql.functions._
   *    decorrelate (cosine ~ N(0, 1/64)), so no spurious cross-shard
   *    near-dups or ANN ties appear.
   *
-  * Usage: ScaleData <srcSfDir> <outDir> [factor=10] — writes
-  * outDir/documents.parquet and outDir/embeddings.parquet (the only
-  * tables the dedup/ANN/text family reads).
+  *  - events: ids offset, everything else kept — "N× traffic over the
+  *    same horizon" (fixed window count, linear rows per window).
+  *  - lineitem/orders: orderkeys offset per replica (join keys must not
+  *    collide), dimension keys kept — N× fact volume per dim member.
+  *  - small dims copied verbatim.
+  *
+  * Usage: ScaleData <srcSfDir> <outDir> [factor=10] — writes a COMPLETE
+  * fixture dir (documents, embeddings, events, lineitem, orders +
+  * copied dims) so any driver query or streaming job can run against it.
   */
 object ScaleData {
 
@@ -56,7 +62,46 @@ object ScaleData {
         col("label"))
     }.reduce(_ unionByName _)
 
+  /** events: replica k offsets event_id only — user_id, ts, type, value,
+    * props are kept, so the result is "N× traffic over the same time
+    * horizon": window COUNT stays fixed while rows per window grow
+    * linearly (map-side partial agg absorbs that), sessions get
+    * proportionally denser per user, and streaming state size (keyed by
+    * window/session) is unchanged while throughput grows — the organic
+    * growth model for an event stream. */
+  def replicateEvents(src: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      src.withColumn("event_id", col("event_id") + lit(k.toLong * 1000000L))
+    }.reduce(_ unionByName _)
+
+  /** facts keyed by a join key (lineitem/orders on orderkey): the key is
+    * offset per replica so shards never collide on it, while dimension
+    * keys (part/supp/cust) are kept — N× fact volume per dimension
+    * member, which is how a fact table actually grows. */
+  def replicateKeyed(src: DataFrame, keyCols: Seq[String], factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      keyCols.foldLeft(src)((df, c) =>
+        df.withColumn(c, col(c) + lit(k.toLong * 1000000L)))
+    }.reduce(_ unionByName _)
+
   private val HyperDims = graft.functions.HyperplaneBuckets.Dims
+
+  /** Write as ONE parquet FILE (not a directory): the streaming file
+    * source ([[graft.streaming.Streaming.eventsStream]]) stages
+    * `<dir>/events.parquet` with a plain file copy, matching the
+    * driver-fixture layout. */
+  private def writeSingleFile(df: DataFrame, out: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = out + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).filter(p =>
+        p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow()
+    Files.move(part, Paths.get(out), StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => Files.deleteIfExists(f))
+  }
 
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
@@ -77,14 +122,33 @@ object ScaleData {
     spark.sparkContext.setLogLevel("WARN")
     // replica ids are offset by k·10⁶ — source ids must stay below that
     // or shards collide on id
-    val maxIds = Tables.documents(spark, srcDir).agg(max("doc_id")).head.getLong(0) max
-      Tables.embeddings(spark, srcDir).agg(max("vec_id")).head.getLong(0)
+    val maxIds = Seq(
+      Tables.documents(spark, srcDir).agg(max("doc_id")).head.getLong(0),
+      Tables.embeddings(spark, srcDir).agg(max("vec_id")).head.getLong(0),
+      Tables.events(spark, srcDir).agg(max("event_id")).head.getLong(0),
+      Tables.orders(spark, srcDir).agg(max("o_orderkey")).head.getLong(0)).max
     require(maxIds < 1000000L,
       s"source ids reach $maxIds >= 1e6 — replica id offsets (k*1e6) would collide")
     replicateDocuments(Tables.documents(spark, srcDir), factor)
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     replicateEmbeddings(Tables.embeddings(spark, srcDir), factor)
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events as one FILE (streaming staging copies it; ts normalized to
+    // micros by Tables.events — consumers accept either encoding)
+    writeSingleFile(replicateEvents(Tables.events(spark, srcDir), factor),
+      s"$outDir/events.parquet")
+    replicateKeyed(Tables.lineitem(spark, srcDir), Seq("l_orderkey"), factor)
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    replicateKeyed(Tables.orders(spark, srcDir), Seq("o_orderkey"), factor)
+      .repartition(8).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    // small dims copied verbatim so the out dir is a COMPLETE fixture
+    // any driver query can run against
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(srcDir, s"$t.parquet"),
+        java.nio.file.Paths.get(outDir, s"$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     println(s"wrote ${factor}x of $srcDir to $outDir")
     spark.stop()
   }
