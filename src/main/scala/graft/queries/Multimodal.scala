@@ -56,6 +56,16 @@ object Multimodal extends QueryModule {
       * sampler produces. */
     def frameOffsets(byteLen: Long, nFrames: Int): Seq[Long] =
       (0 until math.min(nFrames, 4)).map(i => i * byteLen / math.min(nFrames, 4))
+
+    /** Stand-in for an image/audio resample: keep every `stride`-th
+      * byte. A real deployment swaps this for a scaler with the same
+      * (bytes in → smaller bytes out) signature. */
+    def resize(payload: Array[Byte], stride: Int): Array[Byte] = {
+      val out = new Array[Byte]((payload.length + stride - 1) / stride)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+      out
+    }
   }
 
   /** The decode stage: typed mapPartitions over binary payloads — the
@@ -96,6 +106,31 @@ object Multimodal extends QueryModule {
         val (_, _, f) = FakeDecoder.decode(r.payload)
         val len = r.payload.length.toLong
         MediaDecoded(r.doc_id, r.payload, len, f, FakeDecoder.frameOffsets(len, f))
+      }
+    }
+  }
+
+  /** Resize-stage output: original and resized sizes plus the resized
+    * payload's digest (the payload itself is consumed in-stage). */
+  final case class MediaResized(
+      doc_id: Long,
+      orig_len: Long,
+      resized_len: Long,
+      resized_md5: String)
+
+  /** The resize stage (the brief's decode / feature-extract / RESIZE /
+    * frame-sample quartet): typed mapPartitions, one narrow pass, blob
+    * consumed inside the stage — only sizes and a 32-char digest leave
+    * it, so nothing payload-sized ever reaches an exchange. */
+  def resizeStage(media: Dataset[MediaRow], stride: Int = 4): Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val resized = FakeDecoder.resize(r.payload, stride)
+        md.reset()
+        val hex = md.digest(resized).map("%02x".format(_)).mkString
+        MediaResized(r.doc_id, r.payload.length.toLong, resized.length.toLong, hex)
       }
     }
   }
@@ -192,6 +227,16 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // Resize as a pipeline stage (stride-4 byte downsample standing in
+    // for an image scaler): the fourth op of the brief's multimodal
+    // quartet. One narrow mapPartitions; the resized blob is digested
+    // in-stage and discarded, so the ORDER BY exchange carries two
+    // longs and a hex string per doc.
+    "mm_resize" -> { (s, d) =>
+      resizeStage(mediaTable(s, d)).toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // Per-source media stats: group AFTER metadata projection (the blob
     // is pruned from the shuffle — only ints travel).
     "mm_source_stats" -> { (s, d) =>
@@ -268,6 +313,19 @@ object Multimodal extends QueryModule {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // stride-4 byte downsample on ASCII text: byte k of the payload IS
+    // char k+1 of the text, so the resized blob is the every-4th-char
+    // string, and DuckDB's md5(text) equals the stage's md5(bytes)
+    "mm_resize" ->
+      """SELECT doc_id,
+        |       octet_length(encode(text)) AS orig_len,
+        |       CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_len,
+        |       md5(array_to_string(
+        |             list_transform(generate_series(1, (length(text) + 3) // 4),
+        |                            i -> substr(text, (i - 1) * 4 + 1, 1)), '')) AS resized_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // frame slicing on text equals slicing the payload bytes: the corpus
     // is pure ASCII (byte offset = char offset), and the payload IS

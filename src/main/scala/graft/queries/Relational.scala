@@ -548,6 +548,87 @@ object Relational extends QueryModule {
           |LIMIT 100""".stripMargin)
     },
 
+    // TPC-H Q8 shape (national market share): the deepest join chain in
+    // the suite — lineitem against FIVE dims plus two roles of nation,
+    // then share-of-total via conditional aggregation over the same
+    // grouped pass (no self-join, no second scan: numerator and
+    // denominator are two SUMs over one Expand-free aggregate). All five
+    // dim sides broadcast; the only shuffles are the fact⋈fact joins and
+    // the final group-by. Decimal discipline: volumes sum as DECIMAL
+    // (exact), the share divides as double and rounds.
+    "sql_tpch_q8" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.region(s, d).createOrReplaceTempView("region_v")
+      s.sql(
+        """SELECT /*+ BROADCAST(n1), BROADCAST(n2), BROADCAST(region_v), BROADCAST(supplier_v), BROADCAST(part_v) */
+          |       year(o_orderdate) AS o_year,
+          |       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+          |                           THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                                CAST(1 - l_discount AS DECIMAL(18,2))
+          |                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+          |             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                      CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 6)
+          |         AS mkt_share
+          |FROM lineitem_v
+          |JOIN orders_v ON l_orderkey = o_orderkey
+          |JOIN customer_v ON o_custkey = c_custkey
+          |JOIN supplier_v ON l_suppkey = s_suppkey
+          |JOIN part_v ON l_partkey = p_partkey
+          |JOIN nation_v n1 ON c_nationkey = n1.n_nationkey
+          |JOIN region_v ON n1.n_regionkey = r_regionkey
+          |JOIN nation_v n2 ON s_nationkey = n2.n_nationkey
+          |WHERE r_name = 'EUROPE'
+          |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |  AND p_type = 'PROMO'
+          |GROUP BY o_year
+          |ORDER BY o_year""".stripMargin)
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): a two-level
+    // aggregate over an OUTER join with the filter INSIDE the join
+    // condition (customers with zero qualifying orders must survive as
+    // c_count = 0 — a WHERE would drop them). count(o_orderkey) skips
+    // the outer-join nulls; the histogram group-by is tiny (distinct
+    // counts), so the second aggregate is nearly free.
+    "sql_tpch_q13" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_count, count(*) AS custdist
+          |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          |      FROM customer_v LEFT JOIN orders_v
+          |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          |      GROUP BY c_custkey)
+          |GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+    },
+
+    // TPC-H Q17 shape (small-quantity revenue for a part class): a
+    // correlated scalar AGGREGATE subquery against the same fact —
+    // Catalyst decorrelates it into an aggregate on l_partkey joined
+    // back to the filtered probe, so the per-part average is computed
+    // once per part, never per row. l_quantity values are integral
+    // doubles, so the average is exact and the 0.2× threshold is
+    // bit-identical across engines.
+    "sql_tpch_q17" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      s.sql(
+        """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE)
+          |         AS avg_yearly,
+          |       count(*) AS n_items
+          |FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+          |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem_v l2
+          |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    },
+
     // Explicit GROUPING SETS (beyond the rollup/cube shorthands): the
     // four-set lattice over (returnflag, linestatus) in ONE pass —
     // Catalyst expands the sets into a single Expand + hash aggregate,
@@ -833,6 +914,48 @@ object Relational extends QueryModule {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "sql_tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                           THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                                CAST(1 - l_discount AS DECIMAL(18,2))
+        |                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                      CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |         AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND p_type = 'PROMO'
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    "sql_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "sql_tpch_q17" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE)
+        |         AS avg_yearly,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
 
     "sql_tpch_q21" ->
       """SELECT s_name, count(*) AS numwait

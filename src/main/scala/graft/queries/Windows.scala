@@ -152,8 +152,40 @@ object Windows extends QueryModule {
         graft.streaming.Streaming.dedupEvents(
           graft.streaming.Streaming.eventsStream(ss, d, copies = 2), "35 days"),
         "streaming_dedup_" + java.util.UUID.randomUUID().toString.take(8),
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        // dedup EMITS in the arriving batch (the watermark only bounds
+        // state), so nothing is held back — skip the no-data-batch drain
+        awaitWatermarkOutput = false)
       out.orderBy(col("event_id"))
+    },
+
+    // mapGroupsWithState through the driver gate: per-user running
+    // totals via arbitrary keyed state (the escape hatch beyond built-in
+    // windows), run as a REAL streaming job. Update mode appends one row
+    // per (user, micro-batch) to the memory sink; the FINAL total per
+    // user is the row with the highest n_events (the counter is strictly
+    // monotone per update), recovered with one keyed window. State
+    // accumulates cents (exact, order-independent — see
+    // [[graft.streaming.Streaming.userRunningTotalsExact]]), so the
+    // batch aggregate oracle applies.
+    "streaming_running_totals" -> { (s, d) =>
+      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      import ss.implicits._
+      val ev = graft.streaming.Streaming.eventsStream(ss, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.Streaming.Event]
+      val out = graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.userRunningTotalsExact(ev).toDF(),
+        "streaming_running_totals_" + java.util.UUID.randomUUID().toString.take(8),
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        // Update-mode state emission is per-batch, not watermark-held
+        awaitWatermarkOutput = false)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      out.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("user_id"), col("n_events"),
+          (col("total_cents").cast("double") / 100.0).as("total_value"))
+        .orderBy(col("user_id"))
     },
 
     // Sliding 1-hour window every 30 min: each event lands in 2 windows.
@@ -293,6 +325,15 @@ object Windows extends QueryModule {
         |       CAST(epoch_us(ts) AS BIGINT) AS ts_us
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // the final per-user state equals the batch aggregate (cents
+    // accumulation is exact, so order of arrival cannot matter)
+    "streaming_running_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "events_sliding" ->
       """SELECT ws // 1000000 AS window_start, count(*) AS n,

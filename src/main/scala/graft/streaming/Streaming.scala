@@ -130,6 +130,32 @@ object Streaming {
       }
   }
 
+  final case class UserRunningCents(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Oracle-parity variant of [[userRunningTotals]]: the state
+    * accumulates value in integer CENTS (event values are 2-decimal by
+    * contract), so the running total is exact and order-independent —
+    * the same discipline the batch oracles apply by summing through
+    * DECIMAL. [[userRunningTotals]] keeps the plain-double fold as the
+    * API example; this one is what the driver gate runs, because a
+    * float fold's result depends on arrival order and can never
+    * hash-match a SQL oracle. */
+  def userRunningTotalsExact(events: Dataset[Event]): Dataset[UserRunningCents] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunningCents, UserRunningCents](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserRunningCents]) =>
+          val prev = state.getOption.getOrElse(UserRunningCents(uid, 0L, 0L))
+          val (n, c) = batch.foldLeft((prev.n_events, prev.total_cents)) {
+            case ((cn, cc), e) => (cn + 1, cc + math.round(e.value * 100))
+          }
+          val next = UserRunningCents(uid, n, c)
+          state.update(next)
+          next
+      }
+  }
+
   /** Stream-stream interval join: each purchase matched to the same
     * user's clicks from the preceding 30 minutes. Watermarks on both
     * sides bound the join state (clicks older than watermark + interval
@@ -296,8 +322,17 @@ object Streaming {
   }
 
   /** Drive a streaming DataFrame to completion against the (finite) file
-    * source and return the final result via a named memory sink. */
-  def runToCompletion(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    * source and return the final result via a named memory sink.
+    *
+    * `awaitWatermarkOutput = false` skips the no-data-batch drain: pass
+    * it for operators whose EMISSION is not watermark-driven (stateful
+    * dedup, inner joins, Update-mode state emission) — they emit in the
+    * arriving micro-batch and only use the watermark to BOUND state, so
+    * the table is final once processAllAvailable returns. Operators that
+    * hold rows back behind the watermark (append-mode windowed aggs,
+    * outer-join nulls, event-time timeouts) must keep the default. */
+  def runToCompletion(df: DataFrame, name: String, mode: OutputMode,
+      awaitWatermarkOutput: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val q = df.writeStream
       .outputMode(mode)
@@ -321,7 +356,7 @@ object Streaming {
     // quick polls. Complete mode skips the wait entirely: it re-emits
     // FULL state every batch, so nothing is held back behind the
     // watermark and the table is final once processAllAvailable returns.
-    if (mode != OutputMode.Complete()) {
+    if (mode != OutputMode.Complete() && awaitWatermarkOutput) {
       import org.apache.spark.sql.streaming.StreamingQueryProgress
       def wmOf(p: StreamingQueryProgress): String =
         Option(p.eventTime.get("watermark")).getOrElse("")
