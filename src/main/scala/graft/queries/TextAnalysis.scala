@@ -170,6 +170,57 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // TF-IDF keyword extraction (top-5 terms per doc): corpus statistics
+    // composed from three aggregates over ONE tokenization — term
+    // frequency per (doc, term), document length, and document frequency
+    // per term — with the corpus size N as a scalar subquery (Catalyst
+    // computes it once and broadcasts; no driver action, no cross join).
+    // All three aggregates partial-agg before their shuffles; the final
+    // per-doc top-5 ranks on the ROUNDED score (6 dp) with a term
+    // tie-break, so a last-ulp ln() difference between engines can never
+    // reorder the cut.
+    "text_tfidf" -> { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("documents_v")
+      s.sql(
+        """WITH tok AS (
+          |  SELECT doc_id, explode(filter(split(lower(text), '[^a-z]+'), x -> x != '')) AS w
+          |  FROM documents_v),
+          |tf AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+          |dlen AS (SELECT doc_id, sum(cnt) AS len FROM tf GROUP BY doc_id),
+          |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.w,
+          |         round((CAST(cnt AS DOUBLE) / len) *
+          |               (ln((CAST((SELECT count(*) FROM documents_v) AS DOUBLE) + 1)
+          |                   / (df + 1)) + 1), 6) AS tfidf
+          |  FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id
+          |          JOIN dfreq ON tf.w = dfreq.w)
+          |SELECT doc_id, w AS term, tfidf, rk
+          |FROM (SELECT doc_id, w, tfidf,
+          |             row_number() OVER (PARTITION BY doc_id
+          |                                ORDER BY tfidf DESC, w) AS rk
+          |      FROM scored)
+          |WHERE rk <= 5
+          |ORDER BY doc_id, rk""".stripMargin)
+    },
+
+    // Deterministic stratified sampling: membership is a pure function
+    // of a salted content key (md5 bucket of doc_id), never rand() —
+    // re-runs, retries, and engine changes produce the identical sample,
+    // and per-stratum rates are explicit (en at 50%, the rest at 20%).
+    // The reproducibility discipline of data_split applied to sampling;
+    // the rand-seeded `sampleBy` remains in ScaleSpec as the built-in
+    // comparison point.
+    "data_sample_stratified" -> { (s, d) =>
+      val bucket = conv(substring(md5(concat(lit("sample|"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long") % 1000
+      val threshold = when(col("lang") === "en", 500).otherwise(200)
+      Tables.documents(s, d)
+        .filter(bucket < threshold)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Pure-SQL gate for the GraftExtensions-registered natives: the
     // Spark side is nothing but SQL TEXT calling three native codegen
     // expressions — simhash_chunks, distinct_gram_count, fnv32a — so the
@@ -319,6 +370,36 @@ object TextAnalysis extends QueryModule {
         |ORDER BY split, lang""".stripMargin,
 
     "text_simhash" -> textSimhashOracle,
+
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |                                    x -> x <> '')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+        |dlen AS (SELECT doc_id, sum(cnt) AS len FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.w,
+        |         round((CAST(cnt AS DOUBLE) / len) *
+        |               (ln((CAST((SELECT count(*) FROM documents) AS DOUBLE) + 1)
+        |                   / (df + 1)) + 1), 6) AS tfidf
+        |  FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id
+        |          JOIN dfreq ON tf.w = dfreq.w)
+        |SELECT doc_id, w AS term, tfidf, CAST(rk AS INT) AS rk
+        |FROM (SELECT doc_id, w, tfidf,
+        |             row_number() OVER (PARTITION BY doc_id
+        |                                ORDER BY tfidf DESC, w) AS rk
+        |      FROM scored)
+        |WHERE rk <= 5
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    "data_sample_stratified" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000
+        |      < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+        |ORDER BY doc_id""".stripMargin,
 
     // natives reproduced in portable SQL: simhash chunks via the
     // text_simhash fold, gram count via generate_series + substr, FNV-1a

@@ -29,6 +29,25 @@ class MultimodalSpec extends GraftSuite {
     assert(!plan.contains("Exchange"), s"decode stage should not shuffle:\n$plan")
   }
 
+  test("mm_resize keeps every stride-th byte: sizes and digests line up") {
+    // ceil(len/4) resized bytes, digest recomputable from the text
+    val byText = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = q("mm_resize").collect()
+    assert(rows.length == byText.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val (doc, origLen, resizedLen, hex) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val text = byText(doc)
+      assert(origLen == text.getBytes("UTF-8").length.toLong)
+      assert(resizedLen == (origLen + 3) / 4)
+      val expected = text.getBytes("UTF-8").grouped(4).map(_.head).toArray
+      md.reset()
+      assert(hex == md.digest(expected).map("%02x".format(_)).mkString, s"doc $doc digest")
+    }
+  }
+
   test("mm_frame_sample frames tile the payload exactly") {
     val rows = q("mm_frame_sample").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))

@@ -111,6 +111,23 @@ class ScaleSpec extends GraftSuite {
     }
   }
 
+  test("data_sample_stratified is deterministic and additive (membership never flips)") {
+    val a = q("data_sample_stratified").collect().map(_.getLong(0)).toSeq
+    val b = q("data_sample_stratified").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    // rates land in the right ballpark per stratum (hash buckets of 1000)
+    val byLang = q("data_sample_stratified").collect()
+      .map(_.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+    val total = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- byLang) {
+      val want = if (lang == "en") 0.5 else 0.2
+      val got = n.toDouble / total(lang)
+      assert(math.abs(got - want) < 0.2, s"$lang sampled $got vs $want")
+    }
+  }
+
   test("data_split is stable: assignments don't move when the corpus grows") {
     val full = q("data_split").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
