@@ -188,6 +188,27 @@ object Windows extends QueryModule {
         .orderBy(col("user_id"))
     },
 
+    // Stream-stream INNER interval join through the driver gate: each
+    // purchase matched to the same user's clicks from the preceding 30
+    // minutes, run as a real two-sided stateful streaming job. Inner
+    // join emission is immediate (a match emits in the batch its second
+    // side arrives; the watermark only bounds buffered state), so the
+    // result is final once the source drains and the batch interval-join
+    // oracle applies. The LEFT-OUTER twin stays ScalaTest-only BY
+    // DESIGN: its null rows emit on watermark-driven state eviction, so
+    // purchases near the end of a finite stream are withheld forever —
+    // not a deterministic batch equivalence.
+    "streaming_join" -> { (s, d) =>
+      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val out = graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.purchaseClickJoin(
+          graft.streaming.Streaming.eventsStream(ss, d)),
+        "streaming_join_" + java.util.UUID.randomUUID().toString.take(8),
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        awaitWatermarkOutput = false)
+      out.orderBy(col("purchase_id"), col("click_id"))
+    },
+
     // Sliding 1-hour window every 30 min: each event lands in 2 windows.
     "events_sliding" -> { (s, d) =>
       Tables.events(s, d)
@@ -302,6 +323,18 @@ object Windows extends QueryModule {
         |FROM events
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // inner-join emission is immediate, so the batch interval join is
+    // the exact oracle
+    "streaming_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+        |       CAST(epoch_us(c.ts) AS BIGINT) AS c_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     // the streamed sliding result equals the batch one (Complete mode):
     // identical oracle

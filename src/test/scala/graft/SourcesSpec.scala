@@ -26,6 +26,27 @@ class SourcesSpec extends GraftSuite {
   test("json round-trip preserves data") { roundtrip("json") }
   test("orc round-trip preserves data")  { roundtrip("orc") }
 
+  test("compaction rewrites a small-file mess into size-targeted files, data intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val inDir = base + "/in"
+    val outDir = base + "/out"
+    // simulate a streaming-ingest mess: 64 tiny files
+    sample.repartition(64).write.parquet(inDir)
+    val smallFiles = new java.io.File(inDir).listFiles
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(smallFiles == 64)
+    val totalBytes = org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(inDir))
+    val target = totalBytes / 4 // aim for ~4-5 output files
+    val n = graft.operators.Compaction.compact(spark, inDir, outDir, target)
+    val outFiles = new java.io.File(outDir).listFiles
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(outFiles == n && n >= 4 && n <= 6, s"n=$n outFiles=$outFiles")
+    // contents identical
+    val a = sample.collect().map(_.mkString("|")).sorted
+    val b = spark.read.parquet(outDir).collect().map(_.mkString("|")).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("reference-style text sink: 'key value' lines (O11)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-txtout").toString + "/out"
     q("wordcount")
