@@ -32,22 +32,44 @@ import org.apache.spark.sql.functions._
   *    collide), dimension keys kept — N× fact volume per dim member.
   *  - small dims copied verbatim.
   *
-  * Usage: ScaleData <srcSfDir> <outDir> [factor=10] — writes a COMPLETE
-  * fixture dir (documents, embeddings, events, lineitem, orders +
-  * copied dims) so any driver query or streaming job can run against it.
+  * Usage: ScaleData <srcSfDir> <outDir> [factor=10] [tables] — writes a
+  * COMPLETE fixture dir (documents, embeddings, events, lineitem, orders
+  * + copied dims) so any driver query or streaming job can run against
+  * it. The optional comma-separated `tables` arg restricts generation
+  * (e.g. "documents,events" for a 100× run that only feeds the dedup and
+  * streaming heavies).
   */
 object ScaleData {
 
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
+  /** Per-replica alphabet bijection: rotation for k < 26 (the original
+    * 10× scheme, kept so 10× fixtures stay byte-identical across rounds),
+    * a seeded Fisher-Yates permutation beyond (rotations cycle at 26 and
+    * would plant exact cross-shard text duplicates at factor 100). ANY
+    * bijection preserves within-shard lengths and gram/shingle Jaccard
+    * exactly; distinct permutations keep cross-shard gram overlap as low
+    * as distinct rotations do. */
+  private def alphaMap(k: Int): String =
+    if (k < Alpha.length) Alpha.drop(k) + Alpha.take(k)
+    else {
+      val arr = Alpha.toCharArray
+      val rnd = new scala.util.Random(0xC0FFEEL + k)
+      var i = arr.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+      }
+      new String(arr)
+    }
+
   def replicateDocuments(src: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { k =>
-      val r = k % Alpha.length
-      val rotated = Alpha.drop(r) + Alpha.take(r)
-      val rotatedUpper = rotated.toUpperCase
+      val mapped = alphaMap(k)
+      val mappedUpper = mapped.toUpperCase
       src.select(
         (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
-        translate(col("text"), Alpha + Alpha.toUpperCase, rotated + rotatedUpper).as("text"),
+        translate(col("text"), Alpha + Alpha.toUpperCase, mapped + mappedUpper).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
 
@@ -90,30 +112,53 @@ object ScaleData {
     * source ([[graft.streaming.Streaming.eventsStream]]) stages
     * `<dir>/events.parquet` with a plain file copy, matching the
     * driver-fixture layout. */
+  /** Recursively delete `p` if it exists (streams closed via try/finally). */
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   private def writeSingleFile(df: DataFrame, out: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = out + ".tmpdir"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(p =>
-        p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".parquet"))
-      .findFirst().orElseThrow()
+    val list = Files.list(Paths.get(tmp))
+    val part =
+      try list.filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      finally list.close()
+    // the destination may exist as a DIRECTORY from an older
+    // directory-writing layout — Files.move(REPLACE_EXISTING) can only
+    // replace a file or an empty dir, so clear it first
+    deleteRecursively(Paths.get(out))
     Files.move(part, Paths.get(out), StandardCopyOption.REPLACE_EXISTING)
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(f => Files.deleteIfExists(f))
+    deleteRecursively(Paths.get(tmp))
   }
 
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
-    // the alphabet rotation is only a DISTINCT bijection per replica for
-    // k < 26 — beyond that k % 26 cycles and plants exact cross-shard
-    // text duplicates, breaking the isomorphic-shard property (factor
-    // ≤ 26 also keeps k·7 mod 64 embedding rotations distinct: 7 is
-    // coprime with 64, cycling only at k = 64)
-    require(factor >= 1 && factor <= Alpha.length,
-      s"factor must be in [1, ${Alpha.length}]: alphabet rotations repeat beyond that")
+    // optional 4th arg: comma-separated table subset (default all) — a
+    // 100× run usually needs only the tables its target queries read
+    val wanted: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else Set("documents", "embeddings", "events", "lineitem", "orders")
+    // documents: any factor (seeded permutations beyond 26 rotations).
+    // embeddings: the k·7 mod 64 rotations are distinct only for k < 64
+    // (7 coprime with 64) — k ≥ 64 would plant exact cross-shard
+    // duplicate vectors and corrupt dedup/ANN structure.
+    require(factor >= 1, "factor must be >= 1")
+    require(!wanted.contains("embeddings") || factor <= 64,
+      "embeddings replicas repeat beyond factor 64 (k*7 mod 64 cycles): " +
+        "exclude embeddings from the table list for larger factors")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -129,18 +174,23 @@ object ScaleData {
       Tables.orders(spark, srcDir).agg(max("o_orderkey")).head.getLong(0)).max
     require(maxIds < 1000000L,
       s"source ids reach $maxIds >= 1e6 — replica id offsets (k*1e6) would collide")
-    replicateDocuments(Tables.documents(spark, srcDir), factor)
-      .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    replicateEmbeddings(Tables.embeddings(spark, srcDir), factor)
-      .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    if (wanted.contains("documents"))
+      replicateDocuments(Tables.documents(spark, srcDir), factor)
+        .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    if (wanted.contains("embeddings"))
+      replicateEmbeddings(Tables.embeddings(spark, srcDir), factor)
+        .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     // events as one FILE (streaming staging copies it; ts normalized to
     // micros by Tables.events — consumers accept either encoding)
-    writeSingleFile(replicateEvents(Tables.events(spark, srcDir), factor),
-      s"$outDir/events.parquet")
-    replicateKeyed(Tables.lineitem(spark, srcDir), Seq("l_orderkey"), factor)
-      .repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    replicateKeyed(Tables.orders(spark, srcDir), Seq("o_orderkey"), factor)
-      .repartition(8).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    if (wanted.contains("events"))
+      writeSingleFile(replicateEvents(Tables.events(spark, srcDir), factor),
+        s"$outDir/events.parquet")
+    if (wanted.contains("lineitem"))
+      replicateKeyed(Tables.lineitem(spark, srcDir), Seq("l_orderkey"), factor)
+        .repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    if (wanted.contains("orders"))
+      replicateKeyed(Tables.orders(spark, srcDir), Seq("o_orderkey"), factor)
+        .repartition(8).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     // small dims copied verbatim so the out dir is a COMPLETE fixture
     // any driver query can run against
     for (t <- Seq("region", "nation", "customer", "supplier", "part")) {

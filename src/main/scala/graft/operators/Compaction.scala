@@ -20,16 +20,36 @@ import org.apache.spark.sql.SparkSession
 object Compaction {
 
   /** Rewrite `inDir`'s parquet into ~`targetBytes` files at `outDir`;
-    * returns the output file count. */
+    * returns the file count actually written.
+    *
+    * `outDir` must differ from `inDir`: mode("overwrite") truncates the
+    * target BEFORE the lazy scan of the same path executes, so an
+    * in-place call would destroy its own input. Compact to a sibling dir
+    * and swap atomically at the metastore/manifest layer.
+    *
+    * The returned count is measured from the output listing, not the
+    * requested `n`: `coalesce` can only LOWER a partition count, so when
+    * the scan bin-packs the small files into fewer splits than `n`
+    * (maxPartitionBytes ≫ file size), fewer — larger — files come out,
+    * which still satisfies the ≥`targetBytes` goal. */
   def compact(
       spark: SparkSession,
       inDir: String,
       outDir: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
-    val fs = new Path(inDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(new Path(inDir)).getLength
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val in = new Path(inDir)
+    val out = new Path(outDir)
+    val fs = in.getFileSystem(hconf)
+    val inQ = fs.makeQualified(in)
+    val outQ = out.getFileSystem(hconf).makeQualified(out)
+    require(inQ != outQ,
+      s"compact() cannot run in place ($inQ): overwrite truncates the " +
+        "target before the lazy scan reads it — write to a sibling dir and swap")
+    val totalBytes = fs.getContentSummary(in).getLength
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir).coalesce(n).write.mode("overwrite").parquet(outDir)
-    n
+    outQ.getFileSystem(hconf).listStatus(outQ)
+      .count(f => f.getPath.getName.startsWith("part-"))
   }
 }

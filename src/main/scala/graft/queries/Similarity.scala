@@ -143,6 +143,19 @@ object Similarity extends QueryModule {
   private def annKmeansIters(s: SparkSession): Int =
     s.conf.getOption("spark.graft.ann.kmeansIters").map(_.toInt).getOrElse(2)
 
+  /** All bit masks of width `bits` with popcount ≤ `radius`, built by
+    * choosing flip positions (Σ_{r≤radius} C(bits,r) results) rather than
+    * filtering the full 0 until 2^bits range — the probe list must stay
+    * cheap to build as bits grows with corpus size. Ascending-position
+    * recursion yields each mask exactly once. */
+  private[queries] def flipMasks(bits: Int, radius: Int): Seq[Int] = {
+    def choose(start: Int, left: Int): Seq[Int] =
+      if (left == 0) Seq(0)
+      else (start to bits - left).flatMap(i =>
+        choose(i + 1, left - 1).map(m => m | (1 << i)))
+    (0 to math.min(radius, bits)).flatMap(r => choose(0, r))
+  }
+
   /** Buckets probed per IVF query — THE recall/cost lever: recall tracks
     * the probed corpus mass (on near-uniform vectors almost linearly:
     * measured 0.36 at nprobe=2 of 10, 0.7+ at 4), cost is the probed
@@ -267,9 +280,11 @@ object Similarity extends QueryModule {
       // (probes × bucket size).
       val radius = s.conf.getOption("spark.graft.ann.probeHamming")
         .map(_.toInt).getOrElse(1)
-      val probeList = (0 until (1 << bits))
-        .filter(m => Integer.bitCount(m) <= radius)
-        .map(m => s"qbucket ^ $m").mkString(", ")
+      // flip masks generated combinatorially (choose ≤radius positions of
+      // `bits`): Σ C(bits,r) masks of driver work, not O(2^bits) — the
+      // docstring tells operators to GROW bits with corpus size, and at
+      // bits=24 enumerate-and-filter would walk 16M ints per query build
+      val probeList = flipMasks(bits, radius).map(m => s"qbucket ^ $m").mkString(", ")
       bucketed
         .join(q, col("band") === col("qband") &&
           expr(s"bucket IN ($probeList)") &&

@@ -37,6 +37,15 @@ object Streaming {
       .map(_.toInt).getOrElse(8)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", parts)
+    // RocksDB state store (default; spark.graft.streaming.stateStore=hdfs
+    // opts out): the default HDFS-backed provider keeps every key on the
+    // JVM heap — at 1M dedup keys the GC pressure showed up as 7–20 s
+    // run-to-run variance at 10× (docs/SCALING.md). RocksDB keeps state
+    // off-heap with changelog-style checkpoints, the provider every
+    // production 100 TB ingest runs.
+    if (!spark.conf.getOption("spark.graft.streaming.stateStore").contains("hdfs"))
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ss
   }
 
