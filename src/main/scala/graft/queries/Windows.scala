@@ -180,12 +180,39 @@ object Windows extends QueryModule {
         org.apache.spark.sql.streaming.OutputMode.Update(),
         // Update-mode state emission is per-batch, not watermark-held
         awaitWatermarkOutput = false)
+      // HARNESS-ONLY recovery: the memory sink is driver-resident, so the
+      // keyed window below reads the per-batch Update history from driver
+      // memory — fine for a finite gate run, NOT the production path. In
+      // production the final per-user state lives in the state store
+      // (recovered on restart from the checkpoint) or in an upserting
+      // sink keyed by user_id (foreachBatch MERGE / Delta upsert), where
+      // the last write per key IS the answer — no window needed.
+      // StreamingSpec's foreachBatch test exercises that sink shape.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("n_events").desc)
       out.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("user_id"), col("n_events"),
           (col("total_cents").cast("double") / 100.0).as("total_value"))
         .orderBy(col("user_id"))
+    },
+
+    // flatMapGroupsWithState sessionization through the driver gate: the
+    // arbitrary-state session machine (open tail carried in GroupState,
+    // flushed by event-time timeout) run as a REAL multi-micro-batch
+    // streaming job. The source appends a far-future sentinel event in
+    // its own final micro-batch, advancing the watermark past every real
+    // session's timeout, so all state flushes and the result equals the
+    // batch gaps-and-islands oracle deterministically (see
+    // [[graft.streaming.Streaming.stampedEventsWithFlushSentinel]]).
+    "streaming_sessionize" -> { (s, d) =>
+      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val out = graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.sessionizeStreaming(
+          graft.streaming.Streaming.stampedEventsWithFlushSentinel(ss, d)).toDF(),
+        "streaming_sessionize_" + java.util.UUID.randomUUID().toString.take(8),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      out.filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("session_start_us"))
     },
 
     // Stream-stream INNER interval join through the driver gate: each
@@ -358,6 +385,28 @@ object Windows extends QueryModule {
         |       CAST(epoch_us(ts) AS BIGINT) AS ts_us
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // every session flushes (the sentinel advances the watermark past
+    // all timeouts), so the oracle is the full gaps-and-islands session
+    // set — user_id/start/count only, the columns the state machine
+    // carries
+    "streaming_sessionize" ->
+      """WITH brk AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS is_break
+        |  FROM events),
+        |grp AS (
+        |  SELECT user_id, ts,
+        |         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM brk)
+        |SELECT user_id,
+        |       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+        |       count(*) AS n_events
+        |FROM grp
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     // the final per-user state equals the batch aggregate (cents
     // accumulation is exact, so order of arrival cannot matter)

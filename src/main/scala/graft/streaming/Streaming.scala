@@ -330,6 +330,60 @@ object Streaming {
       }
   }
 
+  /** (user_id, ts) stream over the events fixture whose FINAL micro-batch
+    * is one far-future SENTINEL event: once that batch commits, the
+    * watermark passes every real session's event-time timeout, so all
+    * open [[sessionizeStreaming]] state flushes deterministically — the
+    * "drain the source and advance the watermark" recipe from its
+    * emission contract, packaged so a driver-gated run equals the batch
+    * gaps-and-islands oracle. This is exactly how a production ingest
+    * closes its books: the source emits a high-watermark control record
+    * (or the job advances processing-time) past the horizon. The
+    * sentinel itself (user_id = -1) is the one session the watermark
+    * never passes — it stays in state, withheld; callers filter
+    * `user_id >= 0` for belt and braces.
+    *
+    * Staged as two Spark-written single-file parquets with strictly
+    * increasing mtimes (FileStreamSource orders discovered files by
+    * modification time, the same property StreamingSpec pins), so batch 0
+    * is every real event and batch 1 is the sentinel alone. */
+  def stampedEventsWithFlushSentinel(
+      spark: SparkSession, dir: String): Dataset[StampedEvent] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    // past watermark delay (1 h) + session gap (10 min), with 1 h slack
+    val sentinelUs = maxUs + (3600L + 600L + 3600L) * 1000000L
+    val streamDir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-stream-flush-" + Integer.toHexString(dir.hashCode))
+    Files.createDirectories(streamDir)
+    def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = streamDir.resolve(name + ".tmpdir")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val list = Files.list(tmp)
+      val part =
+        try list.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally list.close()
+      Files.move(part, streamDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+      Files.setLastModifiedTime(streamDir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    val now = System.currentTimeMillis()
+    stage(ev, "events_00.parquet", now)
+    stage(Seq((-1L, new java.sql.Timestamp(sentinelUs / 1000L)))
+      .toDF("user_id", "ts"), "sentinel_01.parquet", now + 60000L)
+    spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .as[StampedEvent]
+  }
+
   /** Drive a streaming DataFrame to completion against the (finite) file
     * source and return the final result via a named memory sink.
     *

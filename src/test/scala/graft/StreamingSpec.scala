@@ -147,6 +147,26 @@ class StreamingSpec extends GraftSuite {
       s"missing closed sessions: ${(nonFinal -- got).take(5)}")
   }
 
+  test("sentinel-flushed sessionizeStreaming emits EVERY session (equals batch)") {
+    import spark.implicits._
+    // the sentinel's final micro-batch advances the watermark past every
+    // real session's timeout → trailing sessions flush too, so streaming
+    // equals the full batch sessionization (the driver-gate contract)
+    val got = Streaming.runToCompletion(
+      Streaming.sessionizeStreaming(
+        Streaming.stampedEventsWithFlushSentinel(spark, sf)).toDF(),
+      "flush_sessions", OutputMode.Append())
+      .filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val tsEvents = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Streaming.TsEvent]
+    val want = Streaming.sessionize(tsEvents).collect()
+      .map(s => (s.user_id, s.session_start_us, s.n_events)).toSet
+    assert(got == want,
+      s"missing: ${(want -- got).take(5)}; extra: ${(got -- want).take(5)}")
+  }
+
   test("streaming dedup drops cross-micro-batch duplicates (one copy per event)") {
     // stage the SAME events file twice → micro-batch 2 redelivers every
     // event; dropDuplicatesWithinWatermark must emit each exactly once
