@@ -50,7 +50,7 @@ object ScaleData {
     * bijection preserves within-shard lengths and gram/shingle Jaccard
     * exactly; distinct permutations keep cross-shard gram overlap as low
     * as distinct rotations do. */
-  private def alphaMap(k: Int): String =
+  private[graft] def alphaMap(k: Int): String =
     if (k < Alpha.length) Alpha.drop(k) + Alpha.take(k)
     else {
       val arr = Alpha.toCharArray
@@ -59,6 +59,7 @@ object ScaleData {
       while (i > 0) {
         val j = rnd.nextInt(i + 1)
         val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
       }
       new String(arr)
     }

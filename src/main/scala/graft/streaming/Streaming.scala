@@ -37,15 +37,23 @@ object Streaming {
       .map(_.toInt).getOrElse(8)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", parts)
-    // RocksDB state store (default; spark.graft.streaming.stateStore=hdfs
-    // opts out): the default HDFS-backed provider keeps every key on the
-    // JVM heap — at 1M dedup keys the GC pressure showed up as 7–20 s
-    // run-to-run variance at 10× (docs/SCALING.md). RocksDB keeps state
-    // off-heap with changelog-style checkpoints, the provider every
-    // production 100 TB ingest runs.
-    if (!spark.conf.getOption("spark.graft.streaming.stateStore").contains("hdfs"))
+    // State store provider: RocksDB is the 100 TB production answer (state
+    // off heap → no GC cliff as keys grow; changelog checkpoints) and is
+    // exposed as the opt-in spark.graft.streaming.stateStore=rocksdb. It
+    // is NOT the default here because it was MEASURED 15×+ slower on this
+    // fixture shape (streaming_dedup at 10×: RocksDB 142–158 s steady
+    // reps vs 7–20 s HDFS-backed): with only a couple of micro-batches,
+    // per-batch RocksDB snapshot+upload fixed costs dominate and the
+    // GC relief never pays for itself — the crossover needs state large
+    // enough that heap pressure, not per-batch overhead, is the binding
+    // constraint (docs/SCALING.md "state store provider" note). Changelog
+    // checkpointing is enabled for the opt-in path, as production would.
+    if (spark.conf.getOption("spark.graft.streaming.stateStore").contains("rocksdb")) {
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      ss.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
     ss
   }
 

@@ -67,6 +67,69 @@ class ScaleSpec extends GraftSuite {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("AQE skew-join splits the hot partition at runtime (zero-code salting)") {
+    // the 100 TB default: let AQE detect the oversized shuffle partition
+    // from runtime stats and split it, replicating the matching build-side
+    // rows — no __salt column, no code. Thresholds lowered so the
+    // detector fires at fixture scale (production keeps the defaults:
+    // 256 MB threshold, 5× median factor).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", 4)
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    // AQE coalescing would merge the small partitions and skew the
+    // median; keep it on (production shape) — the hot key dwarfs it
+    import ss.implicits._
+    val hot = "x" * 64
+    val left = (1 to 100000)
+      .map(i => (if (i % 20 == 0) i.toLong % 1000 else 7L, hot + i))
+      .toDF("k", "payload")
+    val right = (0L until 1000L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val joined = left.join(right, Seq("k"))
+    // execute THIS DataFrame (count() would plan a separate aggregate and
+    // leave joined's own AQE plan unfinalized), then read the final plan
+    val n = joined.collect().length
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skewed"), // AQEShuffleRead marks the split reader
+      s"AQE skew split did not fire:\n$plan")
+    assert(n == 100000) // every left row matches exactly one dim row
+  }
+
+  test("dynamic partition pruning: a dim filter prunes the fact scan at runtime") {
+    // THE 100 TB scan-cost lever: the fact is laid out by a partition
+    // key; a selective filter on the joined dim becomes a runtime
+    // IN-subquery on the fact's PARTITION column, so pruned partitions
+    // are never read — visible as `dynamicpruning` in PartitionFilters.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/fact"
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+    import spark.implicits._
+    val years = Tables.orders(spark, sf)
+      .select(year(col("o_orderdate")).as("y")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // the dim must be a REAL scan: an in-memory Seq collapses to a
+    // LocalRelation whose filter constant-folds away before the pruning
+    // rule looks for a selective predicate on the join's build side
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString + "/dim"
+    years.map(y => (y, if (y % 2 == 0) "even" else "odd")).toSeq
+      .toDF("y", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    val joined = fact.join(dim.filter(col("tag") === "odd"), col("o_year") === col("y"))
+    val n = joined.collect().length
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan not dynamically pruned:\n$plan")
+    val want = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) % 2 === 1).count()
+    assert(n == want && n > 0)
+  }
+
   test("approximate aggregates land within tolerance of the exact twins") {
     val approx = q("agg_approx").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
@@ -142,6 +205,15 @@ class ScaleSpec extends GraftSuite {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(halfCounts.forall { case (k, n) => n <= full.getOrElse(k, 0L) })
     assert(halfCounts.nonEmpty)
+  }
+
+  test("ScaleData.alphaMap is a distinct alphabet bijection for every replica index") {
+    // regression: the seeded Fisher-Yates branch (k >= 26) once looped
+    // forever (missing decrement); pin termination + bijectivity + the
+    // cross-shard-distinctness the isomorphic-shard property rests on
+    val maps = (0 until 128).map(ScaleData.alphaMap)
+    maps.foreach(m => assert(m.sorted == "abcdefghijklmnopqrstuvwxyz"))
+    assert(maps.distinct.length == maps.length, "replica alphabets collide")
   }
 
   test("parquet mergeSchema reads files written with evolving schemas") {

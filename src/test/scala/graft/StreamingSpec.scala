@@ -193,6 +193,23 @@ class StreamingSpec extends GraftSuite {
     assert(normalize(got) == normalize(want))
   }
 
+  test("RocksDB state store opt-in runs the dedup stream end to end") {
+    // the 100 TB provider (state off-heap, changelog checkpoints) is an
+    // opt-in, not the default — see stateSizedSession: measured 15×+
+    // slower on fixture-scale streams where per-batch snapshot overhead
+    // dominates. This pins that the opt-in path actually works.
+    spark.conf.set("spark.graft.streaming.stateStore", "rocksdb")
+    try {
+      val ss = Streaming.stateSizedSession(spark)
+      assert(ss.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+      val got = Streaming.runToCompletion(
+        Streaming.dedupEvents(Streaming.eventsStream(ss, sf, copies = 2), "35 days"),
+        "rocksdb_dedup", OutputMode.Append(), awaitWatermarkOutput = false)
+      assert(got.count() == Tables.events(spark, sf).count())
+    } finally spark.conf.unset("spark.graft.streaming.stateStore")
+  }
+
   test("foreachBatch sink: streamed rows land in parquet, count matches source") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fb").toString + "/out"
     val stream = Streaming.eventsStream(spark, sf)

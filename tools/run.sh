@@ -12,6 +12,8 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+# SPARK_GRAFT_JAVA_OPTS: extra -D flags (e.g. -Dspark.graft.streaming.stateStore=rocksdb
+# to A/B state-store providers — SparkConf picks up spark.* system properties)
+exec java $ADD_OPENS ${SPARK_GRAFT_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" -cp "$CP" "$@"
