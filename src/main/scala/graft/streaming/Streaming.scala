@@ -39,15 +39,16 @@ object Streaming {
     ss.conf.set("spark.sql.shuffle.partitions", parts)
     // State store provider: RocksDB is the 100 TB production answer (state
     // off heap → no GC cliff as keys grow; changelog checkpoints) and is
-    // exposed as the opt-in spark.graft.streaming.stateStore=rocksdb. It
-    // is NOT the default here because it was MEASURED 15×+ slower on this
-    // fixture shape (streaming_dedup at 10×: RocksDB 142–158 s steady
-    // reps vs 7–20 s HDFS-backed): with only a couple of micro-batches,
-    // per-batch RocksDB snapshot+upload fixed costs dominate and the
-    // GC relief never pays for itself — the crossover needs state large
-    // enough that heap pressure, not per-batch overhead, is the binding
-    // constraint (docs/SCALING.md "state store provider" note). Changelog
-    // checkpointing is enabled for the opt-in path, as production would.
+    // exposed as the opt-in spark.graft.streaming.stateStore=rocksdb.
+    // The crossover is MEASURED (docs/SCALING.md round-6 table,
+    // streaming_dedup, fresh-JVM reps): at 1M keys the heap-backed
+    // default wins (~10 s vs RocksDB's per-batch fixed costs); at 10M
+    // keys the heap store turns bimodal (~40 s or ~137 s depending on
+    // whether full-map snapshot + GC land inside the window) while
+    // RocksDB holds a stable 41-49 s. Default stays heap-backed because
+    // the fixture streams sit far below the crossover; production
+    // ingest state sits far above it. Changelog checkpointing is
+    // enabled for the opt-in path, as production would.
     if (spark.conf.getOption("spark.graft.streaming.stateStore").contains("rocksdb")) {
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -405,11 +406,41 @@ object Streaming {
   def runToCompletion(df: DataFrame, name: String, mode: OutputMode,
       awaitWatermarkOutput: Boolean = true): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
+    // Sink choice is a SCALE decision, not a convenience one. Append-mode
+    // streams (dedup-on-ingest, sessionize, stream-stream join) emit
+    // row volume proportional to the INPUT — a memory sink would
+    // accumulate all of it on the driver heap (measured: the 100×
+    // dedup stream emits 10M rows; driver-side accumulation + GC was a
+    // large share of its wall-clock, docs/SCALING.md round-6 table).
+    // So Append goes through the file sink + read-back: the exact shape
+    // a production ingest runs (stream → table → downstream readers),
+    // with nothing driver-resident. Complete/Update modes stay on the
+    // memory sink: the file sink doesn't support them, and the gated
+    // Complete/Update queries emit state-sized (small) tables — window
+    // aggregates, per-user totals — where driver residency is bounded
+    // by key cardinality, not stream length.
+    val fileSink = mode == OutputMode.Append()
+    val outDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-gate-$name")
+    // A stale gate dir would make the sink's metadata log + checkpoint
+    // treat this run's batches as already committed (and emit nothing),
+    // so the gate always starts from scratch.
+    if (fileSink && java.nio.file.Files.exists(outDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    val q = (if (fileSink)
+      df.writeStream
+        .outputMode(mode)
+        .format("parquet")
+        .option("path", outDir.resolve("data").toString)
+        .option("checkpointLocation", outDir.resolve("chk").toString)
+    else
+      df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)).start()
     q.processAllAvailable()
     // watermark-driven emissions (outer-join nulls, event-time timeouts)
     // fire in the NO-DATA micro-batch scheduled after the last data batch
@@ -458,6 +489,8 @@ object Streaming {
       }
     }
     q.stop()
-    spark.table(name)
+    if (fileSink)
+      spark.read.schema(df.schema).parquet(outDir.resolve("data").toString)
+    else spark.table(name)
   }
 }

@@ -195,9 +195,10 @@ class StreamingSpec extends GraftSuite {
 
   test("RocksDB state store opt-in runs the dedup stream end to end") {
     // the 100 TB provider (state off-heap, changelog checkpoints) is an
-    // opt-in, not the default — see stateSizedSession: measured 15×+
-    // slower on fixture-scale streams where per-batch snapshot overhead
-    // dominates. This pins that the opt-in path actually works.
+    // opt-in, not the default — see stateSizedSession: below the measured
+    // crossover (~1M keys) per-batch snapshot overhead dominates; above
+    // it the heap store's GC bimodality does (docs/SCALING.md round-6
+    // table). This pins that the opt-in path actually works.
     spark.conf.set("spark.graft.streaming.stateStore", "rocksdb")
     try {
       val ss = Streaming.stateSizedSession(spark)
@@ -208,6 +209,20 @@ class StreamingSpec extends GraftSuite {
         "rocksdb_dedup", OutputMode.Append(), awaitWatermarkOutput = false)
       assert(got.count() == Tables.events(spark, sf).count())
     } finally spark.conf.unset("spark.graft.streaming.stateStore")
+  }
+
+  test("file-sink gate is rerunnable: same query name twice, full output twice") {
+    // Append-mode gates write parquet under a name-derived tmp dir; a
+    // STALE dir (sink metadata log + checkpoint from a previous run)
+    // would mark this run's batches already-committed and emit NOTHING.
+    // runToCompletion must start each run from scratch.
+    val want = Tables.events(spark, sf).count()
+    (1 to 2).foreach { i =>
+      val got = Streaming.runToCompletion(
+        Streaming.dedupEvents(Streaming.eventsStream(spark, sf, copies = 2), "35 days"),
+        "gate_rerun", OutputMode.Append(), awaitWatermarkOutput = false)
+      assert(got.count() == want, s"run $i must emit the full deduped set")
+    }
   }
 
   test("foreachBatch sink: streamed rows land in parquet, count matches source") {
