@@ -171,14 +171,19 @@ object TextAnalysis extends QueryModule {
     },
 
     // TF-IDF keyword extraction (top-5 terms per doc): corpus statistics
-    // composed from three aggregates over ONE tokenization — term
-    // frequency per (doc, term), document length, and document frequency
-    // per term — with the corpus size N as a scalar subquery (Catalyst
-    // computes it once and broadcasts; no driver action, no cross join).
-    // All three aggregates partial-agg before their shuffles; the final
-    // per-doc top-5 ranks on the ROUNDED score (6 dp) with a term
-    // tie-break, so a last-ulp ln() difference between engines can never
-    // reorder the cut.
+    // over ONE tokenization — GENUINELY one. The first formulation
+    // derived document length and document frequency as separate GROUP BY
+    // CTEs joined back onto the term-frequency table; Catalyst INLINES
+    // WITH-CTEs, so the tokenize+aggregate subtree executed three times
+    // and then paid two join shuffles — measured 140-324 s on the 100×
+    // corpus (27M tokens). As window aggregates over the one tf table
+    // (len = sum per doc_id, df = count per term) the subtree runs once;
+    // the df window is evaluated FIRST (nested select) so the len window
+    // and the per-doc top-5 rank share one doc_id exchange: 74-76 s at
+    // 100×, same rows. Corpus size N stays a scalar subquery (computed
+    // once, broadcast; no driver action, no cross join), and the rank is
+    // on the ROUNDED score (6 dp) with a term tie-break, so a last-ulp
+    // ln() difference between engines can never reorder the cut.
     "text_tfidf" -> { (s, d) =>
       Tables.documents(s, d).createOrReplaceTempView("documents_v")
       s.sql(
@@ -186,15 +191,18 @@ object TextAnalysis extends QueryModule {
           |  SELECT doc_id, explode(filter(split(lower(text), '[^a-z]+'), x -> x != '')) AS w
           |  FROM documents_v),
           |tf AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
-          |dlen AS (SELECT doc_id, sum(cnt) AS len FROM tf GROUP BY doc_id),
-          |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+          |with_df AS (
+          |  SELECT doc_id, w, cnt, count(*) OVER (PARTITION BY w) AS df FROM tf),
+          |stats AS (
+          |  SELECT doc_id, w, cnt, df,
+          |         sum(cnt) OVER (PARTITION BY doc_id) AS len
+          |  FROM with_df),
           |scored AS (
-          |  SELECT tf.doc_id, tf.w,
+          |  SELECT doc_id, w,
           |         round((CAST(cnt AS DOUBLE) / len) *
           |               (ln((CAST((SELECT count(*) FROM documents_v) AS DOUBLE) + 1)
           |                   / (df + 1)) + 1), 6) AS tfidf
-          |  FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id
-          |          JOIN dfreq ON tf.w = dfreq.w)
+          |  FROM stats)
           |SELECT doc_id, w AS term, tfidf, rk
           |FROM (SELECT doc_id, w, tfidf,
           |             row_number() OVER (PARTITION BY doc_id

@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * `events_*` are the batch analogs of the Structured Streaming jobs in
   * [[graft.streaming]] — same `window`/`session_window` expressions, so
   * the DuckDB oracle applies; the streaming path is exercised in
-  * ScalaTest with a memory sink.
+  * ScalaTest and through the `streaming_*` driver gates below (Append
+  * mode runs a file sink + read-back, Complete/Update a memory sink —
+  * see [[graft.streaming.Streaming.runToCompletion]]).
   *
   * Oracle-safety: window starts are emitted as epoch seconds/micros
   * (BIGINT) rather than timestamps — integer epochs hash identically
