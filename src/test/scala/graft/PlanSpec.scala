@@ -91,4 +91,34 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("documents"),
       s"query plan still scans the raw corpus ($docScans hits):\n$p")
   }
+
+  test("text_tfidf tokenizes ONCE and its rank reuses the doc_id exchange") {
+    // Catalyst INLINES With-CTEs: the original GROUP-BY-CTE formulation
+    // silently re-executed the tokenize+aggregate subtree 3× (one scan
+    // per consumer; 274-415 s vs 26.5 s at the 100× fixture). One corpus
+    // scan may remain for the broadcast scalar-subquery count(*); the
+    // TOKENIZING scans are the Generate (explode) parents — exactly one.
+    val df = q("text_tfidf")
+    // pre-execution adaptive plan: the full tree WITH exchanges (the
+    // executed plan's text elides materialized ShuffleQueryStage
+    // subtrees, hiding the scans we're counting)
+    val p = df.queryExecution.executedPlan.toString
+    val generates = "Generate explode".r.findAllIn(p).length
+    assert(generates == 1, s"tokenization ran $generates times:\n$p")
+    // the top-5 rank must ride the len-window's doc_id exchange: no
+    // Exchange may sit between the final two Window operators (a Sort is
+    // fine — same partitioning, different order)
+    val windowChunk = p.substring(p.indexOf("Window"),
+      p.lastIndexOf("Window") + "Window".length)
+    // Hash-partitioned exchanges strictly inside the window pipeline
+    // (between the first and last Window nodes of the plan tree text):
+    // the w→doc_id repartition needs one; the doc_id exchange must be
+    // SHARED by the len window and the rank. (The corpus-N scalar
+    // subquery prints its own Exchange SinglePartition inline here —
+    // not a data shuffle, excluded by matching on hashpartitioning.)
+    val exchangesBetweenWindows =
+      "Exchange hashpartitioning".r.findAllIn(windowChunk).length
+    assert(exchangesBetweenWindows <= 1,
+      s"window pipeline re-shuffles ($exchangesBetweenWindows exchanges):\n$p")
+  }
 }
