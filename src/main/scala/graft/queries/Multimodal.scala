@@ -193,10 +193,15 @@ object Multimodal extends QueryModule {
       docs.as("a")
         .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          // 6 dp, matching the repo's other rounded scores: the dot
+          // products are decimal-exact but the final divide/sqrt is
+          // DOUBLE, and at 9 dp a 10×-fixture pair landed exactly on a
+          // rounding boundary (…1835 ulp-split across engines). 6 dp
+          // puts boundary-hit odds at ~1e-4 even at 200k pairs.
           round(
             dotDec(col("a.f"), col("b.f")).cast("double") /
               sqrt(dotDec(col("a.f"), col("a.f")).cast("double") *
-                dotDec(col("b.f"), col("b.f")).cast("double")), 9).as("feature_cosine"))
+                dotDec(col("b.f"), col("b.f")).cast("double")), 6).as("feature_cosine"))
         .orderBy(col("d1"))
     },
 
@@ -271,7 +276,7 @@ object Multimodal extends QueryModule {
        |         CAST(${dot("a", "a")} AS DOUBLE) AS na,
        |         CAST(${dot("b", "b")} AS DOUBLE) AS nb
        |  FROM f a JOIN f b ON b.doc_id = a.doc_id + 1)
-       |SELECT d1, d2, round(dot / sqrt(na * nb), 9) AS feature_cosine
+       |SELECT d1, d2, round(dot / sqrt(na * nb), 6) AS feature_cosine
        |FROM p
        |ORDER BY d1""".stripMargin
   }

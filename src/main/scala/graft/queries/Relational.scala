@@ -46,7 +46,11 @@ object Relational extends QueryModule {
           col("l_discount") >= 0.05 && col("l_quantity") < 10)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_discount"), date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // total-order ORDER BY: (l_orderkey, l_linenumber) is NOT unique
+        // in the synthetic lineitem (see scalar_math note) — every output
+        // column participates so tie rows cannot order engine-arbitrarily
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("ship_date"))
     },
 
     // TPC-H Q1 shape: multi-aggregate group-by with exact decimal money
@@ -659,7 +663,7 @@ object Relational extends QueryModule {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'
         |  AND l_discount >= 0.05 AND l_quantity < 10
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, ship_date""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

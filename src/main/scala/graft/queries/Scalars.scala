@@ -62,7 +62,15 @@ object Scalars extends QueryModule {
           pow(col("l_quantity"), 2).as("qty_sq"),
           greatest(col("l_discount"), col("l_tax")).as("max_rate"),
           least(col("l_discount"), col("l_tax")).as("min_rate"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // ORDER BY must be a TOTAL order of the output for the driver's
+        // row-wise hash compare: the synthetic lineitem does NOT honor
+        // the TPC-H (l_orderkey, l_linenumber) primary key (118k dup
+        // pairs at sf0.1), so tie rows with different content ordered
+        // engine-arbitrarily — caught by the 10× fixture. Every output
+        // column participates.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("abs_price"),
+          col("sqrt_qty"), col("mod7"), col("qty_sq"),
+          col("max_rate"), col("min_rate"))
     },
 
     "scalar_array" -> { (s, d) =>
@@ -141,7 +149,8 @@ object Scalars extends QueryModule {
         |       least(l_discount, l_tax) AS min_rate
         |FROM lineitem
         |WHERE l_orderkey <= 500
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, abs_price, sqrt_qty,
+        |         mod7, qty_sq, max_rate, min_rate""".stripMargin,
 
     "scalar_array" ->
       """SELECT p_partkey,

@@ -391,16 +391,23 @@ object Windows extends QueryModule {
     // every session flushes (the sentinel advances the watermark past
     // all timeouts), so the oracle is the full gaps-and-islands session
     // set — user_id/start/count only, the columns the state machine
-    // carries
+    // carries. TIE RULE (all three session oracles): the running
+    // sum(is_break) window orders by (ts, event_id), the SAME total order
+    // the lag() uses — ordering by ts alone let the engine process
+    // equal-timestamp rows in arbitrary order, attaching copies that
+    // happened to precede the break row to the PREVIOUS session
+    // (nondeterministic oracle results on data with duplicate
+    // timestamps, caught by the 10× fixture's replicated events; Spark's
+    // session_window is interval-based and has no such ambiguity)
     "streaming_sessionize" ->
       """WITH brk AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |                   >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS is_break
         |  FROM events),
         |grp AS (
         |  SELECT user_id, ts,
-        |         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+        |         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM brk)
         |SELECT user_id,
@@ -443,13 +450,13 @@ object Windows extends QueryModule {
     // identical gaps-and-islands oracle
     "streaming_session" ->
       """WITH brk AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, value, event_id,
         |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |                   >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS is_break
         |  FROM events),
         |grp AS (
         |  SELECT user_id, ts, value,
-        |         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+        |         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM brk)
         |SELECT user_id,
@@ -462,13 +469,13 @@ object Windows extends QueryModule {
 
     "events_session" ->
       """WITH brk AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, value, event_id,
         |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |                   >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS is_break
         |  FROM events),
         |grp AS (
         |  SELECT user_id, ts, value,
-        |         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+        |         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM brk)
         |SELECT user_id,
