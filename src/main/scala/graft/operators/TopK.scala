@@ -63,4 +63,75 @@ object TopK {
       override def bufferEncoder: Encoder[List[Entry]] = ExpressionEncoder[List[Entry]]()
       override def outputEncoder: Encoder[Seq[Entry]] = ExpressionEncoder[Seq[Entry]]()
     }
+
+  /** A scored candidate with the payload the rescore phase needs, so the
+    * exact phase never re-scans the corpus to fetch it back (a second
+    * 100 TB read). */
+  case class Cand(score: Double, id: Long, label: Int, emb: Seq[Float])
+
+  /** True iff `p` sorts strictly before `q` (descending score, ties by
+    * ascending id — the same total order the window formulation used). */
+  private def candBefore(p: Cand, q: Cand): Boolean =
+    p.score > q.score || (p.score == q.score && p.id < q.id)
+
+  /** Keep the top-k prefix of a descending-sorted list PLUS every entry
+    * whose score is within `eps` of the k-th score. The eps tail is what
+    * makes the cut safe under an approximate phase-1 score: phase-1 may
+    * misorder pairs whose true scores differ by less than its numeric
+    * drift, so an exact-k cut could evict a true top-k member — the eps
+    * band (chosen ≫ the drift) cannot. The retention rule composes under
+    * partial aggregation: any sub-buffer's k-th score is ≤ the final
+    * k-th score (a subset's k-th best never beats the full set's), so an
+    * entry inside the final eps band is inside every intermediate band
+    * it passes through — no partial cut can drop a final survivor. */
+  private def cutTies(k: Int, eps: Double, sorted: List[Cand]): List[Cand] =
+    if (sorted.lengthCompare(k) <= 0) sorted
+    else {
+      val (head, tail) = sorted.splitAt(k)
+      val kth = head.last.score
+      head ::: tail.takeWhile(_.score >= kth - eps)
+    }
+
+  /** O(|a|+|b|) merge of two descending-sorted lists (stable: left wins
+    * full ties, as in [[mergeBounded]]). */
+  private def mergeCands(a: List[Cand], b: List[Cand]): List[Cand] = {
+    val out = List.newBuilder[Cand]
+    var x = a
+    var y = b
+    while (x.nonEmpty || y.nonEmpty) {
+      if (y.isEmpty || (x.nonEmpty && !candBefore(y.head, x.head))) {
+        out += x.head; x = x.tail
+      } else {
+        out += y.head; y = y.tail
+      }
+    }
+    out.result()
+  }
+
+  /** Tie-aware bounded top-k with payload — the hierarchical phase-1 of
+    * the two-phase exact top-k (see `queries/Similarity.topkPairs`).
+    * Plans as ObjectHashAggregate with partial merge, so each map task
+    * reduces its rows to ≤k(+ties) per group BEFORE the shuffle: the
+    * exchange carries O(tasks × groups) bounded buffers instead of
+    * hash-partitioning a corpus-sized candidate set into |groups|
+    * window partitions (with 8 query groups that shape is 8 single-task
+    * corpus sorts — the round-6 scale-killer this replaces). */
+  def topKTies(k: Int, eps: Double): Aggregator[Cand, List[Cand], Seq[Cand]] =
+    new Aggregator[Cand, List[Cand], Seq[Cand]] {
+      override def zero: List[Cand] = Nil
+      override def reduce(buf: List[Cand], e: Cand): List[Cand] = {
+        // fast path: buffer is cut and the row can't enter the k-prefix
+        // or its eps band — untouched, zero allocation
+        if (buf.lengthCompare(k) >= 0) {
+          val kth = buf(k - 1).score
+          if (e.score < kth - eps) return buf
+        }
+        cutTies(k, eps, mergeCands(buf, e :: Nil))
+      }
+      override def merge(a: List[Cand], b: List[Cand]): List[Cand] =
+        cutTies(k, eps, mergeCands(a, b))
+      override def finish(r: List[Cand]): Seq[Cand] = r
+      override def bufferEncoder: Encoder[List[Cand]] = ExpressionEncoder[List[Cand]]()
+      override def outputEncoder: Encoder[Seq[Cand]] = ExpressionEncoder[Seq[Cand]]()
+    }
 }

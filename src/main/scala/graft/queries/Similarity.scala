@@ -86,26 +86,48 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("label"), col("embedding"),
         normDec(col("embedding")).as("n2"))
 
-  /** Brute-force scored pairs (query_id, vec_id, cosine) for vec_id<NQ
-    * queries against the whole corpus, self-pairs excluded. */
-  /** Exact top-k per query, two-phase: (1) rank ALL pairs by the cheap
-    * codegen double cosine and keep the tie-aware top-K prefix (see
-    * [[tieAwareCut]]); (2) decimal-rescore only those and re-rank
-    * exactly. The corpus-wide decimal HOF work drops from
-    * O(corpus×queries) to O(K×queries). */
+  /** Exact top-k per query, two-phase and HIERARCHICAL:
+    *
+    * Phase 1 scores every (query, corpus) pair with the cheap codegen
+    * double cosine map-side (the query side is broadcast — no shuffle)
+    * and reduces each input partition to its tie-aware top-K per query
+    * via the bounded [[graft.operators.TopK.topKTies]] Aggregator.
+    * Spark plans the typed Aggregator as ObjectHashAggregate with
+    * partial merge, so the exchange carries O(tasks × NQ) bounded
+    * buffers — never a corpus-sized candidate set hash-partitioned into
+    * NQ window partitions (with NQ=8 that earlier shape degenerated to
+    * 8 single-task corpus sorts at scale). Candidates carry their
+    * payload (label, embedding) through the buffer so phase 2 never
+    * re-scans the corpus to fetch it back.
+    *
+    * Phase 2 decimal-rescores only the O(NQ×K) survivors and re-ranks
+    * exactly (decimal accumulation is order-independent, so ranks are
+    * bit-stable vs the oracle). The eps tie band (see [[RescoreEps]])
+    * guarantees the true top-K survives phase 1 even where the double
+    * cosine misorders pairs within its ~1e-12 drift. */
   private def topkPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val base = withNorm(s, d)
     val q = broadcast(base.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2")))
-    val wFast = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_fast").desc, col("vec_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    tieAwareCut(base.join(q, col("vec_id") =!= col("query_id"))
+    val survivors = base.join(q, col("vec_id") =!= col("query_id"))
       .withColumn("cos_fast",
         dotDbl(col("qe"), col("embedding")) /
           sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-      .withColumn("rk_fast", row_number().over(wFast)))
+      .select(col("query_id"), col("cos_fast"), col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Double, Long, Int, Seq[Float])]
+      .groupByKey(_._1)
+      .mapValues(t => graft.operators.TopK.Cand(t._2, t._3, t._4, t._5))
+      .agg(graft.operators.TopK.topKTies(K, RescoreEps).toColumn.name("cands"))
+      .flatMap { case (qid, cands) => cands.map(c => (qid, c.id, c.label, c.emb)) }
+      .toDF("query_id", "vec_id", "label", "embedding")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    survivors
+      .join(q, Seq("query_id"))
+      // same decimal expression over the same floats ⇒ bit-identical to
+      // the n2 the corpus pass computed (cheap: survivor set only)
+      .withColumn("n2", normDec(col("embedding")))
       .withColumn("cosine",
         dotDec(col("qe"), col("embedding")).cast("double") /
           sqrt(col("qn2").cast("double") * col("n2").cast("double")))

@@ -105,6 +105,7 @@ class PlanSpec extends GraftSuite {
     val p = df.queryExecution.executedPlan.toString
     val generates = "Generate explode".r.findAllIn(p).length
     assert(generates == 1, s"tokenization ran $generates times:\n$p")
+    assert(p.contains("Window"), s"window pipeline missing entirely:\n$p")
     // the top-5 rank must ride the len-window's doc_id exchange: no
     // Exchange may sit between the final two Window operators (a Sort is
     // fine — same partitioning, different order)
@@ -120,5 +121,29 @@ class PlanSpec extends GraftSuite {
       "Exchange hashpartitioning".r.findAllIn(windowChunk).length
     assert(exchangesBetweenWindows <= 1,
       s"window pipeline re-shuffles ($exchangesBetweenWindows exchanges):\n$p")
+  }
+
+  test("ann_brute phase-1 top-k is hierarchical (partial aggregate), not a corpus-wide window") {
+    // round-6 weak mark: ranking the corpus×NQ candidate set through
+    // Window.partitionBy(query_id) hash-partitioned the whole corpus into
+    // NQ=8 partitions — 8 single-task corpus sorts at scale. The fix is
+    // the bounded TopK.topKTies Aggregator: partial merge reduces each
+    // map task to ≤K(+eps ties) per query BEFORE the exchange, which then
+    // carries O(tasks × NQ) bounded buffers. Assert the shape: a partial
+    // ObjectHashAggregate below the shuffle, and every Window (the exact
+    // decimal-rescore rank) strictly ABOVE the aggregate — windows only
+    // ever see the O(NQ×K) survivor set.
+    val full = plan("ann_brute")
+    // AQE appends the pre-execution tree below "== Initial Plan ==";
+    // assert on the final plan section only
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("ObjectHashAggregate"), s"bounded top-k aggregate missing:\n$p")
+    assert(p.contains("partial_"), s"no partial (map-side) top-k merge:\n$p")
+    assert(p.contains("Window"), s"survivor-set rank window missing:\n$p")
+    // plan text is top-down (parents before children): "above the
+    // aggregate" means every Window offset < the first aggregate offset
+    val aggAt = p.indexOf("ObjectHashAggregate")
+    assert(p.lastIndexOf("Window") < aggAt,
+      s"a Window ranks the corpus-sized candidate set (below the top-k aggregate):\n$p")
   }
 }
