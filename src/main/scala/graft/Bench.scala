@@ -83,13 +83,20 @@ object Bench {
     // MACHINE, not the engine. Compare rounds as value/calibration.
     val calibration = {
       val fn = SparkEntry.queries("wordcount")
-      val ts = (1 to 3).map { _ =>
+      var failed = false
+      val ts = (1 to 3).map { i =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] calibration rep$i failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      median(ts)
+      // a failed run's time-to-fail is NOT a calibration datum: it would
+      // silently skew every value/calibration cross-round normalization.
+      // -1 marks the datum invalid (consumers must skip normalizing).
+      if (failed) -1.0 else median(ts)
     }
     spark.catalog.clearCache()
 
@@ -137,6 +144,10 @@ object Bench {
     // -1 sentinels mark failures; only successful timings enter the total
     val total = results.collect { case (_, (_, med)) if med >= 0 => med }.sum + stagingTotal
     val nFailed = results.count(_._2._2 < 0)
+    // container-drift-normalized total (round-6 advice: stop hand-
+    // adjusting cross-round comparisons): totals in units of this
+    // container's warm-wordcount median. -1 when calibration failed.
+    val totalCalibrated = if (calibration > 0) total / calibration else -1.0
 
     // compact stdout line — the driver parses the JSON out of the LAST
     // 2000 chars of combined output (measured from BENCH_r01–r03: the tail
@@ -148,6 +159,7 @@ object Bench {
     def compactLine(dec: Int): String =
       s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec",""" +
         s""""failed":$nFailed,"calibration":${fmt(calibration, dec)},""" +
+        s""""total_calibrated":${fmt(totalCalibrated, dec)},""" +
         s""""staging_total":${fmt(stagingTotal, dec)},""" +
         s""""queries":${jmap(results.map { case (k, (_, med)) => k -> med }, dec)},""" +
         s""""sf":"$sfDir"}"""
@@ -156,7 +168,7 @@ object Bench {
     // full-precision detail for humans and post-hoc analysis
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"reps":$reps,""" +
-        s""""calibration":$calibration,""" +
+        s""""calibration":$calibration,"total_calibrated":$totalCalibrated,""" +
         s""""staging_total":$stagingTotal,""" +
         s""""staging":${jmap(stagingOk.toSeq.sortBy(_._1))},""" +
         s""""staging_failed":${jmap(stagingFailed.toSeq.sortBy(_._1))},""" +
@@ -186,6 +198,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
         s""""failed":$nFailed,"calibration":${fmt(calibration, 2)},""" +
+        s""""total_calibrated":${fmt(totalCalibrated, 2)},""" +
         s""""staging_total":${fmt(stagingTotal, 2)},"nqueries":${results.length},""" +
         s""""slowest":${jmap(slowest, 2)},"queries_full":"bench_out.json",""" +
         s""""sf":"$sfDir"}""")

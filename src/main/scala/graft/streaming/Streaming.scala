@@ -58,6 +58,18 @@ object Streaming {
     ss
   }
 
+  /** Filesystem-safe staging key for a fixture path: the sanitized path
+    * itself — an Int hash could silently collide across fixture dirs and
+    * cross-contaminate stream sources — plus the JVM pid, so two
+    * concurrent sessions over the SAME fixture never share (and race on)
+    * one staging dir. Within a JVM the key is stable, so repeated gates
+    * over a fixture reuse their staging. */
+  private def stagingKey(dir: String): String = {
+    val sane = dir.replaceAll("[^A-Za-z0-9._-]", "-").replaceAll("-+", "-")
+    val tail = if (sane.length > 60) sane.substring(sane.length - 60) else sane
+    s"${ProcessHandle.current().pid()}-$tail"
+  }
+
   /** File-source stream over the same parquet fixture (schema must be
     * supplied for streaming reads). ts arrives as nanos (see
     * Tables.events) and is normalized identically. `copies` stages the
@@ -72,7 +84,7 @@ object Streaming {
     // the events file alone into a per-fixture stream dir.
     val streamDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft-stream-${copies}x-" + Integer.toHexString(dir.hashCode))
+      s"graft-stream-${copies}x-" + stagingKey(dir))
     java.nio.file.Files.createDirectories(streamDir)
     // always refresh: a stale copy would silently stream old fixture data
     (0 until copies).foreach { i =>
@@ -365,7 +377,7 @@ object Streaming {
     // past watermark delay (1 h) + session gap (10 min), with 1 h slack
     val sentinelUs = maxUs + (3600L + 600L + 3600L) * 1000000L
     val streamDir = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-stream-flush-" + Integer.toHexString(dir.hashCode))
+      "graft-stream-flush-" + stagingKey(dir))
     Files.createDirectories(streamDir)
     def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
       val tmp = streamDir.resolve(name + ".tmpdir")
@@ -391,6 +403,41 @@ object Streaming {
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
       .as[StampedEvent]
+  }
+
+  /** Recursive delete, children before parents; no-op if absent. */
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
+  /** Gate dirs this JVM owns, deleted in one shutdown hook at exit. */
+  private val gateDirsToClean =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val gateCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      gateDirsToClean.forEach(d => try deleteTree(d) catch { case _: Exception => () })))
+  private def registerGateCleanup(dir: java.nio.file.Path): Unit = {
+    gateCleanupHook
+    gateDirsToClean.add(dir)
+  }
+
+  /** Delete graft-gate-* dirs a crashed JVM left behind. Age-gated (6 h
+    * since last touch) so a CONCURRENT session's live gates are never
+    * swept — this JVM's own gates go through the shutdown hook. */
+  private def sweepStaleGateDirs(): Unit = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    val list = java.nio.file.Files.list(tmp)
+    try list.filter(p => p.getFileName.toString.startsWith("graft-gate-"))
+      .filter(p =>
+        try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+        catch { case _: Exception => false })
+      .forEach(p => try deleteTree(p) catch { case _: Exception => () })
+    finally list.close()
   }
 
   /** Drive a streaming DataFrame to completion against the (finite) file
@@ -424,11 +471,16 @@ object Streaming {
       System.getProperty("java.io.tmpdir"), s"graft-gate-$name")
     // A stale gate dir would make the sink's metadata log + checkpoint
     // treat this run's batches as already committed (and emit nothing),
-    // so the gate always starts from scratch.
-    if (fileSink && java.nio.file.Files.exists(outDir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(outDir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    // so the gate always starts from scratch. Gate names are UUID-
+    // suffixed per run, so this run's dirs are also swept: by shutdown
+    // hook at JVM exit (the read-back DataFrame below is only valid
+    // within this JVM) plus a stale-dir sweep here for dirs a crashed
+    // JVM left behind — without both, every Append gate leaks its full
+    // output (input-sized at 100×) into tmpdir across bench reps/rounds.
+    if (fileSink) {
+      deleteTree(outDir)
+      sweepStaleGateDirs()
+      registerGateCleanup(outDir)
     }
     val q = (if (fileSink)
       df.writeStream
