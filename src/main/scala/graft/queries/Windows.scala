@@ -223,10 +223,7 @@ object Windows extends QueryModule {
     // join emission is immediate (a match emits in the batch its second
     // side arrives; the watermark only bounds buffered state), so the
     // result is final once the source drains and the batch interval-join
-    // oracle applies. The LEFT-OUTER twin stays ScalaTest-only BY
-    // DESIGN: its null rows emit on watermark-driven state eviction, so
-    // purchases near the end of a finite stream are withheld forever —
-    // not a deterministic batch equivalence.
+    // oracle applies.
     "streaming_join" -> { (s, d) =>
       val ss = graft.streaming.Streaming.stateSizedSession(s)
       val out = graft.streaming.Streaming.runToCompletion(
@@ -236,6 +233,28 @@ object Windows extends QueryModule {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         awaitWatermarkOutput = false)
       out.orderBy(col("purchase_id"), col("click_id"))
+    },
+
+    // Stream-stream LEFT-OUTER interval join through the driver gate.
+    // Outer null rows emit on watermark-driven state eviction, so on a
+    // plain finite stream purchases near the end are withheld forever
+    // (the round-5 reason this stayed ScalaTest-only). The flush-sentinel
+    // recipe voids that: the source's final micro-batch carries one
+    // far-future purchase AND one far-future click, advancing BOTH
+    // sides' watermarks past every real purchase's 30-minute click
+    // horizon — all held state flushes (matches or null rows) and the
+    // batch left-interval-join oracle applies deterministically (see
+    // [[graft.streaming.Streaming.eventsWithFlushSentinel]]). The
+    // sentinel pair matches only itself and is filtered by id sign.
+    "streaming_join_outer" -> { (s, d) =>
+      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val out = graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.purchaseClickLeftJoin(
+          graft.streaming.Streaming.eventsWithFlushSentinel(ss, d)),
+        "streaming_join_outer_" + java.util.UUID.randomUUID().toString.take(8),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      out.filter(col("purchase_id") >= 0)
+        .orderBy(col("purchase_id"), col("click_id"))
     },
 
     // Sliding 1-hour window every 30 min: each event lands in 2 windows.
@@ -364,6 +383,19 @@ object Windows extends QueryModule {
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // the sentinel flushes all outer state, so the batch LEFT interval
+    // join is the exact oracle. NULLS FIRST pins the tie order to
+    // Spark's ascending default (DuckDB defaults to NULLS LAST).
+    "streaming_join_outer" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+        |       CAST(epoch_us(c.ts) AS BIGINT) AS c_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin,
 
     // the streamed sliding result equals the batch one (Complete mode):
     // identical oracle

@@ -370,7 +370,7 @@ object Streaming {
     * is every real event and batch 1 is the sentinel alone. */
   def stampedEventsWithFlushSentinel(
       spark: SparkSession, dir: String): Dataset[StampedEvent] = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     import spark.implicits._
     val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
     val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
@@ -379,30 +379,70 @@ object Streaming {
     val streamDir = Paths.get(System.getProperty("java.io.tmpdir"),
       "graft-stream-flush-" + stagingKey(dir))
     Files.createDirectories(streamDir)
-    def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val tmp = streamDir.resolve(name + ".tmpdir")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val list = Files.list(tmp)
-      val part =
-        try list.filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow()
-        finally list.close()
-      Files.move(part, streamDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-      val walk = Files.walk(tmp)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-      Files.setLastModifiedTime(streamDir.resolve(name),
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-    }
     val now = System.currentTimeMillis()
-    stage(ev, "events_00.parquet", now)
-    stage(Seq((-1L, new java.sql.Timestamp(sentinelUs / 1000L)))
-      .toDF("user_id", "ts"), "sentinel_01.parquet", now + 60000L)
+    stageSingleFile(streamDir, ev, "events_00.parquet", now)
+    stageSingleFile(streamDir,
+      Seq((-1L, new java.sql.Timestamp(sentinelUs / 1000L)))
+        .toDF("user_id", "ts"), "sentinel_01.parquet", now + 60000L)
     spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
       .as[StampedEvent]
+  }
+
+  /** Write `df` as ONE parquet file at `streamDir/name` with the given
+    * mtime — FileStreamSource orders discovered files by modification
+    * time, so the mtimes DEFINE the micro-batch sequence (the property
+    * StreamingSpec pins). */
+  private def stageSingleFile(streamDir: java.nio.file.Path, df: DataFrame,
+      name: String, mtimeMs: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = streamDir.resolve(name + ".tmpdir")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val list = Files.list(tmp)
+    val part =
+      try list.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      finally list.close()
+    Files.move(part, streamDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    deleteTree(tmp)
+    Files.setLastModifiedTime(streamDir.resolve(name),
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
+  /** Full-column events stream whose FINAL micro-batch is two far-future
+    * SENTINEL events — one purchase, one click — so BOTH sides of a
+    * two-sided stateful operator see their watermark advance past every
+    * real row's join horizon. This extends the flush-sentinel recipe
+    * ([[stampedEventsWithFlushSentinel]]) to stream-stream OUTER joins:
+    * null rows for unmatched purchases emit on watermark-driven state
+    * eviction, so with the sentinel committed, every real purchase's
+    * fate (matched rows or one null row) is decided deterministically
+    * and the batch left-interval-join oracle applies. Production shape:
+    * the ingest emits a high-watermark control record on each side to
+    * close the books. Sentinels carry negative ids (user_id = -1);
+    * callers filter `purchase_id >= 0`. */
+  def eventsWithFlushSentinel(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    // past watermark delay (1 h) + join interval (30 min), with 1 h slack
+    val sentinelUs = maxUs + (3600L + 1800L + 3600L) * 1000000L
+    val streamDir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-stream-joinflush-" + stagingKey(dir))
+    Files.createDirectories(streamDir)
+    val now = System.currentTimeMillis()
+    stageSingleFile(streamDir, ev, "events_00.parquet", now)
+    stageSingleFile(streamDir,
+      Seq((-1L, -1L, "purchase", new java.sql.Timestamp(sentinelUs / 1000L)),
+          (-2L, -1L, "click", new java.sql.Timestamp(sentinelUs / 1000L)))
+        .toDF("event_id", "user_id", "event_type", "ts"),
+      "sentinel_01.parquet", now + 60000L)
+    spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
   }
 
   /** Recursive delete, children before parents; no-op if absent. */

@@ -76,6 +76,22 @@ class StreamingSpec extends GraftSuite {
     assert(mustEmit.nonEmpty && gotNullIds.nonEmpty)
   }
 
+  test("LEFT-OUTER join with flush sentinel equals the batch left join EXACTLY") {
+    // the sentinel batch (one far-future purchase + one far-future click)
+    // advances both sides' watermarks past every real purchase's click
+    // horizon, so no state is withheld: unlike the plain-source test
+    // above, the streamed result must equal the batch twin row-for-row
+    val got = Streaming.runToCompletion(
+      Streaming.purchaseClickLeftJoin(Streaming.eventsWithFlushSentinel(spark, sf)),
+      "ssleft_flush_out", OutputMode.Append())
+      .filter(col("purchase_id") >= 0)
+    val want = Streaming.purchaseClickLeftJoin(Tables.events(spark, sf))
+    assert(normalize(got) == normalize(want))
+    // and the batch twin genuinely exercises both shapes
+    assert(want.filter(col("click_id").isNull).count() > 0)
+    assert(want.filter(col("click_id").isNotNull).count() > 0)
+  }
+
   test("flatMapGroupsWithState sessionization equals session_window") {
     import spark.implicits._
     val tsEvents = Tables.events(spark, sf)
