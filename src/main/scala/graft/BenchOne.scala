@@ -1,6 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** Dev helper: time one named query (args: name sfDir [reps]). */
+/** Dev helper: time one named query (args: name sfDir [reps]).
+  *
+  * SPARK_GRAFT_CONF takes comma-separated k=v runtime confs — the
+  * measurement-protocol knobs (e.g.
+  * `spark.graft.ann.bitsPerBand=8,spark.sql.files.maxPartitionBytes=4m`
+  * for corpus-sized ANN buckets / un-bin-packed fixture scans). */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0); val sfDir = args(1)
@@ -12,6 +17,23 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
+    // optional 4th arg: an untimed warmup query, so fresh-JVM single-rep
+    // protocols (the only sound ones at ≥10M-row scale — same-JVM reps
+    // inherit loaded state stores / heap residue) don't bill ~10 s of
+    // one-time JVM/codegen/parquet-reader init to the measured query
+    if (args.length > 3) {
+      try SparkEntry.queries(args(3))(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[benchone] warmup ${args(3)} failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+    }
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -74,16 +74,54 @@ object ScaleData {
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
 
-  def replicateEmbeddings(src: DataFrame, factor: Int): DataFrame =
+  /** Per-replica sign-flip pattern for k ≥ [[HyperDims]] (seeded, so
+    * reruns agree); at least one dimension always flips so the pattern
+    * never equals the implicit all-positive pattern of the k <
+    * HyperDims rotation-only shards. */
+  private[graft] def signPattern(k: Int): Array[Boolean] = {
+    val rnd = new scala.util.Random(0x51611AB5L + k)
+    val flips = Array.fill(HyperDims)(rnd.nextBoolean())
+    if (!flips.contains(true)) flips(0) = true
+    flips
+  }
+
+  /** SQL for replica k's embedding transform: rotation by k·7 mod 64
+    * (distinct while 7 is coprime with 64, i.e. k < 64 — the original
+    * 10× scheme, unchanged so existing fixtures stay byte-identical)
+    * composed, for k ≥ 64, with a per-replica sign-flip pattern. Both
+    * are isometries of the dot product — a coordinate permutation only
+    * reorders the summed products, and flipping dimension j negates
+    * BOTH factors of its product — so norms and every within-shard
+    * pairwise cosine are preserved EXACTLY (float-bit-exactly:
+    * negation and reordering don't round), while distinct transforms
+    * decorrelate shards just as distinct rotations do. */
+  private[graft] def embeddingSql(k: Int): String = {
+    val r = (k * 7) % HyperDims
+    val rotated =
+      if (r == 0) "embedding"
+      else s"concat(slice(embedding, ${r + 1}, ${HyperDims - r}), slice(embedding, 1, $r))"
+    if (k < HyperDims) rotated
+    else {
+      // ±1 int literals: x * (-1) is an exact float negation
+      val signs = signPattern(k).map(f => if (f) "-1" else "1").mkString(",")
+      s"zip_with($rotated, array($signs), (x, s) -> CAST(x * s AS FLOAT))"
+    }
+  }
+
+  def replicateEmbeddings(src: DataFrame, factor: Int): DataFrame = {
+    // distinct (rotation, signs) per replica or shards would carry exact
+    // duplicate vectors and corrupt dedup/ANN structure; seeded 64-bit
+    // patterns collide with negligible probability, but verify anyway
+    val transforms = (0 until factor).map(embeddingSql)
+    require(transforms.toSet.size == factor,
+      s"replica transforms collide at factor $factor")
     (0 until factor).map { k =>
-      val r = (k * 7) % HyperDims
       src.select(
         (col("vec_id") + lit(k.toLong * 1000000L)).as("vec_id"),
-        (if (r == 0) col("embedding")
-         else expr(s"concat(slice(embedding, ${r + 1}, ${HyperDims - r}), slice(embedding, 1, $r))"))
-          .as("embedding"),
+        expr(transforms(k)).as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
+  }
 
   /** events: replica k offsets event_id only — user_id, ts, type, value,
     * props are kept, so the result is "N× traffic over the same time
@@ -153,13 +191,10 @@ object ScaleData {
       if (args.length > 3) args(3).split(",").map(_.trim).toSet
       else Set("documents", "embeddings", "events", "lineitem", "orders")
     // documents: any factor (seeded permutations beyond 26 rotations).
-    // embeddings: the k·7 mod 64 rotations are distinct only for k < 64
-    // (7 coprime with 64) — k ≥ 64 would plant exact cross-shard
-    // duplicate vectors and corrupt dedup/ANN structure.
+    // embeddings: rotations for k < 64, rotation + seeded sign-flips
+    // beyond (see embeddingSql) — replicateEmbeddings verifies the
+    // transforms are pairwise distinct.
     require(factor >= 1, "factor must be >= 1")
-    require(!wanted.contains("embeddings") || factor <= 64,
-      "embeddings replicas repeat beyond factor 64 (k*7 mod 64 cycles): " +
-        "exclude embeddings from the table list for larger factors")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -406,7 +406,10 @@ object Similarity extends QueryModule {
     // dot re-scores only survivors (double-vs-decimal drift is ~1e-12,
     // five orders of magnitude inside the 0.005 margin).
     "dedup_embedding" -> { (s, d) =>
-      val bucketed = lshBucketed(s, d, 4, 4)
+      // bitsPerBand is THE corpus-size lever (see lshBucketed): default 4
+      // matches the SQL oracle's 16 planes; larger corpora raise it via
+      // spark.graft.ann.bitsPerBand ≈ log2(corpus / target bucket size)
+      val bucketed = lshBucketed(s, d, 4, annBitsPerBand(s))
       val cand = bucketed.as("a")
         .join(bucketed.as("b"),
           col("a.label") === col("b.label") && col("a.band") === col("b.band") &&

@@ -216,6 +216,37 @@ class ScaleSpec extends GraftSuite {
     assert(maps.distinct.length == maps.length, "replica alphabets collide")
   }
 
+  test("ScaleData embedding replicas past 64 preserve within-shard decimal dots exactly") {
+    // the k >= 64 branch composes the rotation with sign flips; both are
+    // dot-product isometries over the SAME multiset of per-term products,
+    // so under the repo's decimal accumulation discipline (per-term
+    // rounding to 12 dp, order-independent sum — the one every scored
+    // query ranks with) each replica's pairwise dots must be BIT-identical
+    // to the source's. The in-order DOUBLE dot is allowed to drift by
+    // ulps under reordering — that drift is precisely what RescoreEps
+    // guards in the two-phase queries, so it is not asserted here.
+    val dotDec = "CAST(aggregate(zip_with(a.embedding, b.embedding, " +
+      "(x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))), " +
+      "CAST(0 AS DECIMAL(20,12)), " +
+      "(acc, v) -> CAST(acc + v AS DECIMAL(20,12))) AS STRING)"
+    def dots(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), String] =
+      df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id"), expr(dotDec))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val src = Tables.embeddings(spark, sf).limit(20)
+      .select(col("vec_id"), col("embedding"))
+    val want = dots(src)
+    for (k <- Seq(64, 99)) {
+      val shard = Tables.embeddings(spark, sf).limit(20)
+        .select(col("vec_id"), expr(ScaleData.embeddingSql(k)).as("embedding"))
+      val got = dots(shard)
+      assert(got == want, s"replica $k broke pairwise decimal dot products")
+    }
+    // and the transforms themselves stay pairwise distinct to 100+
+    val sqls = (0 until 128).map(ScaleData.embeddingSql)
+    assert(sqls.distinct.length == sqls.length, "replica transforms collide")
+  }
+
   test("parquet mergeSchema reads files written with evolving schemas") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString + "/t"
