@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, Decimal, DecimalType}
+
+/** Exact decimal dot product of two `ARRAY<FLOAT>` columns as a native
+  * codegen expression — value-identical to the HOF formulation
+  *
+  * {{{
+  * aggregate(zip_with(a, b, (x,y) -> CAST(double(x)*double(y) AS DECIMAL(20,12))),
+  *           CAST(0 AS DECIMAL(20,12)), (acc,v) -> CAST(acc+v AS DECIMAL(20,12)))
+  * }}}
+  *
+  * per term: the float×float product in double is exact, the cast to
+  * DECIMAL(20,12) rounds HALF_UP through the same `Decimal(double)` path
+  * `Cast` uses (NaN/Infinity → null, precision overflow → null); the
+  * accumulation is exact because (20,12)+(20,12) widens to (21,12) at
+  * the SAME scale — the cast back never rounds — so the sum is
+  * order-independent and oracle-stable, exactly like the HOF.
+  *
+  * Why it exists: Catalyst evaluates higher-order-function lambdas
+  * INTERPRETED, per element — and any Filter/Join condition containing
+  * one falls out of whole-stage codegen, taking its whole operator with
+  * it. Measured on the 100× embeddings corpus, the decimal HOF riding
+  * the dedup self-join was the difference between a ~10 s and a ~120 s
+  * pass over the same 10.3 M candidate pairs. As a native expression the
+  * decimal rescore stays inside WSCG wherever it appears.
+  *
+  * Assumes non-null ELEMENTS (the embeddings fixture guarantees it);
+  * null arrays propagate null via BinaryExpression's null handling.
+  */
+case class DecimalDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DecimalType(20, 12)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = Decimal(0L, 20, 12)
+    var i = 0
+    while (i < n) {
+      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      if (p.isNaN || p.isInfinite) return null
+      val v = Decimal(p)
+      if (!v.changePrecision(20, 12)) return null
+      acc = acc + v
+      if (!acc.changePrecision(20, 12)) return null
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dec = classOf[Decimal].getName
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val p = ctx.freshName("p")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |$dec $acc = $dec.apply(0L, 20, 12);
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  double $p = (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  if (Double.isNaN($p) || Double.isInfinite($p)) { ${ev.isNull} = true; break; }
+         |  $dec $v = $dec.apply($p);
+         |  if (!$v.changePrecision(20, 12)) { ${ev.isNull} = true; break; }
+         |  $acc = $acc.$$plus($v);
+         |  if (!$acc.changePrecision(20, 12)) { ${ev.isNull} = true; break; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecimalDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DecimalDotProduct {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def decimal_dot(a: Column, b: Column): Column =
+    column(DecimalDotProduct(expression(a), expression(b)))
+}

@@ -59,16 +59,16 @@ object Similarity extends QueryModule {
       .filter(col("rk_fast") <= K || col("cos_fast") >= col("kth_fast") - RescoreEps)
   }
 
-  /** Exact decimal dot product of two float-array columns. */
+  /** Exact decimal dot product of two float-array columns — the codegen
+    * [[graft.functions.DecimalDotProduct]], value-identical to the HOF
+    * `aggregate(zip_with(...))` formulation it replaced (per-term double
+    * product → HALF_UP cast to (20,12) → exact same-scale accumulation,
+    * so the sum is order-independent and oracle-stable). Native because
+    * HOF lambdas evaluate interpreted and expel their operator from
+    * whole-stage codegen — ruinous when the rescore predicate rides a
+    * corpus-pair-sized join (see dedup_embedding's shape note). */
   private def dotDec(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(20,12)")),
-      lit(0).cast("decimal(20,12)"),
-      // (20,12)+(20,12) widens to (21,12) — same scale, so the value is
-      // exact and the cast back to the accumulator type never rounds
-      // (values stay ≪ 1e8). At (38,12) Spark would instead drop to
-      // scale 11 and round every step — order-dependent vs the oracle.
-      (acc, v) => (acc + v).cast("decimal(20,12)"))
+    graft.functions.DecimalDotProduct.decimal_dot(a, b)
 
   private def normDec(a: Column): Column = dotDec(a, a)
 
@@ -157,6 +157,21 @@ object Similarity extends QueryModule {
       .withColumn("buckets",
         graft.functions.HyperplaneBuckets.buckets(col("embedding"), nBands, bitsPerBand))
       .select(col("vec_id"), col("label"), col("embedding"), col("n2"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+
+  /** [[lshBucketed]] without the decimal `n2` norm column. For passes
+    * whose candidate volume is corpus-sized (the dedup self-join), the
+    * norm column is poison: `normDec` is an interpreted higher-order
+    * lambda (no codegen), so any Filter/Join it touches falls out of
+    * whole-stage codegen — measured at 100× as the difference between a
+    * ~10 s and a ~120+ s pass over the same 10.3 M candidate pairs.
+    * Bucket-bounded passes (ann_lsh) keep the norm: their candidate set
+    * is small, and phase-2 needs the oracle-exact decimal norm anyway. */
+  private def lshBucketedNoNorm(s: SparkSession, d: String, nBands: Int, bitsPerBand: Int): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("buckets",
+        graft.functions.HyperplaneBuckets.buckets(col("embedding"), nBands, bitsPerBand))
+      .select(col("vec_id"), col("label"), col("embedding"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
 
   private def annBitsPerBand(s: SparkSession): Int =
@@ -409,28 +424,43 @@ object Similarity extends QueryModule {
       // bitsPerBand is THE corpus-size lever (see lshBucketed): default 4
       // matches the SQL oracle's 16 planes; larger corpora raise it via
       // spark.graft.ann.bitsPerBand ≈ log2(corpus / target bucket size)
-      val bucketed = lshBucketed(s, d, 4, annBitsPerBand(s))
-      val cand = bucketed.as("a")
+      //
+      // Shape (reworked in round 7 after a 100× phase decomposition):
+      // the self-join output is consumed IN-STAGE by an all-float codegen
+      // prefilter, and everything downstream of it is candidate-sized.
+      // The previous shape distinct-ed the skinny (d1, d2) pairs and
+      // joined the corpus back twice to re-fetch embeddings + decimal
+      // norms — but the distinct removed only 0.3% of pairs (multi-band
+      // collisions are rare by construction: independent bands), so it
+      // bought two extra corpus-pair-sized shuffles and, worse, put the
+      // interpreted decimal-norm lambda on the join path, knocking the
+      // 10 M-row join out of whole-stage codegen (measured at 100×:
+      // 194 s → the same pass with a float-only tail runs in ~10 s).
+      // The prefilter here uses FLOAT norms (codegen float_dot of e·e):
+      // relative drift vs the decimal norm is ~1e-7, three orders of
+      // magnitude inside the 0.985-vs-0.99 margin, so the survivor SET
+      // is identical; survivors (tiny) then get the oracle-exact decimal
+      // dot AND decimal norms, and band-duplicate survivors collapse in
+      // a final candidate-sized distinct — output is bit-identical to
+      // the oracle's formulation.
+      val bucketed = lshBucketedNoNorm(s, d, 4, annBitsPerBand(s))
+      bucketed.as("a")
         .join(bucketed.as("b"),
           col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
             col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
-        .distinct()
-      val base = withNorm(s, d)
-      cand
-        .join(base.select(col("vec_id").as("d1"), col("label"),
-          col("embedding").as("e1"), col("n2").as("na")), Seq("d1"))
-        .join(base.select(col("vec_id").as("d2"),
-          col("embedding").as("e2"), col("n2").as("nb")), Seq("d2"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+          col("a.label").as("label"), col("a.embedding").as("e1"),
+          col("b.embedding").as("e2"))
         .withColumn("cos_fast",
           dotDbl(col("e1"), col("e2")) /
-            sqrt(col("na").cast("double") * col("nb").cast("double")))
+            sqrt(dotDbl(col("e1"), col("e1")) * dotDbl(col("e2"), col("e2"))))
         .filter(col("cos_fast") >= 0.985)
         .withColumn("cosine",
           dotDec(col("e1"), col("e2")).cast("double") /
-            sqrt(col("na").cast("double") * col("nb").cast("double")))
+            sqrt(normDec(col("e1")).cast("double") * normDec(col("e2")).cast("double")))
         .filter(col("cosine") >= 0.99)
         .select(col("d1"), col("d2"), col("label"), round(col("cosine"), 9).as("cosine"))
+        .distinct()
         .orderBy(col("d1"), col("d2"))
     }
   )

@@ -47,6 +47,28 @@ class OperatorsSpec extends GraftSuite {
     assert(viaExpr.zip(viaHof).forall { case (a, b) => a == b }, "bit-exact equality")
   }
 
+  test("DecimalDotProduct equals the HOF decimal dot product bit-for-bit") {
+    import graft.functions.DecimalDotProduct.decimal_dot
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val pairs = emb.select(col("vec_id").as("i"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("j"), col("embedding").as("b")))
+      .filter(col("i") <= col("j")) // includes self-pairs: the norm case
+    val viaExpr = pairs.select(decimal_dot(col("a"), col("b")).cast("string").as("d"))
+      .collect().map(_.getString(0))
+    // the HOF formulation this expression replaced (and which the DuckDB
+    // oracle mirrors): per-term HALF_UP cast to (20,12), exact same-scale
+    // accumulation — compared as strings so scale/precision match too
+    val viaHof = pairs.select(
+      aggregate(
+        zip_with(col("a"), col("b"),
+          (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(20,12)")),
+        lit(0).cast("decimal(20,12)"),
+        (acc, v) => (acc + v).cast("decimal(20,12)")).cast("string").as("d"))
+      .collect().map(_.getString(0))
+    assert(viaExpr.length == viaHof.length && viaExpr.nonEmpty)
+    assert(viaExpr.zip(viaHof).forall { case (a, b) => a == b }, "bit-exact equality")
+  }
+
   test("HyperplaneBuckets equals the HOF bucketing bit-for-bit") {
     import graft.functions.HyperplaneBuckets
     val (nBands, bits) = (4, 4)

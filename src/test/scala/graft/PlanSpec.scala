@@ -146,4 +146,27 @@ class PlanSpec extends GraftSuite {
     assert(p.lastIndexOf("Window") < aggAt,
       s"a Window ranks the corpus-sized candidate set (below the top-k aggregate):\n$p")
   }
+
+  test("dedup_embedding: one self-join, no corpus join-backs, no interpreted lambdas") {
+    // round-7 rework (measured at 100×: 194 s → 8.3 s): the old shape
+    // distinct-ed skinny (d1,d2) pairs and joined the corpus back twice
+    // to re-fetch embeddings + decimal norms, putting an interpreted
+    // higher-order decimal lambda on the pair-sized join path (expelling
+    // it from whole-stage codegen). Now the ONLY join is the bucketed
+    // self-join; its output is consumed in place by the all-float codegen
+    // prefilter, and the decimal rescore is the codegen DecimalDotProduct.
+    // the fixture yields 0 survivor pairs, so AQE's FINAL plan collapses
+    // to EmptyRelation — the shape under test is the pre-execution one:
+    // assert on the Initial Plan section (the last split part)
+    val full = plan("dedup_embedding")
+    val p = full.split("== Initial Plan ==").last
+    val joins = "Join".r.findAllIn(p).length
+    assert(joins == 1, s"expected exactly the bucketed self-join, found $joins joins:\n$p")
+    // any HOF lambda in the physical plan would run interpreted and drag
+    // its operator (worst case: the join condition) out of codegen
+    assert(!p.contains("lambdafunction"),
+      s"interpreted higher-order lambda on the dedup path:\n$p")
+    assert(p.contains("floatdotproduct"), s"codegen float prefilter missing:\n$p")
+    assert(p.contains("decimaldotproduct"), s"codegen decimal rescore missing:\n$p")
+  }
 }

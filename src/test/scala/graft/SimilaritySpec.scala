@@ -110,6 +110,34 @@ class SimilaritySpec extends GraftSuite {
     assert(rows.forall(r => r.getDouble(3) >= 0.99))
   }
 
+  test("dedup_embedding finds planted near-duplicates once each (band collapse)") {
+    // the fixture corpus plants no cos>=0.99 pairs (the query's oracle
+    // gate is 0 == 0), so the non-empty path — prefilter margin, decimal
+    // rescore, and the collapse of a pair surviving in SEVERAL bands to
+    // ONE output row — is exercised here on a planted table instead
+    import spark.implicits._
+    val dim = 64
+    val base = Array.tabulate(dim)(i => (i + 1).toFloat / dim)
+    val near = base.clone(); near(0) = near(0) + 1e-3f
+    val far = Array.tabulate(dim)(i => if (i % 2 == 0) 1f else -1f)
+    val rows = Seq(
+      (0L, base, 1), (1L, base, 1), (2L, near, 1), // same-label dup cluster
+      (3L, far, 1), // same label, far — must not pair
+      (4L, base, 2), (5L, far, 2)) // other label — label blocking
+    val dir = java.nio.file.Files.createTempDirectory("graft-embdup").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("dedup_embedding")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // identical/near-identical vectors share every band's bucket, so each
+    // pair appears 4× pre-collapse; exactly one output row each
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((0L, 1L), (0L, 2L), (1L, 2L)),
+      s"got ${got.mkString(",")}")
+    assert(got.forall(t => t._3 == 1 && t._4 >= 0.99))
+    // exact duplicate: the decimal cosine is exactly 1.0
+    assert(got.find(t => (t._1, t._2) == (0L, 1L)).get._4 == 1.0)
+  }
+
   test("ann_range agrees with ann_brute above the radius") {
     val tau = 0.25
     val range = q("ann_range").collect()
