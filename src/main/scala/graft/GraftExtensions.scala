@@ -1,7 +1,8 @@
 package graft
 
-import graft.functions.{DistinctGramCount, DistinctGrams, Fnv32a, GramIntersectCount,
-  MinhashBandSigs, SimhashChunks, WinnowMin, WordShingles}
+import graft.functions.{DecimalDotProduct, DistinctGramCount, DistinctGrams, Fnv32a,
+  FloatDotProduct, GramIntersectCount, HyperplaneBuckets, MinhashBandSigs,
+  SimhashChunks, WinnowMin, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -47,7 +48,11 @@ object GraftExtensions {
     "distinct_grams" -> (exprs => DistinctGrams(exprs.head, intArg(exprs, 1))),
     "word_shingles" -> (exprs => WordShingles(exprs.head, intArg(exprs, 1))),
     "simhash_chunks" -> (exprs => SimhashChunks(exprs.head)),
-    "minhash_band_sigs" -> (exprs => MinhashBandSigs(exprs.head, intArg(exprs, 1)))
+    "minhash_band_sigs" -> (exprs => MinhashBandSigs(exprs.head, intArg(exprs, 1))),
+    "float_dot" -> (exprs => FloatDotProduct(exprs(0), exprs(1))),
+    "decimal_dot" -> (exprs => DecimalDotProduct(exprs(0), exprs(1))),
+    "hyperplane_buckets" ->
+      (exprs => HyperplaneBuckets(exprs.head, intArg(exprs, 1), intArg(exprs, 2)))
   )
 
   /** Runtime registration for an existing session (builder-time

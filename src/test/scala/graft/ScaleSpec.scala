@@ -275,7 +275,13 @@ class ScaleSpec extends GraftSuite {
         |       size(distinct_grams('abcabc', 4)) AS dg,
         |       size(word_shingles('a b c d', 3)) AS ws,
         |       size(simhash_chunks('hello world')) AS sc,
-        |       size(minhash_band_sigs('a b c d', 3)) AS mbs""".stripMargin)
+        |       size(minhash_band_sigs('a b c d', 3)) AS mbs,
+        |       float_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |                 CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS fd,
+        |       decimal_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |                   CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS dd,
+        |       size(hyperplane_buckets(
+        |         CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>), 4, 4)) AS hb""".stripMargin)
       .collect().head
     assert(r.getString(0).matches("[0-9a-f]{32}"))
     assert(r.getInt(1) == 3) // abca, bcab, cabc
@@ -284,5 +290,8 @@ class ScaleSpec extends GraftSuite {
     assert(r.getInt(4) == 2) // "a b c", "b c d"
     assert(r.getInt(5) == 4)
     assert(r.getInt(6) == 4)
+    assert(r.getDouble(7) == 11.0)
+    assert(r.getDecimal(8) == new java.math.BigDecimal("11.000000000000"))
+    assert(r.getInt(9) == 4)
   }
 }
