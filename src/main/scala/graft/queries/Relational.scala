@@ -75,14 +75,18 @@ object Relational extends QueryModule {
     },
 
     // TPC-H Q3 shape: fact⋈fact⋈dim join + grouped revenue + top-10.
+    // Join order is load-bearing (no CBO ⇒ syntactic order): customer's
+    // BUILDING filter keeps ~1/5 of customers, so the broadcast c⋈o join
+    // must prune orders BEFORE the fact⋈fact sort-merge, not rank the
+    // full orders volume through the shuffle and filter afterwards.
     "q3_shipping" -> { (s, d) =>
       val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, d)
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
+      li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
         .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
@@ -92,6 +96,13 @@ object Relational extends QueryModule {
     },
 
     // TPC-H Q5 shape: 6-way join; dims broadcast, facts shuffle on keys.
+    // Join order is load-bearing (no CBO ⇒ syntactic order): the ASIA
+    // region filter reaches lineitem only through supplier⋈nation⋈region,
+    // so that broadcast chain must prune lineitem to ~1/5 BEFORE the
+    // fact⋈fact sort-merge with orders. The c_nationkey = s_nationkey
+    // coupling rides the customer join unchanged (s_nationkey is already
+    // in scope from the supplier join) — inner joins commute, results
+    // are identical.
     "q5_region_revenue" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val ord = Tables.orders(s, d)
@@ -101,12 +112,12 @@ object Relational extends QueryModule {
       val supp = broadcast(Tables.supplier(s, d))
       val nat = broadcast(Tables.nation(s, d))
       val reg = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(supp, col("l_suppkey") === col("s_suppkey") &&
-          col("c_nationkey") === col("s_nationkey"))
+      li.join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(nat, col("s_nationkey") === col("n_nationkey"))
         .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
           .cast("double").as("revenue"))
@@ -448,22 +459,36 @@ object Relational extends QueryModule {
       Tables.customer(s, d).createOrReplaceTempView("customer_v")
       Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
       Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      // The cross-side OR can only evaluate after BOTH nation joins, so
+      // Catalyst cannot derive the per-side prunes from it on its own.
+      // Each side's implied envelope (n_name IN the two nations — keeps
+      // ~2/25 of each fact) is therefore made explicit INSIDE a derived
+      // table, so each fact is pruned by its broadcast dim chain BEFORE
+      // the fact⋈fact sort-merge; the OR keeps only the residual
+      // pair-matching role it alone can decide. Redundant-but-implied
+      // predicates: results are identical.
       s.sql(
-        """SELECT /*+ BROADCAST(n1), BROADCAST(n2) */
-          |       n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        """SELECT /*+ BROADCAST(supplier_v), BROADCAST(customer_v) */
+          |       supp_nation, cust_nation,
           |       year(l_shipdate) AS l_year,
           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
           |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-          |FROM lineitem_v
-          |JOIN orders_v ON l_orderkey = o_orderkey
-          |JOIN customer_v ON o_custkey = c_custkey
-          |JOIN supplier_v ON l_suppkey = s_suppkey
-          |JOIN nation_v n1 ON s_nationkey = n1.n_nationkey
-          |JOIN nation_v n2 ON c_nationkey = n2.n_nationkey
-          |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-          |  AND l_shipdate >= TIMESTAMP '1995-01-01'
-          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |FROM (SELECT l_orderkey, l_shipdate, l_extendedprice, l_discount,
+          |             n1.n_name AS supp_nation
+          |      FROM lineitem_v
+          |      JOIN supplier_v ON l_suppkey = s_suppkey
+          |      JOIN nation_v n1 ON s_nationkey = n1.n_nationkey
+          |      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          |        AND l_shipdate >= TIMESTAMP '1995-01-01'
+          |        AND l_shipdate < TIMESTAMP '1997-01-01') li
+          |JOIN (SELECT o_orderkey, n2.n_name AS cust_nation
+          |      FROM orders_v
+          |      JOIN customer_v ON o_custkey = c_custkey
+          |      JOIN nation_v n2 ON c_nationkey = n2.n_nationkey
+          |      WHERE n2.n_name IN ('NATION_1', 'NATION_2')) ord
+          |  ON l_orderkey = o_orderkey
+          |WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+          |   OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
           |GROUP BY supp_nation, cust_nation, l_year
           |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
     },
@@ -560,6 +585,13 @@ object Relational extends QueryModule {
     // dim sides broadcast; the only shuffles are the fact⋈fact joins and
     // the final group-by. Decimal discipline: volumes sum as DECIMAL
     // (exact), the share divides as double and rounds.
+    //
+    // Join ORDER is load-bearing: without CBO stats Catalyst keeps the
+    // syntactic inner-join order, so the broadcast dims carrying the
+    // selective predicates (p_type keeps ~1/6 of lineitem) must come
+    // BEFORE the orders join or the fact⋈fact sort-merge shuffles the
+    // full 100%-of-lineitem volume first (measured 12.2 s vs 1.6 s at
+    // the 60M-row fixture; inner joins commute so results are equal).
     "sql_tpch_q8" -> { (s, d) =>
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
       Tables.orders(s, d).createOrReplaceTempView("orders_v")
@@ -579,13 +611,13 @@ object Relational extends QueryModule {
           |                      CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 6)
           |         AS mkt_share
           |FROM lineitem_v
+          |JOIN part_v ON l_partkey = p_partkey
+          |JOIN supplier_v ON l_suppkey = s_suppkey
+          |JOIN nation_v n2 ON s_nationkey = n2.n_nationkey
           |JOIN orders_v ON l_orderkey = o_orderkey
           |JOIN customer_v ON o_custkey = c_custkey
-          |JOIN supplier_v ON l_suppkey = s_suppkey
-          |JOIN part_v ON l_partkey = p_partkey
           |JOIN nation_v n1 ON c_nationkey = n1.n_nationkey
           |JOIN region_v ON n1.n_regionkey = r_regionkey
-          |JOIN nation_v n2 ON s_nationkey = n2.n_nationkey
           |WHERE r_name = 'EUROPE'
           |  AND o_orderdate >= TIMESTAMP '1995-01-01'
           |  AND o_orderdate < TIMESTAMP '1997-01-01'
