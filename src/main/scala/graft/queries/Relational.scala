@@ -468,12 +468,12 @@ object Relational extends QueryModule {
       // pair-matching role it alone can decide. Redundant-but-implied
       // predicates: results are identical.
       s.sql(
-        """SELECT /*+ BROADCAST(supplier_v), BROADCAST(customer_v) */
-          |       supp_nation, cust_nation,
+        """SELECT supp_nation, cust_nation,
           |       year(l_shipdate) AS l_year,
           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
           |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-          |FROM (SELECT l_orderkey, l_shipdate, l_extendedprice, l_discount,
+          |FROM (SELECT /*+ BROADCAST(supplier_v), BROADCAST(n1) */
+          |             l_orderkey, l_shipdate, l_extendedprice, l_discount,
           |             n1.n_name AS supp_nation
           |      FROM lineitem_v
           |      JOIN supplier_v ON l_suppkey = s_suppkey
@@ -481,7 +481,8 @@ object Relational extends QueryModule {
           |      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
           |        AND l_shipdate >= TIMESTAMP '1995-01-01'
           |        AND l_shipdate < TIMESTAMP '1997-01-01') li
-          |JOIN (SELECT o_orderkey, n2.n_name AS cust_nation
+          |JOIN (SELECT /*+ BROADCAST(customer_v), BROADCAST(n2) */
+          |             o_orderkey, n2.n_name AS cust_nation
           |      FROM orders_v
           |      JOIN customer_v ON o_custkey = c_custkey
           |      JOIN nation_v n2 ON c_nationkey = n2.n_nationkey

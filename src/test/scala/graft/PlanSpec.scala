@@ -169,4 +169,84 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("floatdotproduct"), s"codegen float prefilter missing:\n$p")
     assert(p.contains("decimaldotproduct"), s"codegen decimal rescore missing:\n$p")
   }
+
+  // ---- join-order pins (round 7) -------------------------------------
+  // Without CBO stats Catalyst keeps the syntactic inner-join order, so
+  // the order the queries are WRITTEN in is the plan — these pins assert
+  // the selective broadcast dims sit on the fact's side of the
+  // fact⋈fact join (measured at the 60M-row fixture: q8 12.2 s with the
+  // dims after the sort-merge, 1.6 s with them before). Asserted on the
+  // plan TREE (which tables each join side scans), not plan text, so the
+  // pins hold whatever join impl or codegen markers the planner picks at
+  // a given fixture size.
+
+  private def scannedTables(
+      p: org.apache.spark.sql.execution.SparkPlan): Set[String] =
+    p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.getName)
+    }.flatten.toSet
+
+  /** Sides of the lineitem⋈orders join: (lineitem side, orders side). */
+  private def factJoinSides(name: String): (Set[String], Set[String]) = {
+    val p = q(name).queryExecution.sparkPlan
+    val side = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        (scannedTables(j.left), scannedTables(j.right))
+    }.collectFirst {
+      case (l, r) if l.contains("lineitem.parquet") &&
+        !l.contains("orders.parquet") && r.contains("orders.parquet") => (l, r)
+      case (l, r) if r.contains("lineitem.parquet") &&
+        !r.contains("orders.parquet") && l.contains("orders.parquet") => (r, l)
+    }
+    assert(side.isDefined, s"no lineitem⋈orders join found in $name:\n$p")
+    side.get
+  }
+
+  test("q8: part/supplier prune lineitem BEFORE the orders join") {
+    val (liSide, _) = factJoinSides("sql_tpch_q8")
+    assert(liSide.contains("part.parquet") &&
+      liSide.contains("supplier.parquet"),
+      s"pruning dims not on the lineitem side of the fact join: $liSide")
+  }
+
+  test("q5: supplier/region prune lineitem BEFORE the orders join") {
+    val (liSide, _) = factJoinSides("q5_region_revenue")
+    assert(liSide.contains("supplier.parquet") &&
+      liSide.contains("region.parquet"),
+      s"pruning dims not on the lineitem side of the fact join: $liSide")
+  }
+
+  test("q3: the BUILDING customer filter prunes orders BEFORE the lineitem join") {
+    val (_, ordSide) = factJoinSides("q3_shipping")
+    assert(ordSide.contains("customer.parquet"),
+      s"customer not on the orders side of the fact join: $ordSide")
+  }
+
+  test("q7: each fact is nation-pruned on its own side of the fact join") {
+    val (liSide, ordSide) = factJoinSides("sql_tpch_q7")
+    assert(liSide.contains("supplier.parquet") &&
+      liSide.contains("nation.parquet"),
+      s"supplier/nation not on the lineitem side: $liSide")
+    assert(ordSide.contains("customer.parquet") &&
+      ordSide.contains("nation.parquet"),
+      s"customer/nation not on the orders side: $ordSide")
+  }
+
+  test("sq_min_cost_supplier never exchanges un-aggregated fact rows") {
+    // Catalyst's own decorrelation of the correlated-MIN form shuffles
+    // the whole fact into a sort-merge join (the shuffle write happens
+    // even when AQE converts the join). The hand-decorrelated broadcast
+    // form must keep it out: any shuffle exchange whose subtree scans
+    // lineitem may carry only aggregated (partial-min or grouped) rows.
+    val p = q("sq_min_cost_supplier").queryExecution.sparkPlan
+    val bad = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if scannedTables(e.child).contains("lineitem.parquet") &&
+          e.child.collect {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+          }.isEmpty => e
+    }
+    assert(bad.isEmpty, s"fact-sized exchange on the min-cost path:\n${bad.mkString("\n")}")
+  }
 }
