@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryModule, Staging, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for a training-data pipeline (builder prompt):
@@ -245,6 +246,37 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Train/test decontamination — the pipeline op every LLM corpus pass
+    // runs before training: flag training documents that share ≥ 5
+    // distinct word-3-gram shingles with any benchmark/eval document
+    // (eval set here: doc_id % 37 == 0, a deterministic ~2.7% slice).
+    // The scale shape rests on the real-world asymmetry the op exists
+    // for: the benchmark suite is BOUNDED (thousands of docs) while the
+    // training corpus is the 100 TB side — so the eval shingle index
+    // broadcasts and the train side streams through a broadcast hash
+    // join with NO corpus shuffle at all. Only the matched (train, eval)
+    // overlap pairs — output-sized — reach the count aggregate, and the
+    // worst-match rank windows over that flagged set, not the corpus.
+    // Both sides read the per-doc-distinct staged shingle table, so
+    // count(*) on the join IS the distinct-intersection size.
+    "pipeline_decontaminate" -> { (s, d) =>
+      val sh = shingles(s, d)
+      val evalSh = sh.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("eval_id"), col("s"))
+      val trainSh = sh.filter(col("doc_id") % 37 =!= 0)
+        .select(col("doc_id").as("train_id"), col("s"))
+      val flagged = trainSh.join(broadcast(evalSh), Seq("s"))
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+      flagged.withColumn("rk", row_number().over(
+          Window.partitionBy(col("train_id"))
+            .orderBy(col("n_shared").desc, col("eval_id"))))
+        .filter(col("rk") === 1)
+        .select(col("train_id"), col("eval_id"), col("n_shared"))
+        .orderBy(col("train_id"))
+    },
+
     // Content-blocked n-gram dedup — the composition a real corpus pass
     // runs (round-2 verdict #1): MinHash LSH proposes candidate pairs by
     // CONTENT, exact char-4-gram Jaccard verifies each. The LSH
@@ -446,6 +478,22 @@ object Dedup extends QueryModule {
         |LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
         |JOIN sizes s1 ON s1.doc_id = c.d1
         |JOIN sizes s2 ON s2.doc_id = c.d2
-        |ORDER BY c.d1, c.d2""".stripMargin
+        |ORDER BY c.d1, c.d2""".stripMargin,
+
+    "pipeline_decontaminate" ->
+      s"""WITH $shingleSql,
+        |ov AS (
+        |  SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+        |         count(*) AS n_shared
+        |  FROM sh tr JOIN sh ev ON tr.s = ev.s
+        |  WHERE ev.doc_id % 37 = 0 AND tr.doc_id % 37 <> 0
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |rk AS (
+        |  SELECT train_id, eval_id, n_shared,
+        |         row_number() OVER (PARTITION BY train_id
+        |                            ORDER BY n_shared DESC, eval_id) AS rk
+        |  FROM ov)
+        |SELECT train_id, eval_id, n_shared FROM rk WHERE rk = 1
+        |ORDER BY train_id""".stripMargin
   )
 }
