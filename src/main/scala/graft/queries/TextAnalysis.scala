@@ -143,6 +143,34 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("split"), col("lang"))
     },
 
+    // Sequence packing — the training-prep step after curation: chunk
+    // the corpus into fixed 2048-token bins in deterministic order,
+    // reporting each bin's document span and token fill. Bins are cut
+    // by the running token count per (lang, shard): bin = ⌊tokens
+    // before this doc / 2048⌋. The shard axis (doc_id mod 32) is the
+    // scale design, not a convenience: packing is a prefix sum, which
+    // is inherently sequential WITHIN a partition, so a per-lang-only
+    // window would funnel the whole corpus through a handful of tasks.
+    // Real distributed packers do exactly this — each worker packs its
+    // shard independently — and the window here runs lang × 32 parallel
+    // partitions, each a bounded running frame.
+    "pipeline_pack" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          pmod(col("doc_id"), lit(32)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("bin",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(2048.0))
+            .cast("long"))
+        .groupBy(col("lang"), col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("shard"), col("bin"))
+    },
+
     // SimHash-64 per document as 4×16-bit chunks (chunk equality is the
     // classic near-dup blocking key — consumed by dedup_simhash).
     // Weight = token occurrence count; bit source = md5(token).
@@ -376,6 +404,25 @@ object TextAnalysis extends QueryModule {
         |      FROM documents)
         |GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin,
+
+    "pipeline_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, doc_id % 32 AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY lang, shard
+        |                             ORDER BY doc_id) - n_tokens AS cum_before
+        |  FROM t)
+        |SELECT lang, shard,
+        |       CAST(floor(cum_before / 2048.0) AS BIGINT) AS bin,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c
+        |GROUP BY lang, shard, bin
+        |ORDER BY lang, shard, bin""".stripMargin,
 
     "text_simhash" -> textSimhashOracle,
 

@@ -249,4 +249,24 @@ class PlanSpec extends GraftSuite {
     }
     assert(bad.isEmpty, s"fact-sized exchange on the min-cost path:\n${bad.mkString("\n")}")
   }
+
+  test("pipeline_decontaminate: eval index broadcasts, corpus never shuffles pre-aggregate") {
+    // the train (corpus) side must reach the overlap join through a
+    // broadcast hash join, and every shuffle exchange in the plan may
+    // carry only aggregated (flagged-pair) rows — a sort-merge join or a
+    // pre-agg corpus exchange means the broadcast-asymmetry design
+    // regressed to shuffling the 100 TB side
+    val p = q("pipeline_decontaminate").queryExecution.sparkPlan
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, s"no broadcast join on the overlap path:\n$p")
+    val preAggShuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.isEmpty => e
+    }
+    assert(preAggShuffles.isEmpty,
+      s"corpus-sized exchange before the overlap aggregate:\n${preAggShuffles.mkString("\n")}")
+  }
 }
