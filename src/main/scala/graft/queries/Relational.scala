@@ -210,11 +210,19 @@ object Relational extends QueryModule {
 
     // CUBE over two independent dimensions (the full grouping-sets
     // lattice; rollup covers the hierarchical case).
+    // Two-phase: the finest (o_year, o_orderstatus) grid is ~20 rows, so
+    // the fact is collapsed by a plain partial+final aggregate FIRST and
+    // the cube's Expand ×4 runs over the tiny grid — cubing the fact
+    // directly pushes 4× the fact volume through the partial aggregate
+    // (Expand sits below it). Valid because count/sum re-aggregate
+    // losslessly (decimal sums stay exact through the second sum).
     "agg_cube" -> { (s, d) =>
       Tables.orders(s, d)
-        .cube(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("t"))
+        .cube(col("o_year"), col("o_orderstatus"))
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("t")).cast("double").as("total"))
         .orderBy(asc_nulls_first("o_year"), asc_nulls_first("o_orderstatus"))
     },
 
@@ -671,15 +679,21 @@ object Relational extends QueryModule {
     // Catalyst expands the sets into a single Expand + hash aggregate,
     // not four scans. Fixture columns are non-null, so COALESCE
     // sentinels disambiguate grouping nulls deterministically.
+    // Two-phase like agg_cube: every requested set is coarser than the
+    // (l_returnflag, l_linestatus) grid (~12 rows), so the 4-way Expand
+    // runs over the collapsed grid instead of 4× the fact volume.
     "agg_grouping_sets" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      li.groupingSets(
+      val base = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"),
+          count(lit(1)).as("c"))
+      base.groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")),
             Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-          count(lit(1)).as("n"))
+          sum(col("q")).cast("double").as("sum_qty"),
+          sum(col("c")).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
