@@ -162,7 +162,7 @@ object ScaleData {
     }
   }
 
-  private def writeSingleFile(df: DataFrame, out: String): Unit = {
+  private[graft] def writeSingleFile(df: DataFrame, out: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = out + ".tmpdir"
     // Parquet splits at ROW-GROUP granularity: one coalesced writer with

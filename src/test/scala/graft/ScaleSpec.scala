@@ -294,4 +294,32 @@ class ScaleSpec extends GraftSuite {
     assert(r.getDecimal(8) == new java.math.BigDecimal("11.000000000000"))
     assert(r.getInt(9) == 4)
   }
+
+  test("ScaleData single-file fixtures split: row groups capped, not one monolith") {
+    // Parquet splits at row-group granularity: a single coalesced writer
+    // at the default 128 MB block size once gave the 10M-row events file
+    // 2 row groups, capping every batch scan of it at 2 working tasks
+    // (events_enriched spent 16.6 s JSON-parsing 8M rows in one task).
+    // Guard the 8 MB cap by writing ~25 MB and counting row groups.
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-rgtest")
+      .resolve("one.parquet").toString
+    // ~25 MB uncompressed of incompressible-ish data (seeded md5 chains)
+    ScaleData.writeSingleFile(
+      spark.range(0, 200000).select(
+        $"id",
+        md5(concat_ws("-", $"id", lit("a"))).as("a"),
+        md5(concat_ws("-", $"id", lit("b"))).as("b"),
+        md5(concat_ws("-", $"id", lit("c"))).as("c")), out)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(out),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val (groups, rows) =
+      try (reader.getFooter.getBlocks.size, reader.getRecordCount)
+      finally reader.close()
+    assert(rows == 200000L)
+    assert(groups >= 2,
+      s"single-file fixture wrote $groups row group(s) — scans of it cannot parallelize")
+  }
 }
