@@ -47,6 +47,30 @@ class OperatorsSpec extends GraftSuite {
     assert(viaExpr.zip(viaHof).forall { case (a, b) => a == b }, "bit-exact equality")
   }
 
+  test("BpeTokenCount equals the regex token count on corpus + adversarial text") {
+    import graft.functions.BpeTokenCount.bpe_token_count
+    import spark.implicits._
+    // the real corpus (covers zh multibyte docs) ...
+    val docs = Tables.documents(spark, sf).select(col("text"))
+    // ... plus hand-picked boundary cases: class transitions without
+    // spaces, uppercase (falls in the single-char other class), digits
+    // splitting letter runs, multibyte (2- and 3-byte) code points,
+    // leading/trailing/double spaces, empty string
+    val tricky = Seq("", " ", "abc", "abc123", "a1b2", "ab,cd", "A",
+      "ABc", "héllo", "你好 world42", "  x  ", "a.b.c", "42", "é1é",
+      "ab  cd", ",,,").toDF("text")
+    for (df <- Seq(docs, tricky)) {
+      val rows = df.select(
+        bpe_token_count(col("text")).as("native"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("regex"),
+        col("text")).collect()
+      for (r <- rows)
+        assert(r.getInt(0) == r.getInt(1),
+          s"native=${r.getInt(0)} regex=${r.getInt(1)} for: ${r.getString(2).take(80)}")
+    }
+  }
+
   test("DecimalDotProduct equals the HOF decimal dot product bit-for-bit") {
     import graft.functions.DecimalDotProduct.decimal_dot
     val emb = Tables.embeddings(spark, sf).limit(50)
