@@ -245,8 +245,11 @@ object Multimodal extends QueryModule {
     // Per-source media stats: group AFTER metadata projection (the blob
     // is pruned from the shuffle — only ints travel).
     "mm_source_stats" -> { (s, d) =>
+      // octet_length reads the stored UTF-8 byte count in place;
+      // length(encode(text, "UTF-8")) copied every document to a fresh
+      // byte array first (~1 GB of copies at the 500k-doc fixture)
       Tables.documents(s, d)
-        .select(col("source"), length(encode(col("text"), "UTF-8")).as("byte_len"))
+        .select(col("source"), octet_length(col("text")).as("byte_len"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("byte_len")).as("total_bytes"),
