@@ -26,19 +26,28 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark cannot
-    * map to a Catalyst timestamp (analysis error on read). Read it as raw
-    * nanos via the legacy flag and normalize to microsecond TimestampType
-    * so every consumer sees one schema. DuckDB (the oracle) truncates the
-    * same nanos to micros, so the two engines agree. `DIV` (integer
-    * division) is load-bearing: nanos since epoch (~1.7e18) exceed 2^53,
-    * so `/` (double division) would silently lose microseconds. */
+  /** `events.ts` has shipped in three parquet flavors across fixture
+    * generations; normalize all of them to microsecond TimestampType so
+    * every consumer (windows, as-of joins, streaming watermarks) sees one
+    * schema:
+    *
+    *  - TIMESTAMP(NANOS): unreadable as a Catalyst timestamp, so read raw
+    *    nanos via the legacy flag and truncate. `DIV` (integer division) is
+    *    load-bearing: nanos since epoch (~1.7e18) exceed 2^53, so `/`
+    *    (double division) would silently lose microseconds.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): inferred as
+    *    TIMESTAMP_NTZ, which `unix_micros`/watermarks reject. Cast to
+    *    TimestampType — with the session timezone pinned to UTC (all graft
+    *    entry points do this) the cast is wall-clock-preserving, which is
+    *    exactly how DuckDB (the oracle) renders the same naive values.
+    *  - TIMESTAMP(MICROS, adjusted): already TimestampType; pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType.typeName match {
-      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _      => raw
+      case "long"          => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _               => raw
     }
   }
 }

@@ -97,9 +97,11 @@ object Streaming {
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
-    if (schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    schema("ts").dataType.typeName match {
+      case "long"          => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _               => raw
+    }
   }
 
   /** Tumbling 1-hour windowed aggregation with a 1-hour watermark —

@@ -196,10 +196,11 @@ class StreamingSpec extends GraftSuite {
     val schema = Tables.table(spark, sf, "events").schema
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-    val stream =
-      if (schema("ts").dataType.typeName == "long")
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
+    val stream = schema("ts").dataType.typeName match {
+      case "long"          => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _               => raw
+    }
     val got = Streaming.runToCompletion(
       Streaming.dedupEvents(stream), "dedup_out", OutputMode.Append())
     val want = Tables.events(spark, sf)
