@@ -96,6 +96,28 @@ object Dedup extends QueryModule {
           explode(graft.functions.GramSet.distinct_grams(lower(col("text")), 4)).as("g"))
     }
 
+  /** Verified MinHash near-dup pairs (d1 < d2, exact-Jaccard ≥ 0.6 over
+    * LSH band-collision candidates) WITHOUT the presentation sort — the
+    * shared edge list for `dedup_minhash` (which just sorts it) and the
+    * clustering / curation consumers (where a sort under a join would be
+    * dead work). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val cand = lshCandidates(s, d)
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("d1") === col("x.doc_id"))
+      .join(sh.as("y"), col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("jaccard",
+        round(col("ninter") * lit(1.0) / (col("s1.n") + col("s2.n") - col("ninter")), 6))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup: content-hash groupBy; canonical = min doc_id. The
@@ -111,21 +133,54 @@ object Dedup extends QueryModule {
     // MinHash + LSH: band-collision candidates, then exact-Jaccard
     // verification of candidates only. Emits verified near-dup pairs.
     "dedup_minhash" -> { (s, d) =>
-      val cand = lshCandidates(s, d)
-      val sh = shingles(s, d)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.as("x"), col("d1") === col("x.doc_id"))
-        .join(sh.as("y"), col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ninter"))
-      inter
-        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-        .withColumn("jaccard",
-          round(col("ninter") * lit(1.0) / (col("s1.n") + col("s2.n") - col("ninter")), 6))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("d1"), col("d2"), col("jaccard"))
-        .orderBy(col("d1"), col("d2"))
+      minhashPairs(s, d).orderBy(col("d1"), col("d2"))
+    },
+
+    // Near-dup CLUSTERING — the step between pair emission and "keep one
+    // copy": connected components over the verified MinHash pair graph,
+    // labelling every member with the component's min doc_id (= the
+    // canonical survivor) plus the component size. Iterative min-label
+    // propagation: each round joins the staged edge list to the current
+    // labels and takes the neighborhood min, so one round is one shuffle
+    // join + partial/final min-aggregate over the NODE set — which for
+    // near-dup graphs is output-sized (docs in ≥1 pair), never the
+    // corpus. Labels are materialized per round (Staging), keeping the
+    // loop's lineage flat; the only driver-side value is the O(1)
+    // convergence boolean (same exception class as the flush sentinel's
+    // max(ts) scalar). Rounds needed = component diameter: near-dup
+    // components are star/clique-shaped (many copies of one source), so
+    // this converges in a handful of rounds; star-contraction (two-phase
+    // large-star/small-star, O(log n) rounds on adversarial paths) is
+    // the documented upgrade if a corpus ever grows long dup chains.
+    "dedup_cluster" -> { (s, d) =>
+      val pairs = minhashPairs(s, d)
+      val edges = Staging.stage(s, "cc_edges", d) {
+        pairs.select(col("d1").as("src"), col("d2").as("dst"))
+          .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      }
+      var labels = Staging.stage(s, "cc_labels_0", d) {
+        edges.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id"))
+      }
+      var converged = false
+      var i = 0
+      while (!converged && i < 50) {
+        val next = Staging.stage(s, s"cc_labels_${i + 1}", d) {
+          val nbrMin = edges.join(labels, edges("src") === labels("id"))
+            .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
+          labels.join(nbrMin, Seq("id"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        }
+        converged = next.as("n").join(labels.as("p"), Seq("id"))
+          .filter(col("n.label") =!= col("p.label")).isEmpty
+        labels = next
+        i += 1
+      }
+      labels
+        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("label"))))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+        .orderBy(col("doc_id"))
     },
 
     // SimHash near-dup: block on any equal 16-bit chunk (pigeonhole: a
@@ -235,7 +290,7 @@ object Dedup extends QueryModule {
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 20 &&
           size(array_distinct(col("toks"))).cast("double") / size(col("toks")) > 0.05)
-      val losers = queries("dedup_minhash")(s, d).select(col("d2").as("doc_id")).distinct()
+      val losers = minhashPairs(s, d).select(col("d2").as("doc_id")).distinct()
       val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
         .cast("long") % 10
       quality
@@ -402,6 +457,25 @@ object Dedup extends QueryModule {
         |ORDER BY canonical_id""".stripMargin,
 
     "dedup_minhash" -> minhashOracle,
+
+    // ground truth for connected components: recursive-CTE transitive
+    // closure over the same verified pair set (fine at oracle scale —
+    // the closure is quadratic per component, and components are tiny),
+    // then label = min reachable node, size = members per label
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($minhashOracle)),
+        |ud AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |       UNION SELECT d2 AS a, d1 AS b FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM ud
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN ud u ON r.b = u.a),
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |        FROM reach GROUP BY a)
+        |SELECT doc_id, cluster_id,
+        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lab
+        |ORDER BY doc_id""".stripMargin,
 
     // same LSH candidate CTEs as dedup_minhash; levenshtein verify.
     // No length prefilter here: it is implied by similarity >= 0.8.

@@ -374,6 +374,34 @@ object Relational extends QueryModule {
           |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin)
     },
 
+    // TPC-H Q15 shape (top supplier by quarterly revenue). The spec's
+    // formulation scans lineitem twice (the revenue view feeds both the
+    // join and the scalar MAX subquery, and Catalyst inlines CTEs); here
+    // the max rides a single unpartitioned window over the ALREADY
+    // AGGREGATED revenue set — supplier-cardinality, dim-sized — so
+    // lineitem is scanned once and the one-task window is over thousands
+    // of skinny rows, not the fact table. Revenue stays DECIMAL through
+    // the max-equality (exact tie semantics), cast to double on output.
+    "sql_tpch_q15" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |             CAST(1 - l_discount AS DECIMAL(18,2))) AS total
+          |  FROM lineitem_v
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY l_suppkey),
+          |ranked AS (SELECT supplier_no, total, max(total) OVER () AS mx
+          |           FROM revenue)
+          |SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+          |FROM ranked JOIN supplier_v ON s_suppkey = supplier_no
+          |WHERE total = mx
+          |ORDER BY s_suppkey""".stripMargin)
+    },
+
     // TPC-H Q4 shape (priority counts gated by EXISTS) through the SQL
     // interface — Catalyst plans the correlated EXISTS as a left-semi
     // join, never a per-row subquery.
@@ -831,6 +859,22 @@ object Relational extends QueryModule {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin,
+
+    "sql_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(1 - l_discount AS DECIMAL(18,2))) AS total
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey),
+        |ranked AS (SELECT supplier_no, total, max(total) OVER () AS mx
+        |           FROM revenue)
+        |SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+        |FROM ranked JOIN supplier ON s_suppkey = supplier_no
+        |WHERE total = mx
+        |ORDER BY s_suppkey""".stripMargin,
 
     "sql_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS n_orders

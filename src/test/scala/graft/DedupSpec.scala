@@ -130,4 +130,22 @@ class DedupSpec extends GraftSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
+
+  test("dedup_cluster is a consistent connected-components labelling of the pair graph") {
+    val pairs = q("dedup_minhash").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must plant near-dup pairs")
+    val lab = q("dedup_cluster").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exactly the nodes that appear in some pair are labelled, once each
+    assert(lab.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // edge consistency: both endpoints of every pair share a cluster
+    for ((a, b) <- pairs)
+      assert(lab(a)._1 == lab(b)._1, s"pair ($a,$b) split across clusters")
+    // cluster_id is the min member id; cluster_size counts its members
+    for ((cid, members) <- lab.groupBy(_._2._1)) {
+      assert(members.keys.min == cid, s"cluster $cid not labelled by its min member")
+      assert(members.values.forall(_._2 == members.size),
+        s"cluster $cid sizes ${members.values.map(_._2).toSet} != ${members.size}")
+    }
+  }
 }

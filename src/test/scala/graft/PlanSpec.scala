@@ -26,6 +26,19 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("sql_tpch_q15 scans lineitem once: window max, not a scalar-subquery re-scan") {
+    val p = plan("sql_tpch_q15")
+    // the classic Q15 formulation inlines the revenue CTE into both the
+    // join input and the MAX scalar subquery = two fact scans; the
+    // window-max shape must leave exactly one lineitem scan. Count only
+    // the AQE final plan — toString echoes the Initial Plan below it.
+    val finalPlan = p.split("== Initial Plan ==").head
+    val factScans = finalPlan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("l_suppkey"))
+    assert(factScans == 1, s"expected 1 lineitem scan, got $factScans:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("topk_global is TakeOrderedAndProject, not a global sort") {
     val p = plan("topk_global")
     assert(p.contains("TakeOrderedAndProject"), p)
