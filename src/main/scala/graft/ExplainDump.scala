@@ -51,7 +51,11 @@ object ExplainDump {
       "share-of-total as two SUMs in ONE aggregate (no self-join, no second scan)"),
     "text_tfidf" -> ("ONE tokenize+aggregate subtree (len/df as window aggregates over tf — the " +
       "GROUP-BY-CTE formulation re-executed it 3× since Catalyst inlines CTEs); corpus N as a " +
-      "broadcast scalar subquery; top-5 rank reuses the doc_id exchange via WindowGroupLimit")
+      "broadcast scalar subquery; top-5 rank reuses the doc_id exchange via WindowGroupLimit"),
+    "sql_tpch_q15" -> ("ONE lineitem scan: the quarterly max rides an unpartitioned window over " +
+      "the ALREADY AGGREGATED dim-sized revenue set (the spec's scalar-subquery formulation " +
+      "re-scans the fact — Catalyst inlines the revenue CTE into both consumers); supplier " +
+      "joins as the broadcast side (PlanSpec-pinned single scan)")
   )
 
   def main(args: Array[String]): Unit = {

@@ -79,13 +79,19 @@ object Relational extends QueryModule {
     // BUILDING filter keeps ~1/5 of customers, so the broadcast c⋈o join
     // must prune orders BEFORE the fact⋈fact sort-merge, not rank the
     // full orders volume through the shuffle and filter afterwards.
+    // The fact⋈fact join is PINNED to sort-merge: without CBO the
+    // filtered-lineitem size estimate is the raw file size, which at
+    // mid scales dips under autoBroadcastJoinThreshold and Catalyst
+    // broadcasts a 56%-selectivity FACT (measured 24–45 s vs 1.1 s at
+    // sf0.1) — a shape that would OOM the driver outright at 100 TB.
     "q3_shipping" -> { (s, d) =>
       val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, d)
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-      li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
+      li.hint("merge")
+        .join(ord.join(cust, col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
@@ -115,7 +121,7 @@ object Relational extends QueryModule {
       li.join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(nat, col("s_nationkey") === col("n_nationkey"))
         .join(reg, col("n_regionkey") === col("r_regionkey"))
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
@@ -128,7 +134,7 @@ object Relational extends QueryModule {
     "join_semi" -> { (s, d) =>
       val heavy = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
       Tables.orders(s, d)
-        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .join(heavy.hint("merge"), col("o_orderkey") === col("l_orderkey"), "left_semi")
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     },
@@ -136,7 +142,7 @@ object Relational extends QueryModule {
     // Left-anti join (NOT EXISTS): customers with no orders.
     "join_anti" -> { (s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, d).hint("merge"), col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     },
@@ -413,7 +419,7 @@ object Relational extends QueryModule {
           |FROM orders_v
           |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           |  AND o_orderdate < TIMESTAMP '1997-01-01'
-          |  AND EXISTS (SELECT 1 FROM lineitem_v
+          |  AND EXISTS (SELECT /*+ MERGE(lineitem_v) */ 1 FROM lineitem_v
           |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
           |GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin)
@@ -429,7 +435,7 @@ object Relational extends QueryModule {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
       Tables.nation(s, d).createOrReplaceTempView("nation_v")
       s.sql(
-        """SELECT /*+ BROADCAST(nation_v) */ c_custkey, c_name,
+        """SELECT /*+ BROADCAST(nation_v), MERGE(lineitem_v), MERGE(orders_v) */ c_custkey, c_name,
           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
           |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
           |       n_name
@@ -570,7 +576,7 @@ object Relational extends QueryModule {
           |                          / count(*)
           |                   FROM customer_v
           |                   WHERE c_acctbal > 0.0)
-          |  AND NOT EXISTS (SELECT 1 FROM orders_v
+          |  AND NOT EXISTS (SELECT /*+ MERGE(orders_v) */ 1 FROM orders_v
           |                  WHERE o_custkey = c_custkey
           |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
           |GROUP BY c_nationkey
@@ -594,7 +600,7 @@ object Relational extends QueryModule {
       Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
       Tables.nation(s, d).createOrReplaceTempView("nation_v")
       s.sql(
-        """SELECT /*+ BROADCAST(nation_v) */ s_name, count(*) AS numwait
+        """SELECT /*+ BROADCAST(nation_v), MERGE(orders_v), MERGE(l1) */ s_name, count(*) AS numwait
           |FROM supplier_v
           |JOIN lineitem_v l1 ON s_suppkey = l1.l_suppkey
           |JOIN orders_v ON o_orderkey = l1.l_orderkey
@@ -602,10 +608,10 @@ object Relational extends QueryModule {
           |WHERE o_orderstatus = 'F'
           |  AND l1.l_returnflag = 'R'
           |  AND n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7','NATION_9')
-          |  AND EXISTS (SELECT 1 FROM lineitem_v l2
+          |  AND EXISTS (SELECT /*+ MERGE(l2) */ 1 FROM lineitem_v l2
           |              WHERE l2.l_orderkey = l1.l_orderkey
           |                AND l2.l_suppkey <> l1.l_suppkey)
-          |  AND NOT EXISTS (SELECT 1 FROM lineitem_v l3
+          |  AND NOT EXISTS (SELECT /*+ MERGE(l3) */ 1 FROM lineitem_v l3
           |                  WHERE l3.l_orderkey = l1.l_orderkey
           |                    AND l3.l_suppkey <> l1.l_suppkey
           |                    AND l3.l_returnflag = 'R')
@@ -638,7 +644,7 @@ object Relational extends QueryModule {
       Tables.nation(s, d).createOrReplaceTempView("nation_v")
       Tables.region(s, d).createOrReplaceTempView("region_v")
       s.sql(
-        """SELECT /*+ BROADCAST(n1), BROADCAST(n2), BROADCAST(region_v), BROADCAST(supplier_v), BROADCAST(part_v) */
+        """SELECT /*+ BROADCAST(n1), BROADCAST(n2), BROADCAST(region_v), BROADCAST(supplier_v), BROADCAST(part_v), MERGE(orders_v) */
           |       year(o_orderdate) AS o_year,
           |       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
           |                           THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -674,7 +680,7 @@ object Relational extends QueryModule {
       Tables.orders(s, d).createOrReplaceTempView("orders_v")
       s.sql(
         """SELECT c_count, count(*) AS custdist
-          |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          |FROM (SELECT /*+ MERGE(orders_v) */ c_custkey, count(o_orderkey) AS c_count
           |      FROM customer_v LEFT JOIN orders_v
           |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
           |      GROUP BY c_custkey)

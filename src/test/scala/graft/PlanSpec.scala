@@ -216,6 +216,49 @@ class PlanSpec extends GraftSuite {
     side.get
   }
 
+  test("no query statically broadcasts un-aggregated fact rows") {
+    // the hazard class behind the q3 regression: Catalyst's scan
+    // estimate is file size × read-schema fraction, so a column-pruned
+    // FACT dips under autoBroadcastJoinThreshold at mid scales and gets
+    // planned as a broadcast build — 24–45 s vs 1.1 s at sf0.1, driver
+    // OOM at 100 TB. A broadcast build that AGGREGATES the fact first
+    // (e.g. sq_min_cost_supplier's min-per-part, bounded by the part
+    // dim) is fine; only raw filtered fact rows on a static build side
+    // are the bug. AQE runtime SMJ→BHJ conversion uses ACTUAL sizes and
+    // is scale-safe — hence the assertion runs on the STATIC sparkPlan
+    // (pre-AQE, where estimate-driven join selection happens; broadcast
+    // EXCHANGES are not inserted yet at that phase, so inspect the join
+    // execs' declared build side).
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val factFiles = Set("lineitem.parquet", "orders.parquet", "events.parquet")
+    def aggregated(p: SparkPlan): Boolean = p.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.isDefined
+    val offenders = for {
+      name <- Seq("q3_shipping", "q5_region_revenue", "sql_tpch_q4",
+        "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q10", "sql_tpch_q13",
+        "sql_tpch_q17", "sql_tpch_q18", "sql_tpch_q19", "sql_tpch_q21",
+        "sql_tpch_q22", "join_semi", "join_anti", "join_outer_agg",
+        "events_enriched", "asof_purchase_click",
+        "sq_min_cost_supplier", "sq_small_quantity_revenue",
+        "sq_idle_rich_customers", "topk_per_group")
+      build <- {
+        val p = q(name).queryExecution.sparkPlan
+        p.collect {
+          case j: BroadcastHashJoinExec =>
+            if (j.buildSide == BuildLeft) j.left else j.right
+          case j: BroadcastNestedLoopJoinExec =>
+            if (j.buildSide == BuildLeft) j.left else j.right
+        }
+      }
+      if (scannedTables(build) & factFiles).nonEmpty && !aggregated(build)
+    } yield s"$name builds: ${scannedTables(build).mkString(",")}"
+    assert(offenders.isEmpty,
+      s"static fact-row broadcast builds:\n${offenders.mkString("\n")}")
+  }
+
   test("q8: part/supplier prune lineitem BEFORE the orders join") {
     val (liSide, _) = factJoinSides("sql_tpch_q8")
     assert(liSide.contains("part.parquet") &&
