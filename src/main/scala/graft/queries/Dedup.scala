@@ -137,47 +137,16 @@ object Dedup extends QueryModule {
     },
 
     // Near-dup CLUSTERING — the step between pair emission and "keep one
-    // copy": connected components over the verified MinHash pair graph,
-    // labelling every member with the component's min doc_id (= the
-    // canonical survivor) plus the component size. Iterative min-label
-    // propagation: each round joins the staged edge list to the current
-    // labels and takes the neighborhood min, so one round is one shuffle
-    // join + partial/final min-aggregate over the NODE set — which for
-    // near-dup graphs is output-sized (docs in ≥1 pair), never the
-    // corpus. Labels are materialized per round (Staging), keeping the
-    // loop's lineage flat; the only driver-side value is the O(1)
-    // convergence boolean (same exception class as the flush sentinel's
-    // max(ts) scalar). Rounds needed = component diameter: near-dup
-    // components are star/clique-shaped (many copies of one source), so
-    // this converges in a handful of rounds; star-contraction (two-phase
-    // large-star/small-star, O(log n) rounds on adversarial paths) is
-    // the documented upgrade if a corpus ever grows long dup chains.
+    // copy": connected components over the verified MinHash pair graph
+    // ([[graft.operators.ConnectedComponents]] — per-round staged
+    // min-label propagation, node-set-sized shuffles), labelling every
+    // member with the component's min doc_id (= the canonical survivor)
+    // plus the component size. The final size window runs over the
+    // labelled node set, which is output-scale, never the corpus.
     "dedup_cluster" -> { (s, d) =>
-      val pairs = minhashPairs(s, d)
-      val edges = Staging.stage(s, "cc_edges", d) {
-        pairs.select(col("d1").as("src"), col("d2").as("dst"))
-          .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      }
-      var labels = Staging.stage(s, "cc_labels_0", d) {
-        edges.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id"))
-      }
-      var converged = false
-      var i = 0
-      while (!converged && i < 50) {
-        val next = Staging.stage(s, s"cc_labels_${i + 1}", d) {
-          val nbrMin = edges.join(labels, edges("src") === labels("id"))
-            .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
-          labels.join(nbrMin, Seq("id"), "left")
-            .select(col("id"),
-              least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        }
-        converged = next.as("n").join(labels.as("p"), Seq("id"))
-          .filter(col("n.label") =!= col("p.label")).isEmpty
-        labels = next
-        i += 1
-      }
-      labels
+      val edges = minhashPairs(s, d)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      graft.operators.ConnectedComponents.label(s, edges, "cc", d)
         .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("label"))))
         .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
         .orderBy(col("doc_id"))

@@ -193,4 +193,23 @@ class OperatorsSpec extends GraftSuite {
     assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
     assert(rows.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
   }
+
+  test("ConnectedComponents labels synthetic graphs correctly") {
+    import spark.implicits._
+    def labelsOf(edges: Seq[(Long, Long)], key: String): Map[Long, Long] =
+      operators.ConnectedComponents
+        .label(spark, edges.toDF("src", "dst"), key, s"cc-spec-$key")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain 1-2-3-4-5: worst diameter shape — all collapse to 1
+    assert(labelsOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), "chain") ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // star centered on the HIGH id: min must still win
+    assert(labelsOf(Seq((9L, 2L), (9L, 4L), (9L, 6L)), "star") ==
+      Map(9L -> 2L, 2L -> 2L, 4L -> 2L, 6L -> 2L))
+    // two disjoint components + edge listed in both orientations
+    assert(labelsOf(Seq((7L, 3L), (3L, 7L), (10L, 11L)), "twocomp") ==
+      Map(7L -> 3L, 3L -> 3L, 10L -> 10L, 11L -> 10L))
+    // empty graph → empty labelling (loop converges immediately)
+    assert(labelsOf(Seq.empty, "empty").isEmpty)
+  }
 }
