@@ -80,6 +80,28 @@ object Windows extends QueryModule {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // Sliding RANGE frame by EVENT TIME: each event's trailing-1-hour
+    // sum/count per user. A distinct WindowExec path from the ROWS
+    // frames above — the frame bound is computed by ORDER-BY VALUE
+    // (micros), not row position, so ties and gaps are handled by time
+    // arithmetic; execution is still two pointers sliding over each
+    // sorted user partition (linear, shuffle on user_id — same scale
+    // shape as window_moving). Value-based frames are also
+    // tie-deterministic by construction: every row with equal ts is in
+    // frame regardless of intra-tie order, so sums hash-match without a
+    // tiebreaker column in the ORDER BY.
+    "window_time_range" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ev.select(
+          col("event_id"), col("user_id"), col("ts_us"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("hour_sum"),
+          count(lit(1)).over(w).as("hour_n"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
     // Tumbling 1-hour event-time window (streaming analog: groupBy(
     // window($"ts", "1 hour")) — identical expression in readStream).
     "events_tumbling" -> { (s, d) =>
@@ -353,6 +375,16 @@ object Windows extends QueryModule {
         |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_n
         |FROM events
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "window_time_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+        |         (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum,
+        |       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_n
+        |FROM events
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "events_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
