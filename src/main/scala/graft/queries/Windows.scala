@@ -102,6 +102,37 @@ object Windows extends QueryModule {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     },
 
+    // Ordered-step conversion funnel — the event-analytics op behind
+    // "how many users viewed, then clicked, then purchased": per user,
+    // the first view, the first click AT OR AFTER it, and the first
+    // purchase at or after THAT, with the reached depth. Every stage is
+    // a filter + min-aggregate + join KEYED ON user_id, so after the
+    // first shuffle all later sort-merge stages reuse the same
+    // partitioning — per-user state chains through one exchange, and
+    // nothing fact-sized or user-sized is ever broadcast (user-count
+    // aggregates grow with the corpus, so they are merge-pinned like
+    // the facts; the estimate-driven flip hazard applies to them too).
+    "events_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v.hint("merge"), Seq("user_id"))
+        .filter(col("ts_us") >= col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c.hint("merge"), Seq("user_id"))
+        .filter(col("ts_us") >= col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+      v.join(c.hint("merge"), Seq("user_id"), "left")
+        .join(p.hint("merge"), Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          (lit(1) + when(col("t2").isNotNull, 1).otherwise(0) +
+            when(col("t3").isNotNull, 1).otherwise(0)).as("depth"))
+        .orderBy(col("user_id"))
+    },
+
     // Tumbling 1-hour event-time window (streaming analog: groupBy(
     // window($"ts", "1 hour")) — identical expression in readStream).
     "events_tumbling" -> { (s, d) =>
@@ -385,6 +416,24 @@ object Windows extends QueryModule {
         |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_n
         |FROM events
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1
+        |           FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t1
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t2
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id, t1, t2, t3,
+        |       1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS depth
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
 
     "events_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
