@@ -105,28 +105,33 @@ object Windows extends QueryModule {
     // Ordered-step conversion funnel — the event-analytics op behind
     // "how many users viewed, then clicked, then purchased": per user,
     // the first view, the first click AT OR AFTER it, and the first
-    // purchase at or after THAT, with the reached depth. Every stage is
-    // a filter + min-aggregate + join KEYED ON user_id, so after the
-    // first shuffle all later sort-merge stages reuse the same
-    // partitioning — per-user state chains through one exchange, and
-    // nothing fact-sized or user-sized is ever broadcast (user-count
-    // aggregates grow with the corpus, so they are merge-pinned like
-    // the facts; the estimate-driven flip hazard applies to them too).
+    // purchase at or after THAT, with the reached depth. ONE corpus
+    // scan and ONE user_id shuffle: a per-step join-chain formulation
+    // (view agg ⋈ clicks ⋈ purchases) re-scans events once per step
+    // because each step's subtree is distinct — the same
+    // DAG-duplication disease the text_tfidf CTE rework fixed — so the
+    // step ordering is resolved INSIDE one grouped pass instead:
+    // conditional min for t1, conditional collect + sort for the later
+    // steps, then codegen'd array HOFs pick the first timestamp at or
+    // after the previous step (a null prior step nulls the lambda
+    // predicate, so the filter drops every element and array_min of the
+    // empty slice correctly yields null). Per-user array size is that
+    // user's click/purchase count — session-state-class memory, the
+    // usual per-entity skew bound, and sort_array makes collect_list's
+    // arrival order irrelevant (deterministic output).
     "events_funnel" -> { (s, d) =>
-      val ev = Tables.events(s, d)
+      Tables.events(s, d)
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v.hint("merge"), Seq("user_id"))
-        .filter(col("ts_us") >= col("t1"))
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c.hint("merge"), Seq("user_id"))
-        .filter(col("ts_us") >= col("t2"))
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
-      v.join(c.hint("merge"), Seq("user_id"), "left")
-        .join(p.hint("merge"), Seq("user_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts_us"))).as("t1"),
+          sort_array(collect_list(when(col("event_type") === "click", col("ts_us"))))
+            .as("clicks"),
+          sort_array(collect_list(when(col("event_type") === "purchase", col("ts_us"))))
+            .as("purchases"))
+        .filter(col("t1").isNotNull)
+        .withColumn("t2", array_min(filter(col("clicks"), x => x >= col("t1"))))
+        .withColumn("t3", array_min(filter(col("purchases"), x => x >= col("t2"))))
         .select(col("user_id"), col("t1"), col("t2"), col("t3"),
           (lit(1) + when(col("t2").isNotNull, 1).otherwise(0) +
             when(col("t3").isNotNull, 1).otherwise(0)).as("depth"))

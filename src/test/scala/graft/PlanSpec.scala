@@ -39,6 +39,20 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("events_funnel is one corpus scan + one user_id shuffle") {
+    // the join-chain formulation re-scans events once per funnel step
+    // (6 scans, 5 exchanges — subtrees are distinct so nothing reuses);
+    // the grouped-collect formulation must stay at one scan feeding one
+    // partial+final aggregate, plus only the presentation sort exchange
+    val p = plan("events_funnel")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$p")
+    assert(finalPlan.contains("partial_min") || finalPlan.contains("ObjectHashAggregate"),
+      s"no partial aggregation before the shuffle:\n$p")
+  }
+
   test("topk_global is TakeOrderedAndProject, not a global sort") {
     val p = plan("topk_global")
     assert(p.contains("TakeOrderedAndProject"), p)
