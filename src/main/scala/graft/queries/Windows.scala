@@ -138,6 +138,28 @@ object Windows extends QueryModule {
         .orderBy(col("user_id"))
     },
 
+    // Cohort retention triangle — users bucketed by the week of their
+    // FIRST event, counted in every later week they were active:
+    // (cohort_week, week_offset, n_users). Like events_funnel, the
+    // cohort anchor and the activity set resolve in ONE grouped pass
+    // (min week + collect_set of distinct active weeks per user — the
+    // set is bounded by the horizon's week count, not event volume),
+    // then the exploded (user, week) rows — already distinct by
+    // construction — feed a tiny (cohort, offset)-keyed count. One
+    // corpus scan, one user_id shuffle, one small-key shuffle.
+    "events_retention" -> { (s, d) =>
+      val weekUs = 7L * 24 * 3600 * 1000000L
+      Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) DIV ${weekUs}L").as("wk"))
+        .groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort"), collect_set(col("wk")).as("weeks"))
+        .select(col("cohort"), explode(col("weeks")).as("wk"))
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("offset"))
+    },
+
     // Tumbling 1-hour event-time window (streaming analog: groupBy(
     // window($"ts", "1 hour")) — identical expression in readStream).
     "events_tumbling" -> { (s, d) =>
@@ -439,6 +461,15 @@ object Windows extends QueryModule {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |                   epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+        |SELECT cohort, wk - cohort AS "offset", count(*) AS n_users
+        |FROM uw JOIN f USING (user_id)
+        |GROUP BY cohort, "offset"
+        |ORDER BY cohort, "offset"""".stripMargin,
 
     "events_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
