@@ -55,7 +55,10 @@ object ExplainDump {
     "sql_tpch_q15" -> ("ONE lineitem scan: the quarterly max rides an unpartitioned window over " +
       "the ALREADY AGGREGATED dim-sized revenue set (the spec's scalar-subquery formulation " +
       "re-scans the fact — Catalyst inlines the revenue CTE into both consumers); supplier " +
-      "joins as the broadcast side (PlanSpec-pinned single scan)")
+      "joins as the broadcast side (PlanSpec-pinned single scan)"),
+    "events_funnel" -> ("ordered-step funnel resolved INSIDE one grouped pass (conditional min + " +
+      "collect + codegen array HOFs): one corpus scan, partial+final ObjectHashAggregate, one " +
+      "user_id exchange — the join-chain formulation was 6 scans / 5 exchanges (PlanSpec-pinned)")
   )
 
   def main(args: Array[String]): Unit = {
