@@ -158,6 +158,25 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Content-hash dedup over the BINARY payload column — the exact-dup
+    // image/audio pass a media corpus runs before any near-dup work:
+    // identical bytes collapse regardless of filename/source, and the
+    // reclaimable volume is (n_copies − 1) × payload size. The hash is
+    // computed MAP-SIDE so the exchange carries 16-byte keys plus two
+    // longs — payload bytes never cross the shuffle (the same invariant
+    // every other mm query pins).
+    "mm_dedup" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .groupBy(md5(col("payload")).as("payload_md5"))
+        .agg(
+          min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"),
+          max(length(col("payload")).cast("long")).as("byte_len"))
+        .withColumn("reclaim_bytes", (col("n_copies") - 1) * col("byte_len"))
+        .orderBy(col("canonical_id"))
+    },
+
     // Full decode pipeline through typed mapPartitions (stubbed decoder,
     // real plumbing). Frame offsets come back as a flattened string so
     // the oracle compares arrays without list-representation drift.
@@ -296,6 +315,16 @@ object Multimodal extends QueryModule {
         |       source
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "mm_dedup" ->
+      """SELECT md5(text) AS payload_md5,
+        |       min(doc_id) AS canonical_id,
+        |       count(*) AS n_copies,
+        |       max(octet_length(encode(text))) AS byte_len,
+        |       (count(*) - 1) * max(octet_length(encode(text))) AS reclaim_bytes
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY canonical_id""".stripMargin,
 
     "mm_decode" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS byte_len, source FROM documents),
