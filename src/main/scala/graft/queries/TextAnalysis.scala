@@ -261,6 +261,25 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Importance-WEIGHTED Bernoulli sampling — the quality/length-
+    // weighted corpus subsampling pass (e.g. upweight long documents):
+    // inclusion probability ∝ n_chars, capped at 1, decided per row by
+    // the same reproducible md5-bucket draw the stratified sampler uses
+    // — EXACT integer arithmetic end to end, so engines can never
+    // disagree on a float boundary. The emitted p_micro (probability ×
+    // 1e6) is what downstream Horvitz-Thompson reweighting divides by.
+    // Embarrassingly parallel: a narrow filter projection, no shuffle
+    // but the presentation sort.
+    "data_sample_weighted" -> { (s, d) =>
+      val u = conv(substring(md5(concat(lit("wsample|"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long") % 1000000L
+      Tables.documents(s, d)
+        .withColumn("p_micro", least(lit(1000000L), col("n_chars").cast("long") * 500L))
+        .filter(u < col("p_micro"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("p_micro"))
+        .orderBy(col("doc_id"))
+    },
+
     // Pure-SQL gate for the GraftExtensions-registered natives: the
     // Spark side is nothing but SQL TEXT calling three native codegen
     // expressions — simhash_chunks, distinct_gram_count, fnv32a — so the
@@ -458,6 +477,14 @@ object TextAnalysis extends QueryModule {
         |FROM documents
         |WHERE ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000
         |      < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "data_sample_weighted" ->
+      """SELECT doc_id, lang, n_chars,
+        |       least(1000000, n_chars * 500) AS p_micro
+        |FROM documents
+        |WHERE ('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000
+        |      < least(1000000, n_chars * 500)
         |ORDER BY doc_id""".stripMargin,
 
     // natives reproduced in portable SQL: simhash chunks via the
