@@ -147,6 +147,41 @@ object Relational extends QueryModule {
         .orderBy(col("c_custkey"))
     },
 
+    // MERGE / upsert — the daily-ingest primitive: apply a delta
+    // (updates + inserts) to a snapshot, delta wins, with row
+    // provenance. The delta here is synthesized deterministically from
+    // the snapshot (every 10th order re-priced, every 97th re-keyed as
+    // an insert) purely so the op is oracle-checkable; in production
+    // the delta arrives as its own table. The merge itself is the
+    // 100 TB shape: a FULL OUTER join on the key — necessarily a
+    // shuffle/sort-merge (broadcast hash join cannot produce the
+    // unmatched-build side of a full outer), co-partitioned with the
+    // table's bucketing in a real deployment — followed by
+    // delta-preferring COALESCE projection. Deletes would be one more
+    // delta column filtered after the same join.
+    "delta_upsert" -> { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice",
+          (dec(col("o_totalprice")) * lit(1.1).cast("decimal(3,1)")).cast("double"))
+        .withColumn("o_orderstatus", lit("U"))
+      val inserts = base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderstatus", lit("I"))
+      val delta = updates.unionByName(inserts)
+      base.as("s").join(delta.as("dl"), Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("dl.o_custkey"), col("s.o_custkey")).as("o_custkey"),
+          coalesce(col("dl.o_orderstatus"), col("s.o_orderstatus")).as("o_orderstatus"),
+          coalesce(col("dl.o_totalprice"), col("s.o_totalprice")).as("o_totalprice"),
+          when(col("s.o_custkey").isNull, "insert")
+            .when(col("dl.o_custkey").isNotNull, "update")
+            .otherwise("keep").as("action"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Outer join preserved in aggregation: nations with zero customers
     // still appear. A broadcast hash join can never broadcast the
     // PRESERVED side of an outer join (an unmatched broadcast row can't
@@ -800,6 +835,28 @@ object Relational extends QueryModule {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "delta_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |              CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE) AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0),
+        |inserts AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+        |         'I' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 0),
+        |delta AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+        |SELECT COALESCE(dl.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |       COALESCE(dl.o_custkey, s.o_custkey) AS o_custkey,
+        |       COALESCE(dl.o_orderstatus, s.o_orderstatus) AS o_orderstatus,
+        |       COALESCE(dl.o_totalprice, s.o_totalprice) AS o_totalprice,
+        |       CASE WHEN s.o_orderkey IS NULL THEN 'insert'
+        |            WHEN dl.o_orderkey IS NOT NULL THEN 'update'
+        |            ELSE 'keep' END AS action
+        |FROM base s FULL JOIN delta dl ON s.o_orderkey = dl.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "join_outer_agg" ->
       """SELECT n_name, count(c_custkey) AS n_customers,
