@@ -25,11 +25,17 @@ import org.apache.spark.sql.functions._
   *  - The only driver-side value per round is the O(1) convergence
   *    boolean — the same exception class as the streaming flush
   *    sentinel's max(ts) scalar.
-  *  - Round count = largest component diameter. Near-dup components
-  *    are stars/cliques (N copies of one source), so a handful of
-  *    rounds covers real corpora; the documented upgrade for
-  *    adversarial long-chain graphs is two-phase star contraction
-  *    (O(log n) rounds), which keeps the same per-round join shape.
+  *  - Each round is neighbor-min propagation PLUS one pointer-jumping
+  *    step (label(v) ← label(label(v)) — a self-join of the label table
+  *    on the label column). Jumping halves the remaining label-tree
+  *    depth every round, so convergence is O(log n) rounds even on an
+  *    adversarial path graph, where plain neighbor-min needs
+  *    diameter-many rounds (a 60-node chain: 7 rounds vs 59 — pinned
+  *    in OperatorsSpec). Correctness: a node's label is always the id
+  *    of some node in its own component (initial labels are self-ids
+  *    and both steps only adopt labels already held by component
+  *    members), and labels only decrease, so the fixpoint is the
+  *    component min either way.
   */
 object ConnectedComponents {
 
@@ -62,9 +68,16 @@ object ConnectedComponents {
       val next = Staging.stage(s, s"${stageKey}_l${round + 1}", dir) {
         val nbrMin = und.join(labels, und("src") === labels("id"))
           .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
-        labels.join(nbrMin, Seq("id"), "left")
+        val stepped = labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        // pointer jump: label(v) ← label(label(v)). Every label is some
+        // node's id, so the self-join matches (coalesce is defensive);
+        // this halves the label-tree depth → O(log n) total rounds.
+        val parents = stepped.select(col("id").as("pid"), col("label").as("plabel"))
+        stepped.join(parents, stepped("label") === parents("pid"), "left")
+          .select(stepped("id"),
+            least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
       }
       converged = next.as("n").join(labels.as("p"), Seq("id"))
         .filter(col("n.label") =!= col("p.label")).isEmpty

@@ -211,5 +211,11 @@ class OperatorsSpec extends GraftSuite {
       Map(7L -> 3L, 3L -> 3L, 10L -> 10L, 11L -> 10L))
     // empty graph → empty labelling (loop converges immediately)
     assert(labelsOf(Seq.empty, "empty").isEmpty)
+    // adversarial 60-node path: plain neighbor-min needs 59 rounds (the
+    // default bound of 50 would abort); pointer jumping must converge
+    // in O(log n) — everything collapses to node 1
+    val chain60 = (1L until 60L).map(i => (i, i + 1))
+    val lab60 = labelsOf(chain60, "chain60")
+    assert(lab60.size == 60 && lab60.values.forall(_ == 1L), lab60.take(5))
   }
 }
