@@ -53,6 +53,29 @@ class PlanSpec extends GraftSuite {
       s"no partial aggregation before the shuffle:\n$p")
   }
 
+  test("delta_upsert merges through a full-outer sort-merge join") {
+    // the MERGE shape: keyed sort-merge (full outer cannot broadcast);
+    // a future "optimization" to union/dedup or broadcast must not
+    // change this silently
+    val p = plan("delta_upsert")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastHashJoin"), s"MERGE must not broadcast:\n$p")
+  }
+
+  test("window_time_range uses a value-based RangeFrame, not a rows frame") {
+    val p = plan("window_time_range")
+    assert(p.contains("RangeFrame"), p)
+  }
+
+  test("events_retention is one corpus scan into a partial aggregate") {
+    val p = plan("events_retention")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$p")
+    assert(finalPlan.contains("ObjectHashAggregate"), p)
+  }
+
   test("topk_global is TakeOrderedAndProject, not a global sort") {
     val p = plan("topk_global")
     assert(p.contains("TakeOrderedAndProject"), p)
