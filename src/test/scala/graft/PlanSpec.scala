@@ -133,6 +133,31 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("mm_dedup hashes map-side: no payload bytes in any exchange") {
+    // content-hash dedup must shuffle 16-byte digests, never blobs —
+    // the md5 runs before the partial aggregate, so every exchange
+    // carries (payload_md5, counts), not payload
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case qs: QueryStageExec       => p +: allNodes(qs.plan)
+      case other                    => other +: other.children.flatMap(allNodes)
+    }
+    val df = q("mm_dedup")
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val exchanges = nodes.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty, "expected the aggregate + ORDER BY exchanges")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(a => a.name.contains("payload") && !a.name.contains("payload_md5")),
+        s"payload bytes cross an exchange:\n$e")
+    }
+    assert(nodes.exists(n => n.toString.contains("partial_")),
+      s"hash grouping must partial-aggregate map-side:\n${df.queryExecution.executedPlan}")
+  }
+
   test("dedup_minhash reads staged shingles instead of rescanning documents") {
     // the two-job staging shape: at most one scan of the documents table
     // (inside the stage build) may remain in the final query plan
