@@ -179,6 +179,17 @@ object Bench {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         sys.props.getOrElse("user.dir", ".") + "/bench_out.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out), (detail + "\n").getBytes("UTF-8"))
+      // Durable per-round record (round-7 advice: the driver's BENCH_r{N}
+      // tail is capped at 2000 chars, so the full per-query median map
+      // can't ride it at 100+ queries, and bench_out.json is overwritten
+      // by the next run). Appending every detail line here — stamped with
+      // wall-clock — keeps each round's per-query MEDIANS in the repo for
+      // cross-round comparison without the calibration-datum detour.
+      val hist = java.nio.file.Paths.get(
+        sys.props.getOrElse("user.dir", "."), "bench_history.jsonl")
+      val stamped = s"""{"ts":"${java.time.Instant.now()}",""" + detail.drop(1) + "\n"
+      java.nio.file.Files.write(hist, stamped.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
     }

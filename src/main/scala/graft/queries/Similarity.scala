@@ -139,11 +139,13 @@ object Similarity extends QueryModule {
     * sign-pattern bucket — (vec_id, label, embedding, n2, band, bucket).
     *
     * bitsPerBand is the scale lever: buckets/band = 2^bits, and bits
-    * should track log2(corpus / target bucket size) — 4 bits (16
-    * buckets) fits the fixtures; a 1B-vector corpus wants ~16 bits for
-    * ~15k-row buckets. Configurable per session via
-    * `spark.graft.ann.bitsPerBand`; the SQL oracle pins the default (4),
-    * non-default settings are covered by the recall spec. Hyperplane
+    * tracks log2(corpus / target bucket size) — DERIVED from the corpus
+    * count by default (see [[annBitsPerBand]]/[[bitsFor]]): 4 bits (16
+    * buckets) at fixture scale, 10 at the 100× corpus, ~16 for a
+    * 1B-vector corpus (~15k-row buckets). `spark.graft.ann.bitsPerBand`
+    * overrides; the SQL oracle recomputes the same derivation from
+    * `count(*)`, so oracle parity holds at any scale (explicit overrides
+    * are covered by the recall spec instead). Hyperplane
     * coefficients are md5-derived so engines and reruns agree exactly.
     */
   // Bucketing runs through the codegen HyperplaneBuckets expression —
@@ -174,8 +176,36 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("label"), col("embedding"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
 
-  private def annBitsPerBand(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.ann.bitsPerBand").map(_.toInt).getOrElse(4)
+  /** Target LSH bucket occupancy (corpus rows / 2^bits per band). 200
+    * reproduces the measured hand-tuned settings exactly: 2 000 vectors
+    * → 4 bits (fixture default), 200 000 → 10 bits (the documented-
+    * correct 100× setting, docs/SCALING.md "Embeddings at 100×"). */
+  private val TargetBucket = 200L
+
+  /** Memoized corpus row count per fixture dir — one O(1) scalar per JVM
+    * (parquet footer-count scan), shared by every LSH consumer. Same
+    * immutable-input contract as [[graft.Staging]]. */
+  private val corpusCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private def corpusCount(s: SparkSession, d: String): Long =
+    corpusCounts.computeIfAbsent(d, _ => Tables.embeddings(s, d).count())
+
+  /** Smallest b ≥ 4 with 2^b · [[TargetBucket]] ≥ n — the integer form of
+    * bits ≈ log2(corpus / target bucket), exact-arithmetic so any SQL
+    * oracle computes the identical value (a floating log2 could round
+    * differently across engines at power-of-two boundaries). */
+  private[graft] def bitsFor(n: Long): Int =
+    (4 to 30).find(b => (1L << b) * TargetBucket >= n).getOrElse(30)
+
+  /** bitsPerBand — THE corpus-size lever. Round-7 verdict: a config
+    * default of 4 silently went quadratic at 100× (~570 M candidate
+    * pairs, 31.6 s vs 7.8 s at the right setting), so when
+    * `spark.graft.ann.bitsPerBand` is unset the value is now DERIVED
+    * from the corpus count at plan-build time via [[bitsFor]]; the conf
+    * stays as an explicit override. The SQL oracles compute the same
+    * rule from `count(*)`, so correctness holds at every scale. */
+  private def annBitsPerBand(s: SparkSession, d: String): Int =
+    s.conf.getOption("spark.graft.ann.bitsPerBand").map(_.toInt)
+      .getOrElse(bitsFor(corpusCount(s, d)))
 
   private def annKmeansIters(s: SparkSession): Int =
     s.conf.getOption("spark.graft.ann.kmeansIters").map(_.toInt).getOrElse(2)
@@ -290,7 +320,7 @@ object Similarity extends QueryModule {
     },
 
     // LSH-bucketed ANN, multi-table: 4 bands × bitsPerBand md5-derived
-    // hyperplanes (default 4 bits = 16 buckets/band; see lshBucketed for
+    // hyperplanes (bits derived from corpus size; see lshBucketed for
     // the corpus-size scaling rule). Candidates = vectors sharing
     // (band, bucket) with the query, union over bands, then exact
     // rescoring. Multi-table is the standard recall lever —
@@ -298,7 +328,7 @@ object Similarity extends QueryModule {
     // 100 TB (band, bucket) is the shuffle key, each bucket a small
     // local problem (a single wide table over-partitions instead).
     "ann_lsh" -> { (s, d) =>
-      val bits = annBitsPerBand(s)
+      val bits = annBitsPerBand(s, d)
       val bucketed = lshBucketed(s, d, 4, bits)
       val q = broadcast(bucketed.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -421,9 +451,10 @@ object Similarity extends QueryModule {
     // dot re-scores only survivors (double-vs-decimal drift is ~1e-12,
     // five orders of magnitude inside the 0.005 margin).
     "dedup_embedding" -> { (s, d) =>
-      // bitsPerBand is THE corpus-size lever (see lshBucketed): default 4
-      // matches the SQL oracle's 16 planes; larger corpora raise it via
-      // spark.graft.ann.bitsPerBand ≈ log2(corpus / target bucket size)
+      // bitsPerBand is THE corpus-size lever (see lshBucketed), derived
+      // from the corpus count by default (round-7 verdict: the fixed
+      // default of 4 silently went quadratic at 100×); the SQL oracle
+      // derives the identical value from count(*)
       //
       // Shape (reworked in round 7 after a 100× phase decomposition):
       // the self-join output is consumed IN-STAGE by an all-float codegen
@@ -443,7 +474,7 @@ object Similarity extends QueryModule {
       // dot AND decimal norms, and band-duplicate survivors collapse in
       // a final candidate-sized distinct — output is bit-identical to
       // the oracle's formulation.
-      val bucketed = lshBucketedNoNorm(s, d, 4, annBitsPerBand(s))
+      val bucketed = lshBucketedNoNorm(s, d, 4, annBitsPerBand(s, d))
       bucketed.as("a")
         .join(bucketed.as("b"),
           col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
@@ -486,23 +517,35 @@ object Similarity extends QueryModule {
        |  GROUP BY q.vec_id, c.vec_id, nq.n2, nc.n2)""".stripMargin
 
   /** Hyperplane LSH bucketing CTEs (planes → projections → buckets) —
-    * mirrors lshBucketed at the default 4 bands × 4 bits; shared by the
-    * ann_lsh and dedup_embedding oracles. */
+    * mirrors lshBucketed at 4 bands × the DERIVED bitsPerBand: `bcfg`
+    * recomputes [[bitsFor]]'s integer rule (smallest b ≥ 4 with
+    * 2^b · 200 ≥ count) from the same table, so the oracle tracks the
+    * engine at ANY corpus size — exact integer comparisons, no
+    * cross-engine log2 rounding hazard. Shared by the ann_lsh and
+    * dedup_embedding oracles. */
   private val lshBucketsSql =
-    s"""planes AS (
+    s"""bcfg AS (
+       |  SELECT min(b) AS bits
+       |  FROM (SELECT unnest(generate_series(4, 30)) AS b),
+       |       (SELECT count(*) AS n FROM embeddings)
+       |  WHERE (CAST(1 AS BIGINT) << b) * $TargetBucket >= n),
+       |planes AS (
        |  SELECT p, i,
        |         ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 6))::INTEGER
        |           / 8388608.0 - 1.0 AS c
-       |  FROM (SELECT unnest(generate_series(0, 15)) AS p),
-       |       (SELECT unnest(generate_series(0, 63)) AS i)),
+       |  FROM (SELECT unnest(generate_series(0, 119)) AS p),
+       |       (SELECT unnest(generate_series(0, 63)) AS i)
+       |  WHERE p < 4 * (SELECT bits FROM bcfg)),
        |projections AS (
        |  SELECT e.vec_id, pl.p, sum(pl.c * CAST(e.x AS DOUBLE) ORDER BY pl.i) AS proj
        |  FROM ex e JOIN planes pl ON pl.i = e.i - 1
        |  GROUP BY e.vec_id, pl.p),
        |buckets AS (
-       |  SELECT vec_id, p // 4 AS band,
-       |         CAST(sum(CASE WHEN proj >= 0 THEN (1 << (3 - p % 4)) ELSE 0 END) AS INTEGER) AS bucket
-       |  FROM projections GROUP BY vec_id, p // 4)""".stripMargin
+       |  SELECT vec_id, p // (SELECT bits FROM bcfg) AS band,
+       |         CAST(sum(CASE WHEN proj >= 0
+       |                       THEN (CAST(1 AS BIGINT) << ((SELECT bits FROM bcfg) - 1 - p % (SELECT bits FROM bcfg)))
+       |                       ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM projections GROUP BY vec_id, p // (SELECT bits FROM bcfg))""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -547,12 +590,18 @@ object Similarity extends QueryModule {
     "ann_lsh" ->
       s"""WITH $exSql,
          |$lshBucketsSql,
+         |flips AS (
+         |  SELECT 0 AS m
+         |  UNION ALL
+         |  SELECT CAST(CAST(1 AS BIGINT) << f AS INTEGER) AS m
+         |  FROM (SELECT unnest(generate_series(0, 29)) AS f)
+         |  WHERE f < (SELECT bits FROM bcfg)),
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
          |  FROM buckets q
+         |  CROSS JOIN flips fl
          |  JOIN buckets c ON c.band = q.band
-         |   AND c.bucket IN (q.bucket, xor(q.bucket, 8), xor(q.bucket, 4),
-         |                    xor(q.bucket, 2), xor(q.bucket, 1))
+         |   AND c.bucket = xor(q.bucket, fl.m)
          |   AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < $NQ),
          |scored AS (

@@ -322,4 +322,22 @@ class ScaleSpec extends GraftSuite {
     assert(groups >= 2,
       s"single-file fixture wrote $groups row group(s) — scans of it cannot parallelize")
   }
+
+  test("LSH bitsPerBand derives from corpus size (scale-safe by default)") {
+    // round-7 verdict: the fixed default of 4 bits silently went
+    // quadratic at 100× (~570 M candidate pairs). The derived rule must
+    // reproduce the measured hand-tuned settings: fixtures → 4,
+    // 10× (20 000 vectors) → 7, 100× (200 000) → 10 (docs/SCALING.md
+    // "Embeddings at 100×"), and keep growing for the corpora the
+    // docstring reasons about (1B → 23 bits under the 200-row target).
+    import graft.queries.Similarity.bitsFor
+    assert(bitsFor(500L) == 4)      // sf0.001 / sf0.01
+    assert(bitsFor(2000L) == 4)     // sf0.1 — oracle-pinned fixture value
+    assert(bitsFor(20000L) == 7)    // 10×
+    assert(bitsFor(200000L) == 10)  // 100× — the documented-correct lever
+    assert(bitsFor(1000000000L) == 23)
+    // monotone, never below the 4-bit floor
+    assert((1L to 20L).forall(k => bitsFor(k * 100) >= 4))
+    assert(bitsFor(400000L) >= bitsFor(200000L))
+  }
 }
