@@ -147,18 +147,21 @@ object Relational extends QueryModule {
         .orderBy(col("c_custkey"))
     },
 
-    // MERGE / upsert — the daily-ingest primitive: apply a delta
-    // (updates + inserts) to a snapshot, delta wins, with row
-    // provenance. The delta here is synthesized deterministically from
+    // MERGE / upsert / delete — the daily-ingest primitive, via the
+    // reusable [[graft.operators.Merge]] operator (full-outer sort-merge
+    // on the key + delta-preferring coalesce + delete filter + the
+    // SQL-MERGE multi-match guard; see its scaladoc for the 100 TB
+    // argument). The delta here is synthesized deterministically from
     // the snapshot (every 10th order re-priced, every 97th re-keyed as
-    // an insert) purely so the op is oracle-checkable; in production
-    // the delta arrives as its own table. The merge itself is the
-    // 100 TB shape: a FULL OUTER join on the key — necessarily a
-    // shuffle/sort-merge (broadcast hash join cannot produce the
-    // unmatched-build side of a full outer), co-partitioned with the
-    // table's bucketing in a real deployment — followed by
-    // delta-preferring COALESCE projection. Deletes would be one more
-    // delta column filtered after the same join.
+    // an insert, every 31st not-re-priced order deleted) purely so the
+    // op is oracle-checkable; in production the delta arrives as its
+    // own table. Insert keys are offset by 2^40 — above any TPC-H scale
+    // factor's o_orderkey range (max ≈ 6e6·SF, under 2^40 until
+    // SF ≈ 180 000), where the previous 1e8 offset collided with real
+    // keys from SF ≈ 17. The %31 deletes EXCLUDE %10 keys so every
+    // delta key stays unique — a key in two delta rows is exactly the
+    // multi-match the guard turns into an error (OperatorsSpec covers
+    // that path).
     "delta_upsert" -> { (s, d) =>
       val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -167,18 +170,16 @@ object Relational extends QueryModule {
         .withColumn("o_totalprice",
           (dec(col("o_totalprice")) * lit(1.1).cast("decimal(3,1)")).cast("double"))
         .withColumn("o_orderstatus", lit("U"))
+        .withColumn("op", lit("U"))
       val inserts = base.filter(col("o_orderkey") % 97 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1L << 40))
         .withColumn("o_orderstatus", lit("I"))
-      val delta = updates.unionByName(inserts)
-      base.as("s").join(delta.as("dl"), Seq("o_orderkey"), "full_outer")
-        .select(col("o_orderkey"),
-          coalesce(col("dl.o_custkey"), col("s.o_custkey")).as("o_custkey"),
-          coalesce(col("dl.o_orderstatus"), col("s.o_orderstatus")).as("o_orderstatus"),
-          coalesce(col("dl.o_totalprice"), col("s.o_totalprice")).as("o_totalprice"),
-          when(col("s.o_custkey").isNull, "insert")
-            .when(col("dl.o_custkey").isNotNull, "update")
-            .otherwise("keep").as("action"))
+        .withColumn("op", lit("I"))
+      val deletes = base
+        .filter(col("o_orderkey") % 31 === 0 && col("o_orderkey") % 10 =!= 0)
+        .withColumn("op", lit("D"))
+      val delta = updates.unionByName(inserts).unionByName(deletes)
+      graft.operators.Merge.merge(base, delta, "o_orderkey")
         .orderBy(col("o_orderkey"))
     },
 
@@ -841,13 +842,18 @@ object Relational extends QueryModule {
         |updates AS (
         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
-        |              CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE) AS o_totalprice
+        |              CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE) AS o_totalprice,
+        |         'U' AS op
         |  FROM base WHERE o_orderkey % 10 = 0),
         |inserts AS (
-        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
-        |         'I' AS o_orderstatus, o_totalprice
+        |  SELECT o_orderkey + 1099511627776 AS o_orderkey, o_custkey,
+        |         'I' AS o_orderstatus, o_totalprice, 'I' AS op
         |  FROM base WHERE o_orderkey % 97 = 0),
-        |delta AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+        |deletes AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D' AS op
+        |  FROM base WHERE o_orderkey % 31 = 0 AND o_orderkey % 10 <> 0),
+        |delta AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts
+        |          UNION ALL SELECT * FROM deletes)
         |SELECT COALESCE(dl.o_orderkey, s.o_orderkey) AS o_orderkey,
         |       COALESCE(dl.o_custkey, s.o_custkey) AS o_custkey,
         |       COALESCE(dl.o_orderstatus, s.o_orderstatus) AS o_orderstatus,
@@ -856,6 +862,7 @@ object Relational extends QueryModule {
         |            WHEN dl.o_orderkey IS NOT NULL THEN 'update'
         |            ELSE 'keep' END AS action
         |FROM base s FULL JOIN delta dl ON s.o_orderkey = dl.o_orderkey
+        |WHERE dl.op IS NULL OR dl.op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
 
     "join_outer_agg" ->

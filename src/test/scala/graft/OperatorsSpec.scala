@@ -218,4 +218,37 @@ class OperatorsSpec extends GraftSuite {
     val lab60 = labelsOf(chain60, "chain60")
     assert(lab60.size == 60 && lab60.values.forall(_ == 1L), lab60.take(5))
   }
+
+  test("Merge applies update/insert/delete/keep with SQL-MERGE semantics") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "v")
+    val delta = Seq(
+      (2L, "b2", 22.0, "U"), // matched update
+      (5L, "e", 50.0, "I"),  // unmatched insert
+      (3L, "c", 30.0, "D"),  // matched delete → row removed
+      (9L, "z", 0.0, "D"))   // delete of absent key → no-op
+      .toDF("k", "name", "v", "op")
+    val out = graft.operators.Merge.merge(base, delta, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 10.0, "keep"),
+      (2L, "b2", 22.0, "update"),
+      (4L, "d", 40.0, "keep"),
+      (5L, "e", 50.0, "insert")))
+  }
+
+  test("Merge errors on a delta key matched by multiple rows (SQL MERGE multi-match)") {
+    import spark.implicits._
+    val base = Seq((1L, 1.0)).toDF("k", "v")
+    val dup = Seq((1L, 2.0, "U"), (1L, 3.0, "U")).toDF("k", "v", "op")
+    val e = intercept[Exception] {
+      graft.operators.Merge.merge(base, dup, "k").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("multiple rows")),
+      s"expected the MERGE multi-match error, got: ${e.getMessage}")
+  }
 }
