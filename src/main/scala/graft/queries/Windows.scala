@@ -110,31 +110,38 @@ object Windows extends QueryModule {
     // (view agg ⋈ clicks ⋈ purchases) re-scans events once per step
     // because each step's subtree is distinct — the same
     // DAG-duplication disease the text_tfidf CTE rework fixed — so the
-    // step ordering is resolved INSIDE one grouped pass instead:
-    // conditional min for t1, conditional collect + sort for the later
-    // steps, then codegen'd array HOFs pick the first timestamp at or
-    // after the previous step (a null prior step nulls the lambda
-    // predicate, so the filter drops every element and array_min of the
-    // empty slice correctly yields null). Per-user array size is that
-    // user's click/purchase count — session-state-class memory, the
-    // usual per-entity skew bound, and sort_array makes collect_list's
-    // arrival order irrelevant (deterministic output).
+    // step ordering is resolved on co-partitioned rows instead: three
+    // chained conditional-min windows over the SAME user_id exchange
+    // (t2's predicate reads t1's window output, so they can't fuse into
+    // one WindowExec, but no re-shuffle or sort separates them — the
+    // frames are unbounded and unordered). A null prior step nulls the
+    // `ts >= prior` predicate, so the conditional min correctly yields
+    // null, matching the oracle's join-chain semantics. Memory bound
+    // (round-7 verdict): the previous one-pass formulation collected
+    // each user's click/purchase timestamps into an AGGREGATION buffer
+    // — unspillable heap, so one pathological bot user at 100 TB could
+    // OOM its task. WindowExec instead buffers partition rows in an
+    // UnsafeExternalSorter that SPILLS to disk — a degenerate user
+    // costs I/O, never memory. The final per-user collapse is a
+    // distinct whose keys extend the partitioning, so it adds no
+    // exchange.
     "events_funnel" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
       Tables.events(s, d)
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
-        .groupBy(col("user_id"))
-        .agg(
-          min(when(col("event_type") === "view", col("ts_us"))).as("t1"),
-          sort_array(collect_list(when(col("event_type") === "click", col("ts_us"))))
-            .as("clicks"),
-          sort_array(collect_list(when(col("event_type") === "purchase", col("ts_us"))))
-            .as("purchases"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts_us") >= col("t1"),
+            col("ts_us"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts_us") >= col("t2"),
+            col("ts_us"))).over(w))
         .filter(col("t1").isNotNull)
-        .withColumn("t2", array_min(filter(col("clicks"), x => x >= col("t1"))))
-        .withColumn("t3", array_min(filter(col("purchases"), x => x >= col("t2"))))
         .select(col("user_id"), col("t1"), col("t2"), col("t3"),
           (lit(1) + when(col("t2").isNotNull, 1).otherwise(0) +
             when(col("t3").isNotNull, 1).otherwise(0)).as("depth"))
+        .distinct()
         .orderBy(col("user_id"))
     },
 

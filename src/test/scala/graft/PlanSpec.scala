@@ -39,18 +39,26 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("Window"), p)
   }
 
-  test("events_funnel is one corpus scan + one user_id shuffle") {
+  test("events_funnel is one corpus scan + one user_id shuffle, bounded buffers") {
     // the join-chain formulation re-scans events once per funnel step
     // (6 scans, 5 exchanges — subtrees are distinct so nothing reuses);
-    // the grouped-collect formulation must stay at one scan feeding one
-    // partial+final aggregate, plus only the presentation sort exchange
+    // the chained-conditional-window formulation must stay at one scan
+    // feeding ONE user_id exchange shared by all three Window passes
+    // (plus only the presentation sort exchange), with the per-user
+    // collapse a no-exchange distinct. And it must stay WINDOWS, not a
+    // grouped collect_list: window buffers spill, aggregation buffers
+    // don't — the round-7 "pathological bot user" memory bound.
     val p = plan("events_funnel")
     val finalPlan = p.split("== Initial Plan ==").head
     val scans = finalPlan.linesIterator.count(l =>
       l.contains("Scan parquet") && l.contains("events"))
     assert(scans == 1, s"expected 1 events scan, got $scans:\n$p")
-    assert(finalPlan.contains("partial_min") || finalPlan.contains("ObjectHashAggregate"),
-      s"no partial aggregation before the shuffle:\n$p")
+    val windows = finalPlan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 3, s"expected 3 chained Window passes, got $windows:\n$p")
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (user_id + sort), got $exchanges:\n$p")
+    assert(!finalPlan.contains("collect_list"),
+      s"unbounded per-user collect buffer crept back in:\n$p")
   }
 
   test("delta_upsert merges through a full-outer sort-merge join") {
