@@ -344,6 +344,41 @@ object Windows extends QueryModule {
         .orderBy(col("purchase_id"), col("click_id"))
     },
 
+    // Stream-stream RIGHT-OUTER interval join — the remaining outer
+    // modes reuse streaming_join_outer's two-sided sentinel recipe
+    // verbatim: null-purchase rows for never-converting clicks emit
+    // once the PURCHASE watermark passes the click's match horizon,
+    // which the sentinel pair guarantees before the source drains.
+    // Sentinels match only each other and are filtered by id sign
+    // (either id may be null here, so the filter is null-tolerant).
+    "streaming_join_right" -> { (s, d) =>
+      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val out = graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.purchaseClickRightJoin(
+          graft.streaming.Streaming.eventsWithFlushSentinel(ss, d)),
+        "streaming_join_right_" + java.util.UUID.randomUUID().toString.take(8),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      out.filter(col("purchase_id").isNull || col("purchase_id") >= 0)
+        .filter(col("click_id").isNull || col("click_id") >= 0)
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
+
+    // Stream-stream FULL-OUTER interval join — unmatched state on BOTH
+    // sides flushes as null rows when its side's watermark passes; the
+    // batch full interval join is the exact oracle once the sentinel
+    // closes both books.
+    "streaming_join_full" -> { (s, d) =>
+      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val out = graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.purchaseClickFullJoin(
+          graft.streaming.Streaming.eventsWithFlushSentinel(ss, d)),
+        "streaming_join_full_" + java.util.UUID.randomUUID().toString.take(8),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      out.filter(col("purchase_id").isNull || col("purchase_id") >= 0)
+        .filter(col("click_id").isNull || col("click_id") >= 0)
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
+
     // Sliding 1-hour window every 30 min: each event lands in 2 windows.
     "events_sliding" -> { (s, d) =>
       Tables.events(s, d)
@@ -520,6 +555,28 @@ object Windows extends QueryModule {
         |  ON p.user_id = c.user_id
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
         |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin,
+
+    // right/full outer share the left oracle's shape; NULLS FIRST on
+    // both keys pins the tie order to Spark's ascending default
+    "streaming_join_right" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+        |       CAST(epoch_us(c.ts) AS BIGINT) AS c_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin,
+
+    "streaming_join_full" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+        |       CAST(epoch_us(c.ts) AS BIGINT) AS c_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin,
 
     // the streamed sliding result equals the batch one (Complete mode):
     // identical oracle

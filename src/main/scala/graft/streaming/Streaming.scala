@@ -237,7 +237,27 @@ object Streaming {
     * eviction), and purchases still inside the watermark horizon when the
     * stream ends are withheld — the same contract as every watermarked
     * outer operator. */
-  def purchaseClickLeftJoin(events: DataFrame): DataFrame = {
+  def purchaseClickLeftJoin(events: DataFrame): DataFrame =
+    purchaseClickOuterJoin(events, "left_outer")
+
+  /** RIGHT-OUTER twin: every click emits — joined to the same user's
+    * purchases within 30 minutes after it, or as one null-purchase row
+    * ("clicks that never converted"). Null rows for unmatched CLICKS
+    * need the PURCHASE-side watermark to prove no purchase can still
+    * arrive, which the two-sided sentinel advances — same recipe,
+    * mirrored. */
+  def purchaseClickRightJoin(events: DataFrame): DataFrame =
+    purchaseClickOuterJoin(events, "right_outer")
+
+  /** FULL-OUTER twin: unmatched rows of BOTH sides survive with nulls —
+    * the complete "every purchase and every click, attributed where
+    * possible" ledger. State eviction on either side may emit a null
+    * row, so both watermarks gate emission; the two-sided sentinel
+    * closes both books. */
+  def purchaseClickFullJoin(events: DataFrame): DataFrame =
+    purchaseClickOuterJoin(events, "full_outer")
+
+  private def purchaseClickOuterJoin(events: DataFrame, joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
@@ -250,7 +270,7 @@ object Streaming {
       col("p_user") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
-      "left_outer")
+      joinType)
       .select(col("purchase_id"), col("click_id"),
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
   }
