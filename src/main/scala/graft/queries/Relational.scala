@@ -35,6 +35,44 @@ object Relational extends QueryModule {
   /** Order-independent exact money arithmetic: double → DECIMAL(18,2). */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Synthesized `partsupp` — the one TPC-H table the fixture doesn't
+    * ship (SURVEY §8.2), derived DETERMINISTICALLY from `part` ×
+    * `supplier` count with TPC-H's own supplier-assignment formula
+    * (4 suppliers per part, stepped ~S/4 apart mod S) and exact-integer
+    * availqty/supplycost stand-ins, so the DuckDB oracle rebuilds the
+    * bit-identical table from the same parquet via [[partsuppCteDuck]].
+    * All operands are positive, so Spark's truncating DIV and DuckDB's
+    * floor // agree. Cost at any scale: one `part` scan × 4 — partsupp
+    * is part-proportional (a big dim, not a fact), and every consumer
+    * below joins or aggregates it on its keys. */
+  private val partsuppCte =
+    """partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey + i * (s_cnt DIV 4 + (p_partkey - 1) DIV s_cnt)) % s_cnt + 1 AS ps_suppkey,
+      |         (p_partkey * 11 + i * 13) % 9999 + 1 AS ps_availqty,
+      |         CAST((p_partkey * 31 + i * 17) % 1000 + 1 AS DECIMAL(12,2)) AS ps_supplycost
+      |  FROM part_v
+      |  CROSS JOIN (SELECT explode(sequence(0, 3)) AS i) t_i
+      |  CROSS JOIN (SELECT count(*) AS s_cnt FROM supplier_v) t_s)""".stripMargin
+
+  /** DuckDB-dialect twin of [[partsuppCte]] (unnest/generate_series and
+    * floor-div `//`; same exact integer arithmetic). */
+  private val partsuppCteDuck =
+    """partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey + i * (s_cnt // 4 + (p_partkey - 1) // s_cnt)) % s_cnt + 1 AS ps_suppkey,
+      |         (p_partkey * 11 + i * 13) % 9999 + 1 AS ps_availqty,
+      |         CAST((p_partkey * 31 + i * 17) % 1000 + 1 AS DECIMAL(12,2)) AS ps_supplycost
+      |  FROM part
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) t_i
+      |  CROSS JOIN (SELECT count(*) AS s_cnt FROM supplier) t_s)""".stripMargin
+
+  private def partsuppViews(s: SparkSession, d: String): Unit = {
+    Tables.part(s, d).createOrReplaceTempView("part_v")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Scan + filter + project: predicates and column pruning reach the
@@ -496,7 +534,7 @@ object Relational extends QueryModule {
       Tables.orders(s, d).createOrReplaceTempView("orders_v")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
       s.sql(
-        """SELECT c_custkey, c_name, o_orderkey,
+        """SELECT /*+ MERGE(lineitem_v) */ c_custkey, c_name, o_orderkey,
           |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
           |FROM customer_v
@@ -769,6 +807,141 @@ object Relational extends QueryModule {
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
           col("sum_qty"), col("n"))
         .orderBy(col("rflag"), col("lstatus"))
+    },
+
+    // TPC-H Q2 shape (minimum-cost supplier): the classic correlated
+    // min subquery, rewritten as a per-partkey window min over ONE pass
+    // of the eligible set — the correlated form would inline the
+    // 5-table `eligible` CTE twice (the CTE-duplication disease).
+    // partsupp is part-proportional, so the window partitions by
+    // p_partkey scale out; every other relation is a broadcast dim.
+    "sql_tpch_q2" -> { (s, d) =>
+      partsuppViews(s, d)
+      Tables.region(s, d).createOrReplaceTempView("region_v")
+      s.sql(
+        s"""WITH $partsuppCte,
+           |eligible AS (
+           |  SELECT /*+ BROADCAST(part_v), BROADCAST(supplier_v), BROADCAST(nation_v), BROADCAST(region_v) */
+           |         p_partkey, s_name, s_acctbal, n_name, ps_supplycost
+           |  FROM partsupp
+           |  JOIN part_v ON p_partkey = ps_partkey
+           |  JOIN supplier_v ON s_suppkey = ps_suppkey
+           |  JOIN nation_v ON s_nationkey = n_nationkey
+           |  JOIN region_v ON n_regionkey = r_regionkey
+           |  WHERE r_name = 'EUROPE' AND p_size = 15)
+           |SELECT s_acctbal, s_name, n_name, p_partkey
+           |FROM (SELECT *, min(ps_supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+           |      FROM eligible) e
+           |WHERE ps_supplycost = min_cost
+           |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin)
+    },
+
+    // TPC-H Q9 shape (product-type profit): the 6-table rollup —
+    // lineitem priced against its partsupp supply cost, rolled up by
+    // supplier nation and order year. Join order puts the two
+    // part-keyed relations (filtered part, partsupp) against lineitem
+    // first — both are part-proportional dims the planner can
+    // broadcast at fixture scale (and bucket-join at 100 TB) — then the
+    // fact-fact orders join is merge-pinned. The profit expression
+    // stays in DECIMAL end to end (products and difference are exact;
+    // one cast to DOUBLE after the SUM).
+    "sql_tpch_q9" -> { (s, d) =>
+      partsuppViews(s, d)
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        s"""WITH $partsuppCte
+           |SELECT /*+ BROADCAST(part_v), BROADCAST(supplier_v), BROADCAST(nation_v), MERGE(orders_v) */
+           |       n_name AS nation, year(o_orderdate) AS o_year,
+           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+           |                - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+           |FROM lineitem_v
+           |JOIN part_v ON p_partkey = l_partkey
+           |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+           |JOIN supplier_v ON s_suppkey = l_suppkey
+           |JOIN orders_v ON o_orderkey = l_orderkey
+           |JOIN nation_v ON s_nationkey = n_nationkey
+           |WHERE p_name LIKE '%red%'
+           |GROUP BY n_name, year(o_orderdate)
+           |ORDER BY nation, o_year DESC""".stripMargin)
+    },
+
+    // TPC-H Q11 shape (important stock): value per part for one
+    // nation's suppliers, kept when above a fraction of the nation's
+    // total. The scalar threshold is a 1-row aggregate joined back on a
+    // constant-true condition — the standard physical plan for a scalar
+    // subquery (a 1-row broadcast nested loop, free at any scale); both
+    // sides of the comparison collapse their exact DECIMAL sums to
+    // DOUBLE once, so the 0.0001 multiply is bit-identical across
+    // engines. The germany CTE is inlined twice (grouped + total) —
+    // partsupp derives from a part scan, so the second pass re-reads a
+    // dim, not a fact.
+    "sql_tpch_q11" -> { (s, d) =>
+      partsuppViews(s, d)
+      s.sql(
+        s"""WITH $partsuppCte,
+           |germany AS (
+           |  SELECT /*+ BROADCAST(supplier_v), BROADCAST(nation_v) */
+           |         ps_partkey, ps_supplycost * ps_availqty AS v
+           |  FROM partsupp
+           |  JOIN supplier_v ON s_suppkey = ps_suppkey
+           |  JOIN nation_v ON s_nationkey = n_nationkey
+           |  WHERE n_name = 'NATION_7')
+           |SELECT ps_partkey, CAST(sum(v) AS DOUBLE) AS value
+           |FROM germany
+           |GROUP BY ps_partkey
+           |HAVING CAST(sum(v) AS DOUBLE) >
+           |       (SELECT CAST(sum(v) AS DOUBLE) * 0.0001 FROM germany)
+           |ORDER BY value DESC, ps_partkey""".stripMargin)
+    },
+
+    // TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    // count per (brand, type, size) bucket, excluding a supplier
+    // blacklist via NOT IN (null-free keys → a broadcast anti join of
+    // the tiny blacklist). s_acctbal < 0 stands in for the spec's
+    // comment-pattern complaint filter (the fixture ships no
+    // s_comment).
+    "sql_tpch_q16" -> { (s, d) =>
+      partsuppViews(s, d)
+      s.sql(
+        s"""WITH $partsuppCte
+           |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+           |FROM partsupp
+           |JOIN part_v ON p_partkey = ps_partkey
+           |WHERE p_brand <> 'Brand#3' AND p_type <> 'MEDIUM'
+           |  AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+           |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier_v WHERE s_acctbal < 0)
+           |GROUP BY p_brand, p_type, p_size
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    },
+
+    // TPC-H Q20 shape (potential part promotion): suppliers of a part
+    // class holding more stock than half a year's shipments of their
+    // (part, supplier) pair. The correlated quantity sum decorrelates
+    // into an aggregate of the 1996 lineitem slice on
+    // (l_partkey, l_suppkey) — the SAME composite key partsupp joins
+    // on, so the comparison is co-partitioned; the part-class IN prunes
+    // partsupp before the fact ever enters. Quantity sums go through
+    // DECIMAL (exact) and the 0.5× threshold is one double multiply.
+    "sql_tpch_q20" -> { (s, d) =>
+      partsuppViews(s, d)
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        s"""WITH $partsuppCte
+           |SELECT /*+ BROADCAST(nation_v) */ s_name, s_acctbal
+           |FROM supplier_v
+           |JOIN nation_v ON s_nationkey = n_nationkey
+           |WHERE n_name = 'NATION_3'
+           |  AND s_suppkey IN (
+           |    SELECT ps_suppkey FROM partsupp
+           |    WHERE ps_partkey IN (SELECT p_partkey FROM part_v WHERE p_name LIKE 'small%')
+           |      AND CAST(ps_availqty AS DOUBLE) > (
+           |        SELECT /*+ MERGE(lineitem_v) */ 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           |        FROM lineitem_v
+           |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+           |          AND l_shipdate >= TIMESTAMP '1996-01-01'
+           |          AND l_shipdate < TIMESTAMP '1998-01-01'))
+           |ORDER BY s_name""".stripMargin)
     }
   )
 
@@ -1164,6 +1337,80 @@ object Relational extends QueryModule {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_returnflag), (l_linestatus), ())
-        |ORDER BY rflag, lstatus""".stripMargin
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "sql_tpch_q2" ->
+      s"""WITH $partsuppCteDuck,
+         |eligible AS (
+         |  SELECT p_partkey, s_name, s_acctbal, n_name, ps_supplycost
+         |  FROM partsupp
+         |  JOIN part ON p_partkey = ps_partkey
+         |  JOIN supplier ON s_suppkey = ps_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE' AND p_size = 15)
+         |SELECT s_acctbal, s_name, n_name, p_partkey
+         |FROM (SELECT *, min(ps_supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+         |      FROM eligible) e
+         |WHERE ps_supplycost = min_cost
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    "sql_tpch_q9" ->
+      s"""WITH $partsuppCteDuck
+         |SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+         |                - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY n_name, year(o_orderdate)
+         |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "sql_tpch_q11" ->
+      s"""WITH $partsuppCteDuck,
+         |germany AS (
+         |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+         |  FROM partsupp
+         |  JOIN supplier ON s_suppkey = ps_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_7')
+         |SELECT ps_partkey, CAST(sum(v) AS DOUBLE) AS value
+         |FROM germany
+         |GROUP BY ps_partkey
+         |HAVING CAST(sum(v) AS DOUBLE) >
+         |       (SELECT CAST(sum(v) AS DOUBLE) * 0.0001 FROM germany)
+         |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    "sql_tpch_q16" ->
+      s"""WITH $partsuppCteDuck
+         |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM partsupp
+         |JOIN part ON p_partkey = ps_partkey
+         |WHERE p_brand <> 'Brand#3' AND p_type <> 'MEDIUM'
+         |  AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "sql_tpch_q20" ->
+      s"""WITH $partsuppCteDuck
+         |SELECT s_name, s_acctbal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_3'
+         |  AND s_suppkey IN (
+         |    SELECT ps_suppkey FROM partsupp
+         |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+         |      AND CAST(ps_availqty AS DOUBLE) > (
+         |        SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |        FROM lineitem
+         |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |          AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |          AND l_shipdate < TIMESTAMP '1998-01-01'))
+         |ORDER BY s_name""".stripMargin
   )
 }

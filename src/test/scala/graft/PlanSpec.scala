@@ -303,13 +303,22 @@ class PlanSpec extends GraftSuite {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
     val factFiles = Set("lineitem.parquet", "orders.parquet", "events.parquet")
-    def aggregated(p: SparkPlan): Boolean = p.collectFirst {
-      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
-    }.isDefined
+    // true iff some path from this node down to a FACT scan crosses no
+    // aggregate — i.e. raw fact rows actually reach the build root.
+    // (The earlier collectFirst-anywhere check passed any build subtree
+    // containing an unrelated aggregate, even one NOT between the fact
+    // scan and the root — round-7 advice.)
+    def rawFactReaches(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.getName).exists(factFiles)
+      case other => other.children.exists(rawFactReaches)
+    }
     val offenders = for {
       name <- Seq("q3_shipping", "q5_region_revenue", "sql_tpch_q4",
-        "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q10", "sql_tpch_q13",
-        "sql_tpch_q17", "sql_tpch_q18", "sql_tpch_q19", "sql_tpch_q21",
+        "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9", "sql_tpch_q10",
+        "sql_tpch_q13", "sql_tpch_q17", "sql_tpch_q18", "sql_tpch_q19",
+        "sql_tpch_q20", "sql_tpch_q21",
         "sql_tpch_q22", "join_semi", "join_anti", "join_outer_agg",
         "events_enriched", "asof_purchase_click",
         "sq_min_cost_supplier", "sq_small_quantity_revenue",
@@ -323,10 +332,28 @@ class PlanSpec extends GraftSuite {
             if (j.buildSide == BuildLeft) j.left else j.right
         }
       }
-      if (scannedTables(build) & factFiles).nonEmpty && !aggregated(build)
+      if rawFactReaches(build)
     } yield s"$name builds: ${scannedTables(build).mkString(",")}"
     assert(offenders.isEmpty,
       s"static fact-row broadcast builds:\n${offenders.mkString("\n")}")
+  }
+
+  test("q2: one eligible derivation (window min, not a correlated re-scan)") {
+    // the correlated min formulation would inline the 5-table eligible
+    // CTE twice (region scanned twice); the window-min rewrite derives
+    // it once and partitions by p_partkey — count the region scans
+    val p = plan("sql_tpch_q2")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val regionScans = finalPlan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("region.parquet"))
+    assert(regionScans == 1, s"expected 1 region scan, got $regionScans:\n$p")
+    assert(finalPlan.contains("Window"), s"no window min:\n$p")
+  }
+
+  test("q9: part-keyed dims prune lineitem BEFORE the orders join") {
+    val (liSide, _) = factJoinSides("sql_tpch_q9")
+    assert(liSide.contains("part.parquet"),
+      s"part pruning not on the lineitem side of the fact join: $liSide")
   }
 
   test("q8: part/supplier prune lineitem BEFORE the orders join") {
