@@ -40,7 +40,13 @@ object Tables {
     *    TimestampType — with the session timezone pinned to UTC (all graft
     *    entry points do this) the cast is wall-clock-preserving, which is
     *    exactly how DuckDB (the oracle) renders the same naive values.
-    *  - TIMESTAMP(MICROS, adjusted): already TimestampType; pass through. */
+    *  - TIMESTAMP(MICROS, adjusted): already TimestampType; pass through.
+    *
+    * Fixture contract (round-7 advice): event timestamps are POST-EPOCH.
+    * The nanos `DIV 1000` here and the week bucketing in events_retention
+    * truncate toward zero in Spark while the DuckDB oracle's `//` floors —
+    * identical on non-negative operands only. Pre-1970 event data would
+    * need floor semantics on both sides before trusting either. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")

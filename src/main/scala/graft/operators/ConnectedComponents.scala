@@ -46,7 +46,14 @@ object ConnectedComponents {
     * `stageKey` namespaces the per-round materializations in
     * [[graft.Staging]] (same build-once contract: one run per
     * (stageKey, input dir) per JVM — reruns replay from the staged
-    * rounds).
+    * rounds). The semantic hash of the edge plan is folded into the
+    * key (round-7 advice): a second call with the same stageKey/dir
+    * but a DIFFERENT edge derivation gets fresh rounds instead of
+    * silently replaying the first call's staged labels — while
+    * repeated calls with the same plan (bench reps) still hit the
+    * cache, and no extra Spark job runs to compute the fingerprint.
+    * Same plan over MUTATED input files remains the caller's problem,
+    * exactly as Staging's immutable-input contract documents.
     */
   def label(
       s: SparkSession,
@@ -54,18 +61,20 @@ object ConnectedComponents {
       stageKey: String,
       dir: String,
       maxRounds: Int = 50): DataFrame = {
-    val und = Staging.stage(s, s"${stageKey}_edges", dir) {
+    val fp = Integer.toHexString(edges.queryExecution.analyzed.semanticHash())
+    val stageKeyFp = s"${stageKey}_$fp"
+    val und = Staging.stage(s, s"${stageKeyFp}_edges", dir) {
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     }
-    var labels = Staging.stage(s, s"${stageKey}_l0", dir) {
+    var labels = Staging.stage(s, s"${stageKeyFp}_l0", dir) {
       und.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
     }
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = Staging.stage(s, s"${stageKey}_l${round + 1}", dir) {
+      val next = Staging.stage(s, s"${stageKeyFp}_l${round + 1}", dir) {
         val nbrMin = und.join(labels, und("src") === labels("id"))
           .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
         val stepped = labels.join(nbrMin, Seq("id"), "left")

@@ -454,7 +454,16 @@ object Similarity extends QueryModule {
       // bitsPerBand is THE corpus-size lever (see lshBucketed), derived
       // from the corpus count by default (round-7 verdict: the fixed
       // default of 4 silently went quadratic at 100×); the SQL oracle
-      // derives the identical value from count(*)
+      // derives the identical value from count(*).
+      //
+      // The near-dup cosine threshold is an operator parameter
+      // (`spark.graft.dedup.embTau`, default 0.99 — the value the
+      // driver's SQL oracle pins); the float prefilter tracks it at
+      // tau − 0.005, preserving the drift argument below (float-vs-
+      // decimal drift ~1e-7 ≪ 0.005). Non-default taus are covered by
+      // the 100× per-label slice check (docs/SCALING.md round 8):
+      // label-blocked pairs never cross labels, so per-label DuckDB
+      // oracles compose EXACTLY to the full corpus answer.
       //
       // Shape (reworked in round 7 after a 100× phase decomposition):
       // the self-join output is consumed IN-STAGE by an all-float codegen
@@ -474,6 +483,8 @@ object Similarity extends QueryModule {
       // dot AND decimal norms, and band-duplicate survivors collapse in
       // a final candidate-sized distinct — output is bit-identical to
       // the oracle's formulation.
+      val tau = s.conf.getOption("spark.graft.dedup.embTau")
+        .map(_.toDouble).getOrElse(0.99)
       val bucketed = lshBucketedNoNorm(s, d, 4, annBitsPerBand(s, d))
       bucketed.as("a")
         .join(bucketed.as("b"),
@@ -485,11 +496,11 @@ object Similarity extends QueryModule {
         .withColumn("cos_fast",
           dotDbl(col("e1"), col("e2")) /
             sqrt(dotDbl(col("e1"), col("e1")) * dotDbl(col("e2"), col("e2"))))
-        .filter(col("cos_fast") >= 0.985)
+        .filter(col("cos_fast") >= tau - 0.005)
         .withColumn("cosine",
           dotDec(col("e1"), col("e2")).cast("double") /
             sqrt(normDec(col("e1")).cast("double") * normDec(col("e2")).cast("double")))
-        .filter(col("cosine") >= 0.99)
+        .filter(col("cosine") >= tau)
         .select(col("d1"), col("d2"), col("label"), round(col("cosine"), 9).as("cosine"))
         .distinct()
         .orderBy(col("d1"), col("d2"))

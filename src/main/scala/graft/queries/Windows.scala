@@ -156,6 +156,8 @@ object Windows extends QueryModule {
     // corpus scan, one user_id shuffle, one small-key shuffle.
     "events_retention" -> { (s, d) =>
       val weekUs = 7L * 24 * 3600 * 1000000L
+      // DIV truncates, the oracle's // floors — identical because the
+      // fixture contract pins ts >= epoch (see Tables.events)
       Tables.events(s, d)
         .select(col("user_id"),
           expr(s"unix_micros(ts) DIV ${weekUs}L").as("wk"))
