@@ -5,10 +5,17 @@ The full-corpus DuckDB oracle OOMs at 100x (round-7 finding), but
 dedup_embedding's candidate pairs are LABEL-BLOCKED — a pair never
 crosses labels — so per-label oracle slices compose EXACTLY to the full
 answer (the dedup_cluster recipe applied to embeddings). For each label
-this script rebuilds the bucketing (bits derived from the FULL corpus
-count, matching the engine) and the exact decimal rescore over that
-label's vectors only, then compares the union of slices with Spark's
-output parquet row-for-row.
+this script rebuilds the bucketing and the exact decimal rescore over
+that label's vectors only, then compares the union of slices with
+Spark's output parquet row-for-row.
+
+Bucketing is generated as LITERAL per-plane projection expressions
+(md5-derived coefficients printed as round-trip double literals;
+left-to-right addition = the engine's fused-loop order), because the
+unnest-join + ordered-sum formulation the sf-scale oracle uses hits
+DuckDB's non-spillable ordered aggregate at 100x. bits follows the same
+integer rule the engine derives: smallest b >= 4 with 2^b*200 >= FULL
+corpus count.
 
 Usage: check_emb100.py <sfDir> <sparkOutDir> [tau=0.99]
 
@@ -16,66 +23,75 @@ Run Spark first, e.g.:
   SPARK_GRAFT_CONF=spark.graft.dedup.embTau=0.6 \
     tools/run.sh graft.Verify /tmp/graft-sfx100 /tmp/emb100 dedup_embedding
 """
-import sys, glob, json
+import sys, glob, json, hashlib
 import pandas as pd  # noqa: F401  (import C extensions before DuckDB reserves memory)
 import duckdb
 
-SLICE_SQL = """
-WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
-            FROM embeddings WHERE label = {label}),
-norms AS (
-  SELECT vec_id,
-         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
-  FROM ex GROUP BY vec_id),
--- {{bits}} is inlined by the runner: smallest b >= 4 with 2^b*200 >= FULL
--- corpus count — the same integer rule the engine and the driver-gate
--- oracle derive in SQL (scalar-subquery-parameterized CTEs planned
--- catastrophically in DuckDB at this scale, so the constant is bound here)
-planes AS (
-  SELECT p, i,
-         ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 6))::INTEGER
-           / 8388608.0 - 1.0 AS c
-  FROM (SELECT unnest(generate_series(0, 4 * {bits} - 1)) AS p),
-       (SELECT unnest(generate_series(0, 63)) AS i)),
-projections AS (
-  SELECT e.vec_id, pl.p, sum(pl.c * CAST(e.x AS DOUBLE) ORDER BY pl.i) AS proj
-  FROM ex e JOIN planes pl ON pl.i = e.i - 1
-  GROUP BY e.vec_id, pl.p),
-buckets AS (
-  SELECT vec_id, p // {bits} AS band,
-         CAST(sum(CASE WHEN proj >= 0
-                       THEN (CAST(1 AS BIGINT) << ({bits} - 1 - p % {bits}))
-                       ELSE 0 END) AS INTEGER) AS bucket
-  FROM projections GROUP BY vec_id, p // {bits}),
-cand AS (
+NBANDS, DIMS = 4, 64
+
+
+def plane_coefs(p):
+    """Mirror HyperplaneBuckets.planes: md5(p_i)[:6 hex] / 2^23 - 1."""
+    return [int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:6], 16) / 8388608.0 - 1.0
+            for i in range(DIMS)]
+
+
+def proj_expr(p):
+    # left-to-right addition matches the engine's fused-loop order;
+    # repr() round-trips each double exactly
+    return " + ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) * {c!r}"
+                      for i, c in enumerate(plane_coefs(p)))
+
+
+def bucket_expr(band, bits):
+    terms = [f"(CASE WHEN {proj_expr(band * bits + j)} >= 0.0 "
+             f"THEN {1 << (bits - 1 - j)} ELSE 0 END)" for j in range(bits)]
+    return " + ".join(terms)
+
+
+def buckets_sql(label, bits):
+    bands = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, ({bucket_expr(b, bits)}) AS bucket\n"
+        f"FROM embeddings WHERE label = {label}" for b in range(NBANDS))
+    return f"CREATE OR REPLACE TEMP TABLE buckets_l AS\n{bands}"
+
+
+# decimal dot as a LITERAL 64-term chain over the array columns: the
+# unnest-join + group-by formulation let DuckDB pick a join order that
+# exploded into a spill measured in tens of GB per label; the literal
+# chain is one expression per candidate row. Parity is unaffected:
+# decimal addition is EXACT, so any summation order gives the engine's
+# DecimalDotProduct value (same per-term double product → DECIMAL cast).
+def dot_dec(a, b):
+    return " + ".join(
+        f"CAST(CAST({a}.embedding[{i + 1}] AS DOUBLE) * CAST({b}.embedding[{i + 1}] AS DOUBLE) AS DECIMAL(38,12))"
+        for i in range(DIMS))
+
+
+PAIRS_SQL_TMPL = """
+CREATE OR REPLACE TEMP TABLE pairs_l AS
+WITH cand AS (
   SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
-  FROM buckets a
-  JOIN buckets b ON b.band = a.band AND b.bucket = a.bucket AND a.vec_id < b.vec_id),
-pairs AS (
-  SELECT c.d1, c.d2,
-         CAST(sum(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
-           / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
-  FROM cand c
-  JOIN ex a ON a.vec_id = c.d1
-  JOIN ex b ON b.vec_id = c.d2 AND b.i = a.i
-  JOIN norms na ON na.vec_id = c.d1
-  JOIN norms nb ON nb.vec_id = c.d2
-  GROUP BY c.d1, c.d2, na.n2, nb.n2)
-SELECT (SELECT count(*) FROM cand) AS n_cand,
-       (SELECT max(cosine) FROM pairs) AS max_cos,
-       (SELECT count(*) FROM pairs WHERE cosine >= {tau}) AS n_final
+  FROM buckets_l a
+  JOIN buckets_l b ON b.band = a.band AND b.bucket = a.bucket AND a.vec_id < b.vec_id)
+SELECT c.d1, c.d2,
+       CAST(({dot_ab}) AS DOUBLE)
+         / sqrt(CAST(({n_a}) AS DOUBLE) * CAST(({n_b}) AS DOUBLE)) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.d1
+JOIN embeddings b ON b.vec_id = c.d2
 """
 
-PAIR_SQL = SLICE_SQL.split("SELECT (SELECT")[0] + """
-SELECT d1, d2, {label} AS label, round(cosine, 9) AS cosine
-FROM pairs WHERE cosine >= {tau} ORDER BY d1, d2
-"""
+
+def pairs_sql():
+    return PAIRS_SQL_TMPL.format(dot_ab=dot_dec("a", "b"),
+                                 n_a=dot_dec("a", "a"), n_b=dot_dec("b", "b"))
 
 
 def main(sf_dir, out_dir, tau):
     con = duckdb.connect()
     con.execute("SET temp_directory='/var/tmp/duck_tmp'")
-    con.execute("SET memory_limit='24GB'")
+    con.execute("SET memory_limit='40GB'")
     pat = f"{sf_dir}/embeddings.parquet/*.parquet" if glob.glob(
         f"{sf_dir}/embeddings.parquet/*.parquet") else f"{sf_dir}/embeddings.parquet"
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pat}')")
@@ -87,14 +103,18 @@ def main(sf_dir, out_dir, tau):
     oracle_rows = []
     stats = {}
     for lb in labels:
+        con.execute(buckets_sql(lb, bits))
+        con.execute(pairs_sql())
         n_cand, max_cos, n_final = con.execute(
-            SLICE_SQL.format(label=lb, tau=tau, bits=bits)).fetchone()
+            f"SELECT count(*), max(cosine), count(*) FILTER (cosine >= {tau}) FROM pairs_l"
+        ).fetchone()
         stats[lb] = dict(n_cand=n_cand, max_cos=max_cos, n_final=n_final)
         print(f"label {lb}: candidates={n_cand} max_cos={max_cos} pairs>=tau={n_final}",
               flush=True)
         if n_final:
             oracle_rows.append(con.execute(
-                PAIR_SQL.format(label=lb, tau=tau, bits=bits)).df())
+                f"SELECT d1, d2, {lb} AS label, round(cosine, 9) AS cosine "
+                f"FROM pairs_l WHERE cosine >= {tau} ORDER BY d1, d2").df())
     oracle = (pd.concat(oracle_rows, ignore_index=True) if oracle_rows
               else pd.DataFrame(columns=["d1", "d2", "label", "cosine"]))
     oracle = oracle.sort_values(["d1", "d2"]).reset_index(drop=True)
