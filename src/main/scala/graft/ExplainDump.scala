@@ -56,9 +56,22 @@ object ExplainDump {
       "the ALREADY AGGREGATED dim-sized revenue set (the spec's scalar-subquery formulation " +
       "re-scans the fact — Catalyst inlines the revenue CTE into both consumers); supplier " +
       "joins as the broadcast side (PlanSpec-pinned single scan)"),
-    "events_funnel" -> ("ordered-step funnel resolved INSIDE one grouped pass (conditional min + " +
-      "collect + codegen array HOFs): one corpus scan, partial+final ObjectHashAggregate, one " +
-      "user_id exchange — the join-chain formulation was 6 scans / 5 exchanges (PlanSpec-pinned)")
+    "events_funnel" -> ("ordered-step funnel as three chained conditional-min windows over ONE " +
+      "user_id exchange (t2 reads t1's output so they can't fuse, but nothing re-partitions " +
+      "between passes); WindowExec buffers SPILL where the earlier grouped collect_list " +
+      "buffered unspillable heap — the join-chain formulation was 6 scans / 5 exchanges " +
+      "(PlanSpec-pinned: 1 scan, 3 windows, ≤2 exchanges, no collect_list)"),
+    "sql_tpch_q2" -> ("partsupp DERIVED from part × supplier-count (no stored table, rebuilt " +
+      "bit-identically by the oracle); the correlated min is a per-partkey window over ONE " +
+      "pass of the eligible set — region scanned once (PlanSpec-pinned), every non-partsupp " +
+      "relation a broadcast dim"),
+    "sql_tpch_q9" -> ("six-table profit rollup: part-keyed dims (filtered part, derived " +
+      "partsupp) prune lineitem BEFORE the merge-pinned orders join; profit expression exact " +
+      "in DECIMAL end-to-end, one cast to DOUBLE after the SUM"),
+    "delta_upsert" -> ("MERGE with insert/update/delete/keep through operators.Merge: full-outer " +
+      "sort-merge on the key (broadcast cannot produce the unmatched build side), multi-match " +
+      "guard as a delta-sized count window CO-PARTITIONED with the join feeding raise_error, " +
+      "delete filter after the join (a 'D' row must meet its snapshot row)")
   )
 
   def main(args: Array[String]): Unit = {
