@@ -360,6 +360,50 @@ object Dedup extends QueryModule {
           round(col("ninter") * lit(1.0) / (col("s1.n") + col("s2.n") - col("ninter")), 6))
         .select(col("d1"), col("d2"), col("jaccard"))
         .orderBy(col("d1"), col("d2"))
+    },
+
+    // INCREMENTAL dedup — the daily-ingest shape: a delta batch (docs
+    // with doc_id % 10 == 0 stand in for "today's crawl") is near-dup
+    // checked against the EXISTING base corpus without ever comparing
+    // base docs to each other. This is the asymmetric variant every
+    // production pipeline actually runs: at 100 TB the base corpus's
+    // band signatures are precomputed once (here: the same staged
+    // band_sigs parquet every minhash consumer reads — filter pushdown
+    // carves the two sides out of one tiny signature table), the
+    // delta-sized side drives the (band, sig) bucket join, the
+    // candidate set is output-sized, and the shingle-Jaccard verify
+    // joins only candidate doc_ids. Per delta doc the verdict is the
+    // arg-max match (highest jaccard, min base_id tiebreak — a bounded
+    // per-new-doc window over the verified pair set) plus the match
+    // count, so downstream can drop or link the duplicate.
+    "dedup_incremental" -> { (s, d) =>
+      val sigs = bandSignatures(s, d)
+      val newSigs = sigs.filter(col("doc_id") % 10 === 0)
+      val baseSigs = sigs.filter(col("doc_id") % 10 =!= 0)
+      val cand = newSigs.as("a")
+        .join(baseSigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+        .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("base_id"))
+        .distinct()
+      val sh = shingles(s, d)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("x"), col("new_id") === col("x.doc_id"))
+        .join(sh.as("y"), col("base_id") === col("y.doc_id") && col("x.s") === col("y.s"))
+        .groupBy(col("new_id"), col("base_id")).agg(count(lit(1)).as("ninter"))
+      inter
+        .join(sizes.as("s1"), col("new_id") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("base_id") === col("s2.doc_id"))
+        .withColumn("jaccard",
+          round(col("ninter") * lit(1.0) / (col("s1.n") + col("s2.n") - col("ninter")), 6))
+        .filter(col("jaccard") >= 0.6)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("new_id"))
+            .orderBy(col("jaccard").desc, col("base_id"))))
+        .withColumn("n_matches", count(lit(1)).over(Window.partitionBy(col("new_id"))))
+        .filter(col("rk") === 1)
+        .select(col("new_id"), col("base_id").as("dup_of"), col("jaccard"), col("n_matches"))
+        .orderBy(col("new_id"))
     }
   )
 
@@ -537,6 +581,39 @@ object Dedup extends QueryModule {
         |                            ORDER BY n_shared DESC, eval_id) AS rk
         |  FROM ov)
         |SELECT train_id, eval_id, n_shared FROM rk WHERE rk = 1
-        |ORDER BY train_id""".stripMargin
+        |ORDER BY train_id""".stripMargin,
+
+    // same band-signature CTEs; asymmetric delta-vs-base candidates
+    // (the unused symmetric `cand` CTE rides along harmlessly)
+    "dedup_incremental" ->
+      s"""WITH $bandCandSql,
+        |cand2 AS (
+        |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.new_id, c.base_id, count(*) AS ninter
+        |  FROM cand2 c
+        |  JOIN sh x ON x.doc_id = c.new_id
+        |  JOIN sh y ON y.doc_id = c.base_id AND y.s = x.s
+        |  GROUP BY c.new_id, c.base_id),
+        |v AS (
+        |  SELECT new_id, base_id,
+        |         round(ninter * 1.0 / (s1.n + s2.n - ninter), 6) AS jaccard
+        |  FROM inter
+        |  JOIN sizes s1 ON s1.doc_id = new_id
+        |  JOIN sizes s2 ON s2.doc_id = base_id
+        |  WHERE round(ninter * 1.0 / (s1.n + s2.n - ninter), 6) >= 0.6),
+        |w AS (
+        |  SELECT new_id, base_id, jaccard,
+        |         row_number() OVER (PARTITION BY new_id
+        |                            ORDER BY jaccard DESC, base_id) AS rk,
+        |         count(*) OVER (PARTITION BY new_id) AS n_matches
+        |  FROM v)
+        |SELECT new_id, base_id AS dup_of, jaccard,
+        |       CAST(n_matches AS BIGINT) AS n_matches
+        |FROM w WHERE rk = 1
+        |ORDER BY new_id""".stripMargin
   )
 }

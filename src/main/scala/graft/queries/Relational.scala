@@ -431,6 +431,45 @@ object Relational extends QueryModule {
           |  AND l_quantity < 24""".stripMargin)
     },
 
+    // TPC-H Q12 shape (shipmode line priority) — the last of the 22
+    // classic shapes: fact⋈fact join + conditional (CASE-gated) counts
+    // grouped by a selective line attribute. The fixture ships no
+    // l_shipmode, so it is derived DETERMINISTICALLY from
+    // (l_orderkey, l_linenumber) with exact integer arithmetic the
+    // DuckDB oracle reproduces bit-identically (the partsupp recipe;
+    // all operands non-negative so truncating % agrees in both). The
+    // spec's receipt/commit-date window is adapted to l_shipdate (the
+    // q4 precedent — those columns don't exist in the fixture). The
+    // IN ('MAIL','SHIP') filter keeps 2/7 of lineitem and evaluates on
+    // the derived column BEFORE the join (Catalyst pushes it through
+    // the projection), so only the filtered fact shuffles; the
+    // fact⋈fact join is pinned to sort-merge (no CBO ⇒ a bad stats
+    // guess must not broadcast a fact).
+    "sql_tpch_q12" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """WITH lineitem_x AS (
+          |  SELECT l_orderkey, l_shipdate,
+          |         CASE CAST((l_orderkey * 7 + l_linenumber * 3) % 7 AS INT)
+          |           WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'RAIL'
+          |           WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'AIR' WHEN 5 THEN 'REG AIR'
+          |           ELSE 'FOB' END AS l_shipmode
+          |  FROM lineitem_v)
+          |SELECT /*+ MERGE(lineitem_x) */ l_shipmode,
+          |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |                THEN 1 ELSE 0 END) AS high_line_count,
+          |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          |                THEN 1 ELSE 0 END) AS low_line_count
+          |FROM orders_v
+          |JOIN lineitem_x ON l_orderkey = o_orderkey
+          |WHERE l_shipmode IN ('MAIL', 'SHIP')
+          |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |GROUP BY l_shipmode
+          |ORDER BY l_shipmode""".stripMargin)
+    },
+
     // TPC-H Q14 shape (promo revenue share) through the SQL interface:
     // fact ⋈ dim with an explicit broadcast hint, CASE-gated decimal
     // sums, one exact division at the end. Adapted to the fixture's
@@ -1089,6 +1128,27 @@ object Relational extends QueryModule {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "sql_tpch_q12" ->
+      """WITH lineitem_x AS (
+        |  SELECT l_orderkey, l_shipdate,
+        |         CASE CAST((l_orderkey * 7 + l_linenumber * 3) % 7 AS INT)
+        |           WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'RAIL'
+        |           WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'AIR' WHEN 5 THEN 'REG AIR'
+        |           ELSE 'FOB' END AS l_shipmode
+        |  FROM lineitem)
+        |SELECT l_shipmode,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders
+        |JOIN lineitem_x ON l_orderkey = o_orderkey
+        |WHERE l_shipmode IN ('MAIL', 'SHIP')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_shipmode
+        |ORDER BY l_shipmode""".stripMargin,
 
     "sql_tpch_q14" ->
       """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'

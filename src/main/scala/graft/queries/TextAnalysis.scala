@@ -318,6 +318,103 @@ object TextAnalysis extends QueryModule {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(30)
+    },
+
+    // PII scrubbing — the redaction pass every web-scale training
+    // pipeline runs before anything else: emails, phone numbers, and
+    // IPv4 addresses → typed placeholders, via three chained
+    // regexp_replace passes (codegen'd built-ins, one narrow projection,
+    // no shuffle but the presentation sort). Patterns stay in the
+    // Java-regex ∩ RE2 class subset (no backrefs/lookaround) so the
+    // DuckDB oracle scrubs byte-identically. The fixture text is
+    // digit-free word soup with no natural PII, so a DETERMINISTIC
+    // PII-bearing suffix derived from doc_id is appended identically in
+    // both engines — what's under test is the scrub machinery, and the
+    // md5 of the scrubbed text proves byte-identical redaction. Scrub
+    // order matters and is pinned: email first (its local part contains
+    // digits a later pass must not see), then phone, then IP; the
+    // placeholders are letter-only so later passes can't re-match them.
+    "text_pii_scrub" -> { (s, d) =>
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phonePat = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+      val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val idStr = col("doc_id").cast("string")
+      val pii = concat(col("text"),
+        lit(" contact user"), idStr, lit("@mail.example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10."), pmod(col("doc_id"), lit(200)).cast("string"),
+        lit(".0."), pmod(col("doc_id"), lit(250)).cast("string"))
+      val scrubbed = regexp_replace(
+        regexp_replace(
+          regexp_replace(pii, emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"),
+        ipPat, "<IP>")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(scrubbed).as("scrub_hash"),
+        regexp_count(pii, lit(emailPat)).as("n_email"),
+        regexp_count(pii, lit(phonePat)).as("n_phone"),
+        regexp_count(pii, lit(ipPat)).as("n_ip"),
+        (length(pii) - length(scrubbed)).as("chars_removed"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic GLOBAL SHUFFLE for training-data serving: every doc
+    // gets a content-stable pseudorandom position (shard, pos) — shard =
+    // md5 bucket mod 32, pos = rank of the full md5 within the shard.
+    // This is how a 100 TB corpus is "shuffled" without a global sort:
+    // 32 (or 32k) bounded per-shard windows, each sortable within one
+    // partition, instead of one O(corpus) total order through a single
+    // task. Reading shards in order then rows in pos order IS the
+    // permutation; re-runs and engine swaps reproduce it bit-for-bit
+    // (no rand()), and adding docs never moves an existing doc across
+    // shards (membership is content-keyed, the data_split discipline).
+    "data_shuffle_global" -> { (s, d) =>
+      val h = md5(concat(lit("shuffle|"), col("doc_id").cast("string")))
+      val shard = (conv(substring(h, 1, 6), 16, 10).cast("long") % 32).as("shard")
+      Tables.documents(s, d)
+        .select(col("doc_id"), shard, h.as("h"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+
+    // Dataset MIXTURE sampling — the domain-reweighting pass that turns
+    // raw source proportions into a target training mix (web 50% /
+    // books 30% / ... à la Pile/Dolma mixture tables): per-source
+    // weights (here derived deterministically from the source id),
+    // per-source keep rates r_s = min(1, target·w_s / (W·n_s)) computed
+    // from ONE dim-sized count aggregate and broadcast back; membership
+    // is the same content-stable md5 draw as data_split — and the
+    // keep decision is EXACT integer arithmetic (bucket·n_s·W·10 <
+    // 3N·w_s·1e6, all BIGINT), so engines can never disagree on a float
+    // boundary. Scale shape: one map-side-combined count per source +
+    // one broadcast join + a narrow filter; the corpus never shuffles.
+    // Target mix size: 30% of the corpus, split across sources ∝ w_s.
+    "pipeline_mix" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val srcW = Window.partitionBy()
+      // per-source counts + derived weight; totals via an unpartitioned
+      // window over the ALREADY-AGGREGATED source set (dim-sized — the
+      // documented q15 pattern, never over the corpus)
+      val rates = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("weight",
+          (pmod(expr("CAST(substring(source, 4) AS INT)"), lit(4)) + 1).cast("long"))
+        .withColumn("n_total", sum(col("n_docs")).over(srcW))
+        .withColumn("w_total", sum(col("weight")).over(srcW))
+      val bucket = conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long") % 1000000L
+      docs.select(col("doc_id"), col("source"), col("n_chars"), bucket.as("bucket"))
+        .join(broadcast(rates), Seq("source"))
+        .withColumn("kept",
+          col("bucket") * col("n_docs") * col("w_total") * lit(10L) <
+            col("n_total") * lit(3L) * col("weight") * lit(1000000L))
+        .groupBy(col("source"), col("weight"), col("n_docs"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_chars").cast("long")).otherwise(0L)).as("kept_chars"))
+        .orderBy(col("source"))
     }
   )
 
@@ -525,6 +622,68 @@ object TextAnalysis extends QueryModule {
         |FROM b
         |GROUP BY bigram
         |ORDER BY cnt DESC, bigram
-        |LIMIT 30""".stripMargin
+        |LIMIT 30""".stripMargin,
+
+    // same deterministic PII suffix, same three RE2-safe patterns, same
+    // scrub order; 'g' flag = Spark's replace-all default
+    "text_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |         '@mail.example.com or +1-555-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |         ' from 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+        |         '.0.' || CAST(doc_id % 250 AS VARCHAR) AS pii
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, pii,
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(pii,
+        |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |             '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |  FROM p)
+        |SELECT doc_id, md5(scrubbed) AS scrub_hash,
+        |       CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |       CAST(len(regexp_extract_all(pii, '\+\d{1,3}-\d{3}-\d{4}')) AS INT) AS n_phone,
+        |       CAST(len(regexp_extract_all(pii, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+        |       length(pii) - length(scrubbed) AS chars_removed
+        |FROM sc
+        |ORDER BY doc_id""".stripMargin,
+
+    "data_shuffle_global" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS h,
+        |         ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 32 AS shard
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+        |FROM h
+        |ORDER BY shard, pos""".stripMargin,
+
+    "pipeline_mix" ->
+      """WITH rates AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS weight
+        |  FROM documents GROUP BY source),
+        |r2 AS (
+        |  SELECT source, n_docs, weight,
+        |         sum(n_docs) OVER () AS n_total,
+        |         sum(weight) OVER () AS w_total
+        |  FROM rates),
+        |k AS (
+        |  SELECT d.source, r2.weight, r2.n_docs,
+        |         (('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000)
+        |           * r2.n_docs * r2.w_total * 10 <
+        |           r2.n_total * 3 * r2.weight * 1000000 AS kept,
+        |         d.n_chars
+        |  FROM documents d JOIN r2 ON d.source = r2.source)
+        |SELECT source, weight, n_docs,
+        |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM k
+        |GROUP BY source, weight, n_docs
+        |ORDER BY source""".stripMargin
   )
 }
