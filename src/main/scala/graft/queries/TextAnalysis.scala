@@ -30,6 +30,35 @@ object TextAnalysis extends QueryModule {
     "fr" -> Seq("le", "la", "les", "et"),
     "zh" -> Seq("de", "le", "shi", "bu"))
 
+  /** PII patterns — deliberately inside the Java-regex ∩ RE2 class
+    * subset (no backrefs, no lookaround) so Spark and the DuckDB
+    * oracle match byte-identically. Package-visible so the spec can
+    * assert zero residual matches after the scrub. */
+  private[graft] val PiiEmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiPhonePat = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+  private[graft] val PiiIpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** The PII-bearing input column (fixture text + deterministic
+    * doc_id-derived email/phone/IP suffix — the fixture is digit-free
+    * word soup, so the suffix guarantees every pattern fires). */
+  private[graft] def piiInput: org.apache.spark.sql.Column =
+    concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(200)).cast("string"),
+      lit(".0."), pmod(col("doc_id"), lit(250)).cast("string"))
+
+  /** Scrub order is load-bearing: email first (its local part holds
+    * digits later passes must not see), then phone, then IP; the
+    * placeholders are letter-only so later passes cannot re-match. */
+  private[graft] def piiScrubbed: org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(piiInput, PiiEmailPat, "<EMAIL>"),
+        PiiPhonePat, "<PHONE>"),
+      PiiIpPat, "<IP>")
+
   val queries: Map[String, Q] = Map(
 
     // Token counting: whitespace tokens, distinct tokens, and a BPE-ish
@@ -335,27 +364,13 @@ object TextAnalysis extends QueryModule {
     // digits a later pass must not see), then phone, then IP; the
     // placeholders are letter-only so later passes can't re-match them.
     "text_pii_scrub" -> { (s, d) =>
-      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phonePat = "\\+\\d{1,3}-\\d{3}-\\d{4}"
-      val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      val idStr = col("doc_id").cast("string")
-      val pii = concat(col("text"),
-        lit(" contact user"), idStr, lit("@mail.example.com or +1-555-"),
-        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-        lit(" from 10."), pmod(col("doc_id"), lit(200)).cast("string"),
-        lit(".0."), pmod(col("doc_id"), lit(250)).cast("string"))
-      val scrubbed = regexp_replace(
-        regexp_replace(
-          regexp_replace(pii, emailPat, "<EMAIL>"),
-          phonePat, "<PHONE>"),
-        ipPat, "<IP>")
       Tables.documents(s, d).select(
         col("doc_id"),
-        md5(scrubbed).as("scrub_hash"),
-        regexp_count(pii, lit(emailPat)).as("n_email"),
-        regexp_count(pii, lit(phonePat)).as("n_phone"),
-        regexp_count(pii, lit(ipPat)).as("n_ip"),
-        (length(pii) - length(scrubbed)).as("chars_removed"))
+        md5(piiScrubbed).as("scrub_hash"),
+        regexp_count(piiInput, lit(PiiEmailPat)).as("n_email"),
+        regexp_count(piiInput, lit(PiiPhonePat)).as("n_phone"),
+        regexp_count(piiInput, lit(PiiIpPat)).as("n_ip"),
+        (length(piiInput) - length(piiScrubbed)).as("chars_removed"))
         .orderBy(col("doc_id"))
     },
 

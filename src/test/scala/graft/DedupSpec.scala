@@ -148,4 +148,30 @@ class DedupSpec extends GraftSuite {
         s"cluster $cid sizes ${members.values.map(_._2).toSet} != ${members.size}")
     }
   }
+
+  test("dedup_incremental agrees with the symmetric minhash pair set") {
+    val inc = q("dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // sides are what the delta/base split promises
+    assert(inc.forall { case (n, b, j, m) =>
+      n % 10 == 0 && b % 10 != 0 && j >= 0.6 && j <= 1.0 && m >= 1 })
+    assert(inc.map(_._1).distinct.length == inc.length) // one verdict per new doc
+    // compositional ground truth: dedup_minhash emits EVERY verified
+    // pair (d1<d2, jaccard>=0.6) from the same blocker, so the
+    // incremental answer must be exactly its delta-vs-base slice,
+    // arg-maxed per new doc (max jaccard, min base_id tiebreak)
+    val sym = q("dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cross = sym.flatMap { case (d1, d2, j) =>
+      if (d1 % 10 == 0 && d2 % 10 != 0) Some((d1, d2, j))
+      else if (d2 % 10 == 0 && d1 % 10 != 0) Some((d2, d1, j))
+      else None
+    }
+    val expected = cross.groupBy(_._1).map { case (n, ms) =>
+      val best = ms.minBy(p => (-p._3, p._2))
+      (n, best._2, best._3, ms.length.toLong)
+    }.toSet
+    assert(inc.toSet == expected,
+      s"incremental ${inc.toSet} != minhash slice $expected")
+  }
 }

@@ -317,6 +317,7 @@ class PlanSpec extends GraftSuite {
     val offenders = for {
       name <- Seq("q3_shipping", "q5_region_revenue", "sql_tpch_q4",
         "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9", "sql_tpch_q10",
+        "sql_tpch_q12",
         "sql_tpch_q13", "sql_tpch_q17", "sql_tpch_q18", "sql_tpch_q19",
         "sql_tpch_q20", "sql_tpch_q21",
         "sql_tpch_q22", "join_semi", "join_anti", "join_outer_agg",

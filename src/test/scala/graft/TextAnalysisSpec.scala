@@ -91,4 +91,62 @@ class TextAnalysisSpec extends GraftSuite {
     val counts = rows.map(_.getLong(1))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("text_pii_scrub: scrub is complete (zero residual PII matches) and counted") {
+    import graft.queries.TextAnalysis._
+    // completeness: after the three passes, no pattern matches anything
+    val residual = Tables.documents(spark, sf).select(
+        regexp_count(piiScrubbed, lit(PiiEmailPat)).as("e"),
+        regexp_count(piiScrubbed, lit(PiiPhonePat)).as("p"),
+        regexp_count(piiScrubbed, lit(PiiIpPat)).as("i"))
+      .agg(sum(col("e")), sum(col("p")), sum(col("i"))).head()
+    assert((0 to 2).forall(residual.getLong(_) == 0L), s"residual PII: $residual")
+    // every doc's synthetic suffix fired every detector at least once,
+    // and redaction strictly shrinks the text
+    val rows = q("text_pii_scrub").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(2) >= 1 && r.getInt(3) >= 1 && r.getInt(4) >= 1))
+    assert(rows.forall(_.getInt(5) > 0))
+  }
+
+  test("data_shuffle_global: per-shard positions are a contiguous 1..n permutation") {
+    val rows = q("data_shuffle_global").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.map(_._1).distinct.length == rows.length) // every doc once
+    for ((shard, members) <- rows.groupBy(_._2)) {
+      val ps = members.map(_._3).sorted
+      assert(ps.sameElements(1 to members.length),
+        s"shard $shard positions not contiguous: ${ps.take(5).mkString(",")}...")
+    }
+    // determinism: a re-run reproduces the identical permutation
+    assert(q("data_shuffle_global").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sameElements(rows))
+    // shard is a pure function of doc_id: membership never moves when
+    // the corpus changes (recompute over a half-corpus subset)
+    val half = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("shuffle|"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % 32).as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = rows.map(r => r._1 -> r._2).toMap
+    assert(half.forall { case (id, sh) => full(id) == sh })
+  }
+
+  test("pipeline_mix: kept counts respect the weighted targets and are deterministic") {
+    val rows = q("pipeline_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // weights follow the documented derivation and kept ⊆ docs
+    assert(rows.forall { case (src, w, n, k, _) =>
+      w == src.drop(3).toInt % 4 + 1 && k >= 0 && k <= n })
+    // overall mix lands near the 30% target (Bernoulli noise bounded
+    // loosely — the draw is deterministic md5, not rand, so this is a
+    // fixed property of the fixture, not a flaky statistical test)
+    val frac = rows.map(_._4).sum.toDouble / rows.map(_._3).sum
+    assert(frac > 0.1 && frac < 0.5, s"mix fraction $frac")
+    assert(q("pipeline_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sameElements(rows))
+  }
 }
