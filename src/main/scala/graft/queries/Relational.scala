@@ -387,6 +387,34 @@ object Relational extends QueryModule {
         .orderBy(col("l_returnflag"))
     },
 
+    // MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    // Spark 4's hll_sketch_agg/hll_union_agg/hll_sketch_estimate) — the
+    // incremental-analytics pattern approx_count_distinct can't do: a
+    // sketch per slice (here per returnflag; in production per
+    // day/partition, STAGED once) is a few KB of mergeable state, so
+    // "distinct orders this quarter" is a union over ~90 staged daily
+    // sketches instead of a recount over ~TBs of raw fact — and late
+    // data just re-sketches its own day. Both levels ship here: the
+    // per-slice estimates AND the union rollup, from ONE pass over the
+    // fact (partial hll_sketch_agg runs map-side; the exchange carries
+    // sketch bytes, not values). Approximate by design ⇒ rows-only at
+    // the driver; ScaleSpec pins merge fidelity (union estimate tracks
+    // the single-pass whole-fact sketch to <1% — state merge is
+    // near-lossless, not bit-exact, across sparse→dense promotion),
+    // determinism, and ±2% accuracy vs the exact COUNT(DISTINCT) twin.
+    "agg_sketch_merge" -> { (s, d) =>
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("scope"))
+        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      val union = per
+        .agg(hll_union_agg(col("sk")).as("sk"))
+        .select(lit("ALL").as("scope"), col("sk"))
+      per.unionByName(union)
+        .select(col("scope"),
+          hll_sketch_estimate(col("sk")).as("est_distinct_orders"))
+        .orderBy(col("scope"))
+    },
+
     // Set operations on key projections: customers active in 1995 vs 1996.
     "set_ops" -> { (s, d) =>
       val ord = Tables.orders(s, d)

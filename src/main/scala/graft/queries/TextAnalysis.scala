@@ -430,6 +430,41 @@ object TextAnalysis extends QueryModule {
         .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("kept"), col("n_chars").cast("long")).otherwise(0L)).as("kept_chars"))
         .orderBy(col("source"))
+    },
+
+    // Distribution-based OUTLIER FILTER — drop documents outside the
+    // per-language [p05, p95] length band (the "too short / truncated /
+    // concatenation-blob" curation pass). Quantiles are DISCRETE and
+    // computed in EXACT integer arithmetic via a value histogram:
+    // group by (lang, n_chars) with map-side combine (the exchange
+    // carries one row per distinct length, not per doc), cumulative
+    // counts over that DIM-SIZED set (bounded windows — distinct
+    // lengths per lang, never the corpus), bound = smallest value whose
+    // cumulative count clears ceil-free cross-multiplied thresholds
+    // (cum·20 ≥ n and cum·20 ≥ 19·n). No interpolation, no floats —
+    // engines cannot drift on a quantile boundary, unlike
+    // percentile_cont's lo+(hi-lo)·f vs (1-f)·lo+f·hi ulp ambiguity.
+    // Bounds broadcast back; the corpus itself never shuffles.
+    "pipeline_length_filter" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hist = docs.groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      val wAll = Window.partitionBy(col("lang"))
+      val bounds = hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("lang"))
+        .agg(
+          min(when(col("cum") * 20 >= col("n"), col("n_chars"))).as("p05"),
+          min(when(col("cum") * 20 >= col("n") * 19, col("n_chars"))).as("p95"))
+      docs.join(broadcast(bounds), Seq("lang"))
+        .withColumn("kept",
+          col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
+        .groupBy(col("lang"), col("p05"), col("p95"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), lit(0L)).otherwise(1L)).as("n_dropped"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -699,6 +734,29 @@ object TextAnalysis extends QueryModule {
         |       CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM k
         |GROUP BY source, weight, n_docs
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    "pipeline_length_filter" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars, count(*) AS c
+        |  FROM documents GROUP BY lang, n_chars),
+        |cum AS (
+        |  SELECT lang, n_chars,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |bounds AS (
+        |  SELECT lang,
+        |         min(CASE WHEN cum * 20 >= n THEN n_chars END) AS p05,
+        |         min(CASE WHEN cum * 20 >= n * 19 THEN n_chars END) AS p95
+        |  FROM cum GROUP BY lang)
+        |SELECT d.lang, b.p05, b.p95,
+        |       CAST(sum(CASE WHEN d.n_chars BETWEEN b.p05 AND b.p95
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN d.n_chars BETWEEN b.p05 AND b.p95
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM documents d JOIN bounds b ON d.lang = b.lang
+        |GROUP BY d.lang, b.p05, b.p95
+        |ORDER BY d.lang""".stripMargin
   )
 }

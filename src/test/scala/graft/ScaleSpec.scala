@@ -130,6 +130,58 @@ class ScaleSpec extends GraftSuite {
     assert(n == want && n > 0)
   }
 
+  test("agg_sketch_merge: union tracks the single-pass sketch, ±2% of exact, deterministic") {
+    val est = q("agg_sketch_merge").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merge fidelity: the union of slice sketches tracks a direct
+    // one-pass sketch over the whole fact to <1% (DataSketches HLL
+    // union merges state near-losslessly; sparse→dense promotion and
+    // the union gadget's target mode can shift the estimator by a few
+    // counts — measured 1467 vs 1473 here — so exact equality is NOT
+    // the contract, closeness + determinism is)
+    val onePass = Tables.lineitem(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("e"))
+      .head().getLong(0)
+    assert(math.abs(est("ALL") - onePass).toDouble / onePass < 0.01,
+      s"union rollup ${est("ALL")} drifts >1% from one-pass sketch $onePass")
+    // determinism: same data, same estimates, every run (no rand salt)
+    val rerun = q("agg_sketch_merge").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rerun == est)
+    // accuracy: every slice and the rollup within 2% of exact distinct
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).distinct().count()
+    for ((scope, e) <- est) {
+      val truth = if (scope == "ALL") exactAll else exact(scope)
+      assert(math.abs(e - truth).toDouble / truth < 0.02,
+        s"$scope sketch estimate $e vs exact $truth")
+    }
+  }
+
+  test("pipeline_length_filter: bounds are real corpus lengths covering ~90% per lang") {
+    val rows = q("pipeline_length_filter").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val langCounts = Tables.documents(spark, sf).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, p05, p95, kept, dropped) <- rows) {
+      assert(p05 <= p95)
+      assert(kept + dropped == langCounts(lang))
+      // discrete quantiles: at least 90% of docs sit inside [p05, p95]
+      // (ceil semantics can only widen the band, never narrow it)
+      assert(kept.toDouble / langCounts(lang) >= 0.9,
+        s"$lang kept only $kept of ${langCounts(lang)}")
+      // bounds are actual observed lengths
+      val lens = Tables.documents(spark, sf).filter(col("lang") === lang)
+        .select(col("n_chars")).collect().map(_.getLong(0)).toSet
+      assert(lens.contains(p05) && lens.contains(p95))
+    }
+  }
+
   test("approximate aggregates land within tolerance of the exact twins") {
     val approx = q("agg_approx").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
