@@ -465,6 +465,47 @@ object TextAnalysis extends QueryModule {
         .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("kept"), lit(0L)).otherwise(1L)).as("n_dropped"))
         .orderBy(col("lang"))
+    },
+
+    // Unigram LOG-PROBABILITY scoring — the cheap stand-in for LM
+    // perplexity filtering (CCNet-style: score each doc by how typical
+    // its tokens are of the corpus; gibberish and boilerplate land in
+    // the tails). Shape at 100 TB: ONE tokenization pass feeds both the
+    // vocab frequency table (word-keyed agg, vocab-sized output, total
+    // via an unpartitioned window over the AGGREGATED vocab — the q15
+    // pattern) and the scoring join; the vocab BROADCASTS (a real
+    // corpus vocab is millions of rows = MBs) so exploded token rows
+    // never cross an exchange — the per-doc aggregate partial-combines
+    // map-side. Cross-engine float discipline: each token's log-prob is
+    // rounded to 6 decimals THEN summed as DECIMAL — exact and
+    // order-independent, immune to both accumulation order and the
+    // ≤1-ulp libm-vs-JVM log() difference (absorbed by the rounding,
+    // never accumulated).
+    "text_unigram_logprob" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val freq = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      words.join(broadcast(freq), Seq("w"))
+        .withColumn("lp",
+          round(log(col("cnt") / col("total")), 6).cast("decimal(12,6)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lp")).as("slp"))
+        // the per-doc average is emitted in exact integer MICRO-units,
+        // truncated toward zero: round(double/n, 6) hit a real
+        // cross-engine half-way tie at 10× (-125.523827/22 =
+        // -5.7056285 — Spark's BigDecimal HALF_UP and DuckDB's
+        // scaled-multiply rounding disagreed on which side the double
+        // falls), while DIV on the non-negative |Σlp·1e6| is
+        // truncation in both engines by the repo-wide contract
+        .withColumn("micro", (col("slp") * lit(1000000)).cast("long"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("slp").cast("double").as("logprob"),
+          expr("CASE WHEN micro < 0 THEN -((-micro) DIV n_tokens) " +
+            "ELSE micro DIV n_tokens END").as("avg_lp_micro"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -757,6 +798,29 @@ object TextAnalysis extends QueryModule {
         |                THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
         |FROM documents d JOIN bounds b ON d.lang = b.lang
         |GROUP BY d.lang, b.p05, b.p95
-        |ORDER BY d.lang""".stripMargin
+        |ORDER BY d.lang""".stripMargin,
+
+    // per-token round-then-DECIMAL-sum mirrors the Spark side exactly;
+    // ln(cnt / total) gets the identical double operand in both engines
+    "text_unigram_logprob" ->
+      """WITH w AS (
+        |  SELECT doc_id, w
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |f AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+        |ft AS (SELECT w, cnt, sum(cnt) OVER () AS total FROM f),
+        |sc AS (
+        |  SELECT doc_id, CAST(round(ln(cnt / total), 6) AS DECIMAL(12,6)) AS lp
+        |  FROM w JOIN ft USING (w)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         CAST(sum(lp) AS DOUBLE) AS logprob,
+        |         CAST(sum(lp) * 1000000 AS BIGINT) AS micro
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, logprob,
+        |       CASE WHEN micro < 0 THEN -((-micro) // n_tokens)
+        |            ELSE micro // n_tokens END AS avg_lp_micro
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -169,6 +169,40 @@ object Windows extends QueryModule {
         .orderBy(col("cohort"), col("offset"))
     },
 
+    // Z-SCORE anomaly detection — flag events whose value sits more
+    // than 3σ from the per-type mean (the telemetry/fraud/data-quality
+    // screen). The 100 TB shape: ONE pass computes per-type moments
+    // (count / Σv / Σv² — map-side combined, dim-sized output), moments
+    // broadcast back, a narrow filter flags rows; the fact shuffles
+    // only into the partial aggregate. DETERMINISM is engineered, not
+    // hoped for: the moments are summed as DECIMAL (exact, order-
+    // independent — float Σv² drifts with partition order), converted
+    // to double only at the final per-group scalar, and every engine
+    // then runs the identical IEEE double ops (÷, √, −, >) on identical
+    // operands — so even boundary rows at z ≈ 3 agree bit-for-bit.
+    "events_anomaly" -> { (s, d) =>
+      val dv = col("value").cast("decimal(18,2)")
+      val stats = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dv).as("sv"),
+          sum(dv * dv).as("svv"))
+        .withColumn("mean", col("sv").cast("double") / col("n"))
+        .withColumn("variance",
+          (col("svv").cast("double") - col("sv").cast("double") * col("sv").cast("double") / col("n")) / col("n"))
+        .withColumn("stddev", sqrt(col("variance")))
+        .select(col("event_type"), col("n"), col("mean"), col("stddev"))
+      Tables.events(s, d)
+        .select(col("event_type"), dv.cast("double").as("v"))
+        .join(broadcast(stats), Seq("event_type"))
+        .withColumn("is_anom", abs(col("v") - col("mean")) > col("stddev") * 3)
+        .groupBy(col("event_type"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("stddev"), 6).as("stddev"))
+        .agg(sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anomalies"),
+          max(when(col("is_anom"), col("v"))).as("max_anom_value"))
+        .orderBy(col("event_type"))
+    },
+
     // Tumbling 1-hour event-time window (streaming analog: groupBy(
     // window($"ts", "1 hour")) — identical expression in readStream).
     "events_tumbling" -> { (s, d) =>
@@ -514,6 +548,30 @@ object Windows extends QueryModule {
         |FROM uw JOIN f USING (user_id)
         |GROUP BY cohort, "offset"
         |ORDER BY cohort, "offset"""".stripMargin,
+
+    // moments in exact DECIMAL, double ops in the IDENTICAL
+    // parenthesization as the Spark side — see the query comment
+    "events_anomaly" ->
+      """WITH stats AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS sv,
+        |         sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS svv
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n,
+        |         CAST(sv AS DOUBLE) / n AS mean,
+        |         sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / n) AS stddev
+        |  FROM stats),
+        |f AS (
+        |  SELECT e.event_type, m.n, m.mean, m.stddev,
+        |         CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS v
+        |  FROM events e JOIN m ON e.event_type = m.event_type)
+        |SELECT event_type, n, round(mean, 6) AS mean, round(stddev, 6) AS stddev,
+        |       CAST(sum(CASE WHEN abs(v - mean) > stddev * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |       max(CASE WHEN abs(v - mean) > stddev * 3 THEN v END) AS max_anom_value
+        |FROM f
+        |GROUP BY event_type, n, mean, stddev
+        |ORDER BY event_type""".stripMargin,
 
     "events_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

@@ -182,6 +182,32 @@ class ScaleSpec extends GraftSuite {
     }
   }
 
+  test("events_anomaly: 3-sigma flags are rare and flagged values are true outliers") {
+    val rows = q("events_anomaly").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, mean, std, nAnom) = (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(std > 0 && mean > 0)
+      // Chebyshev: at most 1/9 beyond 3 sigma; real data is far tighter
+      assert(nAnom <= n / 9, s"${r.getString(0)}: $nAnom anomalies of $n")
+      if (!r.isNullAt(5))
+        assert(math.abs(r.getDouble(5) - mean) > 3 * std - 1e-6)
+    }
+  }
+
+  test("text_unigram_logprob: scores are negative and the micro-average is consistent") {
+    val rows = q("text_unigram_logprob").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nTok, lp, avgMicro) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(nTok > 0 && lp < 0 && avgMicro < 0)
+      // truncation toward zero: |avg_micro| <= |lp*1e6/n| < |avg_micro|+1
+      val exact = math.abs(lp * 1e6 / nTok)
+      assert(math.abs(avgMicro) <= exact + 1e-3 && exact < math.abs(avgMicro) + 1 + 1e-3,
+        s"doc ${r.getLong(0)}: avg_micro $avgMicro vs $exact")
+    }
+  }
+
   test("approximate aggregates land within tolerance of the exact twins") {
     val approx = q("agg_approx").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
