@@ -71,7 +71,26 @@ object ExplainDump {
     "delta_upsert" -> ("MERGE with insert/update/delete/keep through operators.Merge: full-outer " +
       "sort-merge on the key (broadcast cannot produce the unmatched build side), multi-match " +
       "guard as a delta-sized count window CO-PARTITIONED with the join feeding raise_error, " +
-      "delete filter after the join (a 'D' row must meet its snapshot row)")
+      "delete filter after the join (a 'D' row must meet its snapshot row)"),
+    "sql_tpch_q12" -> ("derived l_shipmode filter (2/7 of lineitem) evaluates BELOW the " +
+      "merge-pinned fact-fact join; conditional priority counts are one partial+final " +
+      "aggregate — no second fact scan"),
+    "dedup_incremental" -> ("delta-vs-base: BOTH sides are filter-pushdown slices of the ONE " +
+      "staged band-signature parquet (no documents rescan); (band, sig) bucket join emits " +
+      "output-sized candidates; shingle-Jaccard verify joins candidate doc_ids only; arg-max " +
+      "verdict windows run over the verified set, never the corpus"),
+    "text_unigram_logprob" -> ("TWO narrow tokenization passes (frequency + scoring — " +
+      "re-tokenizing beats materializing a corpus-scale token table; split() is codegen'd); " +
+      "the vocab-sized frequency table (total via an unpartitioned window over the AGGREGATED " +
+      "vocab) BROADCASTS onto the scoring pass, so exploded token rows never cross an " +
+      "exchange — the per-doc score partial-aggregates map-side"),
+    "pipeline_length_filter" -> ("value-HISTOGRAM quantiles: groupBy(lang, n_chars) partial+final " +
+      "agg (exchange carries one row per distinct length), cumulative windows over the " +
+      "dim-sized histogram, bounds broadcast back onto the corpus — no corpus-wide sort, " +
+      "no percentile buffers"),
+    "events_anomaly" -> ("the classic two-pass z-score: moments pass (count/Σv/Σv² in exact " +
+      "DECIMAL, map-side combined, dim-sized output) broadcast back onto a second narrow fact " +
+      "scan for the 3σ flag — the fact shuffles only into the partial aggregates, never on a key")
   )
 
   def main(args: Array[String]): Unit = {

@@ -470,13 +470,16 @@ object TextAnalysis extends QueryModule {
     // Unigram LOG-PROBABILITY scoring — the cheap stand-in for LM
     // perplexity filtering (CCNet-style: score each doc by how typical
     // its tokens are of the corpus; gibberish and boilerplate land in
-    // the tails). Shape at 100 TB: ONE tokenization pass feeds both the
-    // vocab frequency table (word-keyed agg, vocab-sized output, total
+    // the tails). Shape at 100 TB: TWO narrow tokenization passes — the
+    // vocab frequency pass (word-keyed agg, vocab-sized output, total
     // via an unpartitioned window over the AGGREGATED vocab — the q15
-    // pattern) and the scoring join; the vocab BROADCASTS (a real
-    // corpus vocab is millions of rows = MBs) so exploded token rows
-    // never cross an exchange — the per-doc aggregate partial-combines
-    // map-side. Cross-engine float discipline: each token's log-prob is
+    // pattern) and the scoring pass; re-tokenizing beats materializing
+    // a corpus-scale token table (split() is a cheap codegen
+    // projection; the staged-intermediate rule only pays when the
+    // staged set is SMALLER than its source, as with signatures). The
+    // vocab BROADCASTS (a real corpus vocab is millions of rows = MBs)
+    // so exploded token rows never cross an exchange — the per-doc
+    // aggregate partial-combines map-side. Cross-engine float discipline: each token's log-prob is
     // rounded to 6 decimals THEN summed as DECIMAL — exact and
     // order-independent, immune to both accumulation order and the
     // ≤1-ulp libm-vs-JVM log() difference (absorbed by the rounding,
