@@ -277,6 +277,30 @@ object Relational extends QueryModule {
         .orderBy(col("c_mktsegment"), col("event_type"))
     },
 
+    // Interval-containment (RANGE) join through the reusable
+    // [[graft.operators.RangeJoin]] operator: events classified into
+    // non-uniform value tiers. A naive non-equi join plans
+    // BroadcastNestedLoopJoin (probe × every interval) or, with no
+    // broadcastable side, a CartesianProduct; the operator bucketizes
+    // to a real equi-join — interval side exploded by width/g and
+    // broadcast, probe computes ONE bucket narrowly, exact residual on
+    // candidates (PlanSpec pins no-BNLJ/no-cartesian). The oracle is
+    // the plain non-equi join DuckDB runs natively.
+    "join_range" -> { (s, d) =>
+      import s.implicits._
+      val bands = Seq(
+        (0.0, 1.0, "micro"), (1.0, 5.0, "small"), (5.0, 20.0, "mid"),
+        (20.0, 100.0, "large"), (100.0, 1000.0, "huge"))
+        .toDF("lo", "hi", "tier")
+      graft.operators.RangeJoin
+        .joinByRange(Tables.events(s, d), col("value"), bands, "lo", "hi",
+          granularity = 5.0)
+        .groupBy(col("tier"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .orderBy(col("lo"))
+    },
+
     // ROLLUP over the region→nation hierarchy (grouping sets).
     "agg_rollup" -> { (s, d) =>
       broadcast(Tables.region(s, d))
@@ -1121,6 +1145,19 @@ object Relational extends QueryModule {
         |JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    // the oracle IS the naive non-equi join the operator exists to
+    // avoid — fine at oracle scale, the bug at 100 TB
+    "join_range" ->
+      """WITH bands(lo, hi, tier) AS (VALUES
+        |  (0.0, 1.0, 'micro'), (1.0, 5.0, 'small'), (5.0, 20.0, 'mid'),
+        |  (20.0, 100.0, 'large'), (100.0, 1000.0, 'huge'))
+        |SELECT tier, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY tier, lo, hi
+        |ORDER BY lo""".stripMargin,
 
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,

@@ -251,4 +251,32 @@ class OperatorsSpec extends GraftSuite {
     assert(messages(e).exists(_.contains("multiple rows")),
       s"expected the MERGE multi-match error, got: ${e.getMessage}")
   }
+
+  test("RangeJoin equals the naive non-equi join on every boundary case") {
+    import spark.implicits._
+    // values sit ON band edges (lo inclusive, hi exclusive), inside
+    // bands, outside all bands, and exactly on bucket multiples
+    val probe = Seq(0.0, 0.99, 1.0, 4.999, 5.0, 10.0, 19.99, 20.0,
+        99.999, 100.0, 999.99, 1000.0, 1500.0, -3.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val bands = Seq((0.0, 1.0, "a"), (1.0, 5.0, "b"), (5.0, 20.0, "c"),
+      (20.0, 100.0, "d"), (100.0, 1000.0, "e")).toDF("lo", "hi", "tier")
+    // granularity deliberately NOT dividing the band edges (g=7)
+    for (g <- Seq(0.5, 5.0, 7.0, 1000.0)) {
+      val got = graft.operators.RangeJoin
+        .joinByRange(probe, col("v"), bands, "lo", "hi", g)
+        .select(col("id"), col("tier")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val want = probe.join(bands, col("v") >= col("lo") && col("v") < col("hi"))
+        .select(col("id"), col("tier")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got == want, s"granularity $g: $got != $want")
+    }
+    // overlapping intervals: a probe row matches BOTH containing bands
+    val overlap = Seq((0.0, 10.0, "x"), (5.0, 15.0, "y")).toDF("lo", "hi", "tier")
+    val both = graft.operators.RangeJoin
+      .joinByRange(Seq((1L, 7.0)).toDF("id", "v"), col("v"), overlap, "lo", "hi", 3.0)
+      .collect().map(_.getAs[String]("tier")).sorted.toSeq
+    assert(both == Seq("x", "y"))
+  }
 }

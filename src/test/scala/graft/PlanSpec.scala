@@ -423,4 +423,20 @@ class PlanSpec extends GraftSuite {
     assert(preAggShuffles.isEmpty,
       s"corpus-sized exchange before the overlap aggregate:\n${preAggShuffles.mkString("\n")}")
   }
+
+  test("join_range bucketizes to an equi-join: no nested-loop, no cartesian") {
+    // the whole point of RangeJoin: a non-equi interval join must NOT
+    // plan as BroadcastNestedLoopJoin (probe × every interval) or a
+    // CartesianProduct — it becomes a real hash equi-join on the bucket
+    // with the band residual as a post-join filter
+    val p = q("join_range").queryExecution.sparkPlan
+    val bad = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(bad.isEmpty, s"non-equi join shape survived:\n$p")
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, s"no broadcast hash equi-join in:\n$p")
+  }
 }
