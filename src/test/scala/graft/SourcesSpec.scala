@@ -47,6 +47,44 @@ class SourcesSpec extends GraftSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("corrupt-record ingest: PERMISSIVE quarantines bad lines, FAILFAST raises") {
+    // the production ingest contract for semi-structured drops: a crawl
+    // batch with malformed lines must not kill the job (PERMISSIVE +
+    // _corrupt_record = the quarantine column downstream routes to a
+    // dead-letter sink) and must be able to kill it on demand (FAILFAST
+    // for pipelines where a bad line means an upstream bug)
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt")
+    java.nio.file.Files.writeString(dir.resolve("batch.jsonl"),
+      """{"id": 1, "text": "good row"}
+        |{"id": 2, "text": "also good"}
+        |{"id": 3, "text": "unterminated
+        |not json at all
+        |{"id": 4, "text": "good again"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, text STRING, _corrupt_record STRING")
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+    // caching first is the documented requirement for referencing the
+    // corrupt column (Spark refuses a query that selects ONLY internal
+    // corrupt-record columns from an un-cached scan)
+    read.cache()
+    val good = read.filter(col("_corrupt_record").isNull)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val bad = read.filter(col("_corrupt_record").isNotNull).count()
+    assert(good == Seq(1L, 2L, 4L))
+    assert(bad == 2)
+    read.unpersist()
+    val e = intercept[Exception] {
+      spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("id LONG, text STRING"))
+        .option("mode", "FAILFAST").json(dir.toString).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("reference-style text sink: 'key value' lines (O11)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-txtout").toString + "/out"
     q("wordcount")
