@@ -277,6 +277,32 @@ object Relational extends QueryModule {
         .orderBy(col("c_mktsegment"), col("event_type"))
     },
 
+    // Snapshot DIFF through the reusable [[graft.operators.Diff]]
+    // operator — the audit/ops complement of delta_upsert's MERGE:
+    // "what did this version change?" as a row-level change set. The
+    // new version derives DETERMINISTICALLY from the snapshot (price
+    // bump ×1.1 in exact DECIMAL for key%10, high-bit inserts for
+    // key%97, deletes for key%31∧¬%10 — the delta_upsert recipe), so
+    // the diff must recover exactly those three sets, and the DuckDB
+    // oracle rebuilds both versions bit-identically. ONE full-outer
+    // sort-merge on the key; output is change-set-sized.
+    "delta_diff" -> { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val k = col("o_orderkey")
+      val newv = base
+        .filter(!(k % 31 === 0 && k % 10 =!= 0))
+        .withColumn("o_totalprice",
+          when(k % 10 === 0,
+            (dec(col("o_totalprice")) * lit(1.1).cast("decimal(3,1)")).cast("double"))
+            .otherwise(col("o_totalprice")))
+        .unionByName(base.filter(k % 97 === 0)
+          .withColumn("o_orderkey", k + lit(1099511627776L)))
+      graft.operators.Diff.diff(base, newv, "o_orderkey")
+        .orderBy(col("o_orderkey"))
+    },
+
     // Interval-containment (RANGE) join through the reusable
     // [[graft.operators.RangeJoin]] operator: events classified into
     // non-uniform value tiers. A naive non-equi join plans
@@ -1145,6 +1171,33 @@ object Relational extends QueryModule {
         |JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    "delta_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |newv AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |                        CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE)
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE NOT (o_orderkey % 31 = 0 AND o_orderkey % 10 <> 0)
+        |  UNION ALL
+        |  SELECT o_orderkey + 1099511627776, o_custkey, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 0),
+        |j AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |              WHEN n.o_orderkey IS NULL THEN 'removed'
+        |              WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+        |                OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |                OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |              THEN 'changed' END AS op,
+        |         o.o_custkey AS old_o_custkey, n.o_custkey AS new_o_custkey,
+        |         o.o_orderstatus AS old_o_orderstatus, n.o_orderstatus AS new_o_orderstatus,
+        |         o.o_totalprice AS old_o_totalprice, n.o_totalprice AS new_o_totalprice
+        |  FROM base o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+        |SELECT * FROM j WHERE op IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the oracle IS the naive non-equi join the operator exists to
     // avoid — fine at oracle scale, the bug at 100 TB

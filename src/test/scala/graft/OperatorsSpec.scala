@@ -252,6 +252,27 @@ class OperatorsSpec extends GraftSuite {
       s"expected the MERGE multi-match error, got: ${e.getMessage}")
   }
 
+  test("Diff recovers exactly a Merge's change set (diff ∘ merge = delta)") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "name", "v")
+    val delta = Seq((2L, "b2", 22.0, "U"), (3L, "c", 30.0, "D"),
+      (5L, "e", 50.0, "I")).toDF("k", "name", "v", "op")
+    val merged = graft.operators.Merge.merge(base, delta, "k").drop("action")
+    val d = graft.operators.Diff.diff(base, merged, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the diff IS the delta: U → changed, D → removed, I → added;
+    // untouched keys (1, 4) never appear
+    assert(d == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+    // old/new payloads sit side by side on the changed row
+    val row = graft.operators.Diff.diff(base, merged, "k")
+      .filter(col("k") === 2L).head()
+    assert(row.getAs[String]("old_name") == "b" && row.getAs[String]("new_name") == "b2")
+    assert(row.getAs[Double]("old_v") == 20.0 && row.getAs[Double]("new_v") == 22.0)
+    // identical versions diff to nothing
+    assert(graft.operators.Diff.diff(base, base, "k").count() == 0)
+  }
+
   test("RangeJoin equals the naive non-equi join on every boundary case") {
     import spark.implicits._
     // values sit ON band edges (lo inclusive, hi exclusive), inside
