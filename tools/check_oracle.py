@@ -38,36 +38,56 @@ def frame_fingerprint(df: pd.DataFrame):
     return list(df.columns), len(rows), rows
 
 
-def main(sf_dir, out_dir):
+def fresh_con(sf_dir):
+    """One connection per query at big fixtures: a DuckDB OOM poisons the
+    connection (every later query fails 'bad allocation'), so isolation
+    turns one infeasible oracle into one FAIL line instead of a cascade.
+    DUCKDB_MEM (e.g. '80GB') caps the allocator below the box so the OOM
+    is an exception, not a process death."""
     con = duckdb.connect()
+    mem = os.environ.get("DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='.tmp'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written directory layout (e.g. ScaleData 10x fixture)
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main(sf_dir, out_dir, only=None):
+    per_query_con = os.environ.get("DUCKDB_PER_QUERY_CON") == "1"
+    con = None if per_query_con else fresh_con(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(
         os.path.basename(d.rstrip("/"))
         for d in glob.glob(f"{out_dir}/*/")
     )
+    if only:
+        names = [n for n in names if n in only]
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL  {name}: no spark output parquet")
+            print(f"FAIL  {name}: no spark output parquet", flush=True)
             n_fail += 1
             continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
         if name not in oracle:
             status = "ROWS" if len(got) > 0 else "FAIL(empty)"
-            print(f"{status:5s} {name}: rows={len(got)} (no oracle)")
+            print(f"{status:5s} {name}: rows={len(got)} (no oracle)", flush=True)
             n_rowsonly += 1
             continue
         try:
-            exp = con.execute(oracle[name]).df()
+            qcon = fresh_con(sf_dir) if per_query_con else con
+            exp = qcon.execute(oracle[name]).df()
+            if per_query_con:
+                qcon.close()
         except Exception as e:
-            print(f"FAIL  {name}: oracle SQL error: {e}")
+            print(f"FAIL  {name}: oracle SQL error: {e}", flush=True)
             n_fail += 1
             continue
         gc, gn, gr = frame_fingerprint(got)
@@ -83,11 +103,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL  {name}: first diff at row {bad}:\n  spark={gr[bad]}\n  duck ={er[bad]}")
             n_fail += 1
         else:
-            print(f"OK    {name}: rows={gn}")
+            print(f"OK    {name}: rows={gn}", flush=True)
             n_pass += 1
     print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    subset = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], subset))
