@@ -75,6 +75,14 @@ object ExplainDump {
     "sql_tpch_q12" -> ("derived l_shipmode filter (2/7 of lineitem) evaluates BELOW the " +
       "merge-pinned fact-fact join; conditional priority counts are one partial+final " +
       "aggregate — no second fact scan"),
+    "join_range" -> ("RangeJoin bucketize-to-equi-join: exploded interval dim broadcasts, " +
+      "probe computes ONE bucket in a narrow projection, BroadcastHashJoin on the bucket " +
+      "with the exact band residual as a post-join filter — no BroadcastNestedLoopJoin, " +
+      "no CartesianProduct (PlanSpec-pinned)"),
+    "delta_diff" -> ("snapshot diff through operators.Diff: ONE full-outer sort-merge on " +
+      "the key (broadcast cannot produce the unmatched build side), null-safe column-wise " +
+      "change detection in the post-join projection, unchanged rows dropped there — " +
+      "output is change-set-sized"),
     "dedup_incremental" -> ("delta-vs-base: BOTH sides are filter-pushdown slices of the ONE " +
       "staged band-signature parquet (no documents rescan); (band, sig) bucket join emits " +
       "output-sized candidates; shingle-Jaccard verify joins candidate doc_ids only; arg-max " +
