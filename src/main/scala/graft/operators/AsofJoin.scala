@@ -36,7 +36,31 @@ object AsofJoin {
       right: DataFrame,
       key: String,
       ts: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    scan(left, right, key, ts, payload, forward = false)
+
+  /** Forward (look-ahead) as-of: for each left row, attach the single
+    * EARLIEST right row of the same key with `right.ts >= left.ts`
+    * ("time to next action" / forward attribution). Same union-and-scan
+    * shape, scanned in DESCENDING ts order — the carried "last seen
+    * right" is then the minimum qualifying ts; equal-ts ties break to
+    * the smallest payload (the scan orders payload descending so the
+    * minimum is seen last), mirroring backward's max-payload tie rule. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      payload: Seq[String]): DataFrame =
+    scan(left, right, key, ts, payload, forward = true)
+
+  private def scan(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      payload: Seq[String],
+      forward: Boolean): DataFrame = {
     val l = left.withColumn("__side", lit(1))
     val r = right.withColumn("__side", lit(0))
     // align schemas: left lacks payload; right lacks the left extras
@@ -49,14 +73,20 @@ object AsofJoin {
       .select((Seq(col(key), col(ts), col("__side")) ++
         payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
         leftOnly.map(col)): _*)
-    // ordering: ts, then side (right before left at equal ts = ASOF >=),
-    // then the payload columns — with a unique payload column (e.g. an
-    // event id) this makes the carried row deterministic even when two
-    // right rows share an exact timestamp (without it, `last` would pick
-    // whichever duplicate the shuffle sorted last; note a SQL ASOF JOIN
-    // is equally unspecified on such ties)
+    // ordering: ts (ascending for backward, descending for forward),
+    // then side (right before left at equal ts = ASOF >=/<=), then the
+    // payload columns — with a unique payload column (e.g. an event id)
+    // this makes the carried row deterministic even when two right rows
+    // share an exact timestamp (without it, `last` would pick whichever
+    // duplicate the shuffle sorted last; note a SQL ASOF JOIN is
+    // equally unspecified on such ties). Backward carries the MAX
+    // payload among equal-ts rights (payload asc ⇒ max seen last);
+    // forward the MIN (payload desc ⇒ min seen last).
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts) +: col("__side") +: payload.map(col): _*)
+      .orderBy(
+        (if (forward) col(ts).desc else col(ts).asc) +:
+          col("__side") +:
+          payload.map(c => if (forward) col(c).desc else col(c).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(rightAligned.unionByName(leftAligned)) {
       case (df, c) =>

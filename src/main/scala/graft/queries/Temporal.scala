@@ -36,6 +36,30 @@ object Temporal extends QueryModule {
         .orderBy(col("event_id"))
     },
 
+    // FORWARD as-of (look-ahead): for every click, the user's NEXT
+    // purchase at-or-after it — "time to conversion" attribution, the
+    // mirror of the backward join through the same single-shuffle
+    // union-and-scan operator scanned in descending ts order. Equal-ts
+    // ties break to the smallest purchase id (the mirrored rule of
+    // backward's largest-id pick), spelled out identically in the
+    // oracle's row_number ordering.
+    "asof_next_purchase" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      AsofJoin.forward(clicks, purchases, key = "user_id", ts = "ts",
+        payload = Seq("purchase_id"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("purchase_id"),
+          unix_micros(col("ts_right")).as("purchase_ts_us"),
+          (unix_micros(col("ts_right")) - unix_micros(col("ts"))).as("wait_us"))
+        .orderBy(col("event_id"))
+    },
+
     // As-of join with a TOLERANCE bound (the time-series-engine variant:
     // "most recent click, but only if within 15 minutes") — the match is
     // still the single as-of predecessor; the bound then filters the
@@ -85,6 +109,23 @@ object Temporal extends QueryModule {
         |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    // the forward mirror: smallest qualifying ts, then smallest id
+    "asof_next_purchase" ->
+      """SELECT event_id, user_id, ts_us, purchase_id, purchase_ts_us, wait_us
+        |FROM (
+        |  SELECT c.event_id, c.user_id,
+        |         CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+        |         p.event_id AS purchase_id,
+        |         CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+        |         CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS wait_us,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |                            ORDER BY p.ts ASC, p.event_id ASC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |  JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |    ON c.user_id = p.user_id AND p.ts >= c.ts)
         |WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
 

@@ -252,6 +252,33 @@ class OperatorsSpec extends GraftSuite {
       s"expected the MERGE multi-match error, got: ${e.getMessage}")
   }
 
+  test("AsofJoin.forward mirrors backward: direction, bounds, and tie rules") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val left = Seq((1L, ts(10), 100L), (1L, ts(20), 101L), (2L, ts(5), 102L))
+      .toDF("k", "t", "lid").withColumnRenamed("t", "ts").withColumnRenamed("k", "key")
+    // two rights share ts(15) for key 1 — the tie case; key 2's only
+    // right sits BEFORE its left row, so forward drops it and backward
+    // matches it — both directions' inner semantics in one fixture
+    val right = Seq((1L, ts(15), 7L), (1L, ts(15), 3L), (1L, ts(30), 9L),
+        (2L, ts(1), 4L))
+      .toDF("k", "t", "rid").withColumnRenamed("t", "ts").withColumnRenamed("k", "key")
+    val fwd = graft.operators.AsofJoin.forward(left, right, "key", "ts", Seq("rid"))
+      .select(col("lid"), col("rid")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // lid 100 (ts10): earliest right >= 10 is ts15; tie 7 vs 3 → MIN id 3
+    // lid 101 (ts20): earliest right >= 20 is ts30 → 9
+    // lid 102 (key 2, ts5): no right at-or-after → dropped (inner)
+    assert(fwd == Map(100L -> 3L, 101L -> 9L))
+    val bwd = graft.operators.AsofJoin.backward(left, right, "key", "ts", Seq("rid"))
+      .select(col("lid"), col("rid")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // lid 100 (ts10): latest right <= 10 — none for key1? ts15 > 10 → wait,
+    // key1 rights are ts15, ts15, ts30 — none <= 10 → dropped;
+    // lid 101 (ts20): latest <= 20 is ts15; tie → MAX id 7
+    // lid 102 (ts5, key2): latest <= 5 is ts1 → 4
+    assert(bwd == Map(101L -> 7L, 102L -> 4L))
+  }
+
   test("Diff recovers exactly a Merge's change set (diff ∘ merge = delta)") {
     import spark.implicits._
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
