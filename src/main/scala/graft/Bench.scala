@@ -63,18 +63,23 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE best practice: start shuffles WIDE and let AQE coalesce
-      // down by actual size — shuffle.partitions alone caps AQE from
-      // above, so a 100× sort-merge input (15 M rows / 32 partitions)
-      // hits the external sorter's disk spill: delta_diff measured
-      // 40.7 s at 32 fixed vs 5.4 s at 128 on the 100× fixture. Small
-      // queries pay nothing (AQE coalesces them straight back down).
+      // SIZE-AWARE wide initial (round-8 verdict): a blanket 8×cores
+      // fixed a 100× sort spill (delta_diff 40.7 s → 5.4 s) but cost the
+      // sf0.1 suite +50% in per-task overhead. Derivation + measured
+      // anchors in [[Tuning]]: clamp(cores, 8·cores, bytes/16 MiB).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        Tuning.initialShufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only, like BenchOne: SPARK_GRAFT_CONF=k=v,... runtime confs
+    // (e.g. A/B-ing the AQE initial fan-out on one machine)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     // one untimed warmup query so one-time JVM/codegen/parquet-reader
     // initialization isn't billed to whichever query runs first
     // (measured ~5s on the alphabetically-first query otherwise)

@@ -14,10 +14,10 @@ object BenchOne {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // wide initial + AQE coalesce — see Bench.scala (delta_diff 100×:
-      // 40.7 s at 32 fixed partitions vs 5.4 s at 128, sort spill)
+      // size-aware wide initial — derivation and evidence in [[Tuning]]
+      // (SPARK_GRAFT_CONF below can still override it for protocols)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        Tuning.initialShufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,10 +14,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // wide initial + AQE coalesce — see Bench.scala (sort spill at
-      // fixed 32 partitions on 100×-fixture full-outer joins)
+      // size-aware wide initial — derivation and evidence in [[Tuning]]
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        Tuning.initialShufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
