@@ -59,6 +59,51 @@ object TextAnalysis extends QueryModule {
         PiiPhonePat, "<PHONE>"),
       PiiIpPat, "<IP>")
 
+  /** Target docs per serving shard for the sharded-window serving ops
+    * (pipeline_pack, data_shuffle_global). Each shard's window is ONE
+    * sequential task (a prefix sum / a rank), so the per-shard row count
+    * is THE scale lever — a fixed shard count means per-shard work grows
+    * linearly with the corpus (at 100 TB, a fixed 32 puts ~3 TB through
+    * each single-task sort). 8 192 docs/shard keeps every window a
+    * sub-second task while the floor of 32 shards preserves local[32]
+    * parallelism at fixture scale. */
+  private[graft] val TargetDocsPerShard = 8192L
+
+  /** Smallest POWER-OF-TWO shard count ≥ 32 with
+    * shards · [[TargetDocsPerShard]] ≥ n — the integer `bitsFor` recipe
+    * (Similarity.scala) applied to serving shards: exact arithmetic so a
+    * SQL oracle recomputes the identical value from `count(*)` (a
+    * floating log2 could round differently across engines at
+    * power-of-two boundaries). 5 000 docs (sf0.1) → 32; 500 000 (100×)
+    * → 64; 10¹¹ → 2²⁴ bounded-size shards. */
+  private[graft] def shardsFor(n: Long): Int =
+    (5 to 30).find(b => (1L << b) * TargetDocsPerShard >= n)
+      .map(1 << _).getOrElse(1 << 30)
+
+  /** Memoized documents row count per fixture dir (one parquet
+    * footer-count scan per JVM — the Similarity.corpusCount contract:
+    * fixture dirs are immutable). */
+  private val docCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private[queries] def docCount(s: org.apache.spark.sql.SparkSession, d: String): Long =
+    docCounts.computeIfAbsent(d, _ => Tables.documents(s, d).count())
+
+  /** Serving shard count: derived from the corpus at plan-build time via
+    * [[shardsFor]]; `spark.graft.serving.shards` stays as an explicit
+    * dev override (the oracle always recomputes the derived rule, like
+    * `spark.graft.ann.bitsPerBand`). */
+  private def servingShards(s: org.apache.spark.sql.SparkSession, d: String): Int =
+    s.conf.getOption("spark.graft.serving.shards").map(_.toInt)
+      .getOrElse(shardsFor(docCount(s, d)))
+
+  /** The oracle-side twin of [[shardsFor]]/[[servingShards]]: a scalar
+    * CTE computing the identical smallest-power-of-two rule from
+    * `count(*)` in exact integer arithmetic. */
+  private val ShardsCte: String =
+    """ns AS (
+      |  SELECT min(1 << b) AS s
+      |  FROM (SELECT unnest(generate_series(5, 30)) AS b)
+      |  WHERE (CAST(1 AS BIGINT) << b) * 8192 >= (SELECT count(*) FROM documents))""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // Token counting: whitespace tokens, distinct tokens, and a BPE-ish
@@ -180,18 +225,21 @@ object TextAnalysis extends QueryModule {
     // the corpus into fixed 2048-token bins in deterministic order,
     // reporting each bin's document span and token fill. Bins are cut
     // by the running token count per (lang, shard): bin = ⌊tokens
-    // before this doc / 2048⌋. The shard axis (doc_id mod 32) is the
-    // scale design, not a convenience: packing is a prefix sum, which
-    // is inherently sequential WITHIN a partition, so a per-lang-only
-    // window would funnel the whole corpus through a handful of tasks.
-    // Real distributed packers do exactly this — each worker packs its
-    // shard independently — and the window here runs lang × 32 parallel
-    // partitions, each a bounded running frame.
+    // before this doc / 2048⌋. The shard axis (doc_id mod shards) is
+    // the scale design, not a convenience: packing is a prefix sum,
+    // which is inherently sequential WITHIN a partition, so a per-lang-
+    // only window would funnel the whole corpus through a handful of
+    // tasks. Real distributed packers do exactly this — each worker
+    // packs its shard independently — and the window here runs lang ×
+    // shards parallel partitions, each a bounded running frame. The
+    // shard count is DERIVED from the corpus size ([[shardsFor]]:
+    // ~8k docs/shard, floor 32) so per-shard work stays bounded as the
+    // corpus grows; the oracle recomputes the same rule from count(*).
     "pipeline_pack" -> { (s, d) =>
       val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          pmod(col("doc_id"), lit(32)).as("shard"),
+          pmod(col("doc_id"), lit(servingShards(s, d))).as("shard"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .withColumn("bin",
           floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(2048.0))
@@ -376,17 +424,24 @@ object TextAnalysis extends QueryModule {
 
     // Deterministic GLOBAL SHUFFLE for training-data serving: every doc
     // gets a content-stable pseudorandom position (shard, pos) — shard =
-    // md5 bucket mod 32, pos = rank of the full md5 within the shard.
-    // This is how a 100 TB corpus is "shuffled" without a global sort:
-    // 32 (or 32k) bounded per-shard windows, each sortable within one
+    // md5 bucket mod shards, pos = rank of the full md5 within the
+    // shard. This is how a 100 TB corpus is "shuffled" without a global
+    // sort: many bounded per-shard windows, each sortable within one
     // partition, instead of one O(corpus) total order through a single
-    // task. Reading shards in order then rows in pos order IS the
-    // permutation; re-runs and engine swaps reproduce it bit-for-bit
-    // (no rand()), and adding docs never moves an existing doc across
-    // shards (membership is content-keyed, the data_split discipline).
+    // task. The shard count is DERIVED from the corpus size
+    // ([[shardsFor]]: ~8k docs/shard, floor 32 — a fixed count would
+    // put the whole corpus growth into per-shard sort size); the oracle
+    // recomputes the same power-of-two rule from count(*). Reading
+    // shards in order then rows in pos order IS the permutation;
+    // re-runs and engine swaps reproduce it bit-for-bit (no rand()),
+    // and adding docs never moves an existing doc across shards while
+    // the shard count holds (membership is content-keyed, the
+    // data_split discipline; a shard-count step is a planned reshard,
+    // as in any bucketed layout).
     "data_shuffle_global" -> { (s, d) =>
       val h = md5(concat(lit("shuffle|"), col("doc_id").cast("string")))
-      val shard = (conv(substring(h, 1, 6), 16, 10).cast("long") % 32).as("shard")
+      val shard = (conv(substring(h, 1, 6), 16, 10).cast("long")
+        % servingShards(s, d)).as("shard")
       Tables.documents(s, d)
         .select(col("doc_id"), shard, h.as("h"))
         .withColumn("pos", row_number().over(
@@ -471,28 +526,64 @@ object TextAnalysis extends QueryModule {
     // perplexity filtering (CCNet-style: score each doc by how typical
     // its tokens are of the corpus; gibberish and boilerplate land in
     // the tails). Shape at 100 TB: TWO narrow tokenization passes — the
-    // vocab frequency pass (word-keyed agg, vocab-sized output, total
-    // via an unpartitioned window over the AGGREGATED vocab — the q15
-    // pattern) and the scoring pass; re-tokenizing beats materializing
-    // a corpus-scale token table (split() is a cheap codegen
-    // projection; the staged-intermediate rule only pays when the
-    // staged set is SMALLER than its source, as with signatures). The
-    // vocab BROADCASTS (a real corpus vocab is millions of rows = MBs)
-    // so exploded token rows never cross an exchange — the per-doc
-    // aggregate partial-combines map-side. Cross-engine float discipline: each token's log-prob is
+    // vocab frequency pass (word-keyed agg) and the scoring pass;
+    // re-tokenizing beats materializing a corpus-scale token table
+    // (split() is a cheap codegen projection; the staged-intermediate
+    // rule only pays when the staged set is SMALLER than its source).
+    //
+    // The broadcast vocabulary is BOUNDED at the top `vocabK` types
+    // (default 2^20) with an OOV floor of count 1 — raw whitespace
+    // token TYPES over 100 TB of web text grow by Heaps' law (typos,
+    // URLs, ids → billions of types; CCNet caps exactly this way), so
+    // an uncapped broadcast would OOM the driver at real scale. The
+    // cap is derived scale-safely from the frequency-OF-frequency
+    // histogram (one row per distinct count value — bounded, never
+    // vocab-sized): c* = 0 when total types ≤ vocabK (all kept — the
+    // fixture path, so the oracle's values are unchanged there), else
+    // the smallest count with |{types: cnt > c*}| ≤ vocabK; the kept
+    // set {cnt > c*} needs no per-word global ranking (a top-K
+    // row_number over the vocab would be one corpus-vocab-sized
+    // single-task sort). The oracle recomputes the identical integer
+    // rule from the same histogram. Dropped boundary types score as
+    // OOV on BOTH sides, so parity holds at every scale.
+    //
+    // Cross-engine float discipline: each token's log-prob is
     // rounded to 6 decimals THEN summed as DECIMAL — exact and
     // order-independent, immune to both accumulation order and the
     // ≤1-ulp libm-vs-JVM log() difference (absorbed by the rounding,
     // never accumulated).
     "text_unigram_logprob" -> { (s, d) =>
+      val vocabK = s.conf.getOption("spark.graft.vocab.topK")
+        .map(_.toLong).getOrElse(1L << 20)
       val words = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
       val freq = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
-      words.join(broadcast(freq), Seq("w"))
+      // frequency-of-frequencies histogram → the cap count c* and the
+      // total token count, in one dim-sized pass (exact integers)
+      val wDesc = Window.orderBy(col("cnt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cut = freq.groupBy(col("cnt")).agg(count(lit(1)).as("ntypes"))
+        .withColumn("above", coalesce(sum(col("ntypes")).over(wDesc), lit(0L)))
+        .agg(
+          sum(col("cnt") * col("ntypes")).as("total"),
+          sum(col("ntypes")).as("n_types"),
+          min(when(col("above") <= vocabK, col("cnt"))).as("c_cand"))
+        .select(col("total"),
+          when(col("n_types") <= vocabK, lit(0L))
+            .otherwise(col("c_cand")).as("c_star"))
+      // kept vocab: ≤ vocabK rows by construction — the broadcast is
+      // bounded no matter the corpus size
+      val vocab = freq.join(broadcast(cut))
+        .filter(col("cnt") > col("c_star"))
+        .select(col("w"), col("cnt"))
+      words
+        .join(broadcast(vocab), Seq("w"), "left")
+        .join(broadcast(cut)) // 1-row constant attach (total, c_star)
         .withColumn("lp",
-          round(log(col("cnt") / col("total")), 6).cast("decimal(12,6)"))
+          coalesce(
+            round(log(col("cnt") / col("total")), 6),
+            round(log(lit(1.0) / col("total")), 6)).cast("decimal(12,6)"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           sum(col("lp")).as("slp"))
@@ -620,11 +711,12 @@ object TextAnalysis extends QueryModule {
         |ORDER BY split, lang""".stripMargin,
 
     "pipeline_pack" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, doc_id % 32 AS shard,
+      (s"""WITH $ShardsCte,
+        |t AS (
+        |  SELECT doc_id, lang, doc_id % (SELECT s FROM ns) AS shard,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
+        |  FROM documents),""".stripMargin + "\n" +
+      """c AS (
         |  SELECT doc_id, lang, shard, n_tokens,
         |         sum(n_tokens) OVER (PARTITION BY lang, shard
         |                             ORDER BY doc_id) - n_tokens AS cum_before
@@ -636,7 +728,7 @@ object TextAnalysis extends QueryModule {
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c
         |GROUP BY lang, shard, bin
-        |ORDER BY lang, shard, bin""".stripMargin,
+        |ORDER BY lang, shard, bin""".stripMargin),
 
     "text_simhash" -> textSimhashOracle,
 
@@ -747,9 +839,11 @@ object TextAnalysis extends QueryModule {
         |ORDER BY doc_id""".stripMargin,
 
     "data_shuffle_global" ->
-      """WITH h AS (
+      s"""WITH $ShardsCte,
+        |h AS (
         |  SELECT doc_id, md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS h,
-        |         ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 32 AS shard
+        |         ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |           % (SELECT s FROM ns) AS shard
         |  FROM documents)
         |SELECT doc_id, shard,
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
@@ -805,16 +899,31 @@ object TextAnalysis extends QueryModule {
 
     // per-token round-then-DECIMAL-sum mirrors the Spark side exactly;
     // ln(cnt / total) gets the identical double operand in both engines
+    // mirrors the bounded-vocab rule: c* from the frequency-of-
+    // frequencies histogram (0 when total types ≤ 2^20 — the fixture
+    // path), types with cnt ≤ c* scored at the count-1 OOV floor
     "text_unigram_logprob" ->
       """WITH w AS (
         |  SELECT doc_id, w
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE w <> ''),
         |f AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
-        |ft AS (SELECT w, cnt, sum(cnt) OVER () AS total FROM f),
+        |hc AS (
+        |  SELECT cnt, ntypes,
+        |         coalesce(sum(ntypes) OVER (ORDER BY cnt DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+        |  FROM (SELECT cnt, count(*) AS ntypes FROM f GROUP BY cnt)),
+        |cut AS (
+        |  SELECT sum(cnt * ntypes) AS total,
+        |         CASE WHEN sum(ntypes) <= 1048576 THEN 0
+        |              ELSE min(CASE WHEN above <= 1048576 THEN cnt END) END AS c_star
+        |  FROM hc),
         |sc AS (
-        |  SELECT doc_id, CAST(round(ln(cnt / total), 6) AS DECIMAL(12,6)) AS lp
-        |  FROM w JOIN ft USING (w)),
+        |  SELECT doc_id,
+        |         CAST(round(ln(
+        |           (CASE WHEN f.cnt > (SELECT c_star FROM cut) THEN f.cnt ELSE 1 END)
+        |             / (SELECT total FROM cut)), 6) AS DECIMAL(12,6)) AS lp
+        |  FROM w JOIN f USING (w)),
         |agg AS (
         |  SELECT doc_id, count(*) AS n_tokens,
         |         CAST(sum(lp) AS DOUBLE) AS logprob,

@@ -418,4 +418,29 @@ class ScaleSpec extends GraftSuite {
     assert((1L to 20L).forall(k => bitsFor(k * 100) >= 4))
     assert(bitsFor(400000L) >= bitsFor(200000L))
   }
+
+  test("serving shard count derives from corpus size (bounded per-shard rows)") {
+    // round-8 verdict item 2: pipeline_pack / data_shuffle_global
+    // hard-coded 32 shards, so per-shard window size grew linearly with
+    // the corpus (at 100 TB: ~3 TB through each single-task sort). The
+    // derived rule must keep the fixtures at the oracle-pinned 32, grow
+    // at 100×, and bound per-shard rows at every scale.
+    import graft.queries.TextAnalysis.{shardsFor, TargetDocsPerShard}
+    assert(shardsFor(500L) == 32)     // sf0.01 — floor
+    assert(shardsFor(5000L) == 32)    // sf0.1 — floor, oracle-pinned
+    assert(shardsFor(50000L) == 32)   // 10× — still under 8k/shard at 32
+    assert(shardsFor(500000L) == 64)  // 100× — the derivation kicks in
+    assert(shardsFor(100000000000L) == (1 << 24)) // 10^11 docs
+    // per-shard rows bounded by the target at every scale ≥ the floor
+    val scales = Seq(500L, 5000L, 50000L, 500000L, 5000000L, 1000000000L, 100000000000L)
+    scales.foreach { n =>
+      val s = shardsFor(n)
+      assert(s >= 32 && (s.toLong * TargetDocsPerShard >= n),
+        s"n=$n shards=$s leaves ${n / s} rows/shard > $TargetDocsPerShard")
+    }
+    // monotone and always a power of two (the oracle's min(1<<b) twin
+    // relies on monotonicity of the predicate in b)
+    assert(scales.map(shardsFor).sliding(2).forall(p => p(0) <= p(1)))
+    assert(scales.map(shardsFor).forall(s => Integer.bitCount(s) == 1))
+  }
 }
