@@ -242,7 +242,31 @@ object Similarity extends QueryModule {
     * probe/assign consumers below would otherwise each re-run the whole
     * training DAG (lazy plans re-expand per consumer). Empty clusters
     * drop out of the assignment group-by, exactly as in Lloyd. */
-  private def ivfCentroids(s: SparkSession, d: String, iters: Int): DataFrame =
+  /** Fixed single-file export of the trained centroids for the DuckDB
+    * oracle (round-8 verdict item 3: oracle ann_ivf compositionally —
+    * the oracle reproduces assignment → probe → rescore GIVEN the
+    * trained centroids, the dedup_embedding compositional recipe). The
+    * path must be static because oracle SQL strings are: one file under
+    * the JVM's tmpdir, REWRITTEN by every fresh JVM's first ann_ivf run
+    * (memoized per (dir, iters) within a JVM), so the oracle — which the
+    * driver runs right after Verify, same fixture — always reads the
+    * centroids of the run it checks. */
+  private[graft] val IvfOracleCentroidsPath: String =
+    System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/") +
+      "/graft-oracle-ivf-centroids.parquet"
+
+  private val ivfExported = new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
+
+  private def ivfCentroids(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val staged = ivfCentroidsStaged(s, d, iters)
+    ivfExported.computeIfAbsent((d, iters), _ => {
+      graft.ScaleData.writeSingleFile(staged, IvfOracleCentroidsPath)
+      true
+    })
+    staged
+  }
+
+  private def ivfCentroidsStaged(s: SparkSession, d: String, iters: Int): DataFrame =
     graft.Staging.stage(s, s"ivf_centroids_i$iters", d) {
       val base = withNorm(s, d)
       val seeds = base.filter(col("vec_id") >= NQ)
@@ -386,8 +410,10 @@ object Similarity extends QueryModule {
     // buckets' members. At 100 TB the centroid id is the shuffle/bucket key and
     // nprobe trades recall for bucket reads — same physics as a
     // production IVF index; more Lloyd rounds are the same dataflow
-    // iterated. Approximate ⇒ rows-only for the driver; recall vs
-    // ann_brute asserted in ScalaTest.
+    // iterated. ORACLED compositionally (round-8 verdict item 3): the
+    // trained centroids are exported to [[IvfOracleCentroidsPath]] and
+    // the DuckDB oracle reproduces assignment → probe → rescore GIVEN
+    // them; recall vs ann_brute stays asserted in ScalaTest.
     "ann_ivf" -> { (s, d) =>
       val base = withNorm(s, d)
       val cent = broadcast(ivfCentroids(s, d, annKmeansIters(s)))
@@ -398,10 +424,16 @@ object Similarity extends QueryModule {
       // the corpus-wide pass — which lets the probe branch rank |queries|
       // rows instead of re-running the corpus × centroids assignment
       // (lazy plans re-expand per consumer; the corpus-wide subtree used
-      // to be computed twice)
+      // to be computed twice).
+      // Assignment ranks by the DECIMAL cosine (order-independent, so
+      // oracle-exact): the fast double dot could misrank two centroids
+      // within its ~1e-12 drift, which the tie-aware-rescore trick can't
+      // absorb here because bucket MEMBERSHIP (not just ranking) depends
+      // on it. Cost is corpus × n_centroids bounded decimal dots — the
+      // codegen DecimalDotProduct, not an interpreted lambda.
       def ranked(df: DataFrame): DataFrame = df.join(cent)
         .withColumn("c_cos",
-          dotDbl(col("embedding"), col("c_emb")) /
+          dotDec(col("embedding"), col("c_emb")).cast("double") /
             sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
         .withColumn("c_rank", row_number().over(wAssign))
       val members = ranked(base).filter(col("c_rank") === 1)
@@ -654,6 +686,59 @@ object Similarity extends QueryModule {
          |SELECT d1, d2, label, round(cosine, 9) AS cosine
          |FROM pairs
          |WHERE cosine >= 0.99
-         |ORDER BY d1, d2""".stripMargin
+         |ORDER BY d1, d2""".stripMargin,
+
+    // COMPOSITIONAL oracle (round-8 verdict item 3): GIVEN the trained
+    // centroids (exported by the engine to [[IvfOracleCentroidsPath]] —
+    // training itself is deterministic: decimal-mean Lloyd over staged
+    // parquet, bit-stable across runs/partitionings), DuckDB reproduces
+    // the ENTIRE serving pipeline independently: decimal-exact
+    // assignment of every vector to its nearest centroid, the default
+    // nprobe=4 probe set per query, and the decimal rescore + top-K of
+    // the probed buckets' members. Only the two sketch ops (agg_approx,
+    // agg_sketch_merge) remain rows-only by nature.
+    "ann_ivf" ->
+      s"""WITH $exSql,
+         |cex AS (SELECT c_id, generate_subscripts(c_emb, 1) AS i, unnest(c_emb) AS x
+         |        FROM parquet_scan('$IvfOracleCentroidsPath')),
+         |cnorms AS (
+         |  SELECT c_id,
+         |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
+         |  FROM cex GROUP BY c_id),
+         |assign AS (
+         |  SELECT e.vec_id, c.c_id,
+         |         CAST(sum(CAST(CAST(e.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         |           / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS c_cos
+         |  FROM ex e
+         |  JOIN cex c ON c.i = e.i
+         |  JOIN norms n ON n.vec_id = e.vec_id
+         |  JOIN cnorms cn ON cn.c_id = c.c_id
+         |  GROUP BY e.vec_id, c.c_id, n.n2, cn.n2),
+         |ranked AS (
+         |  SELECT vec_id, c_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rank
+         |  FROM assign),
+         |members AS (SELECT vec_id, c_id FROM ranked WHERE c_rank = 1),
+         |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
+         |           WHERE vec_id < $NQ AND c_rank <= 4),
+         |cand AS (
+         |  SELECT p.query_id, m.vec_id
+         |  FROM probes p JOIN members m ON m.c_id = p.c_id AND m.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT cd.query_id, cd.vec_id,
+         |         CAST(sum(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         |           / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosine
+         |  FROM cand cd
+         |  JOIN ex q ON q.vec_id = cd.query_id
+         |  JOIN ex c ON c.vec_id = cd.vec_id AND c.i = q.i
+         |  JOIN norms nq ON nq.vec_id = cd.query_id
+         |  JOIN norms nc ON nc.vec_id = cd.vec_id
+         |  GROUP BY cd.query_id, cd.vec_id, nq.n2, nc.n2)
+         |SELECT query_id, rk, vec_id, round(cosine, 9) AS cosine
+         |FROM (SELECT query_id, vec_id, cosine,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+         |      FROM scored)
+         |WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin
   )
 }
