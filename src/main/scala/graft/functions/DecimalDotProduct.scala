@@ -4,10 +4,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, Decimal, DecimalType}
+import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, DoubleType}
 
-/** Exact decimal dot product of two `ARRAY<FLOAT>` columns as a native
-  * codegen expression — value-identical to the HOF formulation
+/** Exact decimal dot product of two `ARRAY<FLOAT>` (or `ARRAY<DOUBLE>`)
+  * columns as a native codegen expression — value-identical to the HOF
+  * formulation
   *
   * {{{
   * aggregate(zip_with(a, b, (x,y) -> CAST(double(x)*double(y) AS DECIMAL(20,12))),
@@ -31,6 +32,11 @@ import org.apache.spark.sql.types.{DataType, Decimal, DecimalType}
   *
   * Assumes non-null ELEMENTS (the embeddings fixture guarantees it);
   * null arrays propagate null via BinaryExpression's null handling.
+  *
+  * `ARRAY<DOUBLE>` inputs (per side) read `getDouble` instead — the
+  * per-term double product is then the HOF's own rounded double product,
+  * so porting a double-array HOF call site to this expression stays
+  * bit-identical too (mm_embed's feature vectors are doubles).
   */
 case class DecimalDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,6 +45,11 @@ case class DecimalDotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
+  @transient private lazy val leftIsDouble: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  @transient private lazy val rightIsDouble: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -46,7 +57,9 @@ case class DecimalDotProduct(left: Expression, right: Expression)
     var acc = Decimal(0L, 20, 12)
     var i = 0
     while (i < n) {
-      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (leftIsDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rightIsDouble) y.getDouble(i) else y.getFloat(i).toDouble
+      val p = xv * yv
       if (p.isNaN || p.isInfinite) return null
       val v = Decimal(p)
       if (!v.changePrecision(20, 12)) return null
@@ -65,11 +78,15 @@ case class DecimalDotProduct(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val p = ctx.freshName("p")
       val v = ctx.freshName("v")
+      val getX =
+        if (leftIsDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val getY =
+        if (rightIsDouble) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |$dec $acc = $dec.apply(0L, 20, 12);
          |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
-         |  double $p = (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  double $p = $getX * $getY;
          |  if (Double.isNaN($p) || Double.isInfinite($p)) { ${ev.isNull} = true; break; }
          |  $dec $v = $dec.apply($p);
          |  if (!$v.changePrecision(20, 12)) { ${ev.isNull} = true; break; }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Dataset, SparkSession}
 
@@ -203,12 +204,14 @@ object Multimodal extends QueryModule {
         round(classCount(col("text"), cl) / length(col("text")), 9)): _*)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), feat.as("f"))
-      // decimal-exact cosine (same discipline as Similarity.dotDec)
+      // decimal-exact cosine through the CODEGEN DecimalDotProduct
+      // (round-8 verdict item 6): the interpreted HOF it replaces
+      // expelled the corpus-sized join tail from whole-stage codegen
+      // (the Similarity.scala lambda lesson); on double arrays the
+      // native per-term product is the HOF's own rounded double
+      // product, so values — and the oracle — are bit-identical.
       def dotDec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(
-          zip_with(a, b, (x, y) => (x * y).cast("decimal(20,12)")),
-          lit(0).cast("decimal(20,12)"),
-          (acc, v) => (acc + v).cast("decimal(20,12)"))
+        graft.functions.DecimalDotProduct.decimal_dot(a, b)
       docs.as("a")
         .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -261,6 +264,129 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Perceptual NEAR-duplicate detection for media (round-8 verdict
+    // item 5) — the gap exact byte dedup (mm_dedup) leaves open:
+    // re-encoded copies hash differently but land close in descriptor
+    // space. The descriptor is a 64-bin hashed bag-of-words histogram
+    // over the payload's tokens — the bag-of-VISUAL-words recipe from
+    // image retrieval (quantize local descriptors into a codebook,
+    // compare occupancy histograms); a real deployment swaps word
+    // tokens for SIFT/patch descriptors with the same (payload → k-dim
+    // count vector) signature. VERIFICATION scores the RAW count
+    // vectors (cosine is scale-invariant; exact integer counts as
+    // floats carry zero rounding hazard).
+    //
+    // BLOCKING hashes MEAN-CENTERED frequency vectors instead: bag
+    // descriptors of a shared-codebook corpus concentrate in a narrow
+    // cone around the global distribution (measured here: every doc
+    // shares the fixture's 31-word vocabulary, all raw descriptors
+    // nearly parallel), so origin-through hyperplanes cannot split
+    // them — EVERY doc landed in one bucket and the self-join went
+    // quadratic (>100 s at sf0.1, the bench caught it). L1-normalize,
+    // subtract the corpus mean frequency per bin (a dim-sized DECIMAL
+    // aggregate, broadcast back), and the residual noise is spread
+    // around the origin — sign patterns balance and bucket size tracks
+    // corpus/2^bits again. Centering is the standard pre-hash step for
+    // clustered descriptors and is correctness-NEUTRAL: bucketing only
+    // GENERATES candidates, and both engines derive identical centered
+    // doubles (exact-int divisions, decimal mean, pinned
+    // parenthesization) so even a dropped band-split pair is dropped
+    // identically. Candidate generation is otherwise the
+    // dedup_embedding shape verbatim: 4 bands × corpus-derived bits
+    // (Similarity.bitsFor; the oracle recomputes the rule from
+    // count(*)), codegen HyperplaneBuckets, same-(band,bucket)
+    // self-join, in-stage codegen FLOAT prefilter at tau−0.005, then
+    // the decimal-exact cosine on the output-sized survivor set.
+    // Payload bytes never cross an exchange: the token shuffle carries
+    // (doc_id, bin) with map-side combine, the bucket join carries
+    // 64-float descriptors (PlanSpec-pinned).
+    "mm_dedup_near" -> { (s, d) =>
+      val bins = 64 // = HyperplaneBuckets.Dims: the plane table covers it
+      val nDocs = TextAnalysis.docCount(s, d)
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val binned = tok
+        .select(col("doc_id"),
+          (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % bins)
+            .cast("int").as("bin"))
+        .groupBy(col("doc_id"), col("bin")).agg(count(lit(1)).as("c"))
+      // per-doc L1 frequencies: the window is doc-partitioned (≤ 64
+      // rows per doc) and co-partitioned with the groupBy below
+      val ratios = binned
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("r", col("c") / col("n"))
+      // corpus mean frequency per bin: 64-row DECIMAL aggregate (exact,
+      // order-independent), divided by the TOTAL document count (a
+      // plan-time literal from the memoized footer count; the oracle's
+      // count(*) — zero-token docs contribute 0 to every bin sum)
+      val meanRow = broadcast(ratios.groupBy(col("bin"))
+        .agg(sum(col("r").cast("decimal(20,12)")).as("sd"))
+        .agg(map_from_entries(collect_list(struct(col("bin"), col("sd")))).as("msd")))
+      val feats = ratios
+        .groupBy(col("doc_id"))
+        .agg(
+          map_from_entries(collect_list(struct(col("bin"), col("c")))).as("mc"),
+          map_from_entries(collect_list(struct(col("bin"), col("r")))).as("mr"))
+        .join(meanRow) // 1-row constant attach
+        // dense 64-dim descriptors from the sparse maps; the transform
+        // HOF is interpreted but runs on DOC-sized aggregated rows (64
+        // elements each), never on corpus-token-sized input
+        .select(col("doc_id"),
+          expr(s"transform(sequence(0, ${bins - 1}), " +
+            "b -> CAST(coalesce(element_at(mc, b), CAST(0 AS BIGINT)) AS FLOAT))")
+            .as("f"),
+          expr(s"transform(sequence(0, ${bins - 1}), " +
+            "b -> CAST(coalesce(element_at(mr, b), CAST(0 AS DOUBLE)) - " +
+            s"coalesce(CAST(element_at(msd, b) AS DOUBLE), CAST(0 AS DOUBLE)) / CAST($nDocs AS DOUBLE) AS FLOAT))")
+            .as("fc"))
+      val bits = s.conf.getOption("spark.graft.ann.bitsPerBand").map(_.toInt)
+        .getOrElse(Similarity.bitsFor(nDocs))
+      // STAGED (the dedup_minhash two-job discipline): the self-join
+      // below would otherwise re-expand the whole descriptor pipeline
+      // once per side — tokenize, bin, window, two object aggregates,
+      // the mean broadcast, the centering transform, all TWICE (lazy
+      // subtrees re-expand per consumer; measured as the bulk of a 9 s
+      // sf0.1 run). Staged, each side is a narrow scan of 4 rows/doc.
+      val bucketed = graft.Staging.stage(s, s"mmnear_buckets_b$bits", d) {
+        feats.withColumn("bkts",
+            graft.functions.HyperplaneBuckets.buckets(col("fc"), 4, bits))
+          .select(col("doc_id"), col("f"),
+            posexplode(col("bkts")).as(Seq("band", "bucket")))
+      }
+      val tau = s.conf.getOption("spark.graft.mm.nearTau")
+        .map(_.toDouble).getOrElse(0.95)
+      def fdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.functions.FloatDotProduct.float_dot(a, b)
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.functions.DecimalDotProduct.decimal_dot(a, b)
+      bucketed.as("a")
+        .join(bucketed.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.f").as("fa"), col("b.f").as("fb"))
+        // cheap all-float codegen prefilter IN the join stage, with a
+        // margin ≫ the ~1e-12 double-vs-decimal drift — BEFORE the
+        // distinct, so the dedup exchange carries the output-sized
+        // survivor set, not every bucket-pair with two 64-float arrays
+        // (measured: prefilter-after-distinct shuffled ~1.6M candidate
+        // rows ≈ 0.9 GB at sf0.1)
+        .withColumn("cos_fast",
+          fdot(col("fa"), col("fb")) /
+            sqrt(fdot(col("fa"), col("fa")) * fdot(col("fb"), col("fb"))))
+        .filter(col("cos_fast") >= tau - 0.005)
+        .drop("cos_fast")
+        .distinct() // multi-band union: a pair may collide in several bands
+        .withColumn("cosine",
+          dot(col("fa"), col("fb")).cast("double") /
+            sqrt(dot(col("fa"), col("fa")).cast("double") *
+              dot(col("fb"), col("fb")).cast("double")))
+        .filter(col("cosine") >= tau)
+        .select(col("d1"), col("d2"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // Per-source media stats: group AFTER metadata projection (the blob
     // is pruned from the shuffle — only ints travel).
     "mm_source_stats" -> { (s, d) =>
@@ -306,6 +432,94 @@ object Multimodal extends QueryModule {
   val oracles: Map[String, String] = Map(
 
     "mm_embed" -> mmEmbedOracle,
+
+    // mirrors mm_dedup_near end to end: same md5 token→bin rule; raw
+    // integer counts as FLOAT descriptors for VERIFICATION (sparse here
+    // — zero bins add exactly 0.0 to every dot, so sparse-ordered and
+    // dense-indexed accumulation agree bit-for-bit); MEAN-CENTERED L1
+    // frequencies for BLOCKING (dense — a missing bin centers to
+    // −mean_i, so the grid CTE materializes all 64 dims per doc, and
+    // the identical decimal mean / double subtraction reproduces
+    // Spark's centered floats exactly); the shared md5-derived
+    // hyperplane table at 4 bands × bitsFor(count(*)) bits, and the
+    // DECIMAL(38,12) per-term dot the Similarity oracles use.
+    "mm_dedup_near" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |binned AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(w), 1, 6))::BIGINT % 64 AS INTEGER) AS i,
+        |         count(*) AS c
+        |  FROM tok GROUP BY doc_id, i),
+        |fx AS (SELECT doc_id, i, CAST(c AS FLOAT) AS x FROM binned),
+        |rr AS (
+        |  SELECT b.doc_id, b.i, b.c / t.n AS r
+        |  FROM binned b
+        |  JOIN (SELECT doc_id, sum(c) AS n FROM binned GROUP BY doc_id) t
+        |    USING (doc_id)),
+        |means AS (
+        |  SELECT i,
+        |         CAST(sum(CAST(r AS DECIMAL(20,12))) AS DOUBLE)
+        |           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS mean
+        |  FROM rr GROUP BY i),
+        |grid AS (
+        |  SELECT d.doc_id, g.i
+        |  FROM (SELECT DISTINCT doc_id FROM binned) d,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) g),
+        |ctr AS (
+        |  SELECT g.doc_id, g.i,
+        |         CAST(coalesce(rr.r, CAST(0 AS DOUBLE)) -
+        |              coalesce(m.mean, CAST(0 AS DOUBLE)) AS FLOAT) AS x
+        |  FROM grid g
+        |  LEFT JOIN rr ON rr.doc_id = g.doc_id AND rr.i = g.i
+        |  LEFT JOIN means m ON m.i = g.i),
+        |bcfg AS (
+        |  SELECT min(b) AS bits
+        |  FROM (SELECT unnest(generate_series(4, 30)) AS b),
+        |       (SELECT count(*) AS n FROM documents)
+        |  WHERE (CAST(1 AS BIGINT) << b) * 200 >= n),
+        |planes AS (
+        |  SELECT p, i,
+        |         ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 6))::INTEGER
+        |           / 8388608.0 - 1.0 AS cf
+        |  FROM (SELECT unnest(generate_series(0, 119)) AS p),
+        |       (SELECT unnest(generate_series(0, 63)) AS i)
+        |  WHERE p < 4 * (SELECT bits FROM bcfg)),
+        |projections AS (
+        |  SELECT e.doc_id, pl.p, sum(pl.cf * CAST(e.x AS DOUBLE) ORDER BY pl.i) AS proj
+        |  FROM ctr e JOIN planes pl ON pl.i = e.i
+        |  GROUP BY e.doc_id, pl.p),
+        |buckets AS (
+        |  SELECT doc_id, p // (SELECT bits FROM bcfg) AS band,
+        |         CAST(sum(CASE WHEN proj >= 0
+        |                       THEN (CAST(1 AS BIGINT) << ((SELECT bits FROM bcfg) - 1 - p % (SELECT bits FROM bcfg)))
+        |                       ELSE 0 END) AS INTEGER) AS bucket
+        |  FROM projections GROUP BY doc_id, p // (SELECT bits FROM bcfg)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM buckets a
+        |  JOIN buckets b ON b.band = a.band AND b.bucket = a.bucket
+        |   AND a.doc_id < b.doc_id),
+        |norms AS (
+        |  SELECT doc_id,
+        |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
+        |  FROM fx GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT c.d1, c.d2,
+        |         CAST(sum(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |           / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        |  FROM cand c
+        |  JOIN fx a ON a.doc_id = c.d1
+        |  JOIN fx b ON b.doc_id = c.d2 AND b.i = a.i
+        |  JOIN norms na ON na.doc_id = c.d1
+        |  JOIN norms nb ON nb.doc_id = c.d2
+        |  GROUP BY c.d1, c.d2, na.n2, nb.n2)
+        |SELECT d1, d2, round(cosine, 6) AS cosine
+        |FROM pairs
+        |WHERE cosine >= 0.95
+        |ORDER BY d1, d2""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -166,6 +166,64 @@ class PlanSpec extends GraftSuite {
       s"hash grouping must partial-aggregate map-side:\n${df.queryExecution.executedPlan}")
   }
 
+  test("mm_embed: codegen decimal dot, no interpreted lambdas on the join tail") {
+    // round-8 verdict item 6: the HOF decimal dot expelled the
+    // corpus-sized id-adjacent join tail from whole-stage codegen (the
+    // Similarity.scala lambda lesson); the ported DecimalDotProduct
+    // must appear and no higher-order lambda may remain anywhere.
+    val p = plan("mm_embed")
+    assert(p.contains("decimaldotproduct"), s"codegen decimal dot missing:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"interpreted higher-order lambda on the mm_embed path:\n$p")
+  }
+
+  test("mm_dedup_near: one bucketed self-join, no text/token bytes in any exchange") {
+    // perceptual near-dup must shuffle (doc_id, bin) partial counts and
+    // 64-float descriptors — never document text or token strings; the
+    // only join is the (band, bucket) self-join (the dedup_embedding
+    // shape). The dense-descriptor transform lambda is allowed: it runs
+    // on doc-sized aggregated rows, not on the corpus-token stream and
+    // not on the join path.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case qs: QueryStageExec       => p +: allNodes(qs.plan)
+      case other                    => other +: other.children.flatMap(allNodes)
+    }
+    val df = q("mm_dedup_near")
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val exchanges = nodes.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty, "expected the bin-agg + join + ORDER BY exchanges")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(a => a.name == "text" || a.name == "w" || a.name.contains("payload")),
+        s"document text / token strings cross an exchange:\n$e")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("floatdotproduct"), s"codegen float prefilter missing:\n$p")
+    assert(p.contains("decimaldotproduct"), s"codegen decimal verify missing:\n$p")
+  }
+
+  test("events_funnel4: the k-step operator keeps the one-scan one-shuffle plan at k=4") {
+    // the parameterized Funnel must preserve the events_funnel plan
+    // discipline as steps grow: one events scan, k chained Window
+    // passes over ONE user_id exchange (+ the presentation sort), no
+    // collect buffers.
+    val p = plan("events_funnel4")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$p")
+    val windows = finalPlan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 4, s"expected 4 chained Window passes, got $windows:\n$p")
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (user_id + sort), got $exchanges:\n$p")
+    assert(!finalPlan.contains("collect_list"),
+      s"funnel must stay windowed (spillable), not collected:\n$p")
+  }
+
   test("dedup_minhash reads staged shingles instead of rescanning documents") {
     // the two-job staging shape: at most one scan of the documents table
     // (inside the stage build) may remain in the final query plan
