@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parameterized ordered-step conversion funnel (round-8 verdict item 7):
+  * per key, the first event matching step 1, the first event matching
+  * step 2 AT OR AFTER it, … through step k, plus the reached depth —
+  * "how many users viewed, then clicked, then purchased" generalized to
+  * any `Seq[(name, predicate)]`, which is what an analytics user actually
+  * calls (the 3-step view→click→purchase shape was hard-wired in
+  * `events_funnel` before this).
+  *
+  * Plan shape (unchanged from the hand-written 3-step version — same
+  * oracle, same plan): ONE corpus scan and ONE key shuffle carrying k
+  * chained conditional-min windows. Each step's window predicate reads
+  * the previous step's window output, so the k WindowExecs can't fuse
+  * into one, but no re-shuffle or sort separates them — the frames are
+  * unbounded and unordered over the SAME key exchange. A per-step
+  * join-chain formulation would re-scan events once per step (lazy
+  * subtrees re-expand — the text_tfidf CTE disease); a collect-per-key
+  * buffer would be unspillable heap (the round-7 funnel bug: one
+  * pathological bot user could OOM its task), while WindowExec buffers
+  * partition rows in an UnsafeExternalSorter that SPILLS to disk. A null
+  * prior step nulls the `ts >= prior` predicate, so the conditional min
+  * correctly yields null — matching LEFT-JOIN-chain SQL semantics. The
+  * final per-key collapse is a distinct whose keys extend the
+  * partitioning, so it adds no exchange.
+  */
+object Funnel {
+
+  /** @param df    event rows; must contain every column `key`, `ts` and
+    *              the step predicates reference
+    * @param key   funnel grouping key (e.g. `col("user_id")`)
+    * @param ts    event-time column, totally ordered (e.g. epoch micros)
+    * @param steps ordered (outputColumn, predicate) pairs; step i ≥ 2
+    *              must match at or after step i-1's matched time
+    * @return one row per key that reached step 1: key, one timestamp
+    *         column per step (null = step not reached), and `depth` */
+  def funnel(df: DataFrame, key: Column, ts: Column,
+             steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(key)
+    val withSteps = steps.zipWithIndex.foldLeft(df) {
+      case (acc, ((name, pred), i)) =>
+        val cond =
+          if (i == 0) pred
+          else pred && ts >= col(steps(i - 1)._1)
+        acc.withColumn(name, min(when(cond, ts)).over(w))
+    }
+    val depth = steps
+      .map { case (name, _) => when(col(name).isNotNull, 1).otherwise(0) }
+      .reduce(_ + _)
+    withSteps
+      .filter(col(steps.head._1).isNotNull)
+      .select(key +: steps.map { case (name, _) => col(name) } :+ depth.as("depth"): _*)
+      .distinct()
+  }
+}

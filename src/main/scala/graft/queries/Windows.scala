@@ -125,23 +125,36 @@ object Windows extends QueryModule {
     // costs I/O, never memory. The final per-user collapse is a
     // distinct whose keys extend the partitioning, so it adds no
     // exchange.
+    // Now expressed through the reusable k-step [[graft.operators.Funnel]]
+    // (round-8 verdict item 7) — same chained-conditional-window plan,
+    // same oracle.
     "events_funnel" -> { (s, d) =>
-      val w = Window.partitionBy(col("user_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
-        .withColumn("t1",
-          min(when(col("event_type") === "view", col("ts_us"))).over(w))
-        .withColumn("t2",
-          min(when(col("event_type") === "click" && col("ts_us") >= col("t1"),
-            col("ts_us"))).over(w))
-        .withColumn("t3",
-          min(when(col("event_type") === "purchase" && col("ts_us") >= col("t2"),
-            col("ts_us"))).over(w))
-        .filter(col("t1").isNotNull)
-        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
-          (lit(1) + when(col("t2").isNotNull, 1).otherwise(0) +
-            when(col("t3").isNotNull, 1).otherwise(0)).as("depth"))
-        .distinct()
+      graft.operators.Funnel.funnel(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us")),
+        col("user_id"), col("ts_us"),
+        Seq(
+          "t1" -> (col("event_type") === "view"),
+          "t2" -> (col("event_type") === "click"),
+          "t3" -> (col("event_type") === "purchase")))
+        .orderBy(col("user_id"))
+    },
+
+    // 4-step funnel through the same operator — view → click → purchase
+    // → RETURN view (post-purchase re-engagement), proving the
+    // parameterized operator beyond the hard-wired 3 steps and that a
+    // step TYPE may repeat (the ts >= prior chain, not the type,
+    // carries the ordering).
+    "events_funnel4" -> { (s, d) =>
+      graft.operators.Funnel.funnel(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us")),
+        col("user_id"), col("ts_us"),
+        Seq(
+          "t1" -> (col("event_type") === "view"),
+          "t2" -> (col("event_type") === "click"),
+          "t3" -> (col("event_type") === "purchase"),
+          "t4" -> (col("event_type") === "view")))
         .orderBy(col("user_id"))
     },
 
@@ -538,6 +551,34 @@ object Windows extends QueryModule {
         |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS depth
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    // the 3-step join chain extended one more LEFT-JOIN hop (a second
+    // 'view' at or after the purchase) — independently formulated, so
+    // the operator's chained-window semantics are checked against the
+    // classic per-step join-chain at k=4
+    "events_funnel4" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1
+        |           FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t1
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t2
+        |      GROUP BY e.user_id),
+        |r AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t4
+        |      FROM events e JOIN p ON e.user_id = p.user_id
+        |      WHERE e.event_type = 'view' AND epoch_us(e.ts) >= p.t3
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id, t1, t2, t3, t4,
+        |       1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t4 IS NULL THEN 0 ELSE 1 END AS depth
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |       LEFT JOIN r ON v.user_id = r.user_id
         |ORDER BY v.user_id""".stripMargin,
 
     "events_retention" ->
