@@ -20,16 +20,32 @@ import org.apache.spark.sql.functions._
   * with partition-level version metadata you'd prune untouched
   * partitions before ever joining — orthogonal to this operator).
   *
-  * `newV` must carry the same columns as `oldV`.
+  * `newV` must carry the same columns as `oldV`, and the key must be
+  * UNIQUE within each snapshot — enforced distributively with the same
+  * count-window `raise_error` guard Merge uses (round-8 advice: a
+  * repeated key would otherwise silently multiply rows through the
+  * full-outer join and emit spurious 'changed'/duplicate change rows).
+  * Each guard is a snapshot-sized window co-partitioned with the join
+  * shuffle it precedes — no extra exchange, no driver-side collect.
   */
 object Diff {
+
+  private def keyUniqueGuard(df: DataFrame, key: String, side: String): DataFrame = {
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    df.withColumn("_n_dup", count(lit(1)).over(wKey))
+      .filter(when(col("_n_dup") > 1,
+          raise_error(concat(lit(s"DIFF: duplicate key in $side snapshot: "),
+            col(key).cast("string"))))
+        .otherwise(lit(true)))
+      .drop("_n_dup")
+  }
 
   def diff(oldV: DataFrame, newV: DataFrame, key: String): DataFrame = {
     require(oldV.columns.sorted.sameElements(newV.columns.sorted),
       s"diff requires identical schemas: ${oldV.columns.toSeq} vs ${newV.columns.toSeq}")
     val payload = oldV.columns.filterNot(_ == key).toSeq
-    val o = oldV.withColumn("_o", lit(true)).as("o")
-    val n = newV.withColumn("_n", lit(true)).as("n")
+    val o = keyUniqueGuard(oldV, key, "old").withColumn("_o", lit(true)).as("o")
+    val n = keyUniqueGuard(newV, key, "new").withColumn("_n", lit(true)).as("n")
     val changed = payload.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
     o.join(n, Seq(key), "full_outer")
       .withColumn("op",

@@ -515,7 +515,11 @@ object Relational extends QueryModule {
     // l_shipmode, so it is derived DETERMINISTICALLY from
     // (l_orderkey, l_linenumber) with exact integer arithmetic the
     // DuckDB oracle reproduces bit-identically (the partsupp recipe;
-    // all operands non-negative so truncating % agrees in both). The
+    // all operands non-negative so truncating % agrees in both; the
+    // orderkey multiplier is 11 — COPRIME to the 7 modulus, so shipmode
+    // genuinely varies with BOTH keys; the original ×7 vanished mod 7,
+    // making shipmode a function of l_linenumber alone — round-8
+    // advice). The
     // spec's receipt/commit-date window is adapted to l_shipdate (the
     // q4 precedent — those columns don't exist in the fixture). The
     // IN ('MAIL','SHIP') filter keeps 2/7 of lineitem and evaluates on
@@ -529,7 +533,7 @@ object Relational extends QueryModule {
       s.sql(
         """WITH lineitem_x AS (
           |  SELECT l_orderkey, l_shipdate,
-          |         CASE CAST((l_orderkey * 7 + l_linenumber * 3) % 7 AS INT)
+          |         CASE CAST((l_orderkey * 11 + l_linenumber * 3) % 7 AS INT)
           |           WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'RAIL'
           |           WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'AIR' WHEN 5 THEN 'REG AIR'
           |           ELSE 'FOB' END AS l_shipmode
@@ -1250,7 +1254,7 @@ object Relational extends QueryModule {
     "sql_tpch_q12" ->
       """WITH lineitem_x AS (
         |  SELECT l_orderkey, l_shipdate,
-        |         CASE CAST((l_orderkey * 7 + l_linenumber * 3) % 7 AS INT)
+        |         CASE CAST((l_orderkey * 11 + l_linenumber * 3) % 7 AS INT)
         |           WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'RAIL'
         |           WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'AIR' WHEN 5 THEN 'REG AIR'
         |           ELSE 'FOB' END AS l_shipmode

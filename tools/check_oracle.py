@@ -81,15 +81,20 @@ def main(sf_dir, out_dir, only=None):
             print(f"{status:5s} {name}: rows={len(got)} (no oracle)", flush=True)
             n_rowsonly += 1
             continue
+        qcon = None
         try:
             qcon = fresh_con(sf_dir) if per_query_con else con
             exp = qcon.execute(oracle[name]).df()
-            if per_query_con:
-                qcon.close()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}", flush=True)
             n_fail += 1
             continue
+        finally:
+            # close per-query connections on BOTH paths: a failing query
+            # used to skip the close, leaking one connection (and its
+            # memory_limit reservation) per failure over a long run
+            if per_query_con and qcon is not None:
+                qcon.close()
         gc, gn, gr = frame_fingerprint(got)
         ec, en, er = frame_fingerprint(exp)
         if gc != ec:
