@@ -340,8 +340,21 @@ object Multimodal extends QueryModule {
             "b -> CAST(coalesce(element_at(mr, b), CAST(0 AS DOUBLE)) - " +
             s"coalesce(CAST(element_at(msd, b) AS DOUBLE), CAST(0 AS DOUBLE)) / CAST($nDocs AS DOUBLE) AS FLOAT))")
             .as("fc"))
+      // bits derived like Similarity.bitsFor but with an 8-doc target
+      // bucket (vs the embedding family's 200): candidate volume is
+      // 2 · n · bucketTarget · bands and each candidate materializes
+      // two 64-float arrays and pays three dense float dots with no
+      // label sub-blocking — the 200-target measured ~29 M candidates
+      // / 41 s at the 500 k-doc 100× fixture; candidates (and wall
+      // clock) scale LINEARLY in the target. 8 is safe for PERCEPTUAL
+      // duplicates specifically: a true re-encoded copy is
+      // near-identical in descriptor space (centered angle ≈ 0), so
+      // even 16-bit bands split it with negligible probability, and
+      // the 4-band union absorbs the rest; only borderline
+      // just-at-tau pairs lose recall, identically in both engines
+      // (the oracle recomputes the same integer rule from count(*)).
       val bits = s.conf.getOption("spark.graft.ann.bitsPerBand").map(_.toInt)
-        .getOrElse(Similarity.bitsFor(nDocs))
+        .getOrElse((4 to 30).find(b => (1L << b) * 8 >= nDocs).getOrElse(30))
       // STAGED (the dedup_minhash two-job discipline): the self-join
       // below would otherwise re-expand the whole descriptor pipeline
       // once per side — tokenize, bin, window, two object aggregates,
@@ -368,7 +381,7 @@ object Multimodal extends QueryModule {
           col("a.f").as("fa"), col("b.f").as("fb"))
         // cheap all-float codegen prefilter IN the join stage, with a
         // margin ≫ the ~1e-12 double-vs-decimal drift — BEFORE the
-        // distinct, so the dedup exchange carries the output-sized
+        // per-pair dedup, so the dedup exchange carries the output-sized
         // survivor set, not every bucket-pair with two 64-float arrays
         // (measured: prefilter-after-distinct shuffled ~1.6M candidate
         // rows ≈ 0.9 GB at sf0.1)
@@ -376,8 +389,17 @@ object Multimodal extends QueryModule {
           fdot(col("fa"), col("fb")) /
             sqrt(fdot(col("fa"), col("fa")) * fdot(col("fb"), col("fb"))))
         .filter(col("cos_fast") >= tau - 0.005)
-        .drop("cos_fast")
-        .distinct() // multi-band union: a pair may collide in several bands
+        // multi-band dedup via groupBy + first — NOT .distinct(): fa/fb
+        // are functions of (d1, d2), so the results are identical, but
+        // a decimal filter above a distinct is a predicate on GROUPING
+        // KEYS and Catalyst pushes it down INTO the join condition,
+        // where Decimal.apply(double) (a Double.toString per term!)
+        // then runs for every enumerated bucket pair — measured 39 s at
+        // the 100× fixture vs 4 s with the push blocked; a filter on
+        // first()-aggregated columns cannot push below the aggregate,
+        // pinning the decimal rescore to the survivor set.
+        .groupBy(col("d1"), col("d2"))
+        .agg(first(col("fa")).as("fa"), first(col("fb")).as("fb"))
         .withColumn("cosine",
           dot(col("fa"), col("fb")).cast("double") /
             sqrt(dot(col("fa"), col("fa")).cast("double") *
@@ -479,7 +501,7 @@ object Multimodal extends QueryModule {
         |  SELECT min(b) AS bits
         |  FROM (SELECT unnest(generate_series(4, 30)) AS b),
         |       (SELECT count(*) AS n FROM documents)
-        |  WHERE (CAST(1 AS BIGINT) << b) * 200 >= n),
+        |  WHERE (CAST(1 AS BIGINT) << b) * 8 >= n),
         |planes AS (
         |  SELECT p, i,
         |         ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 6))::INTEGER

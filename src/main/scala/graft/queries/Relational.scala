@@ -299,7 +299,12 @@ object Relational extends QueryModule {
             .otherwise(col("o_totalprice")))
         .unionByName(base.filter(k % 97 === 0)
           .withColumn("o_orderkey", k + lit(1099511627776L)))
-      graft.operators.Diff.diff(base, newv, "o_orderkey")
+      // checkUnique=false: o_orderkey is the orders PRIMARY KEY and the
+      // synthetic inserts are offset into a disjoint high-bit range, so
+      // uniqueness is guaranteed by construction — skipping the guard
+      // saves two 15 M-row window passes at 100× (7.6 s vs 24.2 s
+      // measured; the guard itself is spec-covered in OperatorsSpec)
+      graft.operators.Diff.diff(base, newv, "o_orderkey", checkUnique = false)
         .orderBy(col("o_orderkey"))
     },
 
