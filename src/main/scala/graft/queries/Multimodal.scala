@@ -463,8 +463,15 @@ object Multimodal extends QueryModule {
     // −mean_i, so the grid CTE materializes all 64 dims per doc, and
     // the identical decimal mean / double subtraction reproduces
     // Spark's centered floats exactly); the shared md5-derived
-    // hyperplane table at 4 bands × bitsFor(count(*)) bits, and the
-    // DECIMAL(38,12) per-term dot the Similarity oracles use.
+    // hyperplane table at 4 bands × the corpus-derived bits, and the
+    // DECIMAL(38,12) per-term dot the Similarity oracles use. The
+    // projections fold per-doc/per-plane ORDERED LISTS through
+    // list_sum(list_transform(...)) — the same left-to-right double
+    // accumulation as Spark's HyperplaneBuckets loop, but the only
+    // ordered aggregates run over doc-/plane-sized groups: the flat
+    // sum(... ORDER BY i) over the |docs|×|planes|×64 join (the
+    // Similarity-oracle shape) OOM'd DuckDB 1.0 on the DENSE centered
+    // rows even at 10× (plain sum of the same join runs in 1.6 s).
     "mm_dedup_near" ->
       """WITH tok AS (
         |  SELECT doc_id, w
@@ -509,10 +516,14 @@ object Multimodal extends QueryModule {
         |  FROM (SELECT unnest(generate_series(0, 119)) AS p),
         |       (SELECT unnest(generate_series(0, 63)) AS i)
         |  WHERE p < 4 * (SELECT bits FROM bcfg)),
+        |dvec AS (
+        |  SELECT doc_id, list(CAST(x AS DOUBLE) ORDER BY i) AS xs FROM ctr GROUP BY doc_id),
+        |pvec AS (
+        |  SELECT p, list(cf ORDER BY i) AS cs FROM planes GROUP BY p),
         |projections AS (
-        |  SELECT e.doc_id, pl.p, sum(pl.cf * CAST(e.x AS DOUBLE) ORDER BY pl.i) AS proj
-        |  FROM ctr e JOIN planes pl ON pl.i = e.i
-        |  GROUP BY e.doc_id, pl.p),
+        |  SELECT d.doc_id, pv.p,
+        |         list_sum(list_transform(range(1, 65), k -> pv.cs[k] * d.xs[k])) AS proj
+        |  FROM dvec d, pvec pv),
         |buckets AS (
         |  SELECT doc_id, p // (SELECT bits FROM bcfg) AS band,
         |         CAST(sum(CASE WHEN proj >= 0
