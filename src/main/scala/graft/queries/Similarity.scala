@@ -343,6 +343,68 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"))
     },
 
+    // HYBRID retrieval with Reciprocal-Rank Fusion (Cormack et al.,
+    // SIGIR'09 — the industry-standard way to combine a lexical and a
+    // vector ranker without score calibration): for each query document
+    // (the NQ convention — ids < 8 exist in BOTH documents and
+    // embeddings), fuse
+    //   - the VECTOR arm: the exact decimal top-K of [[topkPairs]]
+    //     (ann_brute's hierarchical two-phase pipeline, reused as-is),
+    //   - the LEXICAL arm: distinct-shared-token overlap scores,
+    //     hierarchically top-K'd through the bounded [[TopK.topK]]
+    //     aggregator (partial map-side reduction — never a corpus-wide
+    //     per-query window sort),
+    // by rrf = Σ_arms 1/(60 + rank), candidates ranked in at least one
+    // arm (the standard top-N RRF: a doc outside both top-Ks can never
+    // outrank one inside, so fusing over the union is exact for the
+    // final top-K). Scale shape: the query token set is dim-sized and
+    // BROADCASTS; the corpus token stream joins it map-side and
+    // partial-aggregates (query_id, doc_id) counts before the shuffle;
+    // the fusion full-outer runs on 2·NQ·K rows. Determinism: ranks
+    // are exact (decimal cosine / integer overlap, doc_id tie-breaks),
+    // and 1/(60+rank) on small ints is the same IEEE double in both
+    // engines. (On this fixture's 31-word vocabulary the overlap
+    // signal saturates — many docs tie at a query's full token count —
+    // which exercises exactly the tie discipline; real corpora spread
+    // the scores.)
+    "hybrid_search" -> { (s, d) =>
+      import s.implicits._
+      val vec = topkPairs(s, d)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rk").cast("int").as("rv"))
+      val qTok = broadcast(Tables.documents(s, d).filter(col("doc_id") < NQ)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        .filter(col("w") =!= ""))
+      val shared = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+        .filter(col("w") =!= "")
+        .join(qTok, Seq("w"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      val lex = shared
+        .select(col("query_id"), col("n_shared").cast("double"), col("doc_id"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(graft.operators.TopK.topK(K).toColumn.name("top"))
+        .flatMap { case (qid, top) =>
+          top.zipWithIndex.map { case ((_, did), i) => (qid, did, i + 1) } }
+        .toDF("query_id", "doc_id", "rl")
+      val wf = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      vec.join(lex, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)))
+        .withColumn("rk", row_number().over(wf)) // ≤ 2K fused rows/query
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("rk"), col("doc_id"),
+          round(col("rrf"), 9).as("rrf"), col("rv"), col("rl"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // LSH-bucketed ANN, multi-table: 4 bands × bitsPerBand md5-derived
     // hyperplanes (bits derived from corpus size; see lshBucketed for
     // the corpus-size scaling rule). Candidates = vectors sharing
@@ -629,6 +691,56 @@ object Similarity extends QueryModule {
          |      FROM votes)
          |WHERE vr = 1
          |ORDER BY query_id""".stripMargin,
+
+    // RRF fusion mirrored end to end: the vector arm is the ann_brute
+    // rank pipeline, the lexical arm the distinct-shared-token rank,
+    // rrf terms computed as DOUBLE division of exact small ints
+    // (DuckDB's bare `1.0` literal is DECIMAL — cast explicitly or the
+    // engines diverge in type, not value)
+    "hybrid_search" ->
+      s"""WITH $exSql,
+         |${pairSql(NQ)},
+         |vecr AS (
+         |  SELECT query_id, doc_id, CAST(rk AS INT) AS rv
+         |  FROM (SELECT query_id, vec_id AS doc_id,
+         |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+         |        FROM pairs)
+         |  WHERE rk <= $K),
+         |qt AS (
+         |  SELECT doc_id AS query_id, w
+         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+         |        FROM documents WHERE doc_id < $NQ)
+         |  WHERE w <> ''),
+         |ct AS (
+         |  SELECT doc_id, w
+         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
+         |  WHERE w <> ''),
+         |shared AS (
+         |  SELECT qt.query_id, ct.doc_id, count(*) AS n_shared
+         |  FROM ct JOIN qt USING (w)
+         |  WHERE ct.doc_id <> qt.query_id
+         |  GROUP BY qt.query_id, ct.doc_id),
+         |lexr AS (
+         |  SELECT query_id, doc_id, CAST(rk AS INT) AS rl
+         |  FROM (SELECT query_id, doc_id,
+         |               row_number() OVER (PARTITION BY query_id ORDER BY n_shared DESC, doc_id) AS rk
+         |        FROM shared)
+         |  WHERE rk <= $K),
+         |fused AS (
+         |  SELECT coalesce(v.query_id, l.query_id) AS query_id,
+         |         coalesce(v.doc_id, l.doc_id) AS doc_id,
+         |         coalesce(CAST(1 AS DOUBLE) / (60 + v.rv), CAST(0 AS DOUBLE)) +
+         |           coalesce(CAST(1 AS DOUBLE) / (60 + l.rl), CAST(0 AS DOUBLE)) AS rrf,
+         |         v.rv, l.rl
+         |  FROM vecr v FULL OUTER JOIN lexr l
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         |SELECT query_id, rk, doc_id, round(rrf0, 9) AS rrf, rv, rl
+         |FROM (SELECT query_id,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rk,
+         |             doc_id, rrf AS rrf0, rv, rl
+         |      FROM fused)
+         |WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
 
     "ann_lsh" ->
       s"""WITH $exSql,

@@ -288,6 +288,22 @@ class PlanSpec extends GraftSuite {
       s"a Window ranks the corpus-sized candidate set (below the top-k aggregate):\n$p")
   }
 
+  test("hybrid_search: both arms hierarchical, query tokens broadcast, fusion window bounded") {
+    // the lexical arm must be the bounded TopK aggregator (partial
+    // map-side reduction), never a corpus-wide per-query window; the
+    // query token set must BROADCAST (dim-sized) rather than shuffle
+    // the corpus token stream; every Window (the 2·NQ·K fusion rank +
+    // the vector arm's survivor rescore) sits above the aggregates.
+    val full = plan("hybrid_search")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("ObjectHashAggregate"), s"bounded top-k aggregates missing:\n$p")
+    assert(p.contains("partial_"), s"no partial (map-side) reduction:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"query token set must broadcast:\n$p")
+    val aggAt = p.indexOf("ObjectHashAggregate")
+    assert(p.lastIndexOf("Window") < aggAt,
+      s"a Window ranks a corpus-sized set (below the top-k aggregates):\n$p")
+  }
+
   test("dedup_embedding: one self-join, no corpus join-backs, no interpreted lambdas") {
     // round-7 rework (measured at 100×: 194 s → 8.3 s): the old shape
     // distinct-ed skinny (d1,d2) pairs and joined the corpus back twice
