@@ -41,6 +41,8 @@ object Funnel {
   def funnel(df: DataFrame, key: Column, ts: Column,
              steps: Seq[(String, Column)]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.map(_._1).distinct.size == steps.size,
+      s"funnel step output columns must be distinct: ${steps.map(_._1)}")
     val w = Window.partitionBy(key)
     val withSteps = steps.zipWithIndex.foldLeft(df) {
       case (acc, ((name, pred), i)) =>

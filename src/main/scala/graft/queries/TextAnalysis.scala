@@ -525,11 +525,14 @@ object TextAnalysis extends QueryModule {
     // Unigram LOG-PROBABILITY scoring — the cheap stand-in for LM
     // perplexity filtering (CCNet-style: score each doc by how typical
     // its tokens are of the corpus; gibberish and boilerplate land in
-    // the tails). Shape at 100 TB: TWO narrow tokenization passes — the
-    // vocab frequency pass (word-keyed agg) and the scoring pass;
-    // re-tokenizing beats materializing a corpus-scale token table
-    // (split() is a cheap codegen projection; the staged-intermediate
-    // rule only pays when the staged set is SMALLER than its source).
+    // the tails). Shape at 100 TB: THREE narrow tokenization passes —
+    // the vocab frequency subtree evaluates twice (once under the cap
+    // derivation, once under the kept-vocab projection; lazy subtrees
+    // re-expand per consumer) plus the scoring pass. Re-tokenizing
+    // beats materializing a corpus-scale token table (split() is a
+    // cheap codegen projection; the staged-intermediate rule only pays
+    // when the staged set is SMALLER than its source — a signatures
+    // table is, a token stream is not).
     //
     // The broadcast vocabulary is BOUNDED at the top `vocabK` types
     // (default 2^20) with an OOV floor of count 1 — raw whitespace
