@@ -75,11 +75,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // dev-only, like BenchOne: SPARK_GRAFT_CONF=k=v,... runtime confs
     // (e.g. A/B-ing the AQE initial fan-out on one machine)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+    Tuning.applyEnvConf(spark)
     // one untimed warmup query so one-time JVM/codegen/parquet-reader
     // initialization isn't billed to whichever query runs first
     // (measured ~5s on the alphabetically-first query otherwise)

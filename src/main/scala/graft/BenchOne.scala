@@ -21,11 +21,7 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+    Tuning.applyEnvConf(spark)
     // optional 4th arg: an untimed warmup query, so fresh-JVM single-rep
     // protocols (the only sound ones at ≥10M-row scale — same-JVM reps
     // inherit loaded state stores / heap residue) don't bill ~10 s of

@@ -1,13 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Dev diagnostic for mm_dedup_near's centered-descriptor blocking:
   * bucket histogram + pre-distinct pair volume + float-prefilter
   * survivor count at a given bits (args: sfDir bits [tauPrefilter]).
   * Attributes the self-join's wall-clock (pair enumeration vs decimal
-  * rescore volume) before turning the bucket-target lever. */
+  * rescore volume) before turning the bucket-target lever.
+  *
+  * The descriptor pipeline is [[graft.queries.Multimodal.nearDescriptors]]
+  * — the SAME code the query runs (round-9 review: a copy-pasted
+  * pipeline here would silently drift from the one being tuned). */
 object MmBucketStats {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder.master("local[32]")
@@ -16,28 +19,8 @@ object MmBucketStats {
     s.sparkContext.setLogLevel("WARN")
     val d = args(0); val bits = args(1).toInt
     val pre = if (args.length > 2) args(2).toDouble else 0.945
-    val bins = 64
-    val nDocs = Tables.documents(s, d).count()
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-    val binned = tok.select(col("doc_id"),
-        (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % bins).cast("int").as("bin"))
-      .groupBy(col("doc_id"), col("bin")).agg(count(lit(1)).as("c"))
-    val ratios = binned
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("r", col("c") / col("n"))
-    val meanRow = broadcast(ratios.groupBy(col("bin"))
-      .agg(sum(col("r").cast("decimal(20,12)")).as("sd"))
-      .agg(map_from_entries(collect_list(struct(col("bin"), col("sd")))).as("msd")))
-    val feats = ratios.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("bin"), col("c")))).as("mc"),
-        map_from_entries(collect_list(struct(col("bin"), col("r")))).as("mr"))
-      .join(meanRow)
-      .select(col("doc_id"),
-        expr(s"transform(sequence(0, ${bins - 1}), b -> CAST(coalesce(element_at(mc, b), CAST(0 AS BIGINT)) AS FLOAT))").as("f"),
-        expr(s"transform(sequence(0, ${bins - 1}), b -> CAST(coalesce(element_at(mr, b), CAST(0 AS DOUBLE)) - coalesce(CAST(element_at(msd, b) AS DOUBLE), CAST(0 AS DOUBLE)) / CAST($nDocs AS DOUBLE) AS FLOAT))").as("fc"))
-    val bucketed = feats.withColumn("bkts",
+    val bucketed = graft.queries.Multimodal.nearDescriptors(s, d)
+      .withColumn("bkts",
         functions.HyperplaneBuckets.buckets(col("fc"), 4, bits))
       .select(col("doc_id"), col("f"), posexplode(col("bkts")).as(Seq("band", "bucket")))
       .cache()

@@ -62,7 +62,28 @@ object Tuning {
   /** Size-aware AQE initial shuffle fan-out: see object scaladoc. */
   def initialShufflePartitions(sfDir: String, cpus: Int): Int = {
     val bytes = dirBytes(sfDir)
+    // a 0 here can mean "could not stat the fixture" (typo, non-local
+    // path), not "tiny fixture" — and it silently picks the narrow
+    // floor whose 100× sort spill this helper exists to prevent, so
+    // say which case it is
+    if (bytes == 0L)
+      System.err.println(s"[tuning] fixture dir '$sfDir' has no readable " +
+        "files — AQE initial fan-out falls back to the narrow floor")
     val bySize = math.ceil(bytes.toDouble / TargetBytesPerPartition).toLong
     math.max(cpus.toLong, math.min(cpus.toLong * 8L, bySize)).toInt
   }
+
+  /** Apply `SPARK_GRAFT_CONF=k=v,...` runtime confs — the measurement-
+    * protocol knob shared by Bench / BenchOne / Verify (one
+    * implementation; the per-main copies drifted and `val Array(k, v)`
+    * threw an opaque MatchError on a malformed entry). */
+  def applyEnvConf(spark: org.apache.spark.sql.SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k.trim, v.trim)
+          case _ => System.err.println(
+            s"[tuning] ignoring malformed SPARK_GRAFT_CONF entry '$kv' (want k=v)")
+        }
+      })
 }

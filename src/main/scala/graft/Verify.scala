@@ -23,11 +23,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // dev-only, like BenchOne: SPARK_GRAFT_CONF=k=v,... runtime confs
     // (e.g. a non-default dedup tau for the 100x slice checks)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+    Tuning.applyEnvConf(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, DoubleType, FloatType}
 
 /** Exact decimal dot product of two `ARRAY<FLOAT>` (or `ARRAY<DOUBLE>`)
   * columns as a native codegen expression — value-identical to the HOF
@@ -16,11 +17,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, Do
   * }}}
   *
   * per term: the float×float product in double is exact, the cast to
-  * DECIMAL(20,12) rounds HALF_UP through the same `Decimal(double)` path
-  * `Cast` uses (NaN/Infinity → null, precision overflow → null); the
-  * accumulation is exact because (20,12)+(20,12) widens to (21,12) at
-  * the SAME scale — the cast back never rounds — so the sum is
-  * order-independent and oracle-stable, exactly like the HOF.
+  * scale-12 decimal rounds HALF_UP through the same `Decimal(double)`
+  * path `Cast` uses (NaN/Infinity → null, precision overflow → null);
+  * the accumulation is exact at the SAME scale — the cast back never
+  * rounds — so the sum is order-independent and oracle-stable, exactly
+  * like the HOF. The precision is (38,12) — 26 integer digits of
+  * headroom — NOT the HOF's (20,12): (20,12) tops out below 1e8, so an
+  * integer-valued descriptor (mm_dedup_near's raw token counts) with a
+  * single bin ≥ 10 000 would overflow a norm term to NULL and silently
+  * drop the pair, while every DuckDB oracle already sums DECIMAL(38,12)
+  * terms. At scale 12 the values are identical wherever (20,12) didn't
+  * overflow, so the HOF-parity claim (and every existing hash) holds.
   *
   * Why it exists: Catalyst evaluates higher-order-function lambdas
   * INTERPRETED, per element — and any Filter/Join condition containing
@@ -41,9 +48,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, Do
 case class DecimalDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def dataType: DataType = DecimalType(20, 12)
+  override def dataType: DataType = DecimalType(38, 12)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"decimal_dot requires two ARRAY<FLOAT|DOUBLE> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
 
   @transient private lazy val leftIsDouble: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
@@ -54,7 +70,7 @@ case class DecimalDotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    var acc = Decimal(0L, 20, 12)
+    var acc = Decimal(0L, 38, 12)
     var i = 0
     while (i < n) {
       val xv = if (leftIsDouble) x.getDouble(i) else x.getFloat(i).toDouble
@@ -62,9 +78,9 @@ case class DecimalDotProduct(left: Expression, right: Expression)
       val p = xv * yv
       if (p.isNaN || p.isInfinite) return null
       val v = Decimal(p)
-      if (!v.changePrecision(20, 12)) return null
+      if (!v.changePrecision(38, 12)) return null
       acc = acc + v
-      if (!acc.changePrecision(20, 12)) return null
+      if (!acc.changePrecision(38, 12)) return null
       i += 1
     }
     acc
@@ -84,14 +100,14 @@ case class DecimalDotProduct(left: Expression, right: Expression)
         if (rightIsDouble) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |$dec $acc = $dec.apply(0L, 20, 12);
+         |$dec $acc = $dec.apply(0L, 38, 12);
          |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |  double $p = $getX * $getY;
          |  if (Double.isNaN($p) || Double.isInfinite($p)) { ${ev.isNull} = true; break; }
          |  $dec $v = $dec.apply($p);
-         |  if (!$v.changePrecision(20, 12)) { ${ev.isNull} = true; break; }
+         |  if (!$v.changePrecision(38, 12)) { ${ev.isNull} = true; break; }
          |  $acc = $acc.$$plus($v);
-         |  if (!$acc.changePrecision(20, 12)) { ${ev.isNull} = true; break; }
+         |  if (!$acc.changePrecision(38, 12)) { ${ev.isNull} = true; break; }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -37,23 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object Diff {
 
-  private def keyUniqueGuard(df: DataFrame, key: String, side: String): DataFrame = {
-    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
-    df.withColumn("_n_dup", count(lit(1)).over(wKey))
-      .filter(when(col("_n_dup") > 1,
-          raise_error(concat(lit(s"DIFF: duplicate key in $side snapshot: "),
-            col(key).cast("string"))))
-        .otherwise(lit(true)))
-      .drop("_n_dup")
-  }
-
   def diff(oldV: DataFrame, newV: DataFrame, key: String,
            checkUnique: Boolean = true): DataFrame = {
     require(oldV.columns.sorted.sameElements(newV.columns.sorted),
       s"diff requires identical schemas: ${oldV.columns.toSeq} vs ${newV.columns.toSeq}")
     val payload = oldV.columns.filterNot(_ == key).toSeq
     def guarded(df: DataFrame, side: String): DataFrame =
-      if (checkUnique) keyUniqueGuard(df, key, side) else df
+      if (checkUnique)
+        Guards.keyUnique(df, key, s"DIFF: duplicate key in $side snapshot: ")
+      else df
     val o = guarded(oldV, "old").withColumn("_o", lit(true)).as("o")
     val n = guarded(newV, "new").withColumn("_n", lit(true)).as("n")
     val changed = payload.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SQL MERGE (upsert + delete) as a reusable dataframe operator — the
@@ -37,16 +36,12 @@ object Merge {
   def merge(base: DataFrame, delta: DataFrame, key: String,
             opCol: String = "op"): DataFrame = {
     val payload = base.columns.filterNot(_ == key).toSeq
-    // multi-match guard: the window's count is evaluated before the
-    // filter, so ANY duplicate key in the delta fails the job with a
-    // MERGE-style error instead of silently merging twice
-    val wKey = Window.partitionBy(col(key))
-    val guarded = delta
-      .withColumn("_n_dup", count(lit(1)).over(wKey))
-      .filter(when(col("_n_dup") > 1,
-          raise_error(concat(lit("MERGE: delta key matched by multiple rows: "),
-            col(key).cast("string"))))
-        .otherwise(lit(true)))
+    // multi-match guard ([[Guards.keyUnique]], shared with Diff): ANY
+    // duplicate key in the delta fails the job with a MERGE-style error
+    // instead of silently merging twice. Cheap here by design — the
+    // guard rides the CHANGE-SIZED delta, never the base table.
+    val guarded = Guards
+      .keyUnique(delta, key, "MERGE: delta key matched by multiple rows: ")
       .withColumn("_dl", lit(true))
     val merged = base.withColumn("_s", lit(true)).as("s")
       .join(guarded.as("dl"), Seq(key), "full_outer")

@@ -47,15 +47,20 @@ object RangeJoin {
     * @param loCol       inclusive lower-bound column name
     * @param hiCol       exclusive upper-bound column name
     * @param granularity bucket width g (performance knob only)
-    * @param maxReplication per-interval explosion cap (width/g + 1);
+    * @param maxReplication PER-INTERVAL explosion cap (width/g + 1);
     *                    an interval exceeding it fails the job with a
-    *                    clear error instead of silently exploding —
-    *                    the blow-up is EXPLODED ROWS = Σ(width_i/g),
-    *                    and under the default broadcast a too-fine g
-    *                    or one huge interval would otherwise turn the
-    *                    "pure performance knob" into a driver OOM
-    *                    (round-8 advice). The guard is a per-row
+    *                    clear error instead of silently exploding
+    *                    (round-8 advice: a too-fine g or one huge
+    *                    interval turned the "pure performance knob"
+    *                    into a driver OOM). The guard is a per-row
     *                    codegen predicate — no extra job, no collect.
+    *                    NOTE it bounds each row, NOT the total: the
+    *                    broadcast materializes Σ(width_i/g + 1) rows,
+    *                    so a MANY-row interval table can still exceed
+    *                    the driver even with every row under the cap —
+    *                    that case is what `broadcastIntervals = false`
+    *                    exists for (an interval table big enough to
+    *                    matter is not a dim and should shuffle).
     * @param broadcastIntervals false → plain shuffle hash/sort-merge
     *                    equi-join on the bucket, for interval tables
     *                    too large (or too exploded) to broadcast

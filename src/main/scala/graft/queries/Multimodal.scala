@@ -143,6 +143,88 @@ object Multimodal extends QueryModule {
       .as[MediaRow]
   }
 
+  /** mm_dedup_near's descriptor pipeline — SHARED with the
+    * [[graft.MmBucketStats]] diagnostic so the two can never drift:
+    * (doc_id, `f` raw-count descriptor for VERIFICATION, `fc`
+    * mean-centered L1-frequency descriptor for BLOCKING). 64-bin
+    * hashed bag-of-words over the payload tokens; the centering mean is
+    * a dim-sized DECIMAL aggregate broadcast back, divided by the TOTAL
+    * document count (plan-time literal from the memoized footer count —
+    * the oracle's count(*); zero-token docs contribute 0 to every bin
+    * sum). The dense-array transform HOF is interpreted but runs on
+    * DOC-sized aggregated rows, never on corpus-token-sized input. */
+  private[graft] def nearDescriptors(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val bins = 64 // = HyperplaneBuckets.Dims: the plane table covers it
+    val nDocs = TextAnalysis.docCount(s, d)
+    val binned = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % bins)
+          .cast("int").as("bin"))
+      .groupBy(col("doc_id"), col("bin")).agg(count(lit(1)).as("c"))
+    // per-doc L1 frequencies: the window is doc-partitioned (≤ 64 rows
+    // per doc) and co-partitioned with the groupBy below
+    val ratios = binned
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("r", col("c") / col("n"))
+    val meanRow = broadcast(ratios.groupBy(col("bin"))
+      .agg(sum(col("r").cast("decimal(20,12)")).as("sd"))
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("sd")))).as("msd")))
+    ratios
+      .groupBy(col("doc_id"))
+      .agg(
+        map_from_entries(collect_list(struct(col("bin"), col("c")))).as("mc"),
+        map_from_entries(collect_list(struct(col("bin"), col("r")))).as("mr"))
+      .join(meanRow) // 1-row constant attach
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${bins - 1}), " +
+          "b -> CAST(coalesce(element_at(mc, b), CAST(0 AS BIGINT)) AS FLOAT))")
+          .as("f"),
+        expr(s"transform(sequence(0, ${bins - 1}), " +
+          "b -> CAST(coalesce(element_at(mr, b), CAST(0 AS DOUBLE)) - " +
+          s"coalesce(CAST(element_at(msd, b) AS DOUBLE), CAST(0 AS DOUBLE)) / CAST($nDocs AS DOUBLE) AS FLOAT))")
+          .as("fc"))
+  }
+
+  /** mm_dedup_near's bits-per-band: Similarity.bitsFor's integer recipe
+    * with an 8-doc target bucket (vs the embedding family's 200):
+    * candidate volume is 2 · n · bucketTarget · bands and each candidate
+    * materializes two 64-float arrays and pays three dense float dots
+    * with no label sub-blocking — the 200-target measured ~29 M
+    * candidates / 41 s at the 500 k-doc 100× fixture; candidates (and
+    * wall clock) scale LINEARLY in the target. 8 is safe for PERCEPTUAL
+    * duplicates specifically: a true re-encoded copy is near-identical
+    * in descriptor space (centered angle ≈ 0), so even 16-bit bands
+    * split it with negligible probability and the 4-band union absorbs
+    * the rest; only borderline just-at-tau pairs lose recall,
+    * identically in both engines (the oracle recomputes the same rule
+    * from count(*)). Overridden by `spark.graft.mm.bitsPerBand` — its
+    * OWN knob, not the embedding family's `spark.graft.ann.bitsPerBand`
+    * (round-9 review: sharing that knob silently retuned document
+    * blocking whenever an operator tuned ann_lsh). */
+  private[graft] def nearBits(s: SparkSession, d: String): Int =
+    s.conf.getOption("spark.graft.mm.bitsPerBand").map(_.toInt)
+      .getOrElse((4 to 30)
+        .find(b => (1L << b) * 8 >= TextAnalysis.docCount(s, d)).getOrElse(30))
+
+  /** STAGED bucketed descriptors (the dedup_minhash two-job
+    * discipline): the self-join would otherwise re-expand the whole
+    * descriptor pipeline once per side — tokenize, bin, window, two
+    * object aggregates, the mean broadcast, the centering transform,
+    * all TWICE (lazy subtrees re-expand per consumer; measured as the
+    * bulk of a 9 s sf0.1 run). Staged, each side is a narrow scan of
+    * 4 rows/doc. */
+  private def nearBuckets(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val bits = nearBits(s, d)
+    graft.Staging.stage(s, s"mmnear_buckets_b$bits", d) {
+      nearDescriptors(s, d).withColumn("bkts",
+          graft.functions.HyperplaneBuckets.buckets(col("fc"), 4, bits))
+        .select(col("doc_id"), col("f"),
+          posexplode(col("bkts")).as(Seq("band", "bucket")))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Binary metadata without decode: lengths, content hash, magic-byte
@@ -301,72 +383,7 @@ object Multimodal extends QueryModule {
     // (doc_id, bin) with map-side combine, the bucket join carries
     // 64-float descriptors (PlanSpec-pinned).
     "mm_dedup_near" -> { (s, d) =>
-      val bins = 64 // = HyperplaneBuckets.Dims: the plane table covers it
-      val nDocs = TextAnalysis.docCount(s, d)
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "")
-      val binned = tok
-        .select(col("doc_id"),
-          (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % bins)
-            .cast("int").as("bin"))
-        .groupBy(col("doc_id"), col("bin")).agg(count(lit(1)).as("c"))
-      // per-doc L1 frequencies: the window is doc-partitioned (≤ 64
-      // rows per doc) and co-partitioned with the groupBy below
-      val ratios = binned
-        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
-        .withColumn("r", col("c") / col("n"))
-      // corpus mean frequency per bin: 64-row DECIMAL aggregate (exact,
-      // order-independent), divided by the TOTAL document count (a
-      // plan-time literal from the memoized footer count; the oracle's
-      // count(*) — zero-token docs contribute 0 to every bin sum)
-      val meanRow = broadcast(ratios.groupBy(col("bin"))
-        .agg(sum(col("r").cast("decimal(20,12)")).as("sd"))
-        .agg(map_from_entries(collect_list(struct(col("bin"), col("sd")))).as("msd")))
-      val feats = ratios
-        .groupBy(col("doc_id"))
-        .agg(
-          map_from_entries(collect_list(struct(col("bin"), col("c")))).as("mc"),
-          map_from_entries(collect_list(struct(col("bin"), col("r")))).as("mr"))
-        .join(meanRow) // 1-row constant attach
-        // dense 64-dim descriptors from the sparse maps; the transform
-        // HOF is interpreted but runs on DOC-sized aggregated rows (64
-        // elements each), never on corpus-token-sized input
-        .select(col("doc_id"),
-          expr(s"transform(sequence(0, ${bins - 1}), " +
-            "b -> CAST(coalesce(element_at(mc, b), CAST(0 AS BIGINT)) AS FLOAT))")
-            .as("f"),
-          expr(s"transform(sequence(0, ${bins - 1}), " +
-            "b -> CAST(coalesce(element_at(mr, b), CAST(0 AS DOUBLE)) - " +
-            s"coalesce(CAST(element_at(msd, b) AS DOUBLE), CAST(0 AS DOUBLE)) / CAST($nDocs AS DOUBLE) AS FLOAT))")
-            .as("fc"))
-      // bits derived like Similarity.bitsFor but with an 8-doc target
-      // bucket (vs the embedding family's 200): candidate volume is
-      // 2 · n · bucketTarget · bands and each candidate materializes
-      // two 64-float arrays and pays three dense float dots with no
-      // label sub-blocking — the 200-target measured ~29 M candidates
-      // / 41 s at the 500 k-doc 100× fixture; candidates (and wall
-      // clock) scale LINEARLY in the target. 8 is safe for PERCEPTUAL
-      // duplicates specifically: a true re-encoded copy is
-      // near-identical in descriptor space (centered angle ≈ 0), so
-      // even 16-bit bands split it with negligible probability, and
-      // the 4-band union absorbs the rest; only borderline
-      // just-at-tau pairs lose recall, identically in both engines
-      // (the oracle recomputes the same integer rule from count(*)).
-      val bits = s.conf.getOption("spark.graft.ann.bitsPerBand").map(_.toInt)
-        .getOrElse((4 to 30).find(b => (1L << b) * 8 >= nDocs).getOrElse(30))
-      // STAGED (the dedup_minhash two-job discipline): the self-join
-      // below would otherwise re-expand the whole descriptor pipeline
-      // once per side — tokenize, bin, window, two object aggregates,
-      // the mean broadcast, the centering transform, all TWICE (lazy
-      // subtrees re-expand per consumer; measured as the bulk of a 9 s
-      // sf0.1 run). Staged, each side is a narrow scan of 4 rows/doc.
-      val bucketed = graft.Staging.stage(s, s"mmnear_buckets_b$bits", d) {
-        feats.withColumn("bkts",
-            graft.functions.HyperplaneBuckets.buckets(col("fc"), 4, bits))
-          .select(col("doc_id"), col("f"),
-            posexplode(col("bkts")).as(Seq("band", "bucket")))
-      }
+      val bucketed = nearBuckets(s, d)
       val tau = s.conf.getOption("spark.graft.mm.nearTau")
         .map(_.toDouble).getOrElse(0.95)
       def fdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

@@ -250,7 +250,12 @@ object Similarity extends QueryModule {
     * the JVM's tmpdir, REWRITTEN by every fresh JVM's first ann_ivf run
     * (memoized per (dir, iters) within a JVM), so the oracle — which the
     * driver runs right after Verify, same fixture — always reads the
-    * centroids of the run it checks. */
+    * centroids of the run it checks. KNOWN LIMIT: the path is
+    * world-shared, so two CONCURRENT Spark JVMs on different fixtures
+    * can clobber each other's export and fail the ann_ivf check
+    * spuriously — don't interleave a Bench/Verify on fixture B between
+    * fixture A's Verify and its oracle run (the driver's serial
+    * verify-then-check flow never does). */
   private[graft] val IvfOracleCentroidsPath: String =
     System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/") +
       "/graft-oracle-ivf-centroids.parquet"
@@ -355,9 +360,12 @@ object Similarity extends QueryModule {
     //     aggregator (partial map-side reduction — never a corpus-wide
     //     per-query window sort),
     // by rrf = Σ_arms 1/(60 + rank), candidates ranked in at least one
-    // arm (the standard top-N RRF: a doc outside both top-Ks can never
-    // outrank one inside, so fusing over the union is exact for the
-    // final top-K). Scale shape: the query token set is dim-sized and
+    // arm. This is standard top-N RRF SEMANTICS — fusion is DEFINED
+    // over the arms' retrieved top-K lists, as every production fusion
+    // runs it — not full-corpus RRF: a doc ranked K+1 in BOTH arms
+    // would score 2/(60+K+1) > 1/61 and is nonetheless excluded, by
+    // definition (and identically in the oracle, which computes the
+    // same truncation). Scale shape: the query token set is dim-sized and
     // BROADCASTS; the corpus token stream joins it map-side and
     // partial-aggregates (query_id, doc_id) counts before the shuffle;
     // the fusion full-outer runs on 2·NQ·K rows. Determinism: ranks
