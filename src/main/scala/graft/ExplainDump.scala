@@ -39,7 +39,9 @@ object ExplainDump {
     "join_salted_skew" -> ("SortMergeJoin on (user_id, __salt) — auto-broadcast disabled in the " +
       "query's cloned session so the salted exchange actually executes: fact scattered by hash, " +
       "dim replicated by explode, per-key work fans out 8 ways"),
-    "ann_ivf" -> ("centroids read from the STAGED quantizer parquet (trained once per run); " +
+    "ann_ivf" -> ("centroids read from the STAGED quantizer parquet (trained once per run, " +
+      "exported for the compositional DuckDB oracle); margin-gated assignment — decimal " +
+      "cosine evaluated only where the float boundary gap is inside RescoreEps — and the " +
       "probe join carries only probed-bucket members"),
     "mm_frame_sample" -> ("ONE narrow pass: scan→decode mapPartitions (payload carried in the " +
       "stage output row)→posexplode→project; no join, and the only exchange (final ORDER BY) " +
@@ -87,18 +89,31 @@ object ExplainDump {
       "staged band-signature parquet (no documents rescan); (band, sig) bucket join emits " +
       "output-sized candidates; shingle-Jaccard verify joins candidate doc_ids only; arg-max " +
       "verdict windows run over the verified set, never the corpus"),
-    "text_unigram_logprob" -> ("TWO narrow tokenization passes (frequency + scoring — " +
-      "re-tokenizing beats materializing a corpus-scale token table; split() is codegen'd); " +
-      "the vocab-sized frequency table (total via an unpartitioned window over the AGGREGATED " +
-      "vocab) BROADCASTS onto the scoring pass, so exploded token rows never cross an " +
-      "exchange — the per-doc score partial-aggregates map-side"),
+    "text_unigram_logprob" -> ("THREE narrow tokenization passes (the frequency subtree " +
+      "evaluates under both the cap derivation and the kept-vocab projection, plus scoring — " +
+      "re-tokenizing beats materializing a corpus-scale token table); the vocabulary " +
+      "broadcast is BOUNDED at the top 2^20 types (frequency-of-frequencies histogram cut, " +
+      "count-1 OOV floor), so exploded token rows never cross an exchange and the broadcast " +
+      "cannot grow with Heaps-law type counts — the per-doc score partial-aggregates map-side"),
     "pipeline_length_filter" -> ("value-HISTOGRAM quantiles: groupBy(lang, n_chars) partial+final " +
       "agg (exchange carries one row per distinct length), cumulative windows over the " +
       "dim-sized histogram, bounds broadcast back onto the corpus — no corpus-wide sort, " +
       "no percentile buffers"),
     "events_anomaly" -> ("the classic two-pass z-score: moments pass (count/Σv/Σv² in exact " +
       "DECIMAL, map-side combined, dim-sized output) broadcast back onto a second narrow fact " +
-      "scan for the 3σ flag — the fact shuffles only into the partial aggregates, never on a key")
+      "scan for the 3σ flag — the fact shuffles only into the partial aggregates, never on a key"),
+    "mm_dedup_near" -> ("perceptual near-dup over STAGED mean-centered bag-of-visual-words " +
+      "buckets (the raw self-join re-expanded the descriptor pipeline per side); the " +
+      "(band, bucket) self-join's float prefilter runs IN the join stage, the multi-band " +
+      "dedup is groupBy+first — NOT distinct, whose grouping-key filter pushdown put the " +
+      "decimal rescore into the join condition for every enumerated pair — and the decimal " +
+      "cosine touches only the survivor set; no text/token strings in any exchange " +
+      "(PlanSpec-pinned)"),
+    "hybrid_search" -> ("RRF fusion: the vector arm is ann_brute's partial ObjectHashAggregate " +
+      "top-k; the lexical arm broadcasts the dim-sized query token set, partial-aggregates " +
+      "(query, doc) overlap counts map-side, and reduces through the bounded TopK aggregator; " +
+      "the fusion full-outer and rank windows run on 2·NQ·K rows — no corpus-wide per-query " +
+      "window anywhere (PlanSpec-pinned)")
   )
 
   def main(args: Array[String]): Unit = {
