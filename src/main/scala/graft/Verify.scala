@@ -34,6 +34,50 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Oracle-pinned knobs (round-9 advice): some operator knobs are
+    // recomputed by their DuckDB oracle from the DATA (derived rules),
+    // but an explicit runtime override changes the ENGINE result while
+    // the oracle keeps checking the pinned/derived value — a spurious
+    // hash mismatch that looks like a correctness bug. So when
+    // SPARK_GRAFT_CONF overrides one of these knobs, the affected
+    // queries' oracle SQL is withheld from the dump (the driver then
+    // records the weaker rows-only check) and the downgrade is logged.
+    // Knobs NOT listed here are either harness-level (stage.dir,
+    // streaming.*) or oracle-transparent (ann.kmeansIters: the oracle
+    // consumes the exported trained centroids, whatever the iteration
+    // count was).
+    val oraclePinnedKnobs: Map[String, Seq[String]] = Map(
+      "spark.graft.ann.bitsPerBand" -> Seq("ann_lsh", "dedup_embedding"),
+      "spark.graft.ann.probeHamming" -> Seq("ann_lsh"),
+      "spark.graft.ann.nprobe" -> Seq("ann_ivf"),
+      "spark.graft.dedup.embTau" -> Seq("dedup_embedding"),
+      "spark.graft.mm.nearTau" -> Seq("mm_dedup_near"),
+      "spark.graft.mm.bitsPerBand" -> Seq("mm_dedup_near"),
+      "spark.graft.serving.shards" -> Seq("pipeline_pack", "data_shuffle_global"),
+      "spark.graft.vocab.topK" -> Seq("text_unigram_logprob"),
+      "spark.graft.streaming.statePartitions" -> Seq(), // parallelism only
+      "spark.graft.streaming.stateStore" -> Seq(), // provider only
+      "spark.graft.stage.dir" -> Seq(), // storage location only
+      "spark.graft.ann.kmeansIters" -> Seq() // oracle reads exported centroids
+    )
+    val overriddenKeys = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(_.split("=", 2)(0).trim).filter(_.startsWith("spark.graft."))
+    val downgraded: Set[String] = overriddenKeys.flatMap { k =>
+      oraclePinnedKnobs.get(k) match {
+        case Some(qs) =>
+          if (qs.nonEmpty) System.err.println(
+            s"[verify] $k overridden — downgrading ${qs.mkString(", ")} to rows-only")
+          qs
+        case None =>
+          // an UNKNOWN graft knob may pin an oracle this table doesn't
+          // know about — refuse to guess, fail loudly instead of
+          // letting the driver record a mystery hash mismatch
+          sys.error(s"[verify] unknown spark.graft knob '$k' in " +
+            "SPARK_GRAFT_CONF — add it to oraclePinnedKnobs (with its " +
+            "oracle-affected queries, or Seq() if oracle-transparent)")
+      }
+    }.toSet
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,6 +91,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filterNot { case (k, _) => downgraded.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -242,32 +242,47 @@ object Similarity extends QueryModule {
     * probe/assign consumers below would otherwise each re-run the whole
     * training DAG (lazy plans re-expand per consumer). Empty clusters
     * drop out of the assignment group-by, exactly as in Lloyd. */
-  /** Fixed single-file export of the trained centroids for the DuckDB
-    * oracle (round-8 verdict item 3: oracle ann_ivf compositionally —
-    * the oracle reproduces assignment → probe → rescore GIVEN the
-    * trained centroids, the dedup_embedding compositional recipe). The
-    * path must be static because oracle SQL strings are: one file under
-    * the JVM's tmpdir, REWRITTEN by every fresh JVM's first ann_ivf run
-    * (memoized per (dir, iters) within a JVM), so the oracle — which the
-    * driver runs right after Verify, same fixture — always reads the
-    * centroids of the run it checks. KNOWN LIMIT: the path is
-    * world-shared, so two CONCURRENT Spark JVMs on different fixtures
-    * can clobber each other's export and fail the ann_ivf check
-    * spuriously — don't interleave a Bench/Verify on fixture B between
-    * fixture A's Verify and its oracle run (the driver's serial
-    * verify-then-check flow never does). */
-  private[graft] val IvfOracleCentroidsPath: String =
-    System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/") +
-      "/graft-oracle-ivf-centroids.parquet"
+  /** Single-file export of the trained centroids for the DuckDB oracle
+    * (round-8 verdict item 3: oracle ann_ivf compositionally — the
+    * oracle reproduces assignment → probe → rescore GIVEN the trained
+    * centroids, the dedup_embedding compositional recipe). The path is
+    * keyed by a DIGEST OF THE FIXTURE DIR under a per-user tmp subdir
+    * (round-9 advice: the previous world-shared fixed /tmp name let two
+    * concurrent JVMs on different fixtures clobber each other's export,
+    * and a revisit of fixture A after running B within one JVM served
+    * A's memoized export while the file held B's quantizer). Keying by
+    * fixture makes interleaved fixtures write DISJOINT files; the
+    * export is rewritten on EVERY ann_ivf plan build (the memo is gone
+    * — the centroid table is ~10 rows, the rewrite is trivial), so the
+    * file always holds the centroids of the latest build for ITS
+    * fixture. Two concurrent JVMs on the SAME fixture write identical
+    * bytes (training is deterministic), and the write goes through
+    * [[graft.ScaleData.writeSingleFile]]'s write-then-rename, so a
+    * concurrent reader never sees a half-written file. */
+  private[graft] def ivfOracleCentroidsPath(dir: String): String = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"),
+      "graft-oracle-" + System.getProperty("user.name", "u")
+        .replaceAll("[^A-Za-z0-9._-]", "-"))
+    java.nio.file.Files.createDirectories(base)
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    base.resolve(s"ivf-centroids-$dig.parquet").toString
+  }
 
-  private val ivfExported = new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
+  /** Fixture dir of the most recent ann_ivf plan build in this JVM —
+    * read by [[oracles]] so the dumped oracle SQL names the export file
+    * of the fixture Verify actually ran (Verify dumps oracle SQL AFTER
+    * running the queries; one fixture per Verify run). Defaults to the
+    * driver's verify fixture so the SQL is well-formed even if ann_ivf
+    * never ran in this JVM (the driver only checks oracles for queries
+    * with a dumped result, so the default is never READ in that case). */
+  @volatile private var lastIvfDir: String = "/root/testdata/sf0.01"
 
   private def ivfCentroids(s: SparkSession, d: String, iters: Int): DataFrame = {
     val staged = ivfCentroidsStaged(s, d, iters)
-    ivfExported.computeIfAbsent((d, iters), _ => {
-      graft.ScaleData.writeSingleFile(staged, IvfOracleCentroidsPath)
-      true
-    })
+    lastIvfDir = d
+    graft.ScaleData.writeSingleFile(staged, ivfOracleCentroidsPath(d))
     staged
   }
 
@@ -686,7 +701,10 @@ object Similarity extends QueryModule {
        |                       ELSE 0 END) AS INTEGER) AS bucket
        |  FROM projections GROUP BY vec_id, p // (SELECT bits FROM bcfg))""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // a def, not a val: the ann_ivf oracle embeds the fixture-keyed
+  // centroid-export path of the LAST ann_ivf build (Verify dumps oracle
+  // SQL after running the queries, so the path matches the run it checks)
+  def oracles: Map[String, String] = Map(
 
     "ann_brute" ->
       s"""WITH $exSql,
@@ -846,7 +864,7 @@ object Similarity extends QueryModule {
     "ann_ivf" ->
       s"""WITH $exSql,
          |cex AS (SELECT c_id, generate_subscripts(c_emb, 1) AS i, unnest(c_emb) AS x
-         |        FROM parquet_scan('$IvfOracleCentroidsPath')),
+         |        FROM parquet_scan('${ivfOracleCentroidsPath(lastIvfDir)}')),
          |cnorms AS (
          |  SELECT c_id,
          |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2

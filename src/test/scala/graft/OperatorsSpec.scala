@@ -369,6 +369,25 @@ class OperatorsSpec extends GraftSuite {
       s"expected the DIFF duplicate-key guard on the new side, got: ${boom2.getMessage}")
   }
 
+  test("duplicate-key guard names NULL keys instead of raising a null message") {
+    // round-9 advice: concat with a NULL key made the whole raise_error
+    // message NULL — the guard fired but reported nothing. NULL keys
+    // can't fan out through the null-unsafe joins, but duplicate NULLs
+    // in a keyed table are still a surfaced data-quality defect.
+    import spark.implicits._
+    val clean = Seq((Some(1L), "a")).toDF("k", "v")
+    val dupNull = Seq((Option.empty[Long], "a"), (None, "b"), (Some(1L), "c"))
+      .toDF("k", "v")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val boom = intercept[Exception] {
+      graft.operators.Diff.diff(dupNull, clean, "k").collect()
+    }
+    assert(messages(boom).exists(m =>
+        m.contains("duplicate key") && m.contains("NULL")),
+      s"expected a NULL-naming duplicate-key message, got: ${messages(boom)}")
+  }
+
   test("Funnel: k-step ordering, null chaining, repeated step types") {
     import spark.implicits._
     // user 1: full a→b→a path; user 2: b before any a (step 2 must NOT

@@ -443,4 +443,19 @@ class ScaleSpec extends GraftSuite {
     assert(scales.map(shardsFor).sliding(2).forall(p => p(0) <= p(1)))
     assert(scales.map(shardsFor).forall(s => Integer.bitCount(s) == 1))
   }
+
+  test("AQE initial fan-out: sized from the fixture, fails SAFE (wide) when unreadable") {
+    // round-9 advice: an unreadable fixture dir (bytes==0) must not fall
+    // back to the narrow floor — that's the configuration whose 100×
+    // sort spill the helper exists to prevent. Unknown size → wide
+    // 8×cores (AQE coalesces the excess; the reverse has no safety net).
+    assert(Tuning.initialShufflePartitions("/no/such/fixture/dir", 4) == 32)
+    // real fixtures stay within [cores, 8·cores], sized by bytes/16 MiB
+    val small = Tuning.initialShufflePartitions(sf, 4)
+    assert(small == 4, s"tiny fixture should sit at the floor, got $small")
+    val bytes = Tuning.dirBytes("/root/testdata/sf0.1")
+    val expect = math.max(4L, math.min(32L,
+      math.ceil(bytes.toDouble / Tuning.TargetBytesPerPartition).toLong)).toInt
+    assert(Tuning.initialShufflePartitions("/root/testdata/sf0.1", 4) == expect)
+  }
 }
