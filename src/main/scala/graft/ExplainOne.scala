@@ -1,24 +1,32 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
-/** Dev helper: print one named query's formatted physical plan against a
-  * given fixture (args: name sfDir). Unlike [[ExplainDump]] (which writes
-  * the whole surface to docs/PLANS.md at sf0.01), this targets plan audits
-  * at scale fixtures, where AQE/broadcast decisions can differ.
-  */
+
+/** Dev helper: print one query's FINAL (AQE-executed) physical plan —
+  * `tools/run.sh graft.ExplainOne <name> <sfDir> [condensed]`. With the
+  * third arg, prints only the structural lines (exchanges, aggregates,
+  * windows, joins, scans) — the shuffle audit one actually reads. */
 object ExplainOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0); val sfDir = args(1)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val condensed = args.length > 2
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // pre-execution plan: AQE-materialized subtrees elide after collect
-    println(SparkEntry.queries(name)(spark, sfDir)
-      .queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    if (condensed)
+      println(fin.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Aggregate") ||
+          l.contains("Window") || l.contains("Scan parquet") ||
+          l.contains("Join") || l.contains("Generate")).mkString("\n"))
+    else println(fin)
     spark.stop()
   }
 }

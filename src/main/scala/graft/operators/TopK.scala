@@ -64,6 +64,45 @@ object TopK {
       override def outputEncoder: Encoder[Seq[Entry]] = ExpressionEncoder[Seq[Entry]]()
     }
 
+  type LongEntry = (Long, Long) // (value, id)
+
+  private def beforeL(p: LongEntry, q: LongEntry): Boolean =
+    p._1 > q._1 || (p._1 == q._1 && p._2 < q._2)
+
+  private def mergeBoundedL(k: Int, a: List[LongEntry], b: List[LongEntry]): List[LongEntry] = {
+    val out = List.newBuilder[LongEntry]
+    var x = a
+    var y = b
+    var n = 0
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      if (y.isEmpty || (x.nonEmpty && !beforeL(y.head, x.head))) {
+        out += x.head; x = x.tail
+      } else {
+        out += y.head; y = y.tail
+      }
+      n += 1
+    }
+    out.result()
+  }
+
+  /** [[topK]] over EXACT integer scores — for rankings whose score is an
+    * integer-arithmetic quantity (e.g. the BM25 fixed-point score): a
+    * Double-scored buffer would round scores above 2^53 and could rank
+    * differently from an exact-integer SQL oracle. Same bounded-buffer
+    * partial-aggregation shape, same (value desc, id asc) total order. */
+  def topKLong(k: Int): Aggregator[LongEntry, List[LongEntry], Seq[LongEntry]] =
+    new Aggregator[LongEntry, List[LongEntry], Seq[LongEntry]] {
+      override def zero: List[LongEntry] = Nil
+      override def reduce(buf: List[LongEntry], e: LongEntry): List[LongEntry] =
+        if (buf.lengthCompare(k) >= 0 && !beforeL(e, buf.last)) buf
+        else mergeBoundedL(k, buf, e :: Nil)
+      override def merge(a: List[LongEntry], b: List[LongEntry]): List[LongEntry] =
+        mergeBoundedL(k, a, b)
+      override def finish(r: List[LongEntry]): Seq[LongEntry] = r
+      override def bufferEncoder: Encoder[List[LongEntry]] = ExpressionEncoder[List[LongEntry]]()
+      override def outputEncoder: Encoder[Seq[LongEntry]] = ExpressionEncoder[Seq[LongEntry]]()
+    }
+
   /** A scored candidate with the payload the rescore phase needs, so the
     * exact phase never re-scans the corpus to fetch it back (a second
     * 100 TB read). */

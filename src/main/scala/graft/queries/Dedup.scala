@@ -118,7 +118,84 @@ object Dedup extends QueryModule {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Span length (in whitespace tokens) for substring-level dedup: a
+    * window of `SpanK` consecutive tokens repeated across ≥2 distinct
+    * documents marks a duplicated span. 8 on the fixtures' short docs;
+    * the production value is 50 (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" — the ≥50-token-span recipe). */
+  private val SpanK = 8
+
+  /** (doc_id, pos, h): one posting per token position, h = md5 of the
+    * [[SpanK]]-token shingle starting there (1-based positions). Staged
+    * (see [[graft.Staging]]): the duplicate-hash aggregate and the
+    * join-back both read this table. The per-position hash array is
+    * built per document BEFORE the explode (a `transform` HOF), so the
+    * generator emits (pos, 32-char hash) pairs — exploding positions
+    * first and slicing afterwards would copy the document's whole token
+    * array into every generated row (quadratic bytes in-flight per doc,
+    * the same trap WinnowMin's scaladoc records for char grams). */
+  private def spanPostings(s: SparkSession, d: String): DataFrame =
+    Staging.stage(s, "span_postings", d) {
+      tokenSpanPostings(Tables.documents(s, d), SpanK)
+    }
+
+  /** Un-staged posting builder over any (doc_id, text) frame — split out
+    * so the spec can pin the span semantics on crafted documents. */
+  private[graft] def tokenSpanPostings(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""CASE WHEN size(toks) >= $k
+             |THEN transform(sequence(1, size(toks) - ${k - 1}),
+             |               i -> md5(array_join(slice(toks, i, $k), ' ')))
+             |ELSE array() END""".stripMargin)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+
+  /** Duplicated-hash filter + per-doc islands merge over a postings
+    * frame (see the dedup_substring docstring for the full shape). */
+  private[graft] def substringSpans(p: DataFrame, k: Int): DataFrame = {
+    val dup = p.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    p.join(dup, Seq("h"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (count(lit(1)) + (k - 1)).as("span_len"),
+        max(col("n_docs")).as("max_docs"))
+      .select(col("doc_id"), col("span_start"), col("span_len"), col("max_docs"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // SUBSTRING-level (cross-document span) dedup — the Lee et al.
+    // suffix-array recipe re-expressed as an inverted shingle index
+    // (round-9 verdict item 1): all the document-granular dedups above
+    // miss boilerplate/template SPANS repeated inside otherwise-distinct
+    // pages, the single largest dup mass in real web corpora. Shape:
+    //   1. one posting per token position (doc, pos, hash of the
+    //      SpanK-token shingle) — linear in corpus tokens, the same
+    //      volume a suffix array indexes;
+    //   2. hashes seen in ≥2 DISTINCT docs — the shingle hash is the
+    //      blocking/shuffle key; count(distinct doc) partial-aggregates
+    //      map-side, and a boilerplate hash hot across millions of docs
+    //      is one skewed reduce key, which AQE's skew handling splits;
+    //   3. join the duplicated hashes back to the postings (shuffle
+    //      join on the hash — never an all-pairs doc comparison);
+    //   4. merge runs of consecutive duplicated positions per doc into
+    //      MAXIMAL spans (gaps-and-islands: pos − row_number is
+    //      constant within a run) — the window is per-document, so its
+    //      partition is bounded by doc length at any corpus size.
+    // Output: every maximal duplicated span ≥ SpanK tokens with its
+    // start, token length, and the widest cross-doc reach of any
+    // shingle inside it. Exact — md5 shingles make Spark and the
+    // DuckDB oracle bit-identical, so the gate is a hash match.
+    "dedup_substring" -> { (s, d) =>
+      substringSpans(spanPostings(s, d), SpanK)
+    },
 
     // Exact dedup: content-hash groupBy; canonical = min doc_id. The
     // output keeps every group (n_copies = 1 for uniques) so the oracle
@@ -448,6 +525,27 @@ object Dedup extends QueryModule {
       |        FROM (SELECT doc_id, lower(text) AS norm FROM documents)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // mirrors spanPostings + the islands merge: 1-based positions, md5
+    // over the space-joined 8-token slice (list_slice's inclusive end =
+    // Spark slice's length-8 window), BIGINT casts to match Spark longs
+    "dedup_substring" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |p AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         md5(array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' ')) AS h
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${SpanK - 1})) AS i)),
+         |dh AS (SELECT h, count(DISTINCT doc_id) AS n_docs
+         |       FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |dp AS (SELECT p.doc_id, p.pos, dh.n_docs FROM p JOIN dh USING (h)),
+         |g AS (SELECT doc_id, pos, n_docs,
+         |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |      FROM dp)
+         |SELECT doc_id, min(pos) AS span_start,
+         |       count(*) + ${SpanK - 1} AS span_len,
+         |       max(n_docs) AS max_docs
+         |FROM g GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     // same LSH candidate CTEs as dedup_minhash; exact gram-Jaccard verify
     "dedup_ngram_blocked" ->

@@ -174,4 +174,31 @@ class DedupSpec extends GraftSuite {
     assert(inc.toSet == expected,
       s"incremental ${inc.toSet} != minhash slice $expected")
   }
+
+  test("dedup_substring: maximal cross-doc spans, islands merged, within-doc repeats ignored") {
+    import spark.implicits._
+    import graft.queries.Dedup.{substringSpans, tokenSpanPostings}
+    def words(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val shared = words("s", 10) // a 10-token span shared by docs 1 and 2
+    val docs = Seq(
+      // doc 1: 5 unique tokens, the shared span, 5 unique tokens
+      (1L, (words("a", 5) ++ shared ++ words("b", 5)).mkString(" ")),
+      // doc 2: shared span at the very start, then unique tail
+      (2L, (shared ++ words("c", 7)).mkString(" ")),
+      // doc 3: an 8-token run repeated TWICE within the SAME doc only —
+      //        cross-doc filter (count distinct docs >= 2) must drop it
+      (3L, (words("r", 8) ++ words("x", 3) ++ words("r", 8)).mkString(" ")),
+      // doc 4: shorter than one window — generates no postings at all
+      (4L, words("t", 4).mkString(" "))
+    ).toDF("doc_id", "text")
+    val k = 4
+    val out = substringSpans(tokenSpanPostings(docs, k), k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: span starts after the 5-token prefix (pos 6), exactly the
+    // 10 shared tokens; doc 2: same span at pos 1. Island math: 10-token
+    // span at k=4 → 7 consecutive duplicated positions → 7 + (4-1) = 10.
+    assert(out.toSet == Set((1L, 6L, 10L, 2L), (2L, 1L, 10L, 2L)),
+      s"got ${out.toSet}")
+  }
 }

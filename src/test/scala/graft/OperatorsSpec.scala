@@ -388,6 +388,33 @@ class OperatorsSpec extends GraftSuite {
       s"expected a NULL-naming duplicate-key message, got: ${messages(boom)}")
   }
 
+  test("topKLong: bounded aggregator equals the window ranking, exact above 2^53") {
+    import spark.implicits._
+    // scores above 2^53 are NOT exactly representable as Double — the
+    // whole reason the Long variant exists (a Double buffer would round
+    // s and s+1 together and rank by the id tie-break instead)
+    val big = (1L << 53)
+    val rows: Seq[(Long, Long, Long)] = (0L until 400L).map { i =>
+      val g = i % 4
+      // deterministic pseudo-random-ish scores with planted adjacent
+      // pairs around 2^53 that double rounding would merge
+      val score = if (i % 7 == 0) big + i else (i * 2654435761L) % 100000L
+      (g, score, i)
+    }
+    val k = 5
+    val got = rows.toDF("g", "v", "id")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.operators.TopK.topKLong(k).toColumn.name("top"))
+      .collect()
+      .map { case (g, top) => g -> top.toList }.toMap
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sortBy(p => (-p._1, p._2)).take(k).toList
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("Funnel: k-step ordering, null chaining, repeated step types") {
     import spark.implicits._
     // user 1: full a→b→a path; user 2: b before any a (step 2 must NOT
