@@ -457,6 +457,38 @@ object Relational extends QueryModule {
     // the single-pass whole-fact sketch to <1% — state merge is
     // near-lossless, not bit-exact, across sparse→dense promotion),
     // determinism, and ±2% accuracy vs the exact COUNT(DISTINCT) twin.
+    // MERGEABLE QUANTILE sketch rollup — the rank analog of
+    // agg_sketch_merge (round-9 verdict item 4): per-lang doc-length
+    // sketches (a compactor stack, [[graft.operators.QuantileSketch]])
+    // merged into a global ALL sketch by a SECOND aggregation that
+    // reads only sketch state, never the raw corpus — the shape a
+    // 100 TB length/score-distribution health rollup must take
+    // (percentile_approx is mergeable internally but never exposes its
+    // state, so per-shard sketches can't be staged and re-merged
+    // later). `n` is EXACT (compaction conserves total weight);
+    // p50/p95/p99 are approximate ⇒ rows-only at the driver, with the
+    // ≤2.5% rank-error and 16-way merge-fidelity gates in ScalaTest —
+    // the agg_approx/agg_sketch_merge contract (SURVEY §7.4).
+    "agg_quantile_merge" -> { (s, d) =>
+      import s.implicits._
+      import graft.operators.QuantileSketch
+      val k = QuantileSketch.DefaultK
+      val lens = Tables.documents(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("double").as("len"))
+        .as[(String, Double)]
+      val per = lens.groupByKey(_._1).mapValues(_._2)
+        .agg(QuantileSketch.sketch(k).toColumn.name("sk"))
+      val all = per.map(_._2)
+        .groupByKey(_ => "ALL")
+        .agg(QuantileSketch.union(k).toColumn.name("sk"))
+      def emit(ds: org.apache.spark.sql.Dataset[(String, QuantileSketch.QBuf)]) =
+        ds.map { case (scope, sk) =>
+          (scope, sk.n, sk.quantile(0.5), sk.quantile(0.95), sk.quantile(0.99))
+        }.toDF("scope", "n_docs", "p50_len", "p95_len", "p99_len")
+      emit(per).unionByName(emit(all)).orderBy(col("scope"))
+    },
+
     "agg_sketch_merge" -> { (s, d) =>
       val per = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag").as("scope"))

@@ -329,6 +329,22 @@ class PlanSpec extends GraftSuite {
       s"non-per-doc window below the top-k aggregates ($badBelow):\n$p")
   }
 
+  test("ann_ivf: corpus assignment is a per-row argmax — no corpus exchange for bucket membership") {
+    // round-9 verdict item 3: the corpus × centroids row_number window
+    // shuffled corpus×nlist rows (with embedding payloads) to keep rank
+    // 1 per vector. The quantizer is a bounded model artifact, so
+    // assignment is now a narrow projection (array_sort of
+    // (−fast_cos, c_id) structs over collected centroid literals) —
+    // the ONLY vec_id-partitioned exchange left is the probe branch's
+    // per-QUERY centroid ranking (vec_id < NQ, query-set-sized).
+    val full = plan("ann_ivf")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("array_sort"), s"per-row argmax projection missing:\n$p")
+    val vecExchanges = "Exchange hashpartitioning\\(vec_id".r.findAllIn(p).length
+    assert(vecExchanges == 1,
+      s"expected exactly the probe branch's query-set exchange on vec_id, got $vecExchanges:\n$p")
+  }
+
   test("dedup_embedding: one self-join, no corpus join-backs, no interpreted lambdas") {
     // round-7 rework (measured at 100×: 194 s → 8.3 s): the old shape
     // distinct-ed skinny (d1,d2) pairs and joined the corpus back twice

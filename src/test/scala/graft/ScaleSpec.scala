@@ -444,6 +444,62 @@ class ScaleSpec extends GraftSuite {
     assert(scales.map(shardsFor).forall(s => Integer.bitCount(s) == 1))
   }
 
+  test("QuantileSketch: exact n, bounded memory, <=2.5% rank error, 16-way merge fidelity") {
+    import graft.operators.QuantileSketch
+    import graft.operators.QuantileSketch.{QBuf, emptyQBuf}
+    val k = QuantileSketch.DefaultK
+    val sk = QuantileSketch.sketch(k)
+    val un = QuantileSketch.union(k)
+    // deterministic skewed stream: a Zipf-ish mix (long tail matters —
+    // uniform data hides rank drift around the high percentiles)
+    val n = 100000
+    val values: IndexedSeq[Double] = (0 until n).map { i =>
+      val u = ((i * 2654435761L) % 1000003L).toDouble / 1000003.0
+      math.floor(math.pow(u, 4) * 10000) + (i % 7)
+    }
+    def trueRank(v: Double): Long = values.count(_ <= v).toLong
+    def rankErr(qb: QBuf, q: Double): Double = {
+      val est = qb.quantile(q)
+      math.abs(trueRank(est).toDouble / n - q)
+    }
+    // single-stream sketch
+    val single = values.foldLeft(emptyQBuf)((b, v) => sk.reduce(b, v))
+    assert(single.n == n, s"weight not conserved: ${single.n} != $n")
+    // memory bound: ~k per level, <= log2(n/k)+2 levels
+    val stored = single.levels.map(_.size).sum
+    val maxLevels = (math.log(n.toDouble / k) / math.log(2)).toInt + 3
+    assert(single.levels.length <= maxLevels,
+      s"${single.levels.length} levels > $maxLevels")
+    assert(stored <= (k + 1) * maxLevels, s"$stored stored values")
+    for (q <- Seq(0.5, 0.95, 0.99))
+      assert(rankErr(single, q) <= 0.025,
+        s"single-stream rank error at q=$q: ${rankErr(single, q)}")
+    // 16-way sharded build + rollup merge (the agg_quantile_merge shape):
+    // same exactness of n, same rank bound after merging
+    val shards = values.grouped(n / 16 + 1).map(
+      _.foldLeft(emptyQBuf)((b, v) => sk.reduce(b, v))).toList
+    val merged = shards.foldLeft(emptyQBuf)((a, b) => un.reduce(a, b))
+    assert(merged.n == n, s"merged weight not conserved: ${merged.n}")
+    for (q <- Seq(0.5, 0.95, 0.99))
+      assert(rankErr(merged, q) <= 0.025,
+        s"merged rank error at q=$q: ${rankErr(merged, q)}")
+  }
+
+  test("agg_quantile_merge: ALL row present, exact counts, monotone percentiles") {
+    val rows = q("agg_quantile_merge").collect()
+    val byScope = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(byScope.contains("ALL"))
+    // ALL row's n is the exact doc count = sum of the per-lang exact ns
+    val perLang = byScope.view.filterKeys(_ != "ALL").values.map(_._1).sum
+    assert(byScope("ALL")._1 == perLang)
+    assert(byScope("ALL")._1 == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (p50, p95, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 <= p95 && p95 <= p99, s"non-monotone percentiles in $r")
+    }
+  }
+
   test("AQE initial fan-out: sized from the fixture, fails SAFE (wide) when unreadable") {
     // round-9 advice: an unreadable fixture dir (bytes==0) must not fall
     // back to the narrow floor — that's the configuration whose 100×
