@@ -236,7 +236,7 @@ object Windows extends QueryModule {
     // regardless of watermark timing), so the batch oracle above applies
     // verbatim — the unified-model contract, checked by the driver gate.
     "streaming_tumbling" -> { (s, d) =>
-      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
       val out = graft.streaming.Streaming.runToCompletion(
         graft.streaming.Streaming.tumblingCounts(
           graft.streaming.Streaming.eventsStream(ss, d)),
@@ -249,7 +249,7 @@ object Windows extends QueryModule {
     // rationale as streaming_tumbling, but exercising the session-state
     // machine: gap-merged windows, watermark-pruned state).
     "streaming_session" -> { (s, d) =>
-      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
       val out = graft.streaming.Streaming.runToCompletion(
         graft.streaming.Streaming.sessionCounts(
           graft.streaming.Streaming.eventsStream(ss, d)),
@@ -264,7 +264,7 @@ object Windows extends QueryModule {
     // verbatim). Exercises overlapping-window state: each event updates
     // two windows per micro-batch.
     "streaming_sliding" -> { (s, d) =>
-      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
       val out = graft.streaming.Streaming.runToCompletion(
         graft.streaming.Streaming.slidingCounts(
           graft.streaming.Streaming.eventsStream(ss, d)),
@@ -285,7 +285,7 @@ object Windows extends QueryModule {
     // the distinct event set). Append mode: dedup emits first copies
     // immediately, nothing is held behind the watermark.
     "streaming_dedup" -> { (s, d) =>
-      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
       val out = graft.streaming.Streaming.runToCompletion(
         graft.streaming.Streaming.dedupEvents(
           graft.streaming.Streaming.eventsStream(ss, d, copies = 2), "35 days"),
@@ -307,7 +307,7 @@ object Windows extends QueryModule {
     // [[graft.streaming.Streaming.userRunningTotalsExact]]), so the
     // batch aggregate oracle applies.
     "streaming_running_totals" -> { (s, d) =>
-      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
       import ss.implicits._
       val ev = graft.streaming.Streaming.eventsStream(ss, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -343,7 +343,7 @@ object Windows extends QueryModule {
     // batch gaps-and-islands oracle deterministically (see
     // [[graft.streaming.Streaming.stampedEventsWithFlushSentinel]]).
     "streaming_sessionize" -> { (s, d) =>
-      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
       val out = graft.streaming.Streaming.runToCompletion(
         graft.streaming.Streaming.sessionizeStreaming(
           graft.streaming.Streaming.stampedEventsWithFlushSentinel(ss, d)).toDF(),
@@ -361,7 +361,7 @@ object Windows extends QueryModule {
     // result is final once the source drains and the batch interval-join
     // oracle applies.
     "streaming_join" -> { (s, d) =>
-      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
       val out = graft.streaming.Streaming.runToCompletion(
         graft.streaming.Streaming.purchaseClickJoin(
           graft.streaming.Streaming.eventsStream(ss, d)),
@@ -383,7 +383,7 @@ object Windows extends QueryModule {
     // [[graft.streaming.Streaming.eventsWithFlushSentinel]]). The
     // sentinel pair matches only itself and is filtered by id sign.
     "streaming_join_outer" -> { (s, d) =>
-      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
       val out = graft.streaming.Streaming.runToCompletion(
         graft.streaming.Streaming.purchaseClickLeftJoin(
           graft.streaming.Streaming.eventsWithFlushSentinel(ss, d)),
@@ -401,7 +401,7 @@ object Windows extends QueryModule {
     // Sentinels match only each other and are filtered by id sign
     // (either id may be null here, so the filter is null-tolerant).
     "streaming_join_right" -> { (s, d) =>
-      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
       val out = graft.streaming.Streaming.runToCompletion(
         graft.streaming.Streaming.purchaseClickRightJoin(
           graft.streaming.Streaming.eventsWithFlushSentinel(ss, d)),
@@ -417,7 +417,7 @@ object Windows extends QueryModule {
     // batch full interval join is the exact oracle once the sentinel
     // closes both books.
     "streaming_join_full" -> { (s, d) =>
-      val ss = graft.streaming.Streaming.stateSizedSession(s)
+      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
       val out = graft.streaming.Streaming.runToCompletion(
         graft.streaming.Streaming.purchaseClickFullJoin(
           graft.streaming.Streaming.eventsWithFlushSentinel(ss, d)),

@@ -32,9 +32,27 @@ object Streaming {
     * ingest raises it (state must fit per-executor memory), a fixture
     * stream lowers it. Batch queries in the parent session are
     * untouched (newSession shares the SparkContext, not the conf). */
-  def stateSizedSession(spark: SparkSession): SparkSession = {
+  /** Target bytes of stream input per state partition — the derive-from-
+    * data rule (Tuning.initialShufflePartitions' recipe applied to
+    * streaming state): every state store pays a fixed per-micro-batch
+    * commit/snapshot cost, so a small stream wants FEW stores (measured
+    * on the sf0.1 gates: 8 → 2 partitions cut the stream-stream join
+    * gate ~14%), while a 100 TB ingest wants many small stores (smaller
+    * per-store maps, round-6's 10M-key heap-store bimodality). 8 MiB of
+    * source parquet per store: the 2 MB sf0.1 events land on the floor
+    * of 2, the ~200 MB 100× replica derives ~26, a real ingest hits the
+    * core cap. */
+  private val TargetBytesPerStatePartition = 8L * 1024 * 1024
+
+  def stateSizedSession(spark: SparkSession, dir: String): SparkSession = {
     val parts = spark.conf.getOption("spark.graft.streaming.statePartitions")
-      .map(_.toInt).getOrElse(8)
+      .map(_.toInt).getOrElse {
+        val bytes = graft.Tuning.dirBytes(
+          java.nio.file.Paths.get(dir, "events.parquet").toString)
+        val cores = spark.sparkContext.defaultParallelism
+        val bySize = math.ceil(bytes.toDouble / TargetBytesPerStatePartition).toLong
+        math.max(2L, math.min(cores.toLong, bySize)).toInt
+      }
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", parts)
     // State store provider: RocksDB is the 100 TB production answer (state
@@ -76,23 +94,36 @@ object Streaming {
     * events file N times (N micro-batches at maxFilesPerTrigger=1), so
     * every event arrives N times — the at-least-once-delivery shape
     * streaming dedup exists for; 1 for the ordinary stream. */
+  /** Staged stream-source dirs built once per (kind, fixture, copies)
+    * per JVM — round-9 verdict item 5: every gate invocation (5 gates ×
+    * bench reps) re-ran its source staging (a max-timestamp job plus
+    * one or two single-file Spark writes for the sentinel recipes),
+    * billing harness setup to the engine. The staged content is a pure
+    * function of the key — fixture dirs are immutable for the life of
+    * the JVM (the [[graft.Staging]] contract) and the dir name embeds
+    * this JVM's pid — so the memo is sound; only the first gate pays. */
+  private val stagedSources =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), java.nio.file.Path]()
+
   def eventsStream(spark: SparkSession, dir: String, copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.table(spark, dir, "events").schema
     // FileStreamSource requires a directory source (it pins basePath to
     // the source path itself); the fixture dir mixes all tables, so stage
     // the events file alone into a per-fixture stream dir.
-    val streamDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft-stream-${copies}x-" + stagingKey(dir))
-    java.nio.file.Files.createDirectories(streamDir)
-    // always refresh: a stale copy would silently stream old fixture data
-    (0 until copies).foreach { i =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(dir, "events.parquet"),
-        streamDir.resolve(s"events_$i.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    val streamDir = stagedSources.computeIfAbsent(("copies", dir, copies), _ => {
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-stream-${copies}x-" + stagingKey(dir))
+      java.nio.file.Files.createDirectories(p)
+      (0 until copies).foreach { i =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "events.parquet"),
+          p.resolve(s"events_$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      p
+    })
     val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -395,17 +426,20 @@ object Streaming {
     import java.nio.file.{Files, Paths}
     import spark.implicits._
     val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
-    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
-    // past watermark delay (1 h) + session gap (10 min), with 1 h slack
-    val sentinelUs = maxUs + (3600L + 600L + 3600L) * 1000000L
-    val streamDir = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-stream-flush-" + stagingKey(dir))
-    Files.createDirectories(streamDir)
-    val now = System.currentTimeMillis()
-    stageSingleFile(streamDir, ev, "events_00.parquet", now)
-    stageSingleFile(streamDir,
-      Seq((-1L, new java.sql.Timestamp(sentinelUs / 1000L)))
-        .toDF("user_id", "ts"), "sentinel_01.parquet", now + 60000L)
+    val streamDir = stagedSources.computeIfAbsent(("flush", dir, 1), _ => {
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      // past watermark delay (1 h) + session gap (10 min), with 1 h slack
+      val sentinelUs = maxUs + (3600L + 600L + 3600L) * 1000000L
+      val p = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft-stream-flush-" + stagingKey(dir))
+      Files.createDirectories(p)
+      val now = System.currentTimeMillis()
+      stageSingleFile(p, ev, "events_00.parquet", now)
+      stageSingleFile(p,
+        Seq((-1L, new java.sql.Timestamp(sentinelUs / 1000L)))
+          .toDF("user_id", "ts"), "sentinel_01.parquet", now + 60000L)
+      p
+    })
     spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
@@ -449,19 +483,22 @@ object Streaming {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
-    // past watermark delay (1 h) + join interval (30 min), with 1 h slack
-    val sentinelUs = maxUs + (3600L + 1800L + 3600L) * 1000000L
-    val streamDir = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-stream-joinflush-" + stagingKey(dir))
-    Files.createDirectories(streamDir)
-    val now = System.currentTimeMillis()
-    stageSingleFile(streamDir, ev, "events_00.parquet", now)
-    stageSingleFile(streamDir,
-      Seq((-1L, -1L, "purchase", new java.sql.Timestamp(sentinelUs / 1000L)),
-          (-2L, -1L, "click", new java.sql.Timestamp(sentinelUs / 1000L)))
-        .toDF("event_id", "user_id", "event_type", "ts"),
-      "sentinel_01.parquet", now + 60000L)
+    val streamDir = stagedSources.computeIfAbsent(("joinflush", dir, 1), _ => {
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      // past watermark delay (1 h) + join interval (30 min), with 1 h slack
+      val sentinelUs = maxUs + (3600L + 1800L + 3600L) * 1000000L
+      val p = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft-stream-joinflush-" + stagingKey(dir))
+      Files.createDirectories(p)
+      val now = System.currentTimeMillis()
+      stageSingleFile(p, ev, "events_00.parquet", now)
+      stageSingleFile(p,
+        Seq((-1L, -1L, "purchase", new java.sql.Timestamp(sentinelUs / 1000L)),
+            (-2L, -1L, "click", new java.sql.Timestamp(sentinelUs / 1000L)))
+          .toDF("event_id", "user_id", "event_type", "ts"),
+        "sentinel_01.parquet", now + 60000L)
+      p
+    })
     spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
@@ -491,15 +528,19 @@ object Streaming {
     * since last touch) so a CONCURRENT session's live gates are never
     * swept — this JVM's own gates go through the shutdown hook. */
   private def sweepStaleGateDirs(): Unit = {
-    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
-    val list = java.nio.file.Files.list(tmp)
-    try list.filter(p => p.getFileName.toString.startsWith("graft-gate-"))
-      .filter(p =>
-        try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
-        catch { case _: Exception => false })
-      .forEach(p => try deleteTree(p) catch { case _: Exception => () })
-    finally list.close()
+    val roots = Seq(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+      java.nio.file.Paths.get("/dev/shm")) // checkpoint roots live here too
+    for (root <- roots if java.nio.file.Files.isDirectory(root)) {
+      val list = java.nio.file.Files.list(root)
+      try list.filter(p => p.getFileName.toString.startsWith("graft-gate-"))
+        .filter(p =>
+          try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: Exception => false })
+        .forEach(p => try deleteTree(p) catch { case _: Exception => () })
+      finally list.close()
+    }
   }
 
   /** Drive a streaming DataFrame to completion against the (finite) file
@@ -531,6 +572,20 @@ object Streaming {
     val fileSink = mode == OutputMode.Append()
     val outDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft-gate-$name")
+    // Checkpoint I/O is per-micro-batch fsync-heavy metadata (offsets,
+    // commits, state snapshots) — on RAM-backed /dev/shm when available
+    // (round-9 verdict item 5: the five stateful gates spent a measured
+    // chunk of their wall-clock in checkpoint durability the GATE does
+    // not need: a finite verification run re-runs from scratch on any
+    // failure; production points checkpointLocation at durable storage
+    // precisely because it wants the recovery the gate doesn't).
+    // Checkpoints are SMALL (state metadata, not sink data), so RAM
+    // residency is bounded; the data sink stays on disk.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val chkRoot =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        shm.resolve(s"graft-gate-$name")
+      else outDir
     // A stale gate dir would make the sink's metadata log + checkpoint
     // treat this run's batches as already committed (and emit nothing),
     // so the gate always starts from scratch. Gate names are UUID-
@@ -541,21 +596,34 @@ object Streaming {
     // output (input-sized at 100×) into tmpdir across bench reps/rounds.
     if (fileSink) {
       deleteTree(outDir)
+      deleteTree(chkRoot)
       sweepStaleGateDirs()
       registerGateCleanup(outDir)
+      if (chkRoot != outDir) registerGateCleanup(chkRoot)
+    }
+    // phase timings on stderr under SPARK_GRAFT_STREAM_DEBUG — the gate
+    // profiling knob (start / drain / watermark-wait / stop attribution)
+    val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[gate $name] $phase ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
     }
     val q = (if (fileSink)
       df.writeStream
         .outputMode(mode)
         .format("parquet")
         .option("path", outDir.resolve("data").toString)
-        .option("checkpointLocation", outDir.resolve("chk").toString)
+        .option("checkpointLocation", chkRoot.resolve("chk").toString)
     else
       df.writeStream
         .outputMode(mode)
         .format("memory")
         .queryName(name)).start()
+    mark("start")
     q.processAllAvailable()
+    mark("drain")
     // watermark-driven emissions (outer-join nulls, event-time timeouts)
     // fire in the NO-DATA micro-batch scheduled after the last data batch
     // commits its watermark — and processAllAvailable only waits for
@@ -602,7 +670,9 @@ object Streaming {
         }
       }
     }
+    mark("wm-wait")
     q.stop()
+    mark("stop")
     if (fileSink)
       spark.read.schema(df.schema).parquet(outDir.resolve("data").toString)
     else spark.table(name)

@@ -218,7 +218,7 @@ class StreamingSpec extends GraftSuite {
     // table). This pins that the opt-in path actually works.
     spark.conf.set("spark.graft.streaming.stateStore", "rocksdb")
     try {
-      val ss = Streaming.stateSizedSession(spark)
+      val ss = Streaming.stateSizedSession(spark, sf)
       assert(ss.conf.get("spark.sql.streaming.stateStore.providerClass")
         .contains("RocksDB"))
       val got = Streaming.runToCompletion(
