@@ -113,7 +113,26 @@ object ExplainDump {
       "top-k; the lexical arm broadcasts the dim-sized query token set, partial-aggregates " +
       "(query, doc) overlap counts map-side, and reduces through the bounded TopK aggregator; " +
       "the fusion full-outer and rank windows run on 2·NQ·K rows — no corpus-wide per-query " +
-      "window anywhere (PlanSpec-pinned)")
+      "window anywhere (PlanSpec-pinned)"),
+    "dedup_substring" -> ("inverted shingle index over STAGED (doc, pos, hash) postings — " +
+      "linear in corpus tokens; count(distinct doc) per hash partial-aggregates map-side, " +
+      "duplicated hashes shuffle-join back onto the postings (hash = the blocking key, no " +
+      "all-pairs), and the islands merge is a per-DOCUMENT window (partition bounded by doc " +
+      "length at any corpus size)"),
+    "hybrid_search_bm25" -> ("BM25 lexical arm over the STAGED (doc, term, tf) index: df is " +
+      "a vocab-sized aggregate joined onto the tiny query-term set which then BROADCASTS; " +
+      "the only windows below the bounded top-k aggregates partition by doc_id (dl — bounded " +
+      "by one document's vocabulary); integer fixed-point term scores partial-aggregate " +
+      "map-side; both arms hierarchical (PlanSpec-pinned)"),
+    "agg_quantile_merge" -> ("two-level mergeable sketch rollup: per-lang compactor-stack " +
+      "quantile sketches (typed Aggregator, ObjectHashAggregate partial merge — the exchange " +
+      "carries k·log(n/k)-bounded sketch state, never values), then an ALL rollup that " +
+      "aggregates SKETCH STATE only — the staged-sketch shape percentile_approx can't express"),
+    "ann_ivf" -> ("corpus→bucket assignment is a per-row argmax against the collected " +
+      "(model-sized) quantizer — a narrow projection, NO exchange; the only vec_id exchange " +
+      "left is the query-set probe ranking; probed-bucket rescore joins members to the " +
+      "broadcast probe set and two-phase decimal-rescores the tie-aware top-K prefix " +
+      "(PlanSpec-pinned)")
   )
 
   def main(args: Array[String]): Unit = {

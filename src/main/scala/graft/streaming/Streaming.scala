@@ -650,8 +650,13 @@ object Streaming {
       var last = ""
       var stable = 0
       var done = false
+      var polls = 0
       while (!done && System.nanoTime() < deadline) {
-        Thread.sleep(250)
+        // adaptive cadence: the no-data batch usually commits within
+        // tens of ms of the last data batch, so poll fast first and
+        // back off to 250 ms only if it hasn't shown up
+        Thread.sleep(if (polls < 4) 50 else 250)
+        polls += 1
         q.processAllAvailable()
         val ps = q.recentProgress.toSeq
         if (!ps.exists(p => wmOf(p).nonEmpty)) {
