@@ -23,7 +23,7 @@ class WordCountSpec extends GraftSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only queries must be a deliberate, documented set: sketches
     // are approximate by design (accuracy asserted in ScaleSpec instead)
-    val deliberatelyRowsOnly = Set("agg_approx", "ann_ivf", "agg_sketch_merge")
+    val deliberatelyRowsOnly = Set("agg_approx", "agg_sketch_merge", "agg_quantile_merge")
     assert(missing.subsetOf(deliberatelyRowsOnly), s"queries without oracle: $missing")
   }
 }
