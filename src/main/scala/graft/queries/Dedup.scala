@@ -197,6 +197,47 @@ object Dedup extends QueryModule {
       substringSpans(spanPostings(s, d), SpanK)
     },
 
+    // The CONSUMER of dedup_substring: actually remove the duplicated
+    // spans (Lee et al.'s point is the removal, not the report). Policy:
+    // per duplicated shingle hash, the doc with the MIN doc_id keeps its
+    // occurrence; every other doc's occurrence is removed. A removed
+    // position covers tokens [pos, pos+SpanK-1], so the removed token
+    // count per doc is the INTERVAL UNION of its removed windows —
+    // computed per document with the lag-based island split (a new
+    // island starts when pos > prev + SpanK - 1; islands never span
+    // documents, so the window partition is bounded by doc length).
+    // Everything is exact integer arithmetic over the same staged
+    // postings ⇒ hash-exact against the oracle. Output: per affected
+    // doc, its token count, removed-token count, and removal fraction.
+    "pipeline_span_dedup" -> { (s, d) =>
+      val p = spanPostings(s, d)
+      val keep = p.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keeper"))
+        .filter(col("n_docs") >= 2)
+      val removed = p.join(keep, Seq("h"))
+        .filter(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"), col("pos")).distinct()
+      val wLag = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val islands = removed
+        .withColumn("brk",
+          when(col("pos") > lag(col("pos"), 1).over(wLag) + (SpanK - 1), 1)
+            .otherwise(lit(0)))
+        .withColumn("island",
+          sum(col("brk")).over(wLag.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("island"))
+        .agg((max(col("pos")) - min(col("pos")) + SpanK).as("covered"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("covered")).as("n_removed"))
+      val sizes = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      islands.join(sizes, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          round(col("n_removed") * lit(1.0) / col("n_tokens"), 6).as("pct_removed"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact dedup: content-hash groupBy; canonical = min doc_id. The
     // output keeps every group (n_copies = 1 for uniques) so the oracle
     // verifies the full grouping, not just the dup tail.
@@ -525,6 +566,38 @@ object Dedup extends QueryModule {
       |        FROM (SELECT doc_id, lower(text) AS norm FROM documents)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // same postings CTE as dedup_substring; min-doc keeper per hash,
+    // interval union of removed [pos, pos+7] windows via the lag-based
+    // island split (explicit ROWS frame — RANGE would differ on ties,
+    // though positions are distinct per doc after the DISTINCT)
+    "pipeline_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |p AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         md5(array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' ')) AS h
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${SpanK - 1})) AS i)),
+         |k AS (SELECT h, min(doc_id) AS keeper FROM p
+         |      GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |r AS (SELECT DISTINCT p.doc_id, p.pos
+         |      FROM p JOIN k USING (h) WHERE p.doc_id <> k.keeper),
+         |i AS (SELECT doc_id, pos,
+         |             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |                             + ${SpanK - 1} THEN 1 ELSE 0 END AS brk
+         |      FROM r),
+         |i2 AS (SELECT doc_id, pos,
+         |              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                             ROWS UNBOUNDED PRECEDING) AS island
+         |       FROM i),
+         |c AS (SELECT doc_id, island, max(pos) - min(pos) + $SpanK AS covered
+         |      FROM i2 GROUP BY doc_id, island),
+         |rm AS (SELECT doc_id, sum(covered) AS n_removed FROM c GROUP BY doc_id),
+         |sz AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+         |SELECT rm.doc_id, CAST(sz.n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(rm.n_removed AS BIGINT) AS n_removed,
+         |       round(rm.n_removed * 1.0 / sz.n_tokens, 6) AS pct_removed
+         |FROM rm JOIN sz USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // mirrors spanPostings + the islands merge: 1-based positions, md5
     // over the space-joined 8-token slice (list_slice's inclusive end =

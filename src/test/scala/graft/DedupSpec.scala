@@ -201,4 +201,31 @@ class DedupSpec extends GraftSuite {
     assert(out.toSet == Set((1L, 6L, 10L, 2L), (2L, 1L, 10L, 2L)),
       s"got ${out.toSet}")
   }
+
+  test("pipeline_span_dedup: min-doc keeper keeps, removals consistent with the span report") {
+    val spans = q("dedup_substring").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val rem = q("pipeline_span_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rem.nonEmpty, "fixture's planted near-dups must produce removals")
+    rem.foreach { case (doc, nTok, nRem, pct) =>
+      assert(nRem >= 8 && nRem <= nTok, s"doc $doc: removed $nRem of $nTok")
+      assert(math.abs(pct - nRem.toDouble / nTok) < 1e-6)
+    }
+    // every doc with a removal also appears in the span report (it holds
+    // a duplicated shingle), and its removal never exceeds its total
+    // reported span coverage for that doc
+    val spanDocs = spans.map(_._1).toSet
+    assert(rem.map(_._1).toSet.subsetOf(spanDocs))
+    val spanCover = spans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    rem.foreach { case (doc, _, nRem, _) =>
+      assert(nRem <= spanCover(doc),
+        s"doc $doc removes $nRem > reported span coverage ${spanCover(doc)}")
+    }
+    // the GLOBALLY-minimal doc of the span graph is a keeper for every
+    // hash it holds — it must never appear in the removal list
+    val minSpanDoc = spanDocs.min
+    assert(!rem.exists(_._1 == minSpanDoc),
+      s"global min doc $minSpanDoc should keep all its spans")
+  }
 }
