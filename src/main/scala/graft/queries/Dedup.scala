@@ -199,8 +199,10 @@ object Dedup extends QueryModule {
 
     // The CONSUMER of dedup_substring: actually remove the duplicated
     // spans (Lee et al.'s point is the removal, not the report). Policy:
-    // per duplicated shingle hash, the doc with the MIN doc_id keeps its
-    // occurrence; every other doc's occurrence is removed. A removed
+    // per duplicated shingle hash, the doc with the MIN doc_id keeps
+    // ALL of its occurrences (within-doc repeats included — within-doc
+    // duplication is dedup_exact/minhash territory, not this op's);
+    // every OTHER doc's occurrences are removed. A removed
     // position covers tokens [pos, pos+SpanK-1], so the removed token
     // count per doc is the INTERVAL UNION of its removed windows —
     // computed per document with the lag-based island split (a new

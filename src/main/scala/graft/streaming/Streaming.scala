@@ -572,15 +572,18 @@ object Streaming {
     val fileSink = mode == OutputMode.Append()
     val outDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft-gate-$name")
-    // Checkpoint I/O is per-micro-batch fsync-heavy metadata (offsets,
-    // commits, state snapshots) — on RAM-backed /dev/shm when available
-    // (round-9 verdict item 5: the five stateful gates spent a measured
-    // chunk of their wall-clock in checkpoint durability the GATE does
-    // not need: a finite verification run re-runs from scratch on any
-    // failure; production points checkpointLocation at durable storage
-    // precisely because it wants the recovery the gate doesn't).
-    // Checkpoints are SMALL (state metadata, not sink data), so RAM
-    // residency is bounded; the data sink stays on disk.
+    // Checkpoint I/O is per-micro-batch fsync-heavy (offsets, commits,
+    // and the state store's delta/snapshot files) — on RAM-backed
+    // /dev/shm when available (round-9 verdict item 5: the five
+    // stateful gates spent a measured chunk of their wall-clock in
+    // checkpoint durability the GATE does not need: a finite
+    // verification run re-runs from scratch on any failure; production
+    // points checkpointLocation at durable storage precisely because it
+    // wants the recovery the gate doesn't). RAM residency is bounded by
+    // STATE size (watermark horizon × key width — the 100× gate's join
+    // state checkpoints are a few hundred MB against /dev/shm's
+    // half-of-RAM default), never by sink volume: the data sink stays
+    // on disk. Falls back to the disk gate dir when /dev/shm is absent.
     val shm = java.nio.file.Paths.get("/dev/shm")
     val chkRoot =
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
