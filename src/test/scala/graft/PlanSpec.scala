@@ -345,6 +345,19 @@ class PlanSpec extends GraftSuite {
       s"expected exactly the probe branch's query-set exchange on vec_id, got $vecExchanges:\n$p")
   }
 
+  test("dedup_substring: hash-keyed shuffles only, per-doc islands window, no cartesian") {
+    // the span detector must stay an inverted-index shape: every join
+    // keyed by the shingle hash (never an all-pairs doc comparison),
+    // and the only window is the per-document islands merge
+    val full = plan("dedup_substring")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"all-pairs shape in the span detector:\n$p")
+    val badWindow = "windowspecdefinition\\((?!doc_id)".r.findFirstIn(p)
+    assert(badWindow.isEmpty,
+      s"non-per-document window in the span detector:\n$p")
+  }
+
   test("dedup_embedding: one self-join, no corpus join-backs, no interpreted lambdas") {
     // round-7 rework (measured at 100×: 194 s → 8.3 s): the old shape
     // distinct-ed skinny (d1,d2) pairs and joined the corpus back twice

@@ -483,6 +483,14 @@ class ScaleSpec extends GraftSuite {
     for (q <- Seq(0.5, 0.95, 0.99))
       assert(rankErr(merged, q) <= 0.025,
         s"merged rank error at q=$q: ${rankErr(merged, q)}")
+    // edges: a single-value sketch answers that value at every q; union
+    // with the empty sketch is the identity (same n, same quantiles)
+    val one = sk.reduce(emptyQBuf, 42.0)
+    assert(one.n == 1 && one.quantile(0.01) == 42.0 && one.quantile(0.99) == 42.0)
+    val viaEmpty = un.merge(un.merge(emptyQBuf, single), emptyQBuf)
+    assert(viaEmpty.n == single.n)
+    for (q <- Seq(0.5, 0.95, 0.99))
+      assert(viaEmpty.quantile(q) == single.quantile(q))
   }
 
   test("agg_quantile_merge: ALL row present, exact counts, monotone percentiles") {

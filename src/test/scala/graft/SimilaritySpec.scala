@@ -153,4 +153,28 @@ class SimilaritySpec extends GraftSuite {
           s"top-k neighbor above radius missing from ann_range: $r")
       }
   }
+
+  test("hybrid_search_bm25: lexical arm actually de-saturates the overlap ranking") {
+    // the BM25 arm exists because distinct-overlap scores TIE whole
+    // swaths of the corpus (Similarity's own saturation note) — so on
+    // the same fixture the two lexical rankings must genuinely differ
+    // for at least one query, and both fusions must stay well-formed
+    def lexSets(name: String): Map[Long, Set[Long]] =
+      q(name).collect()
+        .filter(!_.isNullAt(5)) // rl present = ranked by the lexical arm
+        .map(r => (r.getLong(0), r.getLong(2), r.getInt(5)))
+        .groupBy(_._1).map { case (qid, rs) =>
+          qid -> rs.filter(_._3 <= 5).map(_._2).toSet } // lexical top-5
+    val overlap = lexSets("hybrid_search")
+    val bm25 = lexSets("hybrid_search_bm25")
+    assert(overlap.keySet == bm25.keySet)
+    assert(overlap.keys.exists(k => overlap(k) != bm25(k)),
+      "BM25 lexical top-5 identical to overlap-count top-5 for every query — " +
+        "the weighting is not differentiating")
+    // well-formedness: ranks are 1..K dense per query
+    val rows = q("hybrid_search_bm25").collect()
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+    }
+  }
 }
