@@ -124,6 +124,40 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // MERGEABLE heavy-hitters rollup — Misra–Gries per-lang token
+    // summaries united into a global ALL row from SUMMARY STATE only
+    // (the frequency analog of agg_sketch_merge / agg_quantile_merge;
+    // see [[graft.operators.FreqSketch]]). ORACLED, unlike the other
+    // two sketches: the fixtures' 31-token vocabulary sits inside
+    // m = 64, the regime where MG counts are EXACT (no counter ever
+    // evicts) at every level including the merge — so the top-10
+    // report equals the exact groupBy the oracle runs. The capped
+    // regime (vocab ≫ m, only the ±n/(m+1) bound holds) is exercised
+    // in ScalaTest with a planted heavy-hitter stream, the
+    // text_unigram_logprob vocab-cap discipline — and at the 100×
+    // alphabet-rotated replica (vocab ~3k ≫ 64 BY CONSTRUCTION), where
+    // the oracle's exactness precondition intentionally breaks and the
+    // ε-bound was verified instead: 0 violations across all 60
+    // reported rows at 27 M tokens (docs/SCALING.md round 10).
+    "text_freq_merge" -> { (s, d) =>
+      import s.implicits._
+      import graft.operators.FreqSketch
+      val m = FreqSketch.DefaultM
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .as[(String, String)]
+      val per = toks.groupByKey(_._1).mapValues(_._2)
+        .agg(FreqSketch.sketch(m).toColumn.name("sk"))
+      val all = per.map(_._2).groupByKey(_ => "ALL")
+        .agg(FreqSketch.union(m).toColumn.name("sk"))
+      def emit(ds: org.apache.spark.sql.Dataset[(String, FreqSketch.MGBuf)]) =
+        ds.flatMap { case (scope, sk) =>
+          sk.top(10).zipWithIndex.map { case ((w, c), i) => (scope, i + 1, w, c) }
+        }.toDF("scope", "rk", "token", "cnt")
+      emit(per).unionByName(emit(all)).orderBy(col("scope"), col("rk"))
+    },
+
     // Quality scoring: length/stopword/diversity ratios — single-division
     // doubles rounded to 6 places for cross-engine stability.
     "text_quality" -> { (s, d) =>
@@ -644,6 +678,23 @@ object TextAnalysis extends QueryModule {
         |       length(text) AS n_chars_computed
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // exact-regime oracle (fixture vocab 31 ≤ m=64 ⇒ MG counts exact):
+    // the plain per-scope counts, top-10 by (count desc, token asc)
+    "text_freq_merge" ->
+      """WITH toks AS (
+        |  SELECT lang, w
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |cnt AS (SELECT lang AS scope, w, count(*) AS c FROM toks GROUP BY lang, w),
+        |allc AS (SELECT 'ALL' AS scope, w, count(*) AS c FROM toks GROUP BY w),
+        |u AS (SELECT * FROM cnt UNION ALL SELECT * FROM allc),
+        |r AS (SELECT scope, w, c,
+        |             CAST(row_number() OVER (PARTITION BY scope ORDER BY c DESC, w) AS INT) AS rk
+        |      FROM u)
+        |SELECT scope, rk, w AS token, CAST(c AS BIGINT) AS cnt
+        |FROM r WHERE rk <= 10
+        |ORDER BY scope, rk""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

@@ -493,6 +493,64 @@ class ScaleSpec extends GraftSuite {
       assert(viaEmpty.quantile(q) == single.quantile(q))
   }
 
+  test("FreqSketch (Misra-Gries): exact under m, eps-bounded and merge-safe over it") {
+    import graft.operators.FreqSketch
+    import graft.operators.FreqSketch.emptyMGBuf
+    val m = 64
+    val sk = FreqSketch.sketch(m)
+    val un = FreqSketch.union(m)
+    // capped regime: vocabulary >> m — 8 planted heavy hitters over a
+    // long unique-token tail
+    val heavy = (0 until 8).map(i => s"hh$i")
+    val stream: Seq[String] =
+      heavy.flatMap(h => Seq.fill(3000)(h)) ++ (0 until 50000).map(i => s"t$i")
+    val n = stream.length
+    val eps = n.toDouble / (m + 1)
+    // deterministic interleave so heavies aren't a prefix
+    val shuffled = stream.zipWithIndex
+      .sortBy { case (_, i) => (i * 2654435761L) % 1000003L }.map(_._1)
+    val single = shuffled.foldLeft(emptyMGBuf)((b, w) => sk.reduce(b, w))
+    assert(single.counts.size <= m)
+    heavy.foreach { h =>
+      val c = single.counts.getOrElse(h, 0L)
+      assert(c >= 3000 - eps && c <= 3000,
+        s"$h count $c outside [${3000 - eps}, 3000]") // 3000 > 2*eps≈1700
+    }
+    // 16-way sharded build + union keeps the same guarantee
+    val merged = shuffled.grouped(n / 16 + 1)
+      .map(_.foldLeft(emptyMGBuf)((b, w) => sk.reduce(b, w)))
+      .foldLeft(emptyMGBuf)((a, b) => un.reduce(a, b))
+    assert(merged.counts.size <= m)
+    heavy.foreach { h =>
+      val c = merged.counts.getOrElse(h, 0L)
+      assert(c >= 3000 - eps && c <= 3000, s"merged $h count $c")
+    }
+    // exact regime: vocab <= m => counts exact and merge lossless
+    val small = Seq.fill(100)("a") ++ Seq.fill(60)("b") ++ Seq.fill(3)("c")
+    val exact = small.foldLeft(emptyMGBuf)((b, w) => sk.reduce(b, w))
+    assert(exact.counts == Map("a" -> 100L, "b" -> 60L, "c" -> 3L))
+    assert(exact.top(2) == Seq("a" -> 100L, "b" -> 60L))
+  }
+
+  test("text_freq_merge: ALL row equals the exact global top-10 on the fixture") {
+    val rows = q("text_freq_merge").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val all = rows.filter(_._1 == "ALL")
+    assert(all.nonEmpty && all.map(_._2).sorted.toSeq == (1 to all.length))
+    // ALL counts must equal the exact corpus-wide token counts (m=64
+    // exceeds the fixture vocabulary, so the sketch is in its exact
+    // regime — the same claim the DuckDB oracle hash-checks at sf0.01)
+    import org.apache.spark.sql.functions._
+    val exact = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    all.foreach { case (_, _, tok, cnt) =>
+      assert(exact(tok) == cnt, s"ALL count for '$tok': $cnt != exact ${exact(tok)}")
+    }
+  }
+
   test("agg_quantile_merge: ALL row present, exact counts, monotone percentiles") {
     val rows = q("agg_quantile_merge").collect()
     val byScope = rows.map(r => r.getString(0) ->
