@@ -103,6 +103,48 @@ object TopK {
       override def outputEncoder: Encoder[Seq[LongEntry]] = ExpressionEncoder[Seq[LongEntry]]()
     }
 
+  /** Bounded k smallest DISTINCT longs — the KMV (k-minimum-values)
+    * sketch buffer: duplicates collapse (KMV summarizes the distinct
+    * SET of hash values; a multiset k-min would double-count repeated
+    * content), the buffer is ascending-sorted and ≤ k, and merging two
+    * buffers is the k-min of their set union — associative and
+    * deterministic, so the sketch value (not just its guarantee) is
+    * identical under any partial-aggregation order. */
+  def kMinDistinct(k: Int): Aggregator[Long, List[Long], Seq[Long]] =
+    new Aggregator[Long, List[Long], Seq[Long]] {
+      override def zero: List[Long] = Nil
+      override def reduce(buf: List[Long], v: Long): List[Long] = {
+        // fast path: full buffer and v can't enter (or equals the max)
+        if (buf.lengthCompare(k) >= 0 && v >= buf.last) buf
+        else mergeAsc(k, buf, v :: Nil)
+      }
+      override def merge(a: List[Long], b: List[Long]): List[Long] =
+        mergeAsc(k, a, b)
+      override def finish(r: List[Long]): Seq[Long] = r
+      override def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder[List[Long]]()
+      override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    }
+
+  /** O(|a|+|b|) ascending merge of two sorted distinct lists, keep the
+    * k smallest, dropping cross-list duplicates. */
+  private def mergeAsc(k: Int, a: List[Long], b: List[Long]): List[Long] = {
+    val out = List.newBuilder[Long]
+    var x = a
+    var y = b
+    var n = 0
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      if (y.isEmpty || (x.nonEmpty && x.head <= y.head)) {
+        val v = x.head
+        out += v; x = x.tail
+        if (y.nonEmpty && y.head == v) y = y.tail // collapse duplicate
+      } else {
+        out += y.head; y = y.tail
+      }
+      n += 1
+    }
+    out.result()
+  }
+
   /** A scored candidate with the payload the rescore phase needs, so the
     * exact phase never re-scans the corpus to fetch it back (a second
     * 100 TB read). */

@@ -240,6 +240,68 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // SET-OVERLAP sketch — the fourth sketch capability (after HLL
+    // distinct, KLL quantiles, MG heavy hitters): estimate the SHINGLE
+    // overlap between the train and test splits WITHOUT a join, via
+    // k-minimum-values (KMV/theta-style) sketches of each split's
+    // distinct word-3-gram set. This is the n-gram contamination
+    // measurement the big LLM reports run ("what fraction of eval
+    // n-grams appear in training data") answered from two bounded
+    // sketches: each side reduces to its k smallest distinct
+    // md5-derived 60-bit shingle-hash values (the bounded
+    // [[graft.operators.TopK.kMinDistinct]] aggregator — map-side
+    // partial merge, the exchange carries ≤k longs per task; the
+    // shingle source is the SAME staged table every minhash consumer
+    // reads), and union/Jaccard/intersection estimates are pure
+    // arithmetic over the two k-min sets:
+    //   U      = k smallest of S_A ∪ S_B          (the union's KMV)
+    //   û(A∪B) = |U| < k ? |U| : (k−1)·2^60/max(U)  (the KMV estimator)
+    //   ĵ      = |U ∩ S_A ∩ S_B| / |U|              (resemblance)
+    //   î(A∩B) = ĵ · û                              (inclusion)
+    // Everything is DETERMINISTIC — md5-derived hashes, set-union
+    // k-min is order-independent, and the estimator arithmetic is the
+    // same IEEE expression in both engines — so unlike the value-
+    // randomized sketch families this one is fully ORACLED (DuckDB
+    // mirrors the k-min sets with ORDER BY h LIMIT k and the same
+    // formulas). Std error of ĵ is ~sqrt(j(1−j)/k) (k=256 ⇒ ±~2%
+    // absolute at the fixture's j≈0.10) — accuracy asserted against
+    // planted-overlap streams in ScalaTest and against the exact
+    // intersection on the fixtures.
+    "pipeline_overlap_est" -> { (s, d) =>
+      import s.implicits._
+      val k = 256
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 10
+      def kmin(pred: org.apache.spark.sql.Column) =
+        shingles(s, d).filter(pred)
+          .select(conv(substring(md5(col("s")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+          .as[Long]
+          .groupByKey(_ => true)
+          .agg(graft.operators.TopK.kMinDistinct(k).toColumn.name("s"))
+          .select(col("s"))
+      val a = kmin(bucket < 8).select(col("s").as("sa"))
+      val b = kmin(bucket === 9).select(col("s").as("sb"))
+      a.crossJoin(b) // 1×1
+        .withColumn("u", slice(array_sort(array_distinct(
+          concat(col("sa"), col("sb")))), 1, k))
+        .withColumn("n_u", size(col("u")))
+        .withColumn("x_k", element_at(col("u"), size(col("u"))))
+        .withColumn("union_est",
+          when(col("n_u") < k, col("n_u").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+              col("x_k").cast("double")))
+        .withColumn("n_both", size(expr(
+          "filter(u, h -> array_contains(sa, h) AND array_contains(sb, h))")))
+        .withColumn("jaccard_est",
+          round(col("n_both").cast("double") / col("n_u"), 6))
+        .withColumn("inter_est",
+          round(col("n_both").cast("double") / col("n_u") * col("union_est"), 2))
+        .select(lit(k).as("k"), col("n_u"), col("n_both"),
+          round(col("union_est"), 2).as("union_est"),
+          col("jaccard_est"), col("inter_est"))
+    },
+
     // Exact dedup: content-hash groupBy; canonical = min doc_id. The
     // output keeps every group (n_copies = 1 for uniques) so the oracle
     // verifies the full grouping, not just the dup tail.
@@ -568,6 +630,37 @@ object Dedup extends QueryModule {
       |        FROM (SELECT doc_id, lower(text) AS norm FROM documents)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // KMV mirrored exactly: same shingle CTE as the minhash family,
+    // same 60-bit md5 prefix hashes, k-min via ORDER BY h LIMIT k, and
+    // the same IEEE estimator expressions ((k-1)*power(2,60)/x_k —
+    // long→double conversion rounds identically in both engines)
+    "pipeline_overlap_est" ->
+      s"""WITH $shingleSql,
+         |bk AS (SELECT doc_id,
+         |              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10 AS bucket
+         |       FROM documents),
+         |ha AS (SELECT DISTINCT CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS h
+         |       FROM sh JOIN bk USING (doc_id) WHERE bucket < 8),
+         |hb AS (SELECT DISTINCT CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS h
+         |       FROM sh JOIN bk USING (doc_id) WHERE bucket = 9),
+         |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+         |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+         |u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 256),
+         |st AS (SELECT count(*) AS n_u, max(h) AS x_k,
+         |              count(*) FILTER (WHERE h IN (SELECT h FROM ka)
+         |                                 AND h IN (SELECT h FROM kb)) AS n_both
+         |       FROM u),
+         |est AS (SELECT n_u, n_both,
+         |               CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+         |                    ELSE 255 * power(2.0, 60.0) / CAST(x_k AS DOUBLE) END AS ue
+         |        FROM st)
+         |SELECT CAST(256 AS INT) AS k, CAST(n_u AS INT) AS n_u,
+         |       CAST(n_both AS INT) AS n_both,
+         |       round(ue, 2) AS union_est,
+         |       round(CAST(n_both AS DOUBLE) / n_u, 6) AS jaccard_est,
+         |       round(CAST(n_both AS DOUBLE) / n_u * ue, 2) AS inter_est
+         |FROM est""".stripMargin,
 
     // same postings CTE as dedup_substring; min-doc keeper per hash,
     // interval union of removed [pos, pos+7] windows via the lag-based

@@ -415,6 +415,54 @@ class OperatorsSpec extends GraftSuite {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("kMinDistinct: duplicates collapse, merges are set k-mins, order-independent") {
+    import graft.operators.TopK
+    val agg = TopK.kMinDistinct(8)
+    def build(vs: Seq[Long]) = vs.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    val vs = Seq(5L, 3L, 5L, 9L, 1L, 3L, 14L, 2L, 2L, 11L, 7L, 20L, 6L, 8L, 10L)
+    val expect = vs.distinct.sorted.take(8)
+    assert(build(vs) == expect)
+    assert(build(vs.reverse) == expect) // insertion order irrelevant
+    // merge = k smallest of the set union, regardless of the split
+    val (l, r) = vs.splitAt(6)
+    assert(agg.merge(build(l), build(r)) == expect)
+    assert(agg.merge(build(r), build(l)) == expect)
+    // cross-buffer duplicates collapse
+    assert(agg.merge(build(Seq(1L, 2L, 3L)), build(Seq(2L, 3L, 4L))) ==
+      List(1L, 2L, 3L, 4L))
+  }
+
+  test("KMV overlap estimator: planted-overlap accuracy within sampling error") {
+    // the estimator logic of pipeline_overlap_est, driven directly on
+    // synthetic sets with KNOWN overlap: md5-style 60-bit hashes of two
+    // 20k-element sets sharing an exact 25% Jaccard
+    import graft.operators.TopK
+    import java.security.MessageDigest
+    val k = 256
+    val agg = TopK.kMinDistinct(k)
+    def h60(s: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xff)) >>> 4 // 60 bits
+    }
+    val shared = (0 until 8000).map(i => h60(s"shared$i"))
+    val onlyA = (0 until 12000).map(i => h60(s"a$i"))
+    val onlyB = (0 until 12000).map(i => h60(s"b$i"))
+    // true: |A|=|B|=20000, |A∩B|=8000, |A∪B|=32000, j=0.25
+    val sa = onlyA.concat(shared).foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    val sb = onlyB.concat(shared).foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    val u = agg.merge(sa, sb)
+    assert(u.length == k)
+    val nBoth = u.count(h => sa.contains(h) && sb.contains(h))
+    val jHat = nBoth.toDouble / k
+    val unionHat = (k - 1).toDouble * math.pow(2, 60) / u.last.toDouble
+    val sigmaJ = math.sqrt(0.25 * 0.75 / k) // ≈ 0.027
+    assert(math.abs(jHat - 0.25) <= 4 * sigmaJ, s"jHat=$jHat")
+    assert(math.abs(unionHat - 32000) / 32000 <= 4.0 / math.sqrt(k),
+      s"unionHat=$unionHat")
+    val interHat = jHat * unionHat
+    assert(math.abs(interHat - 8000) / 8000 <= 0.35, s"interHat=$interHat")
+  }
+
   test("Funnel: k-step ordering, null chaining, repeated step types") {
     import spark.implicits._
     // user 1: full a→b→a path; user 2: b before any a (step 2 must NOT
