@@ -132,7 +132,14 @@ object ExplainDump {
       "(model-sized) quantizer — a narrow projection, NO exchange; the only vec_id exchange " +
       "left is the query-set probe ranking; probed-bucket rescore joins members to the " +
       "broadcast probe set and two-phase decimal-rescores the tie-aware top-K prefix " +
-      "(PlanSpec-pinned)")
+      "(PlanSpec-pinned)"),
+    "text_freq_merge" -> ("two-level Misra–Gries rollup: per-lang ObjectHashAggregate with " +
+      "partial merge (exchanges carry ≤m-counter summaries, never token streams), then an " +
+      "ALL union over SUMMARY STATE only — the mergeable frequent-items shape"),
+    "pipeline_overlap_est" -> ("two bounded KMV k-min aggregations over the STAGED shingle " +
+      "table (map-side partial merge, exchanges carry ≤k longs per task), fused by a 1×1 " +
+      "cross join; estimator arithmetic runs on two 256-element arrays — nothing " +
+      "shingle-set-sized ever joins")
   )
 
   def main(args: Array[String]): Unit = {
