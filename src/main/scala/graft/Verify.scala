@@ -54,7 +54,7 @@ object Verify {
       "spark.graft.mm.nearTau" -> Seq("mm_dedup_near"),
       "spark.graft.mm.bitsPerBand" -> Seq("mm_dedup_near"),
       "spark.graft.serving.shards" -> Seq("pipeline_pack", "data_shuffle_global"),
-      "spark.graft.vocab.topK" -> Seq("text_unigram_logprob"),
+      "spark.graft.vocab.topK" -> Seq("text_unigram_logprob", "pipeline_ppl_sample"),
       "spark.graft.streaming.statePartitions" -> Seq(), // parallelism only
       "spark.graft.streaming.stateStore" -> Seq(), // provider only
       "spark.graft.stage.dir" -> Seq(), // storage location only

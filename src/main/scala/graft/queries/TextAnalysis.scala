@@ -590,6 +590,62 @@ object TextAnalysis extends QueryModule {
     // ≤1-ulp libm-vs-JVM log() difference (absorbed by the rounding,
     // never accumulated).
     "text_unigram_logprob" -> { (s, d) =>
+      unigramScores(s, d).orderBy(col("doc_id"))
+    },
+
+    // CCNet-style PERPLEXITY BUCKETING + sampling — the selection step
+    // the LM score exists for: rank every document by its unigram
+    // avg-logprob (exact integer micro-units, the text_unigram_logprob
+    // scorer), split the corpus into head/middle/tail TERCILES, keep
+    // the head, sample the middle at 50%, drop the tail (CCNet's
+    // head/middle/tail recipe). Scale discipline: tercile edges come
+    // from a HISTOGRAM over 0.001-nat score bins (bounded cardinality:
+    // avg-logprobs live in a few nats of range ⇒ thousands of bins at
+    // any corpus size — 0.01-nat bins measured too coarse on the
+    // fixture's tight score spread: one bin held 53% of docs and the
+    // boundary bin swallowed the terciles), exactly
+    // the pipeline_length_filter recipe — never a corpus-wide sort or
+    // percentile buffer; edge selection is exact integer arithmetic
+    // (3·cum ≥ n ⇔ cum ≥ ⌈n/3⌉) the oracle recomputes; the keep
+    // decision is the content-stable md5 rule every sampler here uses
+    // (reruns and engines agree doc-by-doc). Bin-granular banding is
+    // deliberate: docs sharing a bin share a band, so the band edge is
+    // deterministic under ties (no row_number over equal scores).
+    "pipeline_ppl_sample" -> { (s, d) =>
+      val scored = unigramScores(s, d)
+        .select(col("doc_id"), col("avg_lp_micro"))
+        .withColumn("bin", expr(
+          "CASE WHEN avg_lp_micro < 0 THEN -((-avg_lp_micro) DIV 1000) " +
+            "ELSE avg_lp_micro DIV 1000 END"))
+      val wAsc = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val edges = scored.groupBy(col("bin")).agg(count(lit(1)).as("nb"))
+        .withColumn("cum", sum(col("nb")).over(wAsc))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+        .agg(min(when(col("cum") * 3 >= col("n"), col("bin"))).as("t1"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("bin"))).as("t2"))
+      val midKeep = (conv(substring(md5(concat(lit("ppl|"),
+        col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long") % 100) < 50
+      scored.crossJoin(broadcast(edges))
+        .withColumn("band",
+          when(col("bin") <= col("t1"), "tail")
+            .when(col("bin") <= col("t2"), "middle")
+            .otherwise("head"))
+        .withColumn("kept",
+          when(col("band") === "head", 1)
+            .when(col("band") === "middle", when(midKeep, 1).otherwise(0))
+            .otherwise(0))
+        .select(col("doc_id"), col("avg_lp_micro"), col("band"), col("kept"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** The unigram-LM scoring frame (doc_id, n_tokens, logprob,
+    * avg_lp_micro), UNSORTED — shared by text_unigram_logprob (which
+    * just presents it) and pipeline_ppl_sample (which buckets on the
+    * exact integer micro-score). */
+  private def unigramScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
       val vocabK = s.conf.getOption("spark.graft.vocab.topK")
         .map(_.toLong).getOrElse(1L << 20)
       val words = Tables.documents(s, d)
@@ -636,9 +692,7 @@ object TextAnalysis extends QueryModule {
           col("slp").cast("double").as("logprob"),
           expr("CASE WHEN micro < 0 THEN -((-micro) DIV n_tokens) " +
             "ELSE micro DIV n_tokens END").as("avg_lp_micro"))
-        .orderBy(col("doc_id"))
-    }
-  )
+  }
 
   /** text_simhash oracle body — shared with sql_native_profile (and,
     * via [[oracles]], with Dedup's simhash CTE reuse). */
@@ -987,6 +1041,69 @@ object TextAnalysis extends QueryModule {
         |       CASE WHEN micro < 0 THEN -((-micro) // n_tokens)
         |            ELSE micro // n_tokens END AS avg_lp_micro
         |FROM agg
+        |ORDER BY doc_id""".stripMargin,
+
+    // same scoring CTEs as text_unigram_logprob, then: 0.001-nat bins
+    // (truncation-consistent // on the signed micro score), histogram
+    // cum counts, exact-integer tercile edges (3·cum ≥ n), bin-granular
+    // banding, md5-stable 50% middle keep
+    "pipeline_ppl_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, w
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |f AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+        |hc AS (
+        |  SELECT cnt, ntypes,
+        |         coalesce(sum(ntypes) OVER (ORDER BY cnt DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+        |  FROM (SELECT cnt, count(*) AS ntypes FROM f GROUP BY cnt)),
+        |cut AS (
+        |  SELECT sum(cnt * ntypes) AS total,
+        |         CASE WHEN sum(ntypes) <= 1048576 THEN 0
+        |              ELSE min(CASE WHEN above <= 1048576 THEN cnt END) END AS c_star
+        |  FROM hc),
+        |sc AS (
+        |  SELECT doc_id,
+        |         CAST(round(ln(
+        |           (CASE WHEN f.cnt > (SELECT c_star FROM cut) THEN f.cnt ELSE 1 END)
+        |             / (SELECT total FROM cut)), 6) AS DECIMAL(12,6)) AS lp
+        |  FROM w JOIN f USING (w)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         CAST(sum(lp) * 1000000 AS BIGINT) AS micro
+        |  FROM sc GROUP BY doc_id),
+        |scored AS (
+        |  SELECT doc_id,
+        |         CASE WHEN micro < 0 THEN -((-micro) // n_tokens)
+        |              ELSE micro // n_tokens END AS avg_lp_micro
+        |  FROM agg),
+        |sb AS (
+        |  SELECT doc_id, avg_lp_micro,
+        |         CASE WHEN avg_lp_micro < 0 THEN -((-avg_lp_micro) // 1000)
+        |              ELSE avg_lp_micro // 1000 END AS bin
+        |  FROM scored),
+        |cumh AS (
+        |  SELECT bin, sum(nb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT bin, count(*) AS nb FROM sb GROUP BY bin)),
+        |nn AS (SELECT count(*) AS n FROM sb),
+        |edges AS (
+        |  SELECT min(CASE WHEN cum * 3 >= nn.n THEN bin END) AS t1,
+        |         min(CASE WHEN cum * 3 >= nn.n * 2 THEN bin END) AS t2
+        |  FROM cumh, nn),
+        |banded AS (
+        |  SELECT doc_id, avg_lp_micro,
+        |         CASE WHEN bin <= (SELECT t1 FROM edges) THEN 'tail'
+        |              WHEN bin <= (SELECT t2 FROM edges) THEN 'middle'
+        |              ELSE 'head' END AS band
+        |  FROM sb)
+        |SELECT doc_id, avg_lp_micro, band,
+        |       CASE WHEN band = 'head' THEN 1
+        |            WHEN band = 'middle' THEN
+        |              CASE WHEN ('0x' || substr(md5('ppl|' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 50
+        |                   THEN 1 ELSE 0 END
+        |            ELSE 0 END AS kept
+        |FROM banded
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -149,4 +149,26 @@ class TextAnalysisSpec extends GraftSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .sameElements(rows))
   }
+
+  test("pipeline_ppl_sample: monotone terciles, head-keep/tail-drop/middle-sample semantics") {
+    val rows = q("pipeline_ppl_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    val n = rows.length
+    assert(n == q("text_unigram_logprob").count())
+    val byBand = rows.groupBy(_._3)
+    assert(byBand.keySet == Set("head", "middle", "tail"))
+    // bands are monotone in the score: every tail score < every middle
+    // score < every head score (bin-granular banding: bands partition
+    // disjoint bin ranges, and the signed truncation bin is monotone)
+    assert(byBand("tail").map(_._2).max < byBand("middle").map(_._2).min)
+    assert(byBand("middle").map(_._2).max < byBand("head").map(_._2).min)
+    // tercile masses within bin-boundary slack (the largest single bin)
+    byBand.values.foreach(b =>
+      assert(b.size > n / 6 && b.size < n / 2, s"band size ${b.size} of $n"))
+    // keep policy: head all, tail none, middle ≈ half (md5-stable)
+    assert(byBand("head").forall(_._4 == 1))
+    assert(byBand("tail").forall(_._4 == 0))
+    val midKeep = byBand("middle").count(_._4 == 1).toDouble / byBand("middle").size
+    assert(midKeep > 0.35 && midKeep < 0.65, s"middle keep rate $midKeep")
+  }
 }
