@@ -139,7 +139,11 @@ object ExplainDump {
     "pipeline_overlap_est" -> ("two bounded KMV k-min aggregations over the STAGED shingle " +
       "table (map-side partial merge, exchanges carry ≤k longs per task), fused by a 1×1 " +
       "cross join; estimator arithmetic runs on two 256-element arrays — nothing " +
-      "shingle-set-sized ever joins")
+      "shingle-set-sized ever joins"),
+    "pipeline_ppl_sample" -> ("unigram scoring passes (narrow, codegen) → per-doc exact " +
+      "integer micro-score → 0.001-nat bin histogram (bounded cardinality, single small " +
+      "window over BINS, never docs) → broadcast tercile edges back onto the scored frame; " +
+      "the keep decision is a pure md5 projection — no corpus sort, no percentile buffer")
   )
 
   def main(args: Array[String]): Unit = {
