@@ -38,6 +38,11 @@ object BenchOne {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(s"rep$i: ${(System.nanoTime() - t0) / 1e9}")
+      // attribute one-time staging builds separately (same ledger
+      // contract as Bench): printed on the rep that built them
+      Staging.drainBuildTimes().foreach { case (n, s) =>
+        println(f"  stage $n: $s%.2f")
+      }
     }
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{DecimalDotProduct, DistinctGramCount, DistinctGrams, Fnv32a,
   FloatDotProduct, GramIntersectCount, HyperplaneBuckets, MinhashBandSigs,
-  SimhashChunks, WinnowMin, WordShingles}
+  SimhashChunks, TokenWindowHashes, WinnowMin, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -52,7 +52,9 @@ object GraftExtensions {
     "float_dot" -> (exprs => FloatDotProduct(exprs(0), exprs(1))),
     "decimal_dot" -> (exprs => DecimalDotProduct(exprs(0), exprs(1))),
     "hyperplane_buckets" ->
-      (exprs => HyperplaneBuckets(exprs.head, intArg(exprs, 1), intArg(exprs, 2)))
+      (exprs => HyperplaneBuckets(exprs.head, intArg(exprs, 1), intArg(exprs, 2))),
+    "token_window_hashes" ->
+      (exprs => TokenWindowHashes(exprs.head, intArg(exprs, 1)))
   )
 
   /** Runtime registration for an existing session (builder-time

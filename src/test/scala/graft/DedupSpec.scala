@@ -202,6 +202,39 @@ class DedupSpec extends GraftSuite {
       s"got ${out.toSet}")
   }
 
+  test("TokenWindowHashes equals the transform/slice HOF bit-for-bit (incl. edge shapes)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // crafted edges: consecutive spaces (empty tokens), leading/trailing
+    // space, multibyte UTF-8, exactly-k tokens, under-k tokens, empty
+    val docs = (Seq(
+      "a b c d e",
+      "a  b   c d e f",       // empty tokens: rejoin must re-emit the runs
+      " a b c d",             // leading space = leading empty token
+      "a b c d ",             // trailing space = trailing empty token
+      "héllo wörld ünïcode déjà vu",
+      "x y z",                // exactly k tokens at k=3
+      "p q",                  // under k
+      ""                      // empty doc
+    ) ++ Tables.documents(spark, sf).select("text").limit(40)
+      .collect().map(_.getString(0))).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (k <- Seq(3, 8)) {
+      val native = docs.select(col("doc_id"),
+        graft.functions.TokenWindowHashes.token_window_hashes(col("text"), k).as("hs"))
+      val hof = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), expr(
+          s"""CASE WHEN size(toks) >= $k
+             |THEN transform(sequence(1, size(toks) - ${k - 1}),
+             |               i -> md5(array_join(slice(toks, i, $k), ' ')))
+             |ELSE array() END""".stripMargin).as("hs"))
+      val n = native.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(n == h, s"k=$k mismatch: ${n.keySet.filter(id => n(id) != h(id))}")
+    }
+  }
+
   test("pipeline_span_dedup: min-doc keeper keeps, removals consistent with the span report") {
     val spans = q("dedup_substring").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

@@ -359,7 +359,8 @@ class ScaleSpec extends GraftSuite {
         |       decimal_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
         |                   CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS dd,
         |       size(hyperplane_buckets(
-        |         CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>), 4, 4)) AS hb""".stripMargin)
+        |         CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>), 4, 4)) AS hb,
+        |       size(token_window_hashes('a b c d', 3)) AS twh""".stripMargin)
       .collect().head
     assert(r.getString(0).matches("[0-9a-f]{32}"))
     assert(r.getInt(1) == 3) // abca, bcab, cabc
@@ -371,6 +372,7 @@ class ScaleSpec extends GraftSuite {
     assert(r.getDouble(7) == 11.0)
     assert(r.getDecimal(8) == new java.math.BigDecimal("11.000000000000"))
     assert(r.getInt(9) == 4)
+    assert(r.getInt(10) == 2) // "a b c", "b c d"
   }
 
   test("ScaleData single-file fixtures split: row groups capped, not one monolith") {
