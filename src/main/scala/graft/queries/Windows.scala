@@ -258,6 +258,24 @@ object Windows extends QueryModule {
       out.orderBy(col("user_id"), col("session_start_us"))
     },
 
+    // Stream-STATIC enrichment through the driver gate: the events
+    // stream broadcast-joined to the static customer dim inside each
+    // micro-batch (stateless — the join shape every reference-data
+    // enrichment uses; the stream-stream gates cover the stateful kind),
+    // then the 6-hour window × segment aggregate. Complete mode ⇒ the
+    // final table equals the batch result, so events_enriched's oracle
+    // applies verbatim.
+    "streaming_enrich" -> { (s, d) =>
+      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
+      val out = graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.enrichedSegmentCounts(
+          graft.streaming.Streaming.eventsStream(ss, d),
+          graft.Tables.customer(ss, d)),
+        "streaming_enrich_" + java.util.UUID.randomUUID().toString.take(8),
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      out.orderBy(col("window_start"), col("c_mktsegment"))
+    },
+
     // Sliding-window streaming twin through the driver gate (same
     // rationale as streaming_tumbling: Complete mode makes the final
     // table equal the batch result, so the batch oracle applies
@@ -631,6 +649,18 @@ object Windows extends QueryModule {
         |FROM events
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // the streamed stream-static enrichment equals the batch join
+    // (Complete mode, stateless join): events_enriched's oracle verbatim
+    "streaming_enrich" ->
+      """SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start,
+        |       c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |GROUP BY window_start, c_mktsegment
+        |ORDER BY window_start, c_mktsegment""".stripMargin,
 
     // inner-join emission is immediate, so the batch interval join is
     // the exact oracle

@@ -159,6 +159,30 @@ object Streaming {
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("n"), col("total_value"))
 
+  /** Stream-STATIC enrichment join + windowed aggregate — the streaming
+    * twin of `events_enriched`, and the one join shape the stream-stream
+    * gates don't cover: the dimension side is a bounded batch table, so
+    * the join is STATELESS (each micro-batch hash-joins against the
+    * static side; nothing is buffered across batches, no watermark is
+    * needed to bound join state) — the standard production shape for
+    * enriching an ingest with reference data. `broadcast` pins the dim
+    * to the map side: at 100 TB the stream's micro-batches are large and
+    * the dimension is small, exactly the asymmetry broadcast exists for
+    * (a shuffled join would re-partition every micro-batch). The
+    * aggregate's state is (6-hour window × segment) — bounded by key
+    * cardinality, not stream length. */
+  def enrichedSegmentCounts(events: DataFrame, cust: DataFrame): DataFrame =
+    events
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+      .join(broadcast(cust.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "6 hours"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        sum(col("k_val")).as("k_sum"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("c_mktsegment"), col("n"), col("total_value"), col("k_sum"))
+
   /** Session windows (10-minute gap) per user — streaming twin of
     * `events_session`. */
   def sessionCounts(events: DataFrame): DataFrame =

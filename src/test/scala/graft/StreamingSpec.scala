@@ -29,6 +29,24 @@ class StreamingSpec extends GraftSuite {
     assert(normalize(got) == normalize(want))
   }
 
+  test("stream-static enrichment equals the batch events_enriched; join is stateless broadcast") {
+    val got = Streaming.runToCompletion(
+      Streaming.enrichedSegmentCounts(
+        Streaming.eventsStream(spark, sf), Tables.customer(spark, sf)),
+      "enrich_out", OutputMode.Complete())
+      .select("window_start", "c_mktsegment", "n", "total_value", "k_sum")
+    val want = q("events_enriched")
+    assert(normalize(got) == normalize(want))
+    assert(want.count() > 0)
+    // the dim side must join BROADCAST inside the micro-batch (stateless
+    // — no stream-stream join state machine for reference-data joins)
+    val plan = Streaming.enrichedSegmentCounts(
+      Tables.events(spark, sf), Tables.customer(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("StreamingSymmetricHashJoin"))
+  }
+
   test("stream-stream interval join equals the batch join") {
     val got = Streaming.runToCompletion(
       Streaming.purchaseClickJoin(Streaming.eventsStream(spark, sf)),
