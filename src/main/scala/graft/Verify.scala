@@ -25,15 +25,6 @@ object Verify {
     // (e.g. a non-default dedup tau for the 100x slice checks)
     Tuning.applyEnvConf(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // Oracle-pinned knobs (round-9 advice): some operator knobs are
     // recomputed by their DuckDB oracle from the DATA (derived rules),
     // but an explicit runtime override changes the ENGINE result while
@@ -63,6 +54,8 @@ object Verify {
     val overriddenKeys = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       .map(_.split("=", 2)(0).trim).filter(_.startsWith("spark.graft."))
+    // validated BEFORE the (multi-minute at big fixtures) query loop, so
+    // an unknown knob fails in milliseconds instead of after the dump
     val downgraded: Set[String] = overriddenKeys.flatMap { k =>
       oraclePinnedKnobs.get(k) match {
         case Some(qs) =>
@@ -78,6 +71,15 @@ object Verify {
             "oracle-affected queries, or Seq() if oracle-transparent)")
       }
     }.toSet
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

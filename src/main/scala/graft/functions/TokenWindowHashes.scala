@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -50,12 +49,6 @@ case class TokenWindowHashes(child: Expression, k: Int) extends UnaryExpression 
 
 object TokenWindowHashes {
 
-  private val digest = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
-  private val HexChars = "0123456789abcdef".toCharArray
-
   /** Static entry point shared by interpreted eval and generated code. */
   def hashes(s: UTF8String, k: Int): ArrayData = {
     val bytes = s.getBytes
@@ -76,7 +69,7 @@ object TokenWindowHashes {
     }
     val nWin = nTok - k + 1
     val out = new Array[Any](nWin)
-    val md = digest.get()
+    val md = Md5Hex.md
     val dig = new Array[Byte](16)
     var w = 0
     while (w < nWin) {
@@ -87,14 +80,7 @@ object TokenWindowHashes {
       md.reset()
       md.update(bytes, from, until - from)
       md.digest(dig, 0, 16)
-      val hex = new Array[Char](32)
-      var j = 0
-      while (j < 16) {
-        hex(j * 2) = HexChars((dig(j) >> 4) & 0xf)
-        hex(j * 2 + 1) = HexChars(dig(j) & 0xf)
-        j += 1
-      }
-      out(w) = UTF8String.fromString(new String(hex))
+      out(w) = UTF8String.fromString(Md5Hex.hex32(dig))
       w += 1
     }
     new GenericArrayData(out)

@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -46,12 +45,6 @@ case class WinnowMin(child: Expression, width: Int) extends UnaryExpression {
 
 object WinnowMin {
 
-  private val digest = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
-  private val HexChars = "0123456789abcdef".toCharArray
-
   /** True iff digest `a` sorts before `b` under unsigned byte order —
     * equivalent to comparing the lowercase-hex encodings. */
   private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
@@ -83,7 +76,7 @@ object WinnowMin {
     }
     offsets(n) = bytes.length
     val positions = math.max(n - width + 1, 1)
-    val md = digest.get()
+    val md = Md5Hex.md
     var best = new Array[Byte](16)
     var cur = new Array[Byte](16)
     var haveBest = false
@@ -100,14 +93,7 @@ object WinnowMin {
       }
       i += 1
     }
-    val hex = new Array[Char](32)
-    var j = 0
-    while (j < 16) {
-      hex(j * 2) = HexChars((best(j) >> 4) & 0xf)
-      hex(j * 2 + 1) = HexChars(best(j) & 0xf)
-      j += 1
-    }
-    UTF8String.fromString(new String(hex))
+    UTF8String.fromString(Md5Hex.hex32(best))
   }
 
   /** Column-API entry point (see [[org.apache.spark.sql.GraftColumnBridge]]). */

@@ -278,31 +278,41 @@ object Dedup extends QueryModule {
       val k = 256
       val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
         .cast("long") % 10
+      // GLOBAL typed aggregate (not groupByKey(_ => true)): a global
+      // aggregate emits its zero row on EMPTY input, so an empty split
+      // (nothing hashed into the bucket — possible on small/custom
+      // fixtures) yields an empty k-min set and the query still returns
+      // its one estimate row, matching the oracle's aggregate CTE
       def kmin(pred: org.apache.spark.sql.Column) =
         shingles(s, d).filter(pred)
           .select(conv(substring(md5(col("s")), 1, 15), 16, 10)
             .cast("long").as("h"))
           .as[Long]
-          .groupByKey(_ => true)
-          .agg(graft.operators.TopK.kMinDistinct(k).toColumn.name("s"))
-          .select(col("s"))
+          .select(graft.operators.TopK.kMinDistinct(k).toColumn.name("s"))
       val a = kmin(bucket < 8).select(col("s").as("sa"))
       val b = kmin(bucket === 9).select(col("s").as("sb"))
       a.crossJoin(b) // 1×1
         .withColumn("u", slice(array_sort(array_distinct(
           concat(col("sa"), col("sb")))), 1, k))
         .withColumn("n_u", size(col("u")))
-        .withColumn("x_k", element_at(col("u"), size(col("u"))))
+        // array_max == last element of the ascending k-min set, and is
+        // NULL (not an ANSI index error) on the empty-split edge
+        .withColumn("x_k", array_max(col("u")))
         .withColumn("union_est",
           when(col("n_u") < k, col("n_u").cast("double"))
             .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
               col("x_k").cast("double")))
         .withColumn("n_both", size(expr(
           "filter(u, h -> array_contains(sa, h) AND array_contains(sb, h))")))
+        // n_u = 0 (both splits empty) pins the ratios to 0 explicitly —
+        // never an engine-specific 0/0
         .withColumn("jaccard_est",
-          round(col("n_both").cast("double") / col("n_u"), 6))
+          when(col("n_u") === 0, lit(0.0))
+            .otherwise(round(col("n_both").cast("double") / col("n_u"), 6)))
         .withColumn("inter_est",
-          round(col("n_both").cast("double") / col("n_u") * col("union_est"), 2))
+          when(col("n_u") === 0, lit(0.0))
+            .otherwise(round(
+              col("n_both").cast("double") / col("n_u") * col("union_est"), 2)))
         .select(lit(k).as("k"), col("n_u"), col("n_both"),
           round(col("union_est"), 2).as("union_est"),
           col("jaccard_est"), col("inter_est"))
@@ -664,8 +674,10 @@ object Dedup extends QueryModule {
          |SELECT CAST(256 AS INT) AS k, CAST(n_u AS INT) AS n_u,
          |       CAST(n_both AS INT) AS n_both,
          |       round(ue, 2) AS union_est,
-         |       round(CAST(n_both AS DOUBLE) / n_u, 6) AS jaccard_est,
-         |       round(CAST(n_both AS DOUBLE) / n_u * ue, 2) AS inter_est
+         |       CASE WHEN n_u = 0 THEN 0.0
+         |            ELSE round(CAST(n_both AS DOUBLE) / n_u, 6) END AS jaccard_est,
+         |       CASE WHEN n_u = 0 THEN 0.0
+         |            ELSE round(CAST(n_both AS DOUBLE) / n_u * ue, 2) END AS inter_est
          |FROM est""".stripMargin,
 
     // same postings CTE as dedup_substring; min-doc keeper per hash,

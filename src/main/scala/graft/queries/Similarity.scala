@@ -251,11 +251,11 @@ object Similarity extends QueryModule {
     * concurrent JVMs on different fixtures clobber each other's export,
     * and a revisit of fixture A after running B within one JVM served
     * A's memoized export while the file held B's quantizer). Keying by
-    * fixture makes interleaved fixtures write DISJOINT files; the
-    * export is rewritten on EVERY ann_ivf plan build (the memo is gone
-    * — the centroid table is ~10 rows, the rewrite is trivial), so the
-    * file always holds the centroids of the latest build for ITS
-    * fixture. Two concurrent JVMs on the SAME fixture write identical
+    * fixture makes interleaved fixtures write DISJOINT files, so each
+    * file always holds the centroids of ITS fixture — revisiting
+    * fixture A after running B reads A's own export, never B's (the
+    * one-write-per-(dir, iters) memo below stays, re-justified by the
+    * next paragraph). Two concurrent JVMs on the SAME fixture write identical
     * bytes (training is deterministic), and the write goes through
     * [[graft.ScaleData.writeSingleFile]]'s write-then-rename, so a
     * concurrent reader never sees a half-written file.
@@ -266,11 +266,13 @@ object Similarity extends QueryModule {
     * write per (dir, iters) per JVM is sound again (the round-9 hazard
     * was the fixed name serving one fixture's bytes for another's). */
   private[graft] def ivfOracleCentroidsPath(dir: String, iters: Int): String = {
+    // pure path computation — the parent dir is created at the one
+    // write site below, so callers that merely BUILD oracle SQL strings
+    // (dumps, tests) never touch the filesystem
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir", "/tmp"),
       "graft-oracle-" + System.getProperty("user.name", "u")
         .replaceAll("[^A-Za-z0-9._-]", "-"))
-    java.nio.file.Files.createDirectories(base)
     val dig = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|i$iters".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     base.resolve(s"ivf-centroids-$dig.parquet").toString
@@ -291,7 +293,9 @@ object Similarity extends QueryModule {
     val staged = ivfCentroidsStaged(s, d, iters)
     lastIvf = (d, iters)
     ivfExported.computeIfAbsent((d, iters), _ => {
-      graft.ScaleData.writeSingleFile(staged, ivfOracleCentroidsPath(d, iters))
+      val p = ivfOracleCentroidsPath(d, iters)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
+      graft.ScaleData.writeSingleFile(staged, p)
       true
     })
     staged

@@ -102,8 +102,18 @@ object Streaming {
     * function of the key — fixture dirs are immutable for the life of
     * the JVM (the [[graft.Staging]] contract) and the dir name embeds
     * this JVM's pid — so the memo is sound; only the first gate pays. */
+  /** Per-key lazy cell: `computeIfAbsent` only allocates the cell (fast,
+    * inside the CHM bin lock), and the multi-second Spark staging job
+    * runs under the CELL's own lazy-val latch — two gates staging
+    * DIFFERENT sources whose keys share a CHM bin never serialize on
+    * each other's Spark jobs (CHM's contract wants short mapping
+    * functions; [[graft.Staging]] uses the same discipline). */
+  private final class SourceCell(thunk: () => java.nio.file.Path) {
+    lazy val path: java.nio.file.Path = thunk()
+  }
+
   private val stagedSources =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), java.nio.file.Path]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), SourceCell]()
 
   def eventsStream(spark: SparkSession, dir: String, copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -111,19 +121,20 @@ object Streaming {
     // FileStreamSource requires a directory source (it pins basePath to
     // the source path itself); the fixture dir mixes all tables, so stage
     // the events file alone into a per-fixture stream dir.
-    val streamDir = stagedSources.computeIfAbsent(("copies", dir, copies), _ => {
-      val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft-stream-${copies}x-" + stagingKey(dir))
-      java.nio.file.Files.createDirectories(p)
-      (0 until copies).foreach { i =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(dir, "events.parquet"),
-          p.resolve(s"events_$i.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-      p
-    })
+    val streamDir = stagedSources.computeIfAbsent(("copies", dir, copies),
+      _ => new SourceCell(() => {
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-stream-${copies}x-" + stagingKey(dir))
+        java.nio.file.Files.createDirectories(p)
+        (0 until copies).foreach { i =>
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(dir, "events.parquet"),
+            p.resolve(s"events_$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        p
+      })).path
     val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -450,20 +461,21 @@ object Streaming {
     import java.nio.file.{Files, Paths}
     import spark.implicits._
     val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
-    val streamDir = stagedSources.computeIfAbsent(("flush", dir, 1), _ => {
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
-      // past watermark delay (1 h) + session gap (10 min), with 1 h slack
-      val sentinelUs = maxUs + (3600L + 600L + 3600L) * 1000000L
-      val p = Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft-stream-flush-" + stagingKey(dir))
-      Files.createDirectories(p)
-      val now = System.currentTimeMillis()
-      stageSingleFile(p, ev, "events_00.parquet", now)
-      stageSingleFile(p,
-        Seq((-1L, new java.sql.Timestamp(sentinelUs / 1000L)))
-          .toDF("user_id", "ts"), "sentinel_01.parquet", now + 60000L)
-      p
-    })
+    val streamDir = stagedSources.computeIfAbsent(("flush", dir, 1),
+      _ => new SourceCell(() => {
+        val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+        // past watermark delay (1 h) + session gap (10 min), with 1 h slack
+        val sentinelUs = maxUs + (3600L + 600L + 3600L) * 1000000L
+        val p = Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft-stream-flush-" + stagingKey(dir))
+        Files.createDirectories(p)
+        val now = System.currentTimeMillis()
+        stageSingleFile(p, ev, "events_00.parquet", now)
+        stageSingleFile(p,
+          Seq((-1L, new java.sql.Timestamp(sentinelUs / 1000L)))
+            .toDF("user_id", "ts"), "sentinel_01.parquet", now + 60000L)
+        p
+      })).path
     spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
@@ -507,22 +519,23 @@ object Streaming {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-    val streamDir = stagedSources.computeIfAbsent(("joinflush", dir, 1), _ => {
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
-      // past watermark delay (1 h) + join interval (30 min), with 1 h slack
-      val sentinelUs = maxUs + (3600L + 1800L + 3600L) * 1000000L
-      val p = Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft-stream-joinflush-" + stagingKey(dir))
-      Files.createDirectories(p)
-      val now = System.currentTimeMillis()
-      stageSingleFile(p, ev, "events_00.parquet", now)
-      stageSingleFile(p,
-        Seq((-1L, -1L, "purchase", new java.sql.Timestamp(sentinelUs / 1000L)),
-            (-2L, -1L, "click", new java.sql.Timestamp(sentinelUs / 1000L)))
-          .toDF("event_id", "user_id", "event_type", "ts"),
-        "sentinel_01.parquet", now + 60000L)
-      p
-    })
+    val streamDir = stagedSources.computeIfAbsent(("joinflush", dir, 1),
+      _ => new SourceCell(() => {
+        val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+        // past watermark delay (1 h) + join interval (30 min), with 1 h slack
+        val sentinelUs = maxUs + (3600L + 1800L + 3600L) * 1000000L
+        val p = Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft-stream-joinflush-" + stagingKey(dir))
+        Files.createDirectories(p)
+        val now = System.currentTimeMillis()
+        stageSingleFile(p, ev, "events_00.parquet", now)
+        stageSingleFile(p,
+          Seq((-1L, -1L, "purchase", new java.sql.Timestamp(sentinelUs / 1000L)),
+              (-2L, -1L, "click", new java.sql.Timestamp(sentinelUs / 1000L)))
+            .toDF("event_id", "user_id", "event_type", "ts"),
+          "sentinel_01.parquet", now + 60000L)
+        p
+      })).path
     spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)

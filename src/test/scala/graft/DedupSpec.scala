@@ -261,4 +261,37 @@ class DedupSpec extends GraftSuite {
     assert(!rem.exists(_._1 == minSpanDoc),
       s"global min doc $minSpanDoc should keep all its spans")
   }
+
+  test("pipeline_overlap_est: empty split(s) still yield the one estimate row") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    // same bucket rule as the query: first 6 md5 hex chars of the doc_id
+    // string, parsed base-16, mod 10
+    def bucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    // (a) test split (bucket 9) empty, train nonempty; (b) BOTH empty
+    val onlyTrain = (0L to 500L).filter(bucket(_) < 8).take(20)
+    val neither = (0L to 5000L).filter(bucket(_) == 8).take(20)
+    assert(onlyTrain.nonEmpty && neither.nonEmpty)
+    for ((ids, name) <- Seq((onlyTrain, "test-empty"), (neither, "both-empty"))) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ovl-$name").toString
+      ids.map(i => (i, s"alpha beta gamma delta epsilon zeta tok$i eta theta"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("pipeline_overlap_est")(spark, dir).collect()
+      assert(out.length == 1,
+        s"$name: expected the one estimate row (like the oracle's " +
+          s"aggregate CTE), got ${out.length}")
+      val r = out.head
+      assert(r.getAs[Int]("n_both") == 0, s"$name: n_both")
+      assert(r.getAs[Double]("jaccard_est") == 0.0, s"$name: jaccard")
+      assert(r.getAs[Double]("inter_est") == 0.0, s"$name: inter")
+      if (name == "both-empty")
+        assert(r.getAs[Int]("n_u") == 0, s"$name: n_u")
+    }
+  }
 }
