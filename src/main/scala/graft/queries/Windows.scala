@@ -258,6 +258,23 @@ object Windows extends QueryModule {
       out.orderBy(col("user_id"), col("session_start_us"))
     },
 
+    // APPEND-mode tumbling aggregate through the driver gate — the
+    // watermark-held emission path (each window emitted exactly once
+    // when the watermark closes it: the "stream → table" production
+    // shape) that the Complete-mode gates don't exercise. The flush
+    // sentinel advances the watermark past every real window's end, so
+    // the emitted set equals the batch result and streaming_tumbling's
+    // oracle applies verbatim.
+    "streaming_tumbling_append" -> { (s, d) =>
+      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
+      val out = graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.tumblingCountsAppend(
+          graft.streaming.Streaming.eventsWithFlushSentinel(ss, d)),
+        "streaming_tumbling_append_" + java.util.UUID.randomUUID().toString.take(8),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      out.orderBy(col("window_start"), col("event_type"))
+    },
+
     // Stream-STATIC enrichment through the driver gate: the events
     // stream broadcast-joined to the static customer dim inside each
     // micro-batch (stateless — the join shape every reference-data
@@ -643,6 +660,16 @@ object Windows extends QueryModule {
     // the streamed tumbling result equals the batch one (Complete mode):
     // identical oracle
     "streaming_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // the sentinel closes every real window, so the append-mode emitted
+    // set equals the batch aggregate: streaming_tumbling's oracle
+    "streaming_tumbling_append" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |       event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

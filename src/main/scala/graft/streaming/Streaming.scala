@@ -157,6 +157,31 @@ object Streaming {
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** APPEND-mode tumbling aggregate over the sentinel-flushed source —
+    * the emission path the Complete-mode gates don't exercise: Append
+    * holds every window back until the WATERMARK passes its end, then
+    * emits it exactly once (the production "stream → table, each window
+    * written when closed" shape; Complete re-emits full state every
+    * batch, which no 100 TB sink can absorb). The flush sentinel's
+    * far-future timestamp advances the watermark past every real
+    * window's end, so all of them emit and the batch oracle applies.
+    * The sentinel rows need NO filter (and must not get one upstream:
+    * a `user_id >= 0` predicate gets pushed below the watermark
+    * operator, dropping the sentinels before they can advance event
+    * time — measured as the last hour's windows never emitting): their
+    * own far-future window can never close (the watermark sits delay
+    * behind the sentinel, and nothing later arrives), so Append mode
+    * never emits it — it parks in state for the life of the finite
+    * gate, exactly like the sessionize sentinel's open session. */
+  def tumblingCountsAppend(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Sliding 1-hour windows every 30 minutes — streaming twin of
     * `events_sliding`: each event lands in two windows; the window
     * assignment is the same Expand projection as in batch, and state is
@@ -518,7 +543,8 @@ object Streaming {
     import java.nio.file.{Files, Paths}
     import spark.implicits._
     val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("value"))
     val streamDir = stagedSources.computeIfAbsent(("joinflush", dir, 1),
       _ => new SourceCell(() => {
         val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
@@ -530,9 +556,9 @@ object Streaming {
         val now = System.currentTimeMillis()
         stageSingleFile(p, ev, "events_00.parquet", now)
         stageSingleFile(p,
-          Seq((-1L, -1L, "purchase", new java.sql.Timestamp(sentinelUs / 1000L)),
-              (-2L, -1L, "click", new java.sql.Timestamp(sentinelUs / 1000L)))
-            .toDF("event_id", "user_id", "event_type", "ts"),
+          Seq((-1L, -1L, "purchase", new java.sql.Timestamp(sentinelUs / 1000L), 0.0),
+              (-2L, -1L, "click", new java.sql.Timestamp(sentinelUs / 1000L), 0.0))
+            .toDF("event_id", "user_id", "event_type", "ts", "value"),
           "sentinel_01.parquet", now + 60000L)
         p
       })).path

@@ -29,6 +29,19 @@ class StreamingSpec extends GraftSuite {
     assert(normalize(got) == normalize(want))
   }
 
+  test("APPEND-mode tumbling windows: sentinel closes every real window, equals batch") {
+    val got = Streaming.runToCompletion(
+      Streaming.tumblingCountsAppend(
+        Streaming.eventsWithFlushSentinel(spark, sf)),
+      "tumbling_append_out", OutputMode.Append())
+      .select("window_start", "event_type", "n", "total_value")
+    // the sentinels' own far-future window must never emit (it can't
+    // close), so the appended set equals the batch aggregate exactly
+    val want = q("events_tumbling")
+    assert(normalize(got) == normalize(want))
+    assert(want.count() > 0)
+  }
+
   test("stream-static enrichment equals the batch events_enriched; join is stateless broadcast") {
     val got = Streaming.runToCompletion(
       Streaming.enrichedSegmentCounts(
