@@ -258,6 +258,18 @@ object Windows extends QueryModule {
       out.orderBy(col("user_id"), col("session_start_us"))
     },
 
+    // CDC-style streaming UPSERT through the driver gate: the chunked
+    // time-ordered replay MERGEd batch-by-batch into a materialized
+    // latest-event-per-user table (foreachBatch + operators/Merge,
+    // versioned parquet + pointer swap). The final table is per-user
+    // argmax over (ts, event_id) — exact batch SQL, whatever the
+    // batch boundaries were.
+    "streaming_upsert" -> { (s, d) =>
+      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
+      graft.streaming.Streaming.upsertLatestPerUser(ss, d)
+        .orderBy(col("user_id"))
+    },
+
     // APPEND-mode tumbling aggregate through the driver gate — the
     // watermark-held emission path (each window emitted exactly once
     // when the watermark closes it: the "stream → table" production
@@ -666,6 +678,17 @@ object Windows extends QueryModule {
         |FROM events
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // the upserted table is per-user latest — argmax by (ts, event_id),
+    // independent of the micro-batch boundaries
+    "streaming_upsert" ->
+      """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |       event_id, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     // the sentinel closes every real window, so the append-mode emitted
     // set equals the batch aggregate: streaming_tumbling's oracle

@@ -567,6 +567,124 @@ object Streaming {
       .parquet(streamDir.toString)
   }
 
+  /** Events replayed as `chunks` TIME-ORDERED micro-batches: the fixture
+    * split into single-file parquets by equal-width ts range (computed
+    * from min/max — two scalar aggregates, no global sort or window),
+    * mtimes increasing so FileStreamSource delivers them in time order
+    * at maxFilesPerTrigger=1 — the arrival pattern of a real ingest
+    * backfill. Range-disjoint chunks preserve per-user event order
+    * across batches (ties share a chunk: the rule is a half-open
+    * interval on ts). */
+  def eventsStreamChunked(spark: SparkSession, dir: String, chunks: Int): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("value"))
+    val streamDir = stagedSources.computeIfAbsent(("chunks", dir, chunks),
+      _ => new SourceCell(() => {
+        val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val span = math.max(hi - lo + 1, 1L)
+        val p = Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft-stream-chunks$chunks-" + stagingKey(dir))
+        Files.createDirectories(p)
+        val now = System.currentTimeMillis()
+        val tagged = ev.withColumn("_c",
+          least(lit(chunks - 1),
+            ((unix_micros(col("ts")) - lo) * chunks / span).cast("int")))
+        (0 until chunks).foreach { i =>
+          stageSingleFile(p, tagged.filter(col("_c") === i).drop("_c"),
+            f"events_$i%02d.parquet", now + i * 60000L)
+        }
+        p
+      })).path
+    spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+  }
+
+  /** CDC-style streaming UPSERT sink: maintain a materialized
+    * latest-event-per-user table across micro-batches via foreachBatch
+    * + the batch [[graft.operators.Merge]] operator — the "MERGE INTO
+    * from a stream" pattern every ingest that serves current state
+    * runs, here with plain versioned parquet + a pointer swap instead
+    * of a lakehouse table format (same recipe, no extra dependency).
+    * Per batch: reduce the batch to one candidate row per user (max of
+    * the (ts_us, event_id) struct — unique, so deterministic), keep
+    * only candidates that BEAT the current table's row (conditional
+    * upsert: correct under ANY arrival order, not just the time-ordered
+    * replay the chunked source provides — real CDC feeds deliver late
+    * data), MERGE, write version v<batchId>, swap the pointer. State
+    * lives in the TABLE, not in streaming state stores — this is the
+    * unbounded-key regime (every user ever seen) where watermarked
+    * store state would grow forever; the table is the state, and each
+    * batch touches it through one key-partitioned merge join. */
+  def upsertLatestPerUser(spark: SparkSession, dir: String,
+      chunks: Int = 4): DataFrame = {
+    val src = eventsStreamChunked(spark, dir, chunks)
+    val gate = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-gate-upsert-" + java.util.UUID.randomUUID().toString.take(8))
+    deleteTree(gate)
+    java.nio.file.Files.createDirectories(gate)
+    registerGateCleanup(gate)
+    @volatile var current: Option[String] = None
+    val q = src.writeStream
+      .option("checkpointLocation", gate.resolve("chk").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        if (!batch.isEmpty) {
+          val merged = upsertStep(
+            current.map(batch.sparkSession.read.parquet(_)), batch)
+          val out = gate.resolve(s"v$id").toString
+          merged.write.mode("overwrite").parquet(out)
+          current = Some(out)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(current.getOrElse(
+      sys.error("upsert gate saw no data batches")))
+  }
+
+  /** One upsert step of [[upsertLatestPerUser]], split out so the spec
+    * can pin the OUT-OF-ORDER case directly: reduce a raw micro-batch
+    * to one candidate per user (max (ts_us, event_id) struct — unique,
+    * deterministic), keep only candidates that beat the current table's
+    * row, MERGE. `base = None` bootstraps the table from the first
+    * batch. A candidate TIED with the base row (same ts_us + event_id —
+    * an exact redelivery) is correctly NOT an update. */
+  private[graft] def upsertStep(
+      base: Option[DataFrame], batch: DataFrame): DataFrame = {
+    val delta = batch
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type"), col("value")).as("m"))
+      .groupBy("user_id").agg(max(col("m")).as("m"))
+      .select(col("user_id"), col("m.ts_us").as("ts_us"),
+        col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"), col("m.value").as("value"))
+    base match {
+      case None => delta
+      case Some(b) =>
+        val newer = delta.as("d")
+          .join(b.select(col("user_id"),
+            struct(col("ts_us"), col("event_id")).as("bk")).as("b"),
+            Seq("user_id"), "left")
+          .filter(col("bk").isNull ||
+            struct(col("d.ts_us").as("ts_us"),
+              col("d.event_id").as("event_id")) > col("bk"))
+          .select(col("user_id"), col("d.ts_us").as("ts_us"),
+            col("d.event_id").as("event_id"),
+            col("d.event_type").as("event_type"),
+            col("d.value").as("value"))
+        graft.operators.Merge
+          .merge(b, newer.withColumn("op", lit("U")), "user_id")
+          .drop("action")
+    }
+  }
+
   /** Recursive delete, children before parents; no-op if absent. */
   private def deleteTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {

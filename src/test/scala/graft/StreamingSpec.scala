@@ -29,6 +29,43 @@ class StreamingSpec extends GraftSuite {
     assert(normalize(got) == normalize(want))
   }
 
+  test("streaming upsert: chunked replay MERGEs to the per-user latest table") {
+    val got = Streaming.upsertLatestPerUser(spark, sf, chunks = 4)
+    import org.apache.spark.sql.expressions.Window
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    assert(normalize(got) == normalize(want))
+    assert(want.count() > 0)
+  }
+
+  test("upsertStep: out-of-order and redelivered rows never overwrite newer state") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val base = Streaming.upsertStep(None,
+      Seq((10L, 1L, "purchase", ts(5000000L), 1.0),
+          (11L, 2L, "click", ts(9000000L), 2.0))
+        .toDF("event_id", "user_id", "event_type", "ts", "value"))
+    // late batch: user 1 OLDER event (must not win), user 1 exact
+    // redelivery of the base row (tie — not an update), user 2 newer
+    // (must win), user 3 unseen (insert)
+    val late = Seq(
+      (9L, 1L, "view", ts(1000000L), 9.0),
+      (10L, 1L, "purchase", ts(5000000L), 1.0),
+      (12L, 2L, "purchase", ts(9500000L), 3.0),
+      (13L, 3L, "click", ts(2000000L), 4.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Streaming.upsertStep(Some(base), late)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toMap
+    assert(out(1L) == (10L, 1.0), s"user 1 must keep the base row: $out")
+    assert(out(2L) == (12L, 3.0), s"user 2 must take the newer row: $out")
+    assert(out(3L) == (13L, 4.0), s"user 3 must insert: $out")
+  }
+
   test("APPEND-mode tumbling windows: sentinel closes every real window, equals batch") {
     val got = Streaming.runToCompletion(
       Streaming.tumblingCountsAppend(
