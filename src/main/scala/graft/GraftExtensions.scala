@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{DecimalDotProduct, DistinctGramCount, DistinctGrams, Fnv32a,
   FloatDotProduct, GramIntersectCount, HyperplaneBuckets, MinhashBandSigs,
-  SimhashChunks, TokenWindowHashes, WinnowMin, WordShingles}
+  NfcNormalize, SimhashChunks, TokenWindowHashes, WinnowMin, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -54,7 +54,8 @@ object GraftExtensions {
     "hyperplane_buckets" ->
       (exprs => HyperplaneBuckets(exprs.head, intArg(exprs, 1), intArg(exprs, 2))),
     "token_window_hashes" ->
-      (exprs => TokenWindowHashes(exprs.head, intArg(exprs, 1)))
+      (exprs => TokenWindowHashes(exprs.head, intArg(exprs, 1))),
+    "nfc_normalize" -> (exprs => NfcNormalize(exprs.head))
   )
 
   /** Runtime registration for an existing session (builder-time

@@ -106,6 +106,39 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, Q] = Map(
 
+    // Unicode canonicalization — the pass that runs BEFORE content-hash
+    // dedup in every web-corpus pipeline: the same text arrives composed
+    // (U+00E9) from one crawler and decomposed (U+0065 U+0301) from
+    // another, and without NFC their md5s differ so exact dedup silently
+    // misses the pair. Chain (all codegen, one narrow projection): NFC
+    // ([[graft.functions.NfcNormalize]] — Spark ships no normalization
+    // builtin; DuckDB's nfc_normalize implements the same Unicode
+    // canonical composition, which is what makes the oracle exact) →
+    // collapse every control/space run to one space ([\x00-\x20]+, a
+    // single Java∩RE2 regex — strip-then-collapse as separate passes
+    // would glue words across removed newlines) → trim → lowercase.
+    // The fixture text is ASCII word soup, so a DETERMINISTIC messy
+    // suffix (tab, decomposed accents, uppercase, double spaces,
+    // doc_id-varying tail) is appended identically in both engines —
+    // the PII-scrub recipe: what's under test is the normalization
+    // machinery, and md5(norm) proves byte-identical canonicalization.
+    "text_normalize" -> { (s, d) =>
+      val raw = concat(col("text"),
+        // DECOMPOSED accents (base letter + combining mark, escape
+        // sequences so the source is unambiguous) -- NFC has real
+        // composition work, not the precomposed code points
+        lit("\t Resume\u0301   NAI\u0308VE user"),
+        col("doc_id").cast("string"), lit("  "))
+      val norm = lower(trim(regexp_replace(
+        graft.functions.NfcNormalize.nfc_normalize(raw),
+        "[\\x00-\\x20]+", " ")))
+      Tables.documents(s, d).select(
+        col("doc_id"), md5(norm).as("norm_hash"),
+        length(raw).cast("int").as("n_raw"),
+        length(norm).cast("int").as("n_norm"))
+        .orderBy(col("doc_id"))
+    },
+
     // Token counting: whitespace tokens, distinct tokens, and a BPE-ish
     // regex segmentation (letter runs / digit runs / single other-chars).
     "text_tokens" -> { (s, d) =>
@@ -723,6 +756,24 @@ object TextAnalysis extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+
+    // chr(769)/chr(776) = the combining acute/diaeresis of the Spark
+    // literal; nfc_normalize is DuckDB's Unicode canonical composition
+    "text_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         text || chr(9) || ' Resume' || chr(769) || '   NAI' ||
+        |         chr(776) || 'VE user' || CAST(doc_id AS VARCHAR) || '  ' AS raw
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, raw,
+        |         lower(trim(regexp_replace(nfc_normalize(raw),
+        |                                   '[\x00-\x20]+', ' ', 'g'))) AS norm
+        |  FROM r)
+        |SELECT doc_id, md5(norm) AS norm_hash,
+        |       CAST(length(raw) AS INT) AS n_raw,
+        |       CAST(length(norm) AS INT) AS n_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

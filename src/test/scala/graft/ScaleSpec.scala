@@ -360,7 +360,8 @@ class ScaleSpec extends GraftSuite {
         |                   CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS dd,
         |       size(hyperplane_buckets(
         |         CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>), 4, 4)) AS hb,
-        |       size(token_window_hashes('a b c d', 3)) AS twh""".stripMargin)
+        |       size(token_window_hashes('a b c d', 3)) AS twh,
+        |       nfc_normalize('café') AS nfc""".stripMargin)
       .collect().head
     assert(r.getString(0).matches("[0-9a-f]{32}"))
     assert(r.getInt(1) == 3) // abca, bcab, cabc
@@ -373,6 +374,7 @@ class ScaleSpec extends GraftSuite {
     assert(r.getDecimal(8) == new java.math.BigDecimal("11.000000000000"))
     assert(r.getInt(9) == 4)
     assert(r.getInt(10) == 2) // "a b c", "b c d"
+    assert(r.getString(11) == "café") // composed
   }
 
   test("ScaleData single-file fixtures split: row groups capped, not one monolith") {

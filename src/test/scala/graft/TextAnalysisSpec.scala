@@ -171,4 +171,39 @@ class TextAnalysisSpec extends GraftSuite {
     val midKeep = byBand("middle").count(_._4 == 1).toDouble / byBand("middle").size
     assert(midKeep > 0.35 && midKeep < 0.65, s"middle keep rate $midKeep")
   }
+
+  test("NfcNormalize: composed == decomposed, idempotent, ASCII fast path") {
+    import spark.implicits._
+    import graft.functions.NfcNormalize.nfc_normalize
+    // decomposed (e + U+0301, I + U+0308) vs precomposed forms
+    val rows = Seq(
+      ("resume\u0301 nai\u0308ve", "resum\u00e9 na\u00efve"),
+      ("plain ascii text 123", "plain ascii text 123"),
+      ("", "")
+    ).toDF("a", "b")
+      .select(nfc_normalize(col("a")).as("na"), nfc_normalize(col("b")).as("nb"),
+        (nfc_normalize(nfc_normalize(col("a"))) === nfc_normalize(col("a")))
+          .as("idem"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"NFC(${r.getString(0)}) != NFC(${r.getString(1)})")
+      assert(r.getBoolean(2), "not idempotent")
+    }
+  }
+
+  test("text_normalize makes exact dedup catch composed/decomposed twins") {
+    import spark.implicits._
+    import graft.functions.NfcNormalize.nfc_normalize
+    // the motivating failure: same text, two crawler encodings
+    val docs = Seq(
+      (1L, "un cafe\u0301 pour moi"),
+      (2L, "un caf\u00e9 pour moi")
+    ).toDF("doc_id", "text")
+    val rawHashes = docs.select(md5(col("text"))).distinct().count()
+    val normHashes = docs.select(md5(lower(trim(regexp_replace(
+      nfc_normalize(col("text")), "[\\x00-\\x20]+", " "))))).distinct().count()
+    assert(rawHashes == 2, "without NFC the twins hash apart")
+    assert(normHashes == 1, "with NFC the twins collapse to one content hash")
+  }
 }
