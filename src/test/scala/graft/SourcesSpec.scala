@@ -26,6 +26,21 @@ class SourcesSpec extends GraftSuite {
   test("json round-trip preserves data") { roundtrip("json") }
   test("orc round-trip preserves data")  { roundtrip("orc") }
 
+  test("gzip jsonl round-trip: data intact, but gz files are non-splittable (1 task/file)") {
+    // the web-scrape delivery format (docs.jsonl.gz). Correctness is the
+    // round-trip; the SCALE note is the partition shape: a gzip stream
+    // has no sync points, so one .gz file = one task no matter its size
+    // — a 100 TB ingest wants many medium .gz files (or zstd/parquet),
+    // never a few huge ones, and the partition count pins that here.
+    roundtrip("json", Map("compression" -> "gzip"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-gz").toString + "/t"
+    sample.write.option("compression", "gzip").json(dir)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".json.gz"))
+    assert(files >= 1)
+    val parts = spark.read.schema(sample.schema).json(dir).rdd.getNumPartitions
+    assert(parts == files, s"expected 1 task per gz file, got $parts for $files files")
+  }
+
   test("compaction rewrites a small-file mess into size-targeted files, data intact") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val inDir = base + "/in"
