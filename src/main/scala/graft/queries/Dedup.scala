@@ -318,6 +318,37 @@ object Dedup extends QueryModule {
           col("jaccard_est"), col("inter_est"))
     },
 
+    // INCREMENTAL substring dedup — the continuous-ingest variant of
+    // dedup_substring (the span-level analog of dedup_incremental's
+    // delta-vs-base discipline): which spans of the NEWLY ARRIVED docs
+    // (doc_id % 10 = 0, the same split rule) already exist in the base
+    // corpus? Both sides are filter-pushdown slices of the ONE staged
+    // span_postings table (nothing re-tokenizes); the base side reduces
+    // to a (hash → distinct base docs) index with map-side partial
+    // aggregation, the delta postings join it on the hash (blocking
+    // key — never an all-pairs comparison), and consecutive covered
+    // positions merge into maximal spans with the same per-DELTA-DOC
+    // gaps-and-islands window dedup_substring uses (partition bounded
+    // by doc length). At 100 TB the base index is the persisted
+    // artifact a real ingest maintains; each delta batch touches it
+    // through one hash-partitioned join. Exact md5 both sides ⇒ hash
+    // oracle.
+    "dedup_substring_incremental" -> { (s, d) =>
+      val p = spanPostings(s, d)
+      val baseIdx = p.filter(col("doc_id") % 10 =!= 0)
+        .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nb"))
+      val r = p.filter(col("doc_id") % 10 === 0).join(baseIdx, Seq("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      r.withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("span_start"),
+          (count(lit(1)) + (SpanK - 1)).as("span_len"),
+          max(col("nb")).as("max_base_docs"))
+        .select(col("doc_id"), col("span_start"), col("span_len"),
+          col("max_base_docs"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // Exact dedup: content-hash groupBy; canonical = min doc_id. The
     // output keeps every group (n_copies = 1 for uniques) so the oracle
     // verifies the full grouping, not just the dup tail.
@@ -679,6 +710,28 @@ object Dedup extends QueryModule {
          |       CASE WHEN n_u = 0 THEN 0.0
          |            ELSE round(CAST(n_both AS DOUBLE) / n_u * ue, 2) END AS inter_est
          |FROM est""".stripMargin,
+
+    // same postings CTE as dedup_substring; base index = per-hash
+    // distinct base-doc count, delta positions joined on the hash,
+    // islands merged per delta doc
+    "dedup_substring_incremental" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |p AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         md5(array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' ')) AS h
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${SpanK - 1})) AS i)),
+         |bh AS (SELECT h, count(DISTINCT doc_id) AS nb FROM p
+         |       WHERE doc_id % 10 <> 0 GROUP BY h),
+         |r AS (SELECT p.doc_id, p.pos, bh.nb
+         |      FROM p JOIN bh USING (h) WHERE p.doc_id % 10 = 0),
+         |i AS (SELECT doc_id, pos, nb,
+         |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |      FROM r)
+         |SELECT doc_id, min(pos) AS span_start,
+         |       count(*) + ${SpanK - 1} AS span_len,
+         |       max(nb) AS max_base_docs
+         |FROM i GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     // same postings CTE as dedup_substring; min-doc keeper per hash,
     // interval union of removed [pos, pos+7] windows via the lag-based

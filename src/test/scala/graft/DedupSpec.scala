@@ -262,6 +262,28 @@ class DedupSpec extends GraftSuite {
       s"global min doc $minSpanDoc should keep all its spans")
   }
 
+  test("dedup_substring_incremental: delta spans nest inside the full span report") {
+    val inc = q("dedup_substring_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(inc.nonEmpty, "fixture should have delta docs sharing base spans")
+    // delta docs only, per the split rule
+    assert(inc.forall(_._1 % 10 == 0))
+    assert(inc.forall(_._4 >= 1))
+    // a span covered by a BASE doc is duplicated across >= 2 distinct
+    // docs, so it must sit inside some span dedup_substring reports for
+    // the same doc (the full report also includes delta-delta overlaps,
+    // hence containment, not equality)
+    val full = q("dedup_substring").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    inc.foreach { case (doc, start, len, _) =>
+      val spans = full.getOrElse(doc, Array.empty)
+      assert(spans.exists(s => s._2 <= start && start + len <= s._2 + s._3),
+        s"inc span (doc=$doc, start=$start, len=$len) not inside any full span " +
+          s"${spans.mkString(",")}")
+    }
+  }
+
   test("pipeline_overlap_est: empty split(s) still yield the one estimate row") {
     import spark.implicits._
     import java.security.MessageDigest
