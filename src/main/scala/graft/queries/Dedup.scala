@@ -164,14 +164,24 @@ object Dedup extends QueryModule {
     val dup = p.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
+    mergeSpanIslands(p.join(dup, Seq("h")), k, "n_docs", "max_docs")
+  }
+
+  /** Merge consecutive flagged positions into MAXIMAL spans per doc —
+    * the gaps-and-islands step shared by [[substringSpans]] and the
+    * incremental variant (one copy of the pos − row_number trick and
+    * the + (k−1) length arithmetic): `r` carries (doc_id, pos, cntCol);
+    * each island reports its start, token length, and max(cntCol) as
+    * `outCol`. The window is per-document, bounded by doc length. */
+  private def mergeSpanIslands(
+      r: DataFrame, k: Int, cntCol: String, outCol: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    p.join(dup, Seq("h"))
-      .withColumn("grp", col("pos") - row_number().over(w))
+    r.withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
         (count(lit(1)) + (k - 1)).as("span_len"),
-        max(col("n_docs")).as("max_docs"))
-      .select(col("doc_id"), col("span_start"), col("span_len"), col("max_docs"))
+        max(col(cntCol)).as(outCol))
+      .select(col("doc_id"), col("span_start"), col("span_len"), col(outCol))
       .orderBy(col("doc_id"), col("span_start"))
   }
 
@@ -338,15 +348,7 @@ object Dedup extends QueryModule {
       val baseIdx = p.filter(col("doc_id") % 10 =!= 0)
         .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nb"))
       val r = p.filter(col("doc_id") % 10 === 0).join(baseIdx, Seq("h"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      r.withColumn("grp", col("pos") - row_number().over(w))
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("pos")).as("span_start"),
-          (count(lit(1)) + (SpanK - 1)).as("span_len"),
-          max(col("nb")).as("max_base_docs"))
-        .select(col("doc_id"), col("span_start"), col("span_len"),
-          col("max_base_docs"))
-        .orderBy(col("doc_id"), col("span_start"))
+      mergeSpanIslands(r, SpanK, "nb", "max_base_docs")
     },
 
     // Exact dedup: content-hash groupBy; canonical = min doc_id. The
@@ -676,6 +678,18 @@ object Dedup extends QueryModule {
       |  FROM (SELECT doc_id, norm, unnest(generate_series(1, greatest(length(norm) - 3, 1))) AS i
       |        FROM (SELECT doc_id, lower(text) AS norm FROM documents)))""".stripMargin
 
+  /** Shared span-posting CTE (the DuckDB mirror of
+    * [[tokenSpanPostings]]): one posting per token position, md5 of the
+    * SpanK-token window — ONE copy for the dedup_substring /
+    * dedup_substring_incremental / pipeline_span_dedup oracles, so a
+    * SpanK or tokenization change can never drift between them. */
+  private val spanPostingsSql =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |p AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |         md5(array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' ')) AS h
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${SpanK - 1})) AS i))""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     // KMV mirrored exactly: same shingle CTE as the minhash family,
@@ -715,11 +729,7 @@ object Dedup extends QueryModule {
     // distinct base-doc count, delta positions joined on the hash,
     // islands merged per delta doc
     "dedup_substring_incremental" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |p AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |         md5(array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' ')) AS h
-         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${SpanK - 1})) AS i)),
+      s"""WITH $spanPostingsSql,
          |bh AS (SELECT h, count(DISTINCT doc_id) AS nb FROM p
          |       WHERE doc_id % 10 <> 0 GROUP BY h),
          |r AS (SELECT p.doc_id, p.pos, bh.nb
@@ -738,11 +748,7 @@ object Dedup extends QueryModule {
     // island split (explicit ROWS frame — RANGE would differ on ties,
     // though positions are distinct per doc after the DISTINCT)
     "pipeline_span_dedup" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |p AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |         md5(array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' ')) AS h
-         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${SpanK - 1})) AS i)),
+      s"""WITH $spanPostingsSql,
          |k AS (SELECT h, min(doc_id) AS keeper FROM p
          |      GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
          |r AS (SELECT DISTINCT p.doc_id, p.pos
@@ -769,11 +775,7 @@ object Dedup extends QueryModule {
     // over the space-joined 8-token slice (list_slice's inclusive end =
     // Spark slice's length-8 window), BIGINT casts to match Spark longs
     "dedup_substring" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |p AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |         md5(array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' ')) AS h
-         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${SpanK - 1})) AS i)),
+      s"""WITH $spanPostingsSql,
          |dh AS (SELECT h, count(DISTINCT doc_id) AS n_docs
          |       FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
          |dp AS (SELECT p.doc_id, p.pos, dh.n_docs FROM p JOIN dh USING (h)),

@@ -108,8 +108,15 @@ object Streaming {
     * DIFFERENT sources whose keys share a CHM bin never serialize on
     * each other's Spark jobs (CHM's contract wants short mapping
     * functions; [[graft.Staging]] uses the same discipline). */
-  private final class SourceCell(thunk: () => java.nio.file.Path) {
-    lazy val path: java.nio.file.Path = thunk()
+  private final class SourceCell(thunk0: () => java.nio.file.Path) {
+    // the thunk (and its captured DataFrame/session closure scope) is
+    // released once the path resolves — the cell lives for the JVM
+    private var thunk: () => java.nio.file.Path = thunk0
+    lazy val path: java.nio.file.Path = {
+      val p = thunk()
+      thunk = null
+      p
+    }
   }
 
   private val stagedSources =
@@ -174,13 +181,11 @@ object Streaming {
     * never emits it — it parks in state for the life of the finite
     * gate, exactly like the sessionize sentinel's open session. */
   def tumblingCountsAppend(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-      .select(unix_timestamp(col("window.start")).as("window_start"),
-        col("event_type"), col("n"), col("total_value"))
+    // the SAME aggregation as the Complete-mode twin — Append semantics
+    // come entirely from the gate's OutputMode; delegating keeps the
+    // "streaming_tumbling's oracle applies verbatim" contract impossible
+    // to break by editing one copy
+    tumblingCounts(events)
 
   /** Sliding 1-hour windows every 30 minutes — streaming twin of
     * `events_sliding`: each event lands in two windows; the window
