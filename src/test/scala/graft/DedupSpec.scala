@@ -235,6 +235,36 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("TokenWindowHashes property: equals split/rejoin-md5 reference on random strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // alphabet stresses the byte-scan edges: spaces (incl. runs),
+    // multibyte UTF-8, and ASCII; plus whole-string edge shapes
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar, 3 -> Gen.const(' '),
+      1 -> Gen.oneOf('é', 'ü', '中', 'ß'))
+    val strGen = Gen.frequency(
+      9 -> Gen.listOf(charGen).map(_.mkString),
+      1 -> Gen.const(""))
+    def reference(s: String, k: Int): Seq[String] = {
+      val toks = s.split(" ", -1) // Spark's split keeps trailing empties
+      if (toks.length < k) Seq.empty
+      else toks.sliding(k).map { w =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(w.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.toSeq
+    }
+    for (i <- 1 to 60; k <- Seq(1, 2, 3, 5)) {
+      val s = strGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val got = graft.functions.TokenWindowHashes
+        .hashes(org.apache.spark.unsafe.types.UTF8String.fromString(s), k)
+        .toArray[AnyRef](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      assert(got == reference(s, k), s"k=$k on ${s.take(60).mkString}")
+    }
+  }
+
   test("pipeline_span_dedup: min-doc keeper keeps, removals consistent with the span report") {
     val spans = q("dedup_substring").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
