@@ -506,6 +506,41 @@ object Windows extends QueryModule {
         .orderBy(col("window_start"), col("c_mktsegment"))
     },
 
+    // Time-series RESAMPLE with gap fill + forward fill — the
+    // "regularize an irregular event stream onto an hourly grid" op
+    // every metrics/feature pipeline runs before windowed models: per
+    // user, one row per hour from their first to their last event
+    // (sequence() explode — the grid is bounded by the fixture horizon
+    // in hours per user, never by event volume), hourly aggregates
+    // left-joined on, missing hours get n_events = 0, and
+    // filled_value carries the last observed hourly total forward
+    // (last(ignoreNulls) over a per-user ROWS window — bounded by the
+    // same horizon). At 100 TB: grid size = users × horizon hours,
+    // orders of magnitude below event volume; one exchange on user_id
+    // serves the grid join and the ffill window.
+    "events_resample" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val hourly = ev
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      val grid = ev
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("hour", col("ts"))).as("h0"),
+          max(date_trunc("hour", col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"),
+          unix_timestamp(col("h")).as("hour_start"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("total_value"),
+          last(col("total_value"), ignoreNulls = true).over(w).as("filled_value"))
+        .orderBy(col("user_id"), col("hour_start"))
+    },
+
     // Session windows: 10-minute inactivity gap per user (streaming
     // analog: session_window with watermark). session_window.start is the
     // first event's ts, so the oracle's gaps-and-islands min(ts) matches.
@@ -678,6 +713,27 @@ object Windows extends QueryModule {
         |FROM events
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // hourly grid via generate_series, hourly aggregates left-joined,
+    // ffill via IGNORE NULLS last_value over the same per-user window
+    "events_resample" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tv
+        |  FROM events GROUP BY user_id, h),
+        |b AS (SELECT user_id, min(date_trunc('hour', ts)) AS h0,
+        |             max(date_trunc('hour', ts)) AS h1
+        |      FROM events GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |      FROM b),
+        |j AS (SELECT g.user_id, g.h, hourly.n, hourly.tv
+        |      FROM g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h)
+        |SELECT user_id, CAST(epoch(h) AS BIGINT) AS hour_start,
+        |       COALESCE(n, 0) AS n_events, tv AS total_value,
+        |       last_value(tv IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM j ORDER BY user_id, hour_start""".stripMargin,
 
     // the upserted table is per-user latest — argmax by (ts, event_id),
     // independent of the micro-batch boundaries

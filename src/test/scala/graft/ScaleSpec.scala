@@ -195,6 +195,33 @@ class ScaleSpec extends GraftSuite {
     }
   }
 
+  test("events_resample: gap-free hourly grid, event-count conservation, true ffill") {
+    val rows = q("events_resample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    // grid completeness: per user, hours are consecutive (step 3600 s)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val hs = rs.map(_._2).sorted
+      assert(hs.zip(hs.tail).forall { case (a, b) => b - a == 3600 },
+        s"user $u grid has gaps")
+    }
+    // conservation: resampled n_events sums to the raw event count
+    assert(rows.map(_._3).sum == Tables.events(spark, sf).count())
+    // gap rows exist (irregular stream) and carry n_events = 0, null
+    // total, but a filled_value once any hour was observed before
+    val gaps = rows.filter(r => r._3 == 0)
+    assert(gaps.nonEmpty && gaps.forall(_._4.isEmpty))
+    // ffill: filled_value equals the most recent non-null total_value
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      var lastSeen: Option[Double] = None
+      rs.sortBy(_._2).foreach { r =>
+        if (r._4.isDefined) lastSeen = r._4
+        assert(r._5 == lastSeen, s"user $u hour ${r._2}: ffill ${r._5} != $lastSeen")
+      }
+    }
+  }
+
   test("text_unigram_logprob: scores are negative and the micro-average is consistent") {
     val rows = q("text_unigram_logprob").collect()
     assert(rows.nonEmpty)
