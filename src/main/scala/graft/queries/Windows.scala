@@ -506,6 +506,65 @@ object Windows extends QueryModule {
         .orderBy(col("window_start"), col("c_mktsegment"))
     },
 
+    // INTERVAL-OVERLAP join via interval decomposition — the join class
+    // asof (point-to-point) and RangeJoin (point-in-interval) don't
+    // cover: interval × interval overlap, here "which user sessions
+    // intersected a high-traffic incident hour, and for how long".
+    // Incidents are DERIVED from the data (hours whose event count n
+    // satisfies 4·n·#hours > 5·#events — the >1.25× mean-rate rule as a
+    // pure integer cross-multiplication, no division, exact in both
+    // engines). The scale shape: sessions decompose into their covered
+    // hours (sequence explode — bounded by session length in hours, ~1
+    // for a 10-min-gap session), the hour is the equi-join/blocking key
+    // against the (small) incident set, and exact µs overlap is
+    // computed per (session, hour) then summed — never an
+    // interval-inequality theta-join. At 100 TB the incident side is
+    // dim-sized (≤ horizon hours) and broadcasts.
+    "events_incident_overlap" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      // TOTAL order (ts, event_id), not just ts: the brk flag and the
+      // cumulative island sum are two window computations, and with
+      // duplicate timestamps a tie-ordered-differently second sort can
+      // put the flagged row mid-cluster, leaking part of a cluster into
+      // the previous session (measured at 100x, whose replicas share
+      // exact timestamps: the oracle's two CTE sorts disagreed on ties
+      // and chained sessions together while the island COUNT stayed
+      // identical). One total order makes both windows agree in any
+      // engine.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = ev
+        .withColumn("brk",
+          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            >= 600000000L, 1).otherwise(0))
+        .withColumn("island", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val totals = ev.agg(count(lit(1)).as("total"),
+        countDistinct(date_trunc("hour", col("ts"))).as("nh"))
+      val incidents = hourly.crossJoin(broadcast(totals))
+        .filter(col("n") * col("nh") * 4 > col("total") * 5)
+        .select(col("h"))
+      val overlap = sess
+        .select(col("user_id"), col("s"), col("e"),
+          explode(sequence(date_trunc("hour", col("s")),
+            date_trunc("hour", col("e")), expr("interval 1 hour"))).as("h"))
+        .join(broadcast(incidents), Seq("h"))
+        .withColumn("ov_us",
+          least(unix_micros(col("e")), unix_micros(col("h")) + 3600000000L) -
+            greatest(unix_micros(col("s")), unix_micros(col("h"))))
+        .filter(col("ov_us") > 0)
+        .groupBy(col("user_id"), col("s"))
+        .agg(count(lit(1)).as("n_inc_hours"), sum(col("ov_us")).as("incident_us"))
+      overlap
+        .select(col("user_id"), unix_micros(col("s")).as("session_start_us"),
+          col("n_inc_hours"), col("incident_us"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+
     // Time-series RESAMPLE with gap fill + forward fill — the
     // "regularize an irregular event stream onto an hourly grid" op
     // every metrics/feature pipeline runs before windowed models: per
@@ -713,6 +772,43 @@ object Windows extends QueryModule {
         |FROM events
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // gaps-and-islands sessions, integer cross-multiplied incident
+    // rule, hour decomposition via generate_series, exact µs overlap
+    "events_incident_overlap" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |                OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 600000000
+        |              THEN 1 ELSE 0 END AS brk,
+        |         event_id
+        |  FROM events),
+        |i AS (SELECT user_id, ts,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM x),
+        |sess AS (SELECT user_id, min(ts) AS s, max(ts) AS e
+        |         FROM i GROUP BY user_id, island),
+        |hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |           FROM events GROUP BY h),
+        |tot AS (SELECT count(*) AS total,
+        |               count(DISTINCT date_trunc('hour', ts)) AS nh
+        |        FROM events),
+        |inc AS (SELECT h FROM hourly, tot WHERE n * nh * 4 > total * 5),
+        |dec AS (SELECT user_id, s, e,
+        |               unnest(generate_series(date_trunc('hour', s),
+        |                                      date_trunc('hour', e),
+        |                                      INTERVAL 1 HOUR)) AS h
+        |        FROM sess),
+        |ov AS (SELECT user_id, s,
+        |              least(epoch_us(e), epoch_us(h) + 3600000000)
+        |                - greatest(epoch_us(s), epoch_us(h)) AS ov_us
+        |       FROM dec JOIN inc USING (h))
+        |SELECT user_id, CAST(epoch_us(s) AS BIGINT) AS session_start_us,
+        |       count(*) AS n_inc_hours, sum(ov_us) AS incident_us
+        |FROM ov WHERE ov_us > 0
+        |GROUP BY user_id, s
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     // hourly grid via generate_series, hourly aggregates left-joined,
     // ffill via IGNORE NULLS last_value over the same per-user window

@@ -195,6 +195,38 @@ class ScaleSpec extends GraftSuite {
     }
   }
 
+  test("events_incident_overlap equals a sequential brute-force reference") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hourUs = 3600000000L
+    // incidents: 4·n·nh > 5·total on hour-truncated counts
+    val byHour = evs.groupBy(e => e._2 / hourUs * hourUs).view.mapValues(_.length)
+    val (total, nh) = (evs.length.toLong, byHour.size.toLong)
+    val incidents = byHour.filter { case (_, n) => n * nh * 4 > total * 5 }.keySet
+    // sessions: 10-minute-gap islands per user
+    val want = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var s0 = ts.head; var prev = ts.head
+      for (t <- ts.tail) {
+        if (t - prev >= 600000000L) { sessions += ((s0, prev)); s0 = t }
+        prev = t
+      }
+      sessions += ((s0, prev))
+      sessions.flatMap { case (s0v, e0) =>
+        val ovs = incidents.toSeq.map { h =>
+          math.min(e0, h + hourUs) - math.max(s0v, h)
+        }.filter(_ > 0)
+        if (ovs.isEmpty) None else Some((u, s0v) -> (ovs.size.toLong, ovs.sum))
+      }
+    }
+    val got = q("events_incident_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("events_resample: gap-free hourly grid, event-count conservation, true ffill") {
     val rows = q("events_resample").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
