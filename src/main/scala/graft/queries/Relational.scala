@@ -531,6 +531,25 @@ object Relational extends QueryModule {
         .orderBy(col("l_returnflag"))
     },
 
+    // UNPIVOT/melt — pivot's inverse, the wide→long reshape every
+    // metrics export needs (one row per (key, measure) instead of one
+    // measure per column). Narrow: the unpivot is an Expand projection
+    // (rows × #measures, no shuffle beyond the feeding aggregate).
+    // Measures fold through DECIMAL then cast — the melted `value`
+    // column mixes three sums, so each must be cross-engine exact
+    // before they share a column.
+    "agg_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy(col("l_returnflag"), col("measure"))
+    },
+
     // SQL-text interface parity: the same engine surface through
     // spark.sql over registered views (TPC-H Q6 shape).
     "sql_tpch_q6" -> { (s, d) =>
@@ -1269,6 +1288,23 @@ object Relational extends QueryModule {
         |FROM orders
         |GROUP BY CUBE (o_year, o_orderstatus)
         |ORDER BY o_year NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    // UNION ALL melt — engine-portable (DuckDB's UNPIVOT would also
+    // work; the manual form pins column names/types explicitly)
+    "agg_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_disc', sum_disc FROM a)
+        |ORDER BY l_returnflag, measure""".stripMargin,
 
     "agg_pivot" ->
       """SELECT l_returnflag,
