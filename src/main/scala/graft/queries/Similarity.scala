@@ -330,6 +330,90 @@ object Similarity extends QueryModule {
       }
     }
 
+  /** The trained-quantizer path of ann_ivf (nonempty corpus):
+    * literal-array margin-gated assignment, probe ranking, bucket join,
+    * tie-aware decimal rescore. Split out so the empty-corpus guard in
+    * the query lambda stays an expression (no non-local return). */
+  private def annIvfBody(s: SparkSession, base: DataFrame, cent: DataFrame,
+      centArr: Array[(Long, Seq[Float], Double)]): DataFrame = {
+    def negFast(ce: Seq[Float], cn2: Double): Column =
+        -(dotDbl(col("embedding"), typedLit(ce)) /
+          sqrt(col("n2").cast("double") * lit(cn2)))
+      def negDec(ce: Seq[Float], cn2: Double): Column =
+        -(dotDec(col("embedding"), typedLit(ce)).cast("double") /
+          sqrt(col("n2").cast("double") * lit(cn2)))
+      val fastArr = array(centArr.map { case (cid, ce, cn2) =>
+        struct(negFast(ce, cn2).as("ns"), lit(cid).as("c_id")) }: _*)
+      val decArr = array(centArr.map { case (cid, ce, cn2) =>
+        struct(negDec(ce, cn2).as("ns"), lit(cid).as("c_id")) }: _*)
+      def assigned(df: DataFrame): DataFrame = df
+        .withColumn("sf", array_sort(fastArr))
+        .withColumn("gap",
+          when(lit(centArr.length >= 2),
+            element_at(col("sf"), 2).getField("ns") -
+              element_at(col("sf"), 1).getField("ns")))
+        .withColumn("ambig", coalesce(col("gap") <= RescoreEps, lit(false)))
+        .withColumn("c_id",
+          when(col("ambig"), element_at(array_sort(decArr), 1).getField("c_id"))
+            .otherwise(element_at(col("sf"), 1).getField("c_id")))
+      val members = assigned(base)
+        .select(col("vec_id"), col("embedding"), col("n2"), col("c_id"))
+      // probe branch: |queries| rows need their top-nprobe centroids —
+      // the same per-vector window as before is fine at query-set size,
+      // with the same margin gate at the nprobe boundary
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("c_id"))
+      def ranked(df: DataFrame, boundary: Int): DataFrame = {
+        val wFastA = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_fast").desc, col("c_id"))
+        val wVec = Window.partitionBy(col("vec_id"))
+        df.join(cent)
+          .withColumn("c_fast",
+            dotDbl(col("embedding"), col("c_emb")) /
+              sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
+          .withColumn("fr", row_number().over(wFastA))
+          .withColumn("gap",
+            max(when(col("fr") === boundary, col("c_fast"))).over(wVec) -
+              max(when(col("fr") === boundary + 1, col("c_fast"))).over(wVec))
+          .withColumn("ambig", coalesce(col("gap") <= RescoreEps, lit(false)))
+          .withColumn("c_cos",
+            when(col("ambig"),
+              dotDec(col("embedding"), col("c_emb")).cast("double") /
+                sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
+              .otherwise(col("c_fast")))
+          .withColumn("c_rank", row_number().over(wAssign))
+      }
+      val probes = ranked(base.filter(col("vec_id") < NQ), annNprobe(s))
+        .filter(col("c_rank") <= annNprobe(s))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("n2").as("qn2"), col("c_id"))
+      val wFastIvf = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_fast").desc, col("vec_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      members.join(broadcast(probes),
+        Seq("c_id")).filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("qe"), col("embedding"),
+          col("qn2"), col("n2"))
+        // no dedup needed: each member lives in exactly one bucket and a
+        // query's probes are distinct buckets. Two-phase rescoring as in
+        // topkPairs/ann_lsh: double-rank the bucket members, decimal-
+        // rescore only the tie-aware top-K prefix.
+        .withColumn("cos_fast",
+          dotDbl(col("qe"), col("embedding")) /
+            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+        .withColumn("rk_fast", row_number().over(wFastIvf))
+        .transform(tieAwareCut)
+        .withColumn("cosine",
+          dotDec(col("qe"), col("embedding")).cast("double") /
+            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          round(col("cosine"), 9).as("cosine"))
+        .orderBy(col("query_id"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Exact top-k neighbors per query vector (ties broken by vec_id).
@@ -640,82 +724,18 @@ object Similarity extends QueryModule {
       // proves no centroid can cross the boundary under decimal
       // rescoring, so the fast argmin IS the decimal argmin; a missing
       // second centroid means no boundary — trivially exact, fast path.
-      def negFast(ce: Seq[Float], cn2: Double): Column =
-        -(dotDbl(col("embedding"), typedLit(ce)) /
-          sqrt(col("n2").cast("double") * lit(cn2)))
-      def negDec(ce: Seq[Float], cn2: Double): Column =
-        -(dotDec(col("embedding"), typedLit(ce)).cast("double") /
-          sqrt(col("n2").cast("double") * lit(cn2)))
-      val fastArr = array(centArr.map { case (cid, ce, cn2) =>
-        struct(negFast(ce, cn2).as("ns"), lit(cid).as("c_id")) }: _*)
-      val decArr = array(centArr.map { case (cid, ce, cn2) =>
-        struct(negDec(ce, cn2).as("ns"), lit(cid).as("c_id")) }: _*)
-      def assigned(df: DataFrame): DataFrame = df
-        .withColumn("sf", array_sort(fastArr))
-        .withColumn("gap",
-          when(lit(centArr.length >= 2),
-            element_at(col("sf"), 2).getField("ns") -
-              element_at(col("sf"), 1).getField("ns")))
-        .withColumn("ambig", coalesce(col("gap") <= RescoreEps, lit(false)))
-        .withColumn("c_id",
-          when(col("ambig"), element_at(array_sort(decArr), 1).getField("c_id"))
-            .otherwise(element_at(col("sf"), 1).getField("c_id")))
-      val members = assigned(base)
-        .select(col("vec_id"), col("embedding"), col("n2"), col("c_id"))
-      // probe branch: |queries| rows need their top-nprobe centroids —
-      // the same per-vector window as before is fine at query-set size,
-      // with the same margin gate at the nprobe boundary
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("c_id"))
-      def ranked(df: DataFrame, boundary: Int): DataFrame = {
-        val wFastA = Window.partitionBy(col("vec_id"))
-          .orderBy(col("c_fast").desc, col("c_id"))
-        val wVec = Window.partitionBy(col("vec_id"))
-        df.join(cent)
-          .withColumn("c_fast",
-            dotDbl(col("embedding"), col("c_emb")) /
-              sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
-          .withColumn("fr", row_number().over(wFastA))
-          .withColumn("gap",
-            max(when(col("fr") === boundary, col("c_fast"))).over(wVec) -
-              max(when(col("fr") === boundary + 1, col("c_fast"))).over(wVec))
-          .withColumn("ambig", coalesce(col("gap") <= RescoreEps, lit(false)))
-          .withColumn("c_cos",
-            when(col("ambig"),
-              dotDec(col("embedding"), col("c_emb")).cast("double") /
-                sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
-              .otherwise(col("c_fast")))
-          .withColumn("c_rank", row_number().over(wAssign))
-      }
-      val probes = ranked(base.filter(col("vec_id") < NQ), annNprobe(s))
-        .filter(col("c_rank") <= annNprobe(s))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("n2").as("qn2"), col("c_id"))
-      val wFastIvf = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_fast").desc, col("vec_id"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      members.join(broadcast(probes),
-        Seq("c_id")).filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), col("qe"), col("embedding"),
-          col("qn2"), col("n2"))
-        // no dedup needed: each member lives in exactly one bucket and a
-        // query's probes are distinct buckets. Two-phase rescoring as in
-        // topkPairs/ann_lsh: double-rank the bucket members, decimal-
-        // rescore only the tie-aware top-K prefix.
-        .withColumn("cos_fast",
-          dotDbl(col("qe"), col("embedding")) /
-            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-        .withColumn("rk_fast", row_number().over(wFastIvf))
-        .transform(tieAwareCut)
-        .withColumn("cosine",
-          dotDec(col("qe"), col("embedding")).cast("double") /
-            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= K)
-        .select(col("query_id"), col("rk"), col("vec_id"),
-          round(col("cosine"), 9).as("cosine"))
-        .orderBy(col("query_id"), col("rk"))
+      // empty corpus → nothing to train on, nothing to probe: the
+      // literal-array assignment below would otherwise build an
+      // untyped empty array (getField on a NullType element fails) —
+      // the result is trivially the empty top-k frame. (An if/else
+      // expression, NOT `return`: a non-local return from a lambda
+      // stored in the queries map would throw NonLocalReturnControl
+      // when invoked after the enclosing initializer has exited.)
+      if (centArr.isEmpty)
+        base.limit(0)
+          .select(col("vec_id").as("query_id"), lit(1).as("rk"),
+            col("vec_id"), lit(0.0).as("cosine"))
+      else annIvfBody(s, base, cent, centArr)
     },
 
     // Embedding near-duplicate pairs: blocked by (label, LSH band,

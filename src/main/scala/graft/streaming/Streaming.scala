@@ -493,7 +493,10 @@ object Streaming {
     val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
     val streamDir = stagedSources.computeIfAbsent(("flush", dir, 1),
       _ => new SourceCell(() => {
-        val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+        // empty source → max is NULL; any sentinel epoch works (there
+        // is no state to flush), so fall back to 0
+        val maxRow = ev.agg(max(unix_micros(col("ts")))).head
+        val maxUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
         // past watermark delay (1 h) + session gap (10 min), with 1 h slack
         val sentinelUs = maxUs + (3600L + 600L + 3600L) * 1000000L
         val p = Paths.get(System.getProperty("java.io.tmpdir"),
@@ -552,7 +555,10 @@ object Streaming {
         col("value"))
     val streamDir = stagedSources.computeIfAbsent(("joinflush", dir, 1),
       _ => new SourceCell(() => {
-        val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+        // empty source → max is NULL; any sentinel epoch works (there
+        // is no state to flush), so fall back to 0
+        val maxRow = ev.agg(max(unix_micros(col("ts")))).head
+        val maxUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
         // past watermark delay (1 h) + join interval (30 min), with 1 h slack
         val sentinelUs = maxUs + (3600L + 1800L + 3600L) * 1000000L
         val p = Paths.get(System.getProperty("java.io.tmpdir"),
@@ -588,7 +594,10 @@ object Streaming {
     val streamDir = stagedSources.computeIfAbsent(("chunks", dir, chunks),
       _ => new SourceCell(() => {
         val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
-        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        // empty source → both NULL; a degenerate [0, 0] range still
+        // stages `chunks` (empty) files, so the stream runs and drains
+        val (lo, hi) =
+          if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
         val span = math.max(hi - lo + 1, 1L)
         val p = Paths.get(System.getProperty("java.io.tmpdir"),
           s"graft-stream-chunks$chunks-" + stagingKey(dir))
@@ -649,8 +658,13 @@ object Streaming {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(current.getOrElse(
-      sys.error("upsert gate saw no data batches")))
+    current match {
+      case Some(p) => spark.read.parquet(p)
+      case None =>
+        // no data batch ever fired (empty source): the latest-state
+        // table is the empty frame with the upsert schema
+        upsertStep(None, Tables.events(spark, dir).limit(0))
+    }
   }
 
   /** One upsert step of [[upsertLatestPerUser]], split out so the spec
