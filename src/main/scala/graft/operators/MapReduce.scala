@@ -75,7 +75,11 @@ object MapReduce {
     * (SURVEY.md §7.4). */
   val wordCountMap: (String, String) => IterableOnce[KeyValue] =
     (_, contents) =>
-      contents.split("[^a-zA-Z]+").iterator.filter(_.nonEmpty).map(w => (w, "1"))
+      // null contents = an unreadable record: zero tokens, not an NPE
+      // (the reference could never see one — file reads yield "" at
+      // worst — but the generic surface accepts arbitrary datasets)
+      if (contents == null) Iterator.empty
+      else contents.split("[^a-zA-Z]+").iterator.filter(_.nonEmpty).map(w => (w, "1"))
 
   val wordCountReduce: (String, Iterator[String]) => String =
     (_, values) => values.size.toString

@@ -139,6 +139,12 @@ object Multimodal extends QueryModule {
   private def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, d)
+      // a row with no payload bytes cannot enter a decode stage — the
+      // ingest boundary drops it (null-injection sweep: the typed
+      // MediaRow's Array[Byte] field NPEs inside the decoder otherwise;
+      // the untyped mm_* queries instead propagate the null payload as
+      // SQL nulls, which is the right semantic for metadata passes)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("source"))
       .as[MediaRow]
   }

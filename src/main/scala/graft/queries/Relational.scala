@@ -474,6 +474,9 @@ object Relational extends QueryModule {
       import graft.operators.QuantileSketch
       val k = QuantileSketch.DefaultK
       val lens = Tables.documents(s, d)
+        // a NULL text has no length — excluded before the typed sketch
+        // (whose buffer holds primitive Doubles; null-injection sweep)
+        .filter(col("text").isNotNull)
         .select(col("lang"),
           size(split(col("text"), " ")).cast("double").as("len"))
         .as[(String, Double)]

@@ -81,8 +81,22 @@ object Similarity extends QueryModule {
     graft.functions.FloatDotProduct.float_dot(a, b)
 
   /** (vec_id, label, embedding, n2dec) with the squared norm precomputed. */
+  /** Sentinel for a NULL label after [[withNorm]]'s coalesce: outside
+    * any real label space (fixture labels are non-negative), so it can
+    * never collide — and the knn vote filters it explicitly. */
+  private val UnlabeledSentinel = -1
+
   private def withNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      // a NULL embedding cannot be indexed or scored — excluded at the
+      // load boundary (the ingest contract of any vector store). Without
+      // this, a null cosine reaches the bounded top-k aggregator's
+      // primitive Double field and fails the job (null-injection sweep).
+      // A NULL label, by contrast, stays RETRIEVABLE: it folds to the
+      // UnlabeledSentinel so the Int tuple fields encode, and only the
+      // knn VOTE excludes it (an unlabeled neighbor can't classify).
+      .filter(col("embedding").isNotNull)
+      .withColumn("label", coalesce(col("label"), lit(UnlabeledSentinel)))
       .select(col("vec_id"), col("label"), col("embedding"),
         normDec(col("embedding")).as("n2"))
 
@@ -454,6 +468,8 @@ object Similarity extends QueryModule {
     // rides along from the base projection — no second embeddings scan.
     "emb_knn_class" -> { (s, d) =>
       val votes = topkPairs(s, d)
+        // unlabeled neighbors are retrieved but cannot vote
+        .filter(col("label") =!= UnlabeledSentinel)
         .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("n_votes"))
       val wv = Window.partitionBy(col("query_id"))
         .orderBy(col("n_votes").desc, col("label"))
