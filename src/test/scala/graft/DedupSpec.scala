@@ -235,6 +235,49 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("char-stepping codegen expressions: code-point semantics on multibyte/astral text") {
+    import spark.implicits._
+    import graft.functions.{GramSet, WinnowMin}
+    // 2-, 3-, and 4-byte UTF-8 (é, 中, 𝄞): grams/windows must step CODE
+    // POINTS (the substr semantics Spark and DuckDB share), not bytes or
+    // UTF-16 units — 𝄞 is two JVM chars, the classic off-by-one source
+    val samples = Seq(
+      "héllo wörld", "中文 分词 测试", "a𝄞b𝄞c𝄞d𝄞e", "é", "𝄞𝄞𝄞𝄞𝄞",
+      "mixed 中é𝄞 text", "", "    ", "ascii only here")
+    def cps(s: String): Vector[String] =
+      s.codePoints.toArray.toVector.map(cp => new String(Character.toChars(cp)))
+    def gramRef(s: String, k: Int): Set[String] = {
+      val c = cps(s)
+      if (c.length <= k) Set(c.mkString) else c.sliding(k).map(_.mkString).toSet
+    }
+    def winnowRef(s: String, w: Int): String = {
+      val c = cps(s)
+      val wins =
+        if (c.length <= w) Seq(c.mkString)
+        else c.sliding(w).map(_.mkString).toSeq
+      wins.map { x =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }.min
+    }
+    val rows = samples.toDF("t").select(col("t"),
+      GramSet.distinct_gram_count(col("t"), 4).as("n"),
+      GramSet.distinct_grams(col("t"), 4).as("g"),
+      WinnowMin.winnow_min(col("t"), 5).as("wm"),
+      GramSet.word_shingles(col("t"), 2).as("ws")).collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getInt(1) == gramRef(t, 4).size, s"count on '$t'")
+      assert(r.getSeq[String](2).toSet == gramRef(t, 4), s"grams on '$t'")
+      assert(r.getString(3) == winnowRef(t, 5), s"winnow on '$t'")
+      val toks = t.split(" ", -1)
+      val shRef =
+        (if (toks.length <= 2) Seq(toks.mkString(" "))
+         else toks.sliding(2).map(_.mkString(" ")).toSeq).distinct.toSet
+      assert(r.getSeq[String](4).toSet == shRef, s"shingles on '$t'")
+    }
+  }
+
   test("TokenWindowHashes property: equals split/rejoin-md5 reference on random strings") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
