@@ -130,7 +130,14 @@ object Multimodal extends QueryModule {
       rows.map { r =>
         val resized = FakeDecoder.resize(r.payload, stride)
         md.reset()
-        val hex = md.digest(resized).map("%02x".format(_)).mkString
+        // digest of the LOWERCASE-HEX rendering of the resized bytes,
+        // not the raw bytes: a strided byte slice of multibyte UTF-8 is
+        // not valid text, and DuckDB's md5 is VARCHAR-only — hex is the
+        // byte-exact encoding both engines can hash identically (the
+        // multibyte-fixture gate caught the raw-bytes version diverging)
+        val resizedHex = resized.map("%02x".format(_)).mkString
+        val hex = md.digest(resizedHex.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
         MediaResized(r.doc_id, r.payload.length.toLong, resized.length.toLong, hex)
       }
     }
@@ -337,7 +344,12 @@ object Multimodal extends QueryModule {
           expr("(CAST(frame_idx AS BIGINT) + 1) * byte_len DIV k - off"))
         .select(col("doc_id"), col("frame_idx"),
           col("off"), col("frame_len"),
-          md5(expr("substring(payload, CAST(off AS INT) + 1, CAST(frame_len AS INT))"))
+          // md5 of the LOWERCASE-HEX of the frame bytes (not the raw
+          // bytes): a byte slice can split a multibyte code point, and
+          // DuckDB's md5 is VARCHAR-only — hex is the byte-exact
+          // encoding both engines hash identically
+          md5(lower(hex(
+            expr("substring(payload, CAST(off AS INT) + 1, CAST(frame_len AS INT))"))))
             .as("frame_md5"))
         .orderBy(col("doc_id"), col("frame_idx"))
     },
@@ -624,34 +636,44 @@ object Multimodal extends QueryModule {
     // stride-4 byte downsample on ASCII text: byte k of the payload IS
     // char k+1 of the text, so the resized blob is the every-4th-char
     // string, and DuckDB's md5(text) equals the stage's md5(bytes)
+    // BYTE-stride over the encoded blob (substr on text would stride
+    // CHARS — equal only on ASCII; the multibyte gate caught it), hex'd
+    // because DuckDB md5 is VARCHAR-only, a strided byte slice of
+    // UTF-8 is not valid text, and this DuckDB has no substring(BLOB) —
+    // so byte slicing happens on the hex string (2 chars per byte)
     "mm_resize" ->
-      """SELECT doc_id,
-        |       octet_length(encode(text)) AS orig_len,
-        |       CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_len,
+      """WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |                  octet_length(encode(text)) AS bl
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(bl AS BIGINT) AS orig_len,
+        |       CAST((bl + 3) // 4 AS BIGINT) AS resized_len,
         |       md5(array_to_string(
-        |             list_transform(generate_series(1, (length(text) + 3) // 4),
-        |                            i -> substr(text, (i - 1) * 4 + 1, 1)), '')) AS resized_md5
-        |FROM documents
+        |             list_transform(generate_series(1, (bl + 3) // 4),
+        |                            i -> substr(hx, (i - 1) * 8 + 1, 2)), '')) AS resized_md5
+        |FROM h
         |ORDER BY doc_id""".stripMargin,
 
-    // frame slicing on text equals slicing the payload bytes: the corpus
-    // is pure ASCII (byte offset = char offset), and the payload IS
-    // encode(text). Offsets/lengths use DuckDB's // integer division to
-    // match the Long arithmetic in FakeDecoder.
+    // frame slicing on the ENCODED BLOB (byte offsets, like the engine;
+    // substr on text would slice chars — equal only on ASCII), hex'd
+    // for the same VARCHAR-only-md5 reason as mm_resize. Offsets/
+    // lengths use DuckDB's // integer division to match the Long
+    // arithmetic in FakeDecoder.
     "mm_frame_sample" ->
       """WITH m AS (
-        |  SELECT doc_id, text, octet_length(encode(text)) AS byte_len,
+        |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |         octet_length(encode(text)) AS byte_len,
         |         least(octet_length(encode(text)) % 30 + 1, 4) AS k
         |  FROM documents),
         |fr AS (
-        |  SELECT doc_id, text, byte_len, k,
+        |  SELECT doc_id, hx, byte_len, k,
         |         unnest(generate_series(0, k - 1)) AS frame_idx
         |  FROM m)
         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
         |       CAST(frame_idx * byte_len // k AS BIGINT) AS off,
         |       CAST((frame_idx + 1) * byte_len // k - frame_idx * byte_len // k AS BIGINT) AS frame_len,
-        |       md5(substr(text, CAST(frame_idx * byte_len // k AS INT) + 1,
-        |                  CAST((frame_idx + 1) * byte_len // k - frame_idx * byte_len // k AS INT))) AS frame_md5
+        |       md5(substr(hx, CAST(frame_idx * byte_len // k AS INT) * 2 + 1,
+        |                  CAST((frame_idx + 1) * byte_len // k - frame_idx * byte_len // k AS INT) * 2)) AS frame_md5
         |FROM fr
         |ORDER BY doc_id, frame_idx""".stripMargin
   )

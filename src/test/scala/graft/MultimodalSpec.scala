@@ -42,9 +42,13 @@ class MultimodalSpec extends GraftSuite {
       val text = byText(doc)
       assert(origLen == text.getBytes("UTF-8").length.toLong)
       assert(resizedLen == (origLen + 3) / 4)
+      // digest of the LOWERCASE-HEX of the strided bytes (the
+      // cross-engine fingerprint encoding — DuckDB md5 is VARCHAR-only)
       val expected = text.getBytes("UTF-8").grouped(4).map(_.head).toArray
+        .map("%02x".format(_)).mkString
       md.reset()
-      assert(hex == md.digest(expected).map("%02x".format(_)).mkString, s"doc $doc digest")
+      assert(hex == md.digest(expected.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, s"doc $doc digest")
     }
   }
 
