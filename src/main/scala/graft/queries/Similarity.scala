@@ -81,9 +81,13 @@ object Similarity extends QueryModule {
     graft.functions.FloatDotProduct.float_dot(a, b)
 
   /** (vec_id, label, embedding, n2dec) with the squared norm precomputed. */
-  /** Sentinel for a NULL label after [[withNorm]]'s coalesce: outside
-    * any real label space (fixture labels are non-negative), so it can
-    * never collide — and the knn vote filters it explicitly. */
+  /** Sentinel for a NULL label at [[topkPairs]]'s typed-tuple boundary
+    * (the one place a label must fit a primitive Int): outside the
+    * fixture's non-negative label space, and the knn vote filters it
+    * explicitly. Deliberately NOT applied at [[withNorm]]: the sentinel
+    * would otherwise flow into every similarity consumer — and a
+    * corpus that legitimately used −1 would silently merge with
+    * unlabeled rows in anything that groups or joins on label. */
   private val UnlabeledSentinel = -1
 
   private def withNorm(s: SparkSession, d: String): DataFrame =
@@ -92,11 +96,10 @@ object Similarity extends QueryModule {
       // load boundary (the ingest contract of any vector store). Without
       // this, a null cosine reaches the bounded top-k aggregator's
       // primitive Double field and fails the job (null-injection sweep).
-      // A NULL label, by contrast, stays RETRIEVABLE: it folds to the
-      // UnlabeledSentinel so the Int tuple fields encode, and only the
-      // knn VOTE excludes it (an unlabeled neighbor can't classify).
+      // A NULL label, by contrast, stays RETRIEVABLE — it is preserved
+      // as NULL here and folded to [[UnlabeledSentinel]] only at
+      // topkPairs' typed-tuple boundary (see the sentinel's scaladoc).
       .filter(col("embedding").isNotNull)
-      .withColumn("label", coalesce(col("label"), lit(UnlabeledSentinel)))
       .select(col("vec_id"), col("label"), col("embedding"),
         normDec(col("embedding")).as("n2"))
 
@@ -128,7 +131,11 @@ object Similarity extends QueryModule {
       .withColumn("cos_fast",
         dotDbl(col("qe"), col("embedding")) /
           sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-      .select(col("query_id"), col("cos_fast"), col("vec_id"), col("label"), col("embedding"))
+      .select(col("query_id"), col("cos_fast"), col("vec_id"),
+        // primitive Int slot: NULL labels fold to the sentinel HERE,
+        // not corpus-wide (see UnlabeledSentinel)
+        coalesce(col("label"), lit(UnlabeledSentinel)).as("label"),
+        col("embedding"))
       .as[(Long, Double, Long, Int, Seq[Float])]
       .groupByKey(_._1)
       .mapValues(t => graft.operators.TopK.Cand(t._2, t._3, t._4, t._5))
@@ -910,6 +917,7 @@ object Similarity extends QueryModule {
          |votes AS (
          |  SELECT t.query_id, e.label, count(*) AS n_votes
          |  FROM topk t JOIN embeddings e ON e.vec_id = t.vec_id
+         |  WHERE e.label IS NOT NULL
          |  GROUP BY t.query_id, e.label)
          |SELECT query_id, label AS pred_label, n_votes
          |FROM (SELECT query_id, label, n_votes,

@@ -122,6 +122,15 @@ object Streaming {
   private val stagedSources =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), SourceCell]()
 
+  /** Max event-time µs of a frame, or `default` when the frame is empty
+    * (the agg row's max is NULL) — shared by the sentinel/chunk stagers;
+    * for a sentinel, any epoch works on an empty stream (no state to
+    * flush). */
+  private def maxUsOr(df: DataFrame, default: Long): Long = {
+    val r = df.agg(max(unix_micros(col("ts")))).head
+    if (r.isNullAt(0)) default else r.getLong(0)
+  }
+
   def eventsStream(spark: SparkSession, dir: String, copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.table(spark, dir, "events").schema
@@ -493,10 +502,7 @@ object Streaming {
     val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
     val streamDir = stagedSources.computeIfAbsent(("flush", dir, 1),
       _ => new SourceCell(() => {
-        // empty source → max is NULL; any sentinel epoch works (there
-        // is no state to flush), so fall back to 0
-        val maxRow = ev.agg(max(unix_micros(col("ts")))).head
-        val maxUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+        val maxUs = maxUsOr(ev, 0L)
         // past watermark delay (1 h) + session gap (10 min), with 1 h slack
         val sentinelUs = maxUs + (3600L + 600L + 3600L) * 1000000L
         val p = Paths.get(System.getProperty("java.io.tmpdir"),
@@ -555,10 +561,7 @@ object Streaming {
         col("value"))
     val streamDir = stagedSources.computeIfAbsent(("joinflush", dir, 1),
       _ => new SourceCell(() => {
-        // empty source → max is NULL; any sentinel epoch works (there
-        // is no state to flush), so fall back to 0
-        val maxRow = ev.agg(max(unix_micros(col("ts")))).head
-        val maxUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+        val maxUs = maxUsOr(ev, 0L)
         // past watermark delay (1 h) + join interval (30 min), with 1 h slack
         val sentinelUs = maxUs + (3600L + 1800L + 3600L) * 1000000L
         val p = Paths.get(System.getProperty("java.io.tmpdir"),
@@ -594,8 +597,9 @@ object Streaming {
     val streamDir = stagedSources.computeIfAbsent(("chunks", dir, chunks),
       _ => new SourceCell(() => {
         val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
-        // empty source → both NULL; a degenerate [0, 0] range still
-        // stages `chunks` (empty) files, so the stream runs and drains
+        // empty source → both NULL (same rule as maxUsOr); a degenerate
+        // [0, 0] range still stages `chunks` (empty) files, so the
+        // stream runs and drains
         val (lo, hi) =
           if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
         val span = math.max(hi - lo + 1, 1L)

@@ -26,20 +26,11 @@ class EmptyFixtureSpec extends GraftSuite {
   }
 
   test("every query runs on the all-empty fixture (no exceptions, sane counts)") {
-    val failures = scala.collection.mutable.ListBuffer.empty[String]
-    var nonEmpty = List.empty[(String, Long)]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val n = fn(spark, emptyDir).count()
-        if (n > 0) nonEmpty ::= (name, n)
-      } catch { case e: Throwable =>
-        failures += s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(100)}"
-      }
-    }
+    val (failures, counts) = runAllQueries(emptyDir)
     assert(failures.isEmpty, s"crashed on empty fixture:\n${failures.mkString("\n")}")
     // only global aggregates may produce rows from nothing, and only
     // their fixed zero-row shape
-    nonEmpty.foreach { case (name, n) =>
+    counts.foreach { case (name, n) =>
       assert(n <= 2, s"$name returned $n rows from an empty corpus")
     }
   }

@@ -43,13 +43,7 @@ class NullFixtureSpec extends GraftSuite {
   }
 
   test("every query runs on the null-injected fixture (no exceptions)") {
-    val failures = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, nullDir).count()
-      catch { case e: Throwable =>
-        failures += s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(100)}"
-      }
-    }
+    val (failures, _) = runAllQueries(nullDir)
     assert(failures.isEmpty, s"crashed on null fixture:\n${failures.mkString("\n")}")
   }
 
@@ -61,6 +55,11 @@ class NullFixtureSpec extends GraftSuite {
     // …and no prediction ever carries the sentinel
     val preds = SparkEntry.queries("emb_knn_class")(spark, nullDir).collect()
     assert(preds.nonEmpty)
-    assert(preds.forall(_.getAs[Int]("pred_label") >= 0))
+    // isNullAt + getInt, NOT getAs[Int]: a null would silently unbox
+    // to 0 and pass the >= 0 check this test exists to enforce
+    preds.foreach { r =>
+      val i = r.fieldIndex("pred_label")
+      assert(!r.isNullAt(i) && r.getInt(i) >= 0, s"pred_label in $r")
+    }
   }
 }

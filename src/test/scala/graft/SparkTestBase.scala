@@ -25,4 +25,20 @@ abstract class GraftSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
   val sf: String = SparkTestBase.sf
   def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** Run EVERY query against a fixture dir once, returning
+    * ("name: message" per query that threw, row count per query that
+    * ran) — the shared loop of the robustness-gate suites
+    * (EmptyFixtureSpec, NullFixtureSpec). */
+  def runAllQueries(dir: String): (Seq[String], Map[String, Long]) = {
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try counts(name) = fn(spark, dir).count()
+      catch { case e: Throwable =>
+        failures += s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(100)}"
+      }
+    }
+    (failures.toSeq, counts.toMap)
+  }
 }

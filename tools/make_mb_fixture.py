@@ -15,7 +15,8 @@ for t in "region nation customer supplier part orders lineitem events embeddings
         shutil.copy(p, f"{dst}/{t}.parquet")
 con = duckdb.connect()
 con.execute(f"""COPY (
-  SELECT doc_id, text || ' 中文分析 wörd𝄞 naïveté' AS text, lang, source, n_chars
+  SELECT doc_id, text || ' 中文分析 wörd𝄞 naïveté' AS text, lang, source,
+         length(text || ' 中文分析 wörd𝄞 naïveté') AS n_chars
   FROM read_parquet('{src}/documents.parquet')
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
 print(f"wrote {dst} (multibyte documents over {src})")
