@@ -128,6 +128,22 @@ object ExplainDump {
       "quantile sketches (typed Aggregator, ObjectHashAggregate partial merge — the exchange " +
       "carries k·log(n/k)-bounded sketch state, never values), then an ALL rollup that " +
       "aggregates SKETCH STATE only — the staged-sketch shape percentile_approx can't express"),
+    "dedup_substring_incremental" -> ("both sides filter-pushdown slices of the ONE staged " +
+      "span_postings scan; base side reduces to a (hash → distinct base docs) index with " +
+      "partial_ map-side aggregation; delta postings shuffle-join it on the hash; the islands " +
+      "merge is one per-delta-doc window"),
+    "events_resample" -> ("grid = sequence() explode over per-user (min, max) hour bounds — " +
+      "users × horizon hours, never event volume; ONE user_id exchange serves the grid left " +
+      "join AND the ffill window (last ignoreNulls over a per-user ROWS frame)"),
+    "events_incident_overlap" -> ("no interval-inequality theta-join: sessions decompose into " +
+      "covered hours (sequence explode), the hour equi-joins the BROADCAST dim-sized incident " +
+      "set, exact µs overlap sums per session; incidents derived by integer cross-multiplication " +
+      "over the dim-sized hourly aggregate"),
+    "text_normalize" -> ("one narrow codegen projection: NfcNormalize (isNormalized fast path) " +
+      "→ one [\\x00-\\x20]+ collapse regex → trim → lower → md5; no shuffle but the " +
+      "presentation sort; ReadSchema prunes to (doc_id, text)"),
+    "agg_unpivot" -> ("melt = Expand over the 3-row measure aggregate — rows × #measures, " +
+      "no shuffle beyond the feeding aggregate"),
     "ann_ivf" -> ("corpus→bucket assignment is a per-row argmax against the collected " +
       "(model-sized) quantizer — a narrow projection, NO exchange; the only vec_id exchange " +
       "left is the query-set probe ranking; probed-bucket rescore joins members to the " +
