@@ -133,8 +133,9 @@ object ExplainDump {
       "partial_ map-side aggregation; delta postings shuffle-join it on the hash; the islands " +
       "merge is one per-delta-doc window"),
     "events_resample" -> ("grid = sequence() explode over per-user (min, max) hour bounds — " +
-      "users × horizon hours, never event volume; ONE user_id exchange serves the grid left " +
-      "join AND the ffill window (last ignoreNulls over a per-user ROWS frame)"),
+      "users × horizon hours, never event volume; the grid-bounds and hourly aggregates each " +
+      "shuffle once, AQE broadcasts the (dim-sized) hourly side onto the already-partitioned " +
+      "grid, and the ffill window REUSES the grid's user_id partitioning — no window exchange"),
     "events_incident_overlap" -> ("no interval-inequality theta-join: sessions decompose into " +
       "covered hours (sequence explode), the hour equi-joins the BROADCAST dim-sized incident " +
       "set, exact µs overlap sums per session; incidents derived by integer cross-multiplication " +
