@@ -130,7 +130,8 @@ object ExplainDump {
       "aggregates SKETCH STATE only — the staged-sketch shape percentile_approx can't express"),
     "dedup_substring_incremental" -> ("both sides filter-pushdown slices of the ONE staged " +
       "span_postings scan; base side reduces to a (hash → distinct base docs) index with " +
-      "partial_ map-side aggregation; delta postings shuffle-join it on the hash; the islands " +
+      "partial_ map-side aggregation; delta postings join it on the hash (AQE broadcasts the " +
+      "fixture-sized index; a corpus-sized index shuffle-joins on the same key); the islands " +
       "merge is one per-delta-doc window"),
     "events_resample" -> ("grid = sequence() explode over per-user (min, max) hour bounds — " +
       "users × horizon hours, never event volume; the grid-bounds and hourly aggregates each " +
