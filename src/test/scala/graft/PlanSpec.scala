@@ -567,4 +567,59 @@ class PlanSpec extends GraftSuite {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
     }.nonEmpty, s"no broadcast hash equi-join in:\n$p")
   }
+
+  test("events_resample: one window, no extra exchange beyond aggs + sort") {
+    // pre-AQE physical plan: stable node names for structural pins
+    val sp = q("events_resample").queryExecution.sparkPlan
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1, s"expected exactly the ffill window:\n$sp")
+    val exchanges = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.size <= 4,
+      s"expected <=4 exchanges (grid/hourly aggs, join co-partition, sort), " +
+        s"got ${exchanges.size}:\n$sp")
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"grid join planned cartesian:\n$sp")
+  }
+
+  test("events_incident_overlap: decomposed sessions only ever equi-join") {
+    val sp = q("events_incident_overlap").queryExecution.sparkPlan
+    // the scalar-totals cross join (dim-sized hourly agg x one row) MAY
+    // plan nested-loop — but the EXPLODED sessions (the Generate, the
+    // only input that scales with data) must never enter a non-equi
+    // join: interval overlap is resolved by the hour equi-join
+    val bad = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        if j.toString.contains("Generate") => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec
+        if j.toString.contains("Generate") => j
+    }
+    assert(bad.isEmpty, s"decomposed sessions entered a theta join:\n$sp")
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, s"no broadcast equi-join on the hour:\n$sp")
+  }
+
+  test("dedup_substring_incremental: both sides read the ONE staged postings file") {
+    val p = plan("dedup_substring_incremental")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val postingScans = finalPlan.linesIterator.count(l =>
+      l.contains("Scan parquet") )
+    // two slices of the same staged span_postings parquet — and nothing
+    // else: no raw documents re-tokenization inside this query's plan
+    assert(postingScans == 2, s"expected 2 staged-posting scans, got $postingScans:\n$p")
+    assert(finalPlan.contains("span_postings"), p)
+    assert(!finalPlan.toLowerCase.contains("documents.parquet"),
+      s"raw documents scan leaked into the incremental plan:\n$p")
+  }
+
+  test("text_normalize plans as one narrow codegen projection over a pruned scan") {
+    val p = plan("text_normalize")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected only the presentation sort exchange:\n$p")
+    assert(finalPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
 }
