@@ -351,6 +351,52 @@ object Dedup extends QueryModule {
       mergeSpanIslands(r, SpanK, "nb", "max_base_docs")
     },
 
+    // CONTAMINATION SCREENING of an incoming delta batch with a BLOOM
+    // PREFILTER ([[graft.operators.Bloom]]) — per new doc, how many of
+    // its distinct span hashes already exist anywhere in the base
+    // corpus (the score an ingest gate uses to admit/quarantine a
+    // crawl dump; dedup_substring_incremental reports WHERE, this
+    // reports HOW MUCH). The 100 TB shape this exists for: the exact
+    // hash join must shuffle BOTH full posting sides, but base span
+    // hashes folded into a bloom (16 bits/key ⇒ FPR ≈ 0.24 %) travel
+    // as ONE broadcast array, and the map-side membership probe (pure
+    // builtin bit tests, whole-stage codegen) drops ~all non-matching
+    // delta hashes BEFORE the exchange — only maybe-members (true
+    // matches + ~0.24 % FPs) reach the exact verify join that kills
+    // the false positives. Bloom has NO false negatives, so the
+    // output is provably the exact answer and the query stays fully
+    // hash-ORACLED (the oracle runs the plain exact join; prefilter
+    // transparency is also spec-pinned at the DataFrame level). The
+    // filter sizes itself from a base-index count (model-sized scalar
+    // to the driver, the IVF-quantizer/CC-convergence precedent;
+    // build = partial blooms per partition OR-merged, an exchange of
+    // O(partitions × m/8) bytes, never the key set).
+    "dedup_bloom_prefilter" -> { (s, d) =>
+      import s.implicits._
+      val p = spanPostings(s, d)
+      val baseH = p.filter(col("doc_id") % 10 =!= 0).select(col("h")).distinct()
+      val mBits = graft.operators.Bloom.bitsFor(baseH.count())
+      val bloom = baseH.as[String]
+        .select(graft.operators.Bloom.agg(mBits).toColumn.name("bloom"))
+        .toDF("bloom")
+      val deltaRaw = p.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("h"))
+      val totals = deltaRaw.groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_spans"))
+      // the probe sits DIRECTLY on the staged-parquet scan (before any
+      // exchange — PlanSpec-pinned): only maybe-members pay the
+      // distinct + verify-join shuffles
+      val maybe = deltaRaw.crossJoin(broadcast(bloom))
+        .filter(graft.operators.Bloom.member(col("h"), col("bloom"), mBits))
+        .select(col("doc_id"), col("h")).distinct()
+      val dups = maybe.join(baseH, Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+      dups.join(totals, Seq("doc_id"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          round(col("n_dup_spans") * lit(1.0) / col("n_spans"), 6).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact dedup: content-hash groupBy; canonical = min doc_id. The
     // output keeps every group (n_copies = 1 for uniques) so the oracle
     // verifies the full grouping, not just the dup tail.
@@ -742,6 +788,21 @@ object Dedup extends QueryModule {
          |       max(nb) AS max_base_docs
          |FROM i GROUP BY doc_id, grp
          |ORDER BY doc_id, span_start""".stripMargin,
+
+    // the PLAIN exact join — the bloom prefilter is engine-internal
+    // and provably output-transparent (no false negatives + exact
+    // verify join), so the oracle never models it
+    "dedup_bloom_prefilter" ->
+      s"""WITH $spanPostingsSql,
+         |bh AS (SELECT DISTINCT h FROM p WHERE doc_id % 10 <> 0),
+         |dh AS (SELECT DISTINCT doc_id, h FROM p WHERE doc_id % 10 = 0),
+         |tot AS (SELECT doc_id, count(*) AS n_spans FROM dh GROUP BY doc_id),
+         |dup AS (SELECT doc_id, count(*) AS n_dup_spans
+         |        FROM dh JOIN bh USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_spans, n_dup_spans,
+         |       round(n_dup_spans * 1.0 / n_spans, 6) AS dup_frac
+         |FROM dup JOIN tot USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // same postings CTE as dedup_substring; min-doc keeper per hash,
     // interval union of removed [pos, pos+7] windows via the lag-based

@@ -615,6 +615,32 @@ class PlanSpec extends GraftSuite {
       s"raw documents scan leaked into the incremental plan:\n$p")
   }
 
+  test("dedup_bloom_prefilter: probe filters before any shuffle; bloom broadcasts") {
+    val df = q("dedup_bloom_prefilter")
+    val sp = df.queryExecution.sparkPlan
+    // the membership probe (builtin shiftright bit tests) folds into
+    // the one-row-broadcast BroadcastNestedLoopJoin's CONDITION, so it
+    // filters the postings stream in-stage — and nothing below the
+    // probe may shuffle: non-members never pay the distinct/verify
+    // exchanges
+    val probes = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        if j.condition.exists(_.toString.contains("shiftright")) => j
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("shiftright") => f
+    }
+    assert(probes.nonEmpty, s"no bloom probe in plan:\n$sp")
+    probes.foreach { f =>
+      val below = f.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(below.isEmpty, s"probe sits above a shuffle:\n$sp")
+    }
+    // the one-row bloom arrives via broadcast, never a cartesian
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"bloom attach planned cartesian:\n$sp")
+  }
+
   test("text_normalize plans as one narrow codegen projection over a pruned scan") {
     val p = plan("text_normalize")
     val finalPlan = p.split("== Initial Plan ==").head
