@@ -626,6 +626,56 @@ object TextAnalysis extends QueryModule {
       unigramScores(s, d).orderBy(col("doc_id"))
     },
 
+    // MODEL-BASED quality/language filtering — the classifier stage of
+    // the modern curation recipe (a fastText-style linear model scored
+    // over every document; DCLM/FineWeb-class pipelines gate on such a
+    // score). TRAIN + SCORE in one query, both distributed: a Naive
+    // Bayes log-odds model for the seed label `lang = 'en'` is trained
+    // as ONE vocab-sized aggregate over the token stream (per-token
+    // class counts + Laplace smoothing), and scoring is a broadcast
+    // join of the weight table onto the same stream with map-side
+    // partial sums — the corpus is never shuffled by anything wider
+    // than doc_id. Exactness is the text_unigram_logprob discipline:
+    // each log is rounded to 6 dp ONCE at the vocab level, converted
+    // to integer MICRO-units, and everything downstream (per-doc sum,
+    // prior, sign test for the prediction) is exact 64-bit integer
+    // arithmetic both engines reproduce bit-for-bit. Vocabulary
+    // boundedness: the weight table is type-count-sized; past ~2^20
+    // types the unigram vocab-cap recipe (frequency-of-frequencies
+    // histogram cut + OOV floor) applies verbatim since OOV tokens
+    // just score the smoothed floor in both classes.
+    "text_classify_nb" -> { (s, d) =>
+      def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (round(log(c), 6).cast("decimal(12,6)") * 1000000).cast("long")
+      val docs = Tables.documents(s, d)
+      val words = docs
+        .select(col("doc_id"), col("lang"),
+          (col("lang") === "en").cast("int").as("y"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val tok = words.groupBy(col("w"))
+        .agg(sum(col("y")).as("cpos"), sum(lit(1) - col("y")).as("cneg"))
+      val tot = tok.agg(sum(col("cpos")).as("tpos"),
+        sum(col("cneg")).as("tneg"), count(lit(1)).as("v"))
+      val weights = tok.crossJoin(broadcast(tot))
+        .select(col("w"),
+          (micro((col("cpos") + 1) / (col("tpos") + col("v"))) -
+            micro((col("cneg") + 1) / (col("tneg") + col("v")))).as("w_micro"))
+      val prior = docs
+        .agg(sum((col("lang") === "en").cast("long")).as("npos"),
+          sum((col("lang") =!= "en").cast("long")).as("nneg"))
+        .select((micro(col("npos")) - micro(col("nneg"))).as("prior_micro"))
+      words.join(broadcast(weights), Seq("w"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("w_micro")).as("sw"))
+        .crossJoin(broadcast(prior))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          (col("sw") + col("prior_micro")).as("score_micro"),
+          when(col("sw") + col("prior_micro") > 0, lit("en"))
+            .otherwise(lit("other")).as("pred"))
+        .orderBy(col("doc_id"))
+    },
+
     // CCNet-style PERPLEXITY BUCKETING + sampling — the selection step
     // the LM score exists for: rank every document by its unigram
     // avg-logprob (exact integer micro-units, the text_unigram_logprob
@@ -1092,6 +1142,38 @@ object TextAnalysis extends QueryModule {
         |       CASE WHEN micro < 0 THEN -((-micro) // n_tokens)
         |            ELSE micro // n_tokens END AS avg_lp_micro
         |FROM agg
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors the NB train+score: same Laplace smoothing, same
+    // round-to-6dp → DECIMAL → integer micro-units per vocab entry,
+    // exact BIGINT sums and sign test downstream
+    "text_classify_nb" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, w
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''),
+        |tok AS (SELECT w, sum(y) AS cpos, sum(1 - y) AS cneg FROM w GROUP BY w),
+        |tot AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg, count(*) AS v FROM tok),
+        |wt AS (
+        |  SELECT w,
+        |         CAST(CAST(round(ln((cpos + 1) / CAST(tpos + v AS DOUBLE)), 6)
+        |              AS DECIMAL(12,6)) * 1000000 AS BIGINT)
+        |       - CAST(CAST(round(ln((cneg + 1) / CAST(tneg + v AS DOUBLE)), 6)
+        |              AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS w_micro
+        |  FROM tok, tot),
+        |pr AS (
+        |  SELECT CAST(CAST(round(ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |              AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT)
+        |       - CAST(CAST(round(ln(CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+        |              AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS prior_micro
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang, count(*) AS n_tokens, sum(w_micro) AS sw
+        |       FROM w JOIN wt USING (w) GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_tokens,
+        |       CAST(sw + prior_micro AS BIGINT) AS score_micro,
+        |       CASE WHEN sw + prior_micro > 0 THEN 'en' ELSE 'other' END AS pred
+        |FROM sc, pr
         |ORDER BY doc_id""".stripMargin,
 
     // same scoring CTEs as text_unigram_logprob, then: 0.001-nat bins

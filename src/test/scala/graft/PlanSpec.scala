@@ -641,6 +641,21 @@ class PlanSpec extends GraftSuite {
     }.isEmpty, s"bloom attach planned cartesian:\n$sp")
   }
 
+  test("text_classify_nb: weight table broadcasts onto the token stream") {
+    val df = q("text_classify_nb")
+    val sp = df.queryExecution.sparkPlan
+    // scoring = vocab-sized weights BROADCAST-joined to the exploded
+    // tokens; the token stream must never be the build/shuffle side of
+    // a merge join (that would shuffle the whole corpus by token)
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.leftKeys.mkString.contains("w") || j.rightKeys.mkString.contains("w") => j
+    }.nonEmpty, s"weights not broadcast:\n$sp")
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"token stream entered a sort-merge join:\n$sp")
+  }
+
   test("text_normalize plans as one narrow codegen projection over a pruned scan") {
     val p = plan("text_normalize")
     val finalPlan = p.split("== Initial Plan ==").head

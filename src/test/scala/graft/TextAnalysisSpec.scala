@@ -206,4 +206,29 @@ class TextAnalysisSpec extends GraftSuite {
     assert(rawHashes == 2, "without NFC the twins hash apart")
     assert(normHashes == 1, "with NFC the twins collapse to one content hash")
   }
+
+  test("text_classify_nb learns a planted vocabulary signal perfectly") {
+    import spark.implicits._
+    // disjoint vocabularies per class — the NB log-odds must separate
+    // them with certainty (the fixture corpus is shared-vocab word
+    // soup, so this is where the LEARNING itself gets pinned; the
+    // oracle pins the arithmetic)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    val docs = (0 until 40).map { i =>
+      val en = i % 2 == 0
+      val text = if (en) "alpha beta gamma alpha" else "delta epsilon zeta zeta"
+      (i.toLong, text, if (en) "en" else "fr", s"src${i % 3}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_classify_nb")(spark, dir).collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      val (lang, score, pred) =
+        (r.getString(1), r.getLong(3), r.getString(4))
+      assert(pred == (if (lang == "en") "en" else "other"),
+        s"misclassified planted doc: $r")
+      // scores must carry real margin, not sit at the sign boundary
+      assert(math.abs(score) > 1000000L, s"no margin: $r")
+    }
+  }
 }
