@@ -429,6 +429,35 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // LEAKAGE-SAFE train/val/test split — the assignment discipline for
+    // corpora where near-dup VARIANTS are kept (contrast: data_split
+    // hashes raw doc_ids, so a near-dup pair can straddle train/test —
+    // silent eval contamination; pipeline_curate DROPS the losers).
+    // Every doc is keyed by its near-dup CLUSTER (connected components
+    // over the verified MinHash pair graph — the staged labels are
+    // SHARED with dedup_cluster: same edge plan, same stage key, so one
+    // CC run serves both queries) and the md5 split decision is made on
+    // the cluster id: all members land in the same split BY
+    // CONSTRUCTION, so cross-split near-dup leakage is structurally
+    // zero (spec-asserted over every verified pair). Scale: the label
+    // table is node-set-sized (docs in ≥1 pair, output-scale), left-
+    // joined onto the corpus on doc_id; singletons fall back to their
+    // own id; the split decision is a narrow md5 map — the one corpus-
+    // sized operation is that single equi-join.
+    "data_split_leakage_safe" -> { (s, d) =>
+      val edges = minhashPairs(s, d)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      val labels = graft.operators.ConnectedComponents.label(s, edges, "cc", d)
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val b = conv(substring(md5(concat(lit("split|"),
+        col("cluster_id").cast("string"))), 1, 6), 16, 10).cast("long") % 10
+      docs.join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .withColumn("split",
+          when(b < 8, "train").when(b === 8, "val").otherwise("test"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash near-dup: block on any equal 16-bit chunk (pigeonhole: a
     // pair within hamming 3 of a 64-bit signature shares ≥1 of 4 chunks),
     // verify hamming ≤ 3 via xor+popcount. Signatures are computed ONCE
@@ -888,6 +917,29 @@ object Dedup extends QueryModule {
         |SELECT doc_id, cluster_id,
         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lab
+        |ORDER BY doc_id""".stripMargin,
+
+    // same recursive-CTE component labels as dedup_cluster, left-joined
+    // onto the corpus (singletons keep their own id), then the shared
+    // md5 bucket rule on the CLUSTER id
+    "data_split_leakage_safe" ->
+      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($minhashOracle)),
+        |ud AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |       UNION SELECT d2 AS a, d1 AS b FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM ud
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN ud u ON r.b = u.a),
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |        FROM reach GROUP BY a),
+        |cl AS (SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id
+        |       FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+        |sp AS (SELECT doc_id, cluster_id,
+        |              ('0x' || substr(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 6))::BIGINT % 10 AS b
+        |       FROM cl)
+        |SELECT doc_id, cluster_id,
+        |       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM sp
         |ORDER BY doc_id""".stripMargin,
 
     // same LSH candidate CTEs as dedup_minhash; levenshtein verify.

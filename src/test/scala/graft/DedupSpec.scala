@@ -389,4 +389,35 @@ class DedupSpec extends GraftSuite {
         assert(r.getAs[Int]("n_u") == 0, s"$name: n_u")
     }
   }
+
+  test("data_split_leakage_safe: no verified near-dup pair straddles splits") {
+    import org.apache.spark.sql.functions._
+    val split = q("data_split_leakage_safe")
+      .select(col("doc_id"), col("split"), col("cluster_id"))
+    val pairs = q("dedup_minhash").select(col("d1"), col("d2"))
+    // non-vacuous: the fixture has planted near-dup pairs and at least
+    // one multi-member cluster
+    assert(pairs.count() > 0)
+    assert(split.groupBy(col("cluster_id")).count()
+      .filter(col("count") >= 2).count() > 0)
+    val crossSplit = pairs
+      .join(split.select(col("doc_id").as("d1"), col("split").as("s1")), Seq("d1"))
+      .join(split.select(col("doc_id").as("d2"), col("split").as("s2")), Seq("d2"))
+      .filter(col("s1") =!= col("s2"))
+      .count()
+    assert(crossSplit == 0L, s"$crossSplit near-dup pairs leak across splits")
+    // and the raw-doc_id split (data_split's rule) is NOT leakage-safe
+    // on the same corpus — the property is earned by cluster keying,
+    // not by luck of the fixture
+    val rawB = conv(substring(md5(concat(lit("split|"),
+      col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long") % 10
+    val raw = q("data_split_leakage_safe").select(col("doc_id"),
+      when(rawB < 8, "train").when(rawB === 8, "val").otherwise("test").as("split"))
+    val rawCross = pairs
+      .join(raw.select(col("doc_id").as("d1"), col("split").as("s1")), Seq("d1"))
+      .join(raw.select(col("doc_id").as("d2"), col("split").as("s2")), Seq("d2"))
+      .filter(col("s1") =!= col("s2"))
+      .count()
+    assert(rawCross > 0L, "fixture cannot demonstrate the leakage difference")
+  }
 }
