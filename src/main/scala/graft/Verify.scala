@@ -42,6 +42,7 @@ object Verify {
       "spark.graft.ann.probeHamming" -> Seq("ann_lsh"),
       "spark.graft.ann.nprobe" -> Seq("ann_ivf"),
       "spark.graft.dedup.embTau" -> Seq("dedup_embedding"),
+      "spark.graft.dedup.levMaxLen" -> Seq("dedup_levenshtein", "dedup_lev_blocked"),
       "spark.graft.mm.nearTau" -> Seq("mm_dedup_near"),
       "spark.graft.mm.bitsPerBand" -> Seq("mm_dedup_near"),
       "spark.graft.serving.shards" -> Seq("pipeline_pack", "data_shuffle_global"),

@@ -125,6 +125,16 @@ object Dedup extends QueryModule {
     * Data Makes Language Models Better" — the ≥50-token-span recipe). */
   private val SpanK = 8
 
+  /** Longest document (chars) admitted to the char-level edit-distance
+    * verifiers — past this, even banded DP is O(len·0.2len) per pair
+    * and long near-identical docs stall executor cores; fingerprint
+    * verification covers that regime. Oracle-pinned knob
+    * `spark.graft.dedup.levMaxLen` (Verify downgrades on override). */
+  private val LevMaxLenDefault = 20000
+  private def levMaxLen(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.dedup.levMaxLen")
+      .map(_.toInt).getOrElse(LevMaxLenDefault)
+
   /** (doc_id, pos, h): one posting per token position, h = md5 of the
     * [[SpanK]]-token shingle starting there (1-based positions). Staged
     * (see [[graft.Staging]]): the duplicate-hash aggregate and the
@@ -493,12 +503,19 @@ object Dedup extends QueryModule {
     // Edit-distance near-dup over the bounded id-window pair set:
     // levenshtein is O(len²) per pair, so it only ever runs on blocked
     // candidates (here the id window; in production an LSH/simhash
-    // blocker) — never corpus × corpus.
+    // blocker) — never corpus × corpus. Pairs where either doc exceeds
+    // [[levMaxLen]] are excluded OUTRIGHT: even the banded DP is
+    // O(len·0.2len) and two near-identical multi-hundred-KB docs would
+    // stall an executor core for minutes (the SkewFixtureSpec
+    // scenario) — char-level DP is a SHORT-document verifier; past the
+    // bound, production verifies by fingerprint/shingle (dedup_minhash,
+    // dedup_substring), which this corpus-scale suite already provides.
     "dedup_levenshtein" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val cand = docs.select(col("doc_id").as("d1"), col("text").as("t1"),
         explode(expr("sequence(doc_id + 1, doc_id + 3)")).as("d2"))
       cand.join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
+        .filter(greatest(length(col("t1")), length(col("t2"))) <= levMaxLen(s))
         // length prefilter, semantics-preserving: |len1-len2| lower-bounds
         // edit distance, so a pair violating it cannot reach similarity
         // 0.8 — skips the DP for most candidates
@@ -511,7 +528,14 @@ object Dedup extends QueryModule {
         // drop (dist > 0.2·max_len ⇔ sim < 0.8), so results are
         // identical to the oracle's full DP
         .select(col("d1"), col("d2"),
-          expr("levenshtein(t1, t2, CAST(FLOOR(0.2 * greatest(length(t1), length(t2))) AS INT))")
+          // the DP sits INSIDE the length-guard CASE WHEN: pushed-down
+          // filter predicates inline this whole expression, and a
+          // combined conjunction does not promise to evaluate the
+          // cheap guard filter first — the SkewFixtureSpec giants
+          // measured 580+ s of DP before the conditional was added
+          when(greatest(length(col("t1")), length(col("t2"))) <= levMaxLen(s),
+            expr("levenshtein(t1, t2, CAST(FLOOR(0.2 * greatest(length(t1), length(t2))) AS INT))"))
+            .otherwise(lit(-1))
             .as("edit_dist"),
           greatest(length(col("t1")), length(col("t2"))).as("max_len"))
         .filter(col("edit_dist") >= 0)
@@ -538,11 +562,20 @@ object Dedup extends QueryModule {
       lshCandidates(s, d)
         .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), Seq("d1"))
         .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
+        // long docs never enter the char-level DP — see dedup_levenshtein
+        .filter(greatest(length(col("t1")), length(col("t2"))) <= levMaxLen(s))
         .filter(abs(length(col("t1")) - length(col("t2"))) <=
           lit(0.2) * greatest(length(col("t1")), length(col("t2"))))
         // bounded DP with -1 sentinel excluded — see dedup_levenshtein
         .select(col("d1"), col("d2"),
-          expr("levenshtein(t1, t2, CAST(FLOOR(0.2 * greatest(length(t1), length(t2))) AS INT))")
+          // the DP sits INSIDE the length-guard CASE WHEN: pushed-down
+          // filter predicates inline this whole expression, and a
+          // combined conjunction does not promise to evaluate the
+          // cheap guard filter first — the SkewFixtureSpec giants
+          // measured 580+ s of DP before the conditional was added
+          when(greatest(length(col("t1")), length(col("t2"))) <= levMaxLen(s),
+            expr("levenshtein(t1, t2, CAST(FLOOR(0.2 * greatest(length(t1), length(t2))) AS INT))"))
+            .otherwise(lit(-1))
             .as("edit_dist"),
           greatest(length(col("t1")), length(col("t2"))).as("max_len"))
         .filter(col("edit_dist") >= 0)
@@ -951,7 +984,8 @@ object Dedup extends QueryModule {
         |       round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
         |                   / greatest(length(a.text), length(b.text)), 6) AS similarity
         |FROM cand JOIN documents a ON a.doc_id = d1 JOIN documents b ON b.doc_id = d2
-        |WHERE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |WHERE greatest(length(a.text), length(b.text)) <= $LevMaxLenDefault
+        |  AND 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
         |            / greatest(length(a.text), length(b.text)) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
 
@@ -987,10 +1021,11 @@ object Dedup extends QueryModule {
     },
 
     "dedup_levenshtein" ->
-      """WITH cand AS (
+      s"""WITH cand AS (
         |  SELECT a.doc_id AS d1, a.text AS t1, b.doc_id AS d2, b.text AS t2
         |  FROM documents a
-        |  JOIN documents b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3)
+        |  JOIN documents b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
+        |  WHERE greatest(length(a.text), length(b.text)) <= $LevMaxLenDefault)
         |SELECT d1, d2,
         |       levenshtein(t1, t2) AS edit_dist,
         |       round(1.0 - CAST(levenshtein(t1, t2) AS DOUBLE)

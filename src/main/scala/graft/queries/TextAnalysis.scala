@@ -537,8 +537,12 @@ object TextAnalysis extends QueryModule {
       // documented q15 pattern, never over the corpus)
       val rates = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"))
+        // try_cast: a source without a numeric suffix (arbitrary real-
+        // world domain strings — the SkewFixtureSpec case) gets the
+        // default weight instead of an ANSI cast failure
         .withColumn("weight",
-          (pmod(expr("CAST(substring(source, 4) AS INT)"), lit(4)) + 1).cast("long"))
+          (pmod(coalesce(expr("try_cast(substring(source, 4) AS INT)"),
+            lit(0)), lit(4)) + 1).cast("long"))
         .withColumn("n_total", sum(col("n_docs")).over(srcW))
         .withColumn("w_total", sum(col("weight")).over(srcW))
       val bucket = conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 6), 16, 10)
@@ -1062,7 +1066,7 @@ object TextAnalysis extends QueryModule {
     "pipeline_mix" ->
       """WITH rates AS (
         |  SELECT source, count(*) AS n_docs,
-        |         CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS weight
+        |         CAST(coalesce(TRY_CAST(substr(source, 4) AS INT), 0) % 4 + 1 AS BIGINT) AS weight
         |  FROM documents GROUP BY source),
         |r2 AS (
         |  SELECT source, n_docs, weight,
