@@ -161,7 +161,20 @@ object ExplainDump {
     "pipeline_ppl_sample" -> ("unigram scoring passes (narrow, codegen) → per-doc exact " +
       "integer micro-score → 0.001-nat bin histogram (bounded cardinality, single small " +
       "window over BINS, never docs) → broadcast tercile edges back onto the scored frame; " +
-      "the keep decision is a pure md5 projection — no corpus sort, no percentile buffer")
+      "the keep decision is a pure md5 projection — no corpus sort, no percentile buffer"),
+    "dedup_bloom_prefilter" -> ("bloom built over RAW base postings (insertion is idempotent " +
+      "— no distinct exchange; the only build shuffle is one partial bit-array per " +
+      "partition); the membership probe folds into the one-row-broadcast BNLJ condition, " +
+      "filtering the delta posting SCAN in-stage before any exchange; only maybe-members " +
+      "pay the distinct + exact verify join (PlanSpec-pinned)"),
+    "text_classify_nb" -> ("train = one vocab-sized hash aggregate over the token stream " +
+      "(map-side partials); score = the weight table BROADCAST onto the same stream with " +
+      "per-doc partial sums — the corpus never shuffles wider than doc_id; all arithmetic " +
+      "integer micro-units after one vocab-level rounding (PlanSpec pins the broadcast)"),
+    "data_split_leakage_safe" -> ("CC labels (node-set-sized, staged rounds shared with " +
+      "dedup_cluster) left-join the corpus on doc_id — AQE broadcasts the fixture-sized " +
+      "label table, a corpus-scale one shuffle-joins on the same key; the split decision " +
+      "is a narrow md5 projection on the cluster id")
   )
 
   def main(args: Array[String]): Unit = {

@@ -384,11 +384,20 @@ object Dedup extends QueryModule {
     "dedup_bloom_prefilter" -> { (s, d) =>
       import s.implicits._
       val p = spanPostings(s, d)
-      val baseH = p.filter(col("doc_id") % 10 =!= 0).select(col("h")).distinct()
-      val mBits = graft.operators.Bloom.bitsFor(baseH.count())
-      val bloom = baseH.as[String]
+      // sizing: the TOTAL posting count upper-bounds the distinct base
+      // hash count — a vectorized metadata-cheap count over the staged
+      // parquet, no wide job; overestimating n only LOWERS the FPR
+      // (bitsFor's power-of-two step absorbs the slack)
+      val mBits = graft.operators.Bloom.bitsFor(p.count())
+      // build over the RAW base postings: bloom insertion is
+      // idempotent, so the build pays NO distinct exchange (the only
+      // shuffle is one partial bit-array per partition) — the exact
+      // verify join below is the only consumer that needs distinct
+      val bloom = p.filter(col("doc_id") % 10 =!= 0)
+        .select(col("h")).as[String]
         .select(graft.operators.Bloom.agg(mBits).toColumn.name("bloom"))
         .toDF("bloom")
+      val baseH = p.filter(col("doc_id") % 10 =!= 0).select(col("h")).distinct()
       val deltaRaw = p.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("h"))
       val totals = deltaRaw.groupBy(col("doc_id"))
