@@ -410,9 +410,14 @@ object Dedup extends QueryModule {
         .select(col("doc_id"), col("h")).distinct()
       val dups = maybe.join(baseH, Seq("h"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
-      dups.join(totals, Seq("doc_id"))
-        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
-          round(col("n_dup_spans") * lit(1.0) / col("n_spans"), 6).as("dup_frac"))
+      // LEFT join from totals: a CLEAN delta doc is a screening result
+      // too (dup_frac 0) — an ingest gate must be able to tell
+      // "screened clean" from "never screened"
+      totals.join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          round(coalesce(col("n_dup_spans"), lit(0L)) * lit(1.0) / col("n_spans"), 6)
+            .as("dup_frac"))
         .orderBy(col("doc_id"))
     },
 
@@ -870,9 +875,10 @@ object Dedup extends QueryModule {
          |tot AS (SELECT doc_id, count(*) AS n_spans FROM dh GROUP BY doc_id),
          |dup AS (SELECT doc_id, count(*) AS n_dup_spans
          |        FROM dh JOIN bh USING (h) GROUP BY doc_id)
-         |SELECT doc_id, n_spans, n_dup_spans,
-         |       round(n_dup_spans * 1.0 / n_spans, 6) AS dup_frac
-         |FROM dup JOIN tot USING (doc_id)
+         |SELECT doc_id, n_spans,
+         |       coalesce(n_dup_spans, 0) AS n_dup_spans,
+         |       round(coalesce(n_dup_spans, 0) * 1.0 / n_spans, 6) AS dup_frac
+         |FROM tot LEFT JOIN dup USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     // same postings CTE as dedup_substring; min-doc keeper per hash,

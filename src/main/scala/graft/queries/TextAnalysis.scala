@@ -652,9 +652,13 @@ object TextAnalysis extends QueryModule {
       def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         (round(log(c), 6).cast("decimal(12,6)") * 1000000).cast("long")
       val docs = Tables.documents(s, d)
+      // label contract: the POSITIVE class is the seed label, everything
+      // else — including NULL lang — is negative (when/otherwise, never
+      // a bare boolean cast: (NULL === x) is NULL and silently trains
+      // NEITHER class while the oracle's CASE ELSE 0 trains negative)
+      val y = when(col("lang") === "en", 1L).otherwise(0L)
       val words = docs
-        .select(col("doc_id"), col("lang"),
-          (col("lang") === "en").cast("int").as("y"),
+        .select(col("doc_id"), col("lang"), y.as("y"),
           explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
       val tok = words.groupBy(col("w"))
@@ -665,10 +669,13 @@ object TextAnalysis extends QueryModule {
         .select(col("w"),
           (micro((col("cpos") + 1) / (col("tpos") + col("v"))) -
             micro((col("cneg") + 1) / (col("tneg") + col("v")))).as("w_micro"))
+      // +1-smoothed prior: a single-class corpus (nneg = 0, a
+      // monolingual dump) must yield a large finite prior, not a NULL
+      // ln(0) that silently flips every prediction to "other"
       val prior = docs
-        .agg(sum((col("lang") === "en").cast("long")).as("npos"),
-          sum((col("lang") =!= "en").cast("long")).as("nneg"))
-        .select((micro(col("npos")) - micro(col("nneg"))).as("prior_micro"))
+        .agg(sum(y).as("npos"),
+          sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nneg"))
+        .select((micro(col("npos") + 1) - micro(col("nneg") + 1)).as("prior_micro"))
       words.join(broadcast(weights), Seq("w"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(count(lit(1)).as("n_tokens"), sum(col("w_micro")).as("sw"))
@@ -1066,7 +1073,8 @@ object TextAnalysis extends QueryModule {
     "pipeline_mix" ->
       """WITH rates AS (
         |  SELECT source, count(*) AS n_docs,
-        |         CAST(coalesce(TRY_CAST(substr(source, 4) AS INT), 0) % 4 + 1 AS BIGINT) AS weight
+        |         CAST(((coalesce(TRY_CAST(substr(source, 4) AS INT), 0) % 4) + 4) % 4 + 1
+        |              AS BIGINT) AS weight
         |  FROM documents GROUP BY source),
         |r2 AS (
         |  SELECT source, n_docs, weight,
@@ -1167,9 +1175,9 @@ object TextAnalysis extends QueryModule {
         |              AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS w_micro
         |  FROM tok, tot),
         |pr AS (
-        |  SELECT CAST(CAST(round(ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |  SELECT CAST(CAST(round(ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1
         |              AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT)
-        |       - CAST(CAST(round(ln(CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+        |       - CAST(CAST(round(ln(CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1
         |              AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS prior_micro
         |  FROM documents),
         |sc AS (SELECT doc_id, lang, count(*) AS n_tokens, sum(w_micro) AS sw

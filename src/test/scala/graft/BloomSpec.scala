@@ -70,10 +70,15 @@ class BloomSpec extends GraftSuite {
     val totals = deltaH.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
     val dups = deltaH.join(baseH, Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
-    val want = dups.join(totals, Seq("doc_id"))
-      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
-        round(col("n_dup_spans") * lit(1.0) / col("n_spans"), 6).as("dup_frac"))
+    val want = totals.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("n_dup_spans"), lit(0L)) * lit(1.0) / col("n_spans"), 6)
+          .as("dup_frac"))
       .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
     assert(got.nonEmpty && got == want)
+    // both contaminated and CLEAN delta docs are reported
+    assert(want.exists(r => r(2).asInstanceOf[Long] > 0L))
+    assert(want.exists(r => r(2).asInstanceOf[Long] == 0L))
   }
 }

@@ -77,7 +77,8 @@ class SkewFixtureSpec extends GraftSuite {
 
     // char-level DP refuses the giant twins (levMaxLen guard)...
     val levPairs = SparkEntry.queries("dedup_lev_blocked")(spark, skewDir)
-      .filter(col("d1") === GiantA || col("d2") === GiantB).count()
+      .filter(col("d1").isin(GiantA, GiantB) || col("d2").isin(GiantA, GiantB))
+      .count()
     assert(levPairs == 0L, "giant docs entered the char-level DP")
     // ...but the fingerprint path still catches them
     val mh = SparkEntry.queries("dedup_minhash")(spark, skewDir)
