@@ -649,42 +649,45 @@ object TextAnalysis extends QueryModule {
     // histogram cut + OOV floor) applies verbatim since OOV tokens
     // just score the smoothed floor in both classes.
     "text_classify_nb" -> { (s, d) =>
-      def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        (round(log(c), 6).cast("decimal(12,6)") * 1000000).cast("long")
-      val docs = Tables.documents(s, d)
-      // label contract: the POSITIVE class is the seed label, everything
-      // else — including NULL lang — is negative (when/otherwise, never
-      // a bare boolean cast: (NULL === x) is NULL and silently trains
-      // NEITHER class while the oracle's CASE ELSE 0 trains negative)
-      val y = when(col("lang") === "en", 1L).otherwise(0L)
-      val words = docs
-        .select(col("doc_id"), col("lang"), y.as("y"),
-          explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "")
-      val tok = words.groupBy(col("w"))
-        .agg(sum(col("y")).as("cpos"), sum(lit(1) - col("y")).as("cneg"))
-      val tot = tok.agg(sum(col("cpos")).as("tpos"),
-        sum(col("cneg")).as("tneg"), count(lit(1)).as("v"))
-      val weights = tok.crossJoin(broadcast(tot))
-        .select(col("w"),
-          (micro((col("cpos") + 1) / (col("tpos") + col("v"))) -
-            micro((col("cneg") + 1) / (col("tneg") + col("v")))).as("w_micro"))
-      // +1-smoothed prior: a single-class corpus (nneg = 0, a
-      // monolingual dump) must yield a large finite prior, not a NULL
-      // ln(0) that silently flips every prediction to "other"
-      val prior = docs
-        .agg(sum(y).as("npos"),
-          sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nneg"))
-        .select((micro(col("npos") + 1) - micro(col("nneg") + 1)).as("prior_micro"))
-      words.join(broadcast(weights), Seq("w"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("w_micro")).as("sw"))
-        .crossJoin(broadcast(prior))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          (col("sw") + col("prior_micro")).as("score_micro"),
-          when(col("sw") + col("prior_micro") > 0, lit("en"))
-            .otherwise(lit("other")).as("pred"))
-        .orderBy(col("doc_id"))
+      nbScored(s, d).orderBy(col("doc_id"))
+    },
+
+    // EVALUATION of the trained gate — the step between training a
+    // filter and trusting it: per-class confusion counts and
+    // precision/recall/F1 over the scored corpus (in production, over
+    // a held-out labeled slice; here the fixture labels double as the
+    // eval labels). Everything reduces map-side to SIX conditional
+    // counters (one tiny global aggregate over the scored frame), and
+    // the metrics are single end-rounds over exact integers — the
+    // repo-wide one-round discipline, so both engines agree at the
+    // 6th decimal exactly. The truth label applies the SAME contract
+    // the trainer uses (positive = seed label, NULL lang = negative).
+    "text_classify_eval" -> { (s, d) =>
+      val scored = nbScored(s, d)
+        .withColumn("truth",
+          when(col("lang") === "en", lit("en")).otherwise(lit("other")))
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      val m = scored.agg(
+        cnt(col("truth") === "en").as("t_en"),
+        cnt(col("pred") === "en").as("p_en"),
+        cnt(col("truth") === "en" && col("pred") === "en").as("tp_en"),
+        cnt(col("truth") === "other").as("t_ot"),
+        cnt(col("pred") === "other").as("p_ot"),
+        cnt(col("truth") === "other" && col("pred") === "other").as("tp_ot"))
+      m.select(expr(
+        "stack(2, 'en', t_en, p_en, tp_en, 'other', t_ot, p_ot, tp_ot) " +
+          "AS (class, n_true, n_pred, tp)"))
+        .select(col("class"), col("n_true"), col("n_pred"), col("tp"),
+          // zero-denominator guards (ANSI division; a degenerate gate
+          // predicting no member of a class reports NULL, not a crash)
+          when(col("n_pred") > 0,
+            round(col("tp") * lit(1.0) / col("n_pred"), 6)).as("precision"),
+          when(col("n_true") > 0,
+            round(col("tp") * lit(1.0) / col("n_true"), 6)).as("recall"),
+          when(col("n_pred") + col("n_true") > 0,
+            round(col("tp") * lit(2.0) / (col("n_pred") + col("n_true")), 6)).as("f1"))
+        .orderBy(col("class"))
     },
 
     // CCNet-style PERPLEXITY BUCKETING + sampling — the selection step
@@ -733,6 +736,50 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** The trained-NB scored frame (doc_id, lang, n_tokens, score_micro,
+    * pred), UNSORTED — shared by text_classify_nb (which presents it)
+    * and text_classify_eval (which aggregates the confusion counts).
+    * See text_classify_nb's scaladoc for the training/exactness
+    * contract. */
+  private def nbScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (round(log(c), 6).cast("decimal(12,6)") * 1000000).cast("long")
+    val docs = Tables.documents(s, d)
+    // label contract: the POSITIVE class is the seed label, everything
+    // else — including NULL lang — is negative (when/otherwise, never
+    // a bare boolean cast: (NULL === x) is NULL and silently trains
+    // NEITHER class while the oracle's CASE ELSE 0 trains negative)
+    val y = when(col("lang") === "en", 1L).otherwise(0L)
+    val words = docs
+      .select(col("doc_id"), col("lang"), y.as("y"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tok = words.groupBy(col("w"))
+      .agg(sum(col("y")).as("cpos"), sum(lit(1) - col("y")).as("cneg"))
+    val tot = tok.agg(sum(col("cpos")).as("tpos"),
+      sum(col("cneg")).as("tneg"), count(lit(1)).as("v"))
+    val weights = tok.crossJoin(broadcast(tot))
+      .select(col("w"),
+        (micro((col("cpos") + 1) / (col("tpos") + col("v"))) -
+          micro((col("cneg") + 1) / (col("tneg") + col("v")))).as("w_micro"))
+    // +1-smoothed prior: a single-class corpus (nneg = 0, a
+    // monolingual dump) must yield a large finite prior, not a NULL
+    // ln(0) that silently flips every prediction to "other"
+    val prior = docs
+      .agg(sum(y).as("npos"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nneg"))
+      .select((micro(col("npos") + 1) - micro(col("nneg") + 1)).as("prior_micro"))
+    words.join(broadcast(weights), Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_micro")).as("sw"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("sw") + col("prior_micro")).as("score_micro"),
+        when(col("sw") + col("prior_micro") > 0, lit("en"))
+          .otherwise(lit("other")).as("pred"))
+  }
 
   /** The unigram-LM scoring frame (doc_id, n_tokens, logprob,
     * avg_lp_micro), UNSORTED — shared by text_unigram_logprob (which
@@ -815,6 +862,37 @@ object TextAnalysis extends QueryModule {
     val hits = markers.map(m => s"t = '$m'").mkString(" OR ")
     s"SELECT doc_id, '$lang' AS lang, count(*) FILTER (WHERE $hits) AS score FROM tok GROUP BY doc_id"
   }
+
+  /** The NB scored subquery (no ORDER BY) — shared by the
+    * text_classify_nb oracle (which just sorts it) and the
+    * text_classify_eval oracle (which aggregates it). */
+  private val nbScoredSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, w
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE w <> ''),
+      |tok AS (SELECT w, sum(y) AS cpos, sum(1 - y) AS cneg FROM w GROUP BY w),
+      |tot AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg, count(*) AS v FROM tok),
+      |wt AS (
+      |  SELECT w,
+      |         CAST(CAST(round(ln((cpos + 1) / CAST(tpos + v AS DOUBLE)), 6)
+      |              AS DECIMAL(12,6)) * 1000000 AS BIGINT)
+      |       - CAST(CAST(round(ln((cneg + 1) / CAST(tneg + v AS DOUBLE)), 6)
+      |              AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS w_micro
+      |  FROM tok, tot),
+      |pr AS (
+      |  SELECT CAST(CAST(round(ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1
+      |              AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT)
+      |       - CAST(CAST(round(ln(CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1
+      |              AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS prior_micro
+      |  FROM documents),
+      |sc AS (SELECT doc_id, lang, count(*) AS n_tokens, sum(w_micro) AS sw
+      |       FROM w JOIN wt USING (w) GROUP BY doc_id, lang)
+      |SELECT doc_id, lang, n_tokens,
+      |       CAST(sw + prior_micro AS BIGINT) AS score_micro,
+      |       CASE WHEN sw + prior_micro > 0 THEN 'en' ELSE 'other' END AS pred
+      |FROM sc, pr""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -1160,33 +1238,34 @@ object TextAnalysis extends QueryModule {
     // round-to-6dp → DECIMAL → integer micro-units per vocab entry,
     // exact BIGINT sums and sign test downstream
     "text_classify_nb" ->
-      """WITH w AS (
-        |  SELECT doc_id, lang, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, w
-        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-        |        FROM documents)
-        |  WHERE w <> ''),
-        |tok AS (SELECT w, sum(y) AS cpos, sum(1 - y) AS cneg FROM w GROUP BY w),
-        |tot AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg, count(*) AS v FROM tok),
-        |wt AS (
-        |  SELECT w,
-        |         CAST(CAST(round(ln((cpos + 1) / CAST(tpos + v AS DOUBLE)), 6)
-        |              AS DECIMAL(12,6)) * 1000000 AS BIGINT)
-        |       - CAST(CAST(round(ln((cneg + 1) / CAST(tneg + v AS DOUBLE)), 6)
-        |              AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS w_micro
-        |  FROM tok, tot),
-        |pr AS (
-        |  SELECT CAST(CAST(round(ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1
-        |              AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT)
-        |       - CAST(CAST(round(ln(CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1
-        |              AS DOUBLE)), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS prior_micro
-        |  FROM documents),
-        |sc AS (SELECT doc_id, lang, count(*) AS n_tokens, sum(w_micro) AS sw
-        |       FROM w JOIN wt USING (w) GROUP BY doc_id, lang)
-        |SELECT doc_id, lang, n_tokens,
-        |       CAST(sw + prior_micro AS BIGINT) AS score_micro,
-        |       CASE WHEN sw + prior_micro > 0 THEN 'en' ELSE 'other' END AS pred
-        |FROM sc, pr
+      s"""$nbScoredSql
         |ORDER BY doc_id""".stripMargin,
+
+    // confusion counts + one-end-round metrics over the same scored
+    // subquery; zero-denominator classes report NULL like the engine
+    "text_classify_eval" ->
+      s"""WITH scored AS ($nbScoredSql),
+        |t AS (SELECT *, CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS truth
+        |      FROM scored),
+        |m AS (SELECT
+        |  CAST(sum(CASE WHEN truth = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_en,
+        |  CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p_en,
+        |  CAST(sum(CASE WHEN truth = 'en' AND pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp_en,
+        |  CAST(sum(CASE WHEN truth = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS t_ot,
+        |  CAST(sum(CASE WHEN pred = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS p_ot,
+        |  CAST(sum(CASE WHEN truth = 'other' AND pred = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS tp_ot
+        |  FROM t),
+        |r AS (
+        |  SELECT 'en' AS class, t_en AS n_true, p_en AS n_pred, tp_en AS tp FROM m
+        |  UNION ALL
+        |  SELECT 'other', t_ot, p_ot, tp_ot FROM m)
+        |SELECT class, n_true, n_pred, tp,
+        |       CASE WHEN n_pred > 0 THEN round(tp * 1.0 / n_pred, 6) END AS precision,
+        |       CASE WHEN n_true > 0 THEN round(tp * 1.0 / n_true, 6) END AS recall,
+        |       CASE WHEN n_pred + n_true > 0
+        |            THEN round(tp * 2.0 / (n_pred + n_true), 6) END AS f1
+        |FROM r
+        |ORDER BY class""".stripMargin,
 
     // same scoring CTEs as text_unigram_logprob, then: 0.001-nat bins
     // (truncation-consistent // on the signed micro score), histogram

@@ -230,5 +230,14 @@ class TextAnalysisSpec extends GraftSuite {
       // scores must carry real margin, not sit at the sign boundary
       assert(math.abs(score) > 1000000L, s"no margin: $r")
     }
+    // and the eval query reports the perfect confusion matrix
+    val ev = SparkEntry.queries("text_classify_eval")(spark, dir).collect()
+    assert(ev.length == 2)
+    ev.foreach { r =>
+      assert(r.getAs[Long]("tp") == 20L &&
+        r.getAs[Double]("precision") == 1.0 &&
+        r.getAs[Double]("recall") == 1.0 &&
+        r.getAs[Double]("f1") == 1.0, s"imperfect eval on planted corpus: $r")
+    }
   }
 }
