@@ -174,7 +174,11 @@ object ExplainDump {
     "data_split_leakage_safe" -> ("CC labels (node-set-sized, staged rounds shared with " +
       "dedup_cluster) left-join the corpus on doc_id — AQE broadcasts the fixture-sized " +
       "label table, a corpus-scale one shuffle-joins on the same key; the split decision " +
-      "is a narrow md5 projection on the cluster id")
+      "is a narrow md5 projection on the cluster id"),
+    "emb_kmeans" -> ("assignment = per-row margin-gated argmax over the collected " +
+      "(model-sized) quantizer folded into the projection as literal arrays — no join, " +
+      "no window, no shuffle below it (PlanSpec-pinned); only the dim-sized cluster-size " +
+      "aggregate and the presentation sort exchange")
   )
 
   def main(args: Array[String]): Unit = {

@@ -355,29 +355,50 @@ object Similarity extends QueryModule {
     * literal-array margin-gated assignment, probe ranking, bucket join,
     * tie-aware decimal rescore. Split out so the empty-corpus guard in
     * the query lambda stays an expression (no non-local return). */
-  private def annIvfBody(s: SparkSession, base: DataFrame, cent: DataFrame,
+  /** The trained quantizer as a driver-side model artifact (bounded by
+    * nlist, never by the data — see ann_ivf's scaladoc). */
+  private def collectQuantizer(
+      centDf: DataFrame): Array[(Long, Seq[Float], Double)] =
+    centDf
+      .select(col("c_id"), col("c_emb"), col("c_n2").cast("double").as("c_n2d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** Margin-gated nearest-centroid assignment as ONE narrow projection
+    * over the collected (model-sized) quantizer — adds `c_id` to `df`.
+    * Decimal-exact in effect: the fast-double argmax decides unless the
+    * top-1/top-2 boundary gap is within RescoreEps, in which case the
+    * decimal argmax re-decides (CaseWhen evaluates the decimal branch
+    * only on ambiguous rows). Shared by ann_ivf (bucket membership) and
+    * emb_kmeans (cluster assignment). */
+  private def assignCentroid(df: DataFrame,
       centArr: Array[(Long, Seq[Float], Double)]): DataFrame = {
     def negFast(ce: Seq[Float], cn2: Double): Column =
-        -(dotDbl(col("embedding"), typedLit(ce)) /
-          sqrt(col("n2").cast("double") * lit(cn2)))
-      def negDec(ce: Seq[Float], cn2: Double): Column =
-        -(dotDec(col("embedding"), typedLit(ce)).cast("double") /
-          sqrt(col("n2").cast("double") * lit(cn2)))
-      val fastArr = array(centArr.map { case (cid, ce, cn2) =>
-        struct(negFast(ce, cn2).as("ns"), lit(cid).as("c_id")) }: _*)
-      val decArr = array(centArr.map { case (cid, ce, cn2) =>
-        struct(negDec(ce, cn2).as("ns"), lit(cid).as("c_id")) }: _*)
-      def assigned(df: DataFrame): DataFrame = df
-        .withColumn("sf", array_sort(fastArr))
-        .withColumn("gap",
-          when(lit(centArr.length >= 2),
-            element_at(col("sf"), 2).getField("ns") -
-              element_at(col("sf"), 1).getField("ns")))
-        .withColumn("ambig", coalesce(col("gap") <= RescoreEps, lit(false)))
-        .withColumn("c_id",
-          when(col("ambig"), element_at(array_sort(decArr), 1).getField("c_id"))
-            .otherwise(element_at(col("sf"), 1).getField("c_id")))
-      val members = assigned(base)
+      -(dotDbl(col("embedding"), typedLit(ce)) /
+        sqrt(col("n2").cast("double") * lit(cn2)))
+    def negDec(ce: Seq[Float], cn2: Double): Column =
+      -(dotDec(col("embedding"), typedLit(ce)).cast("double") /
+        sqrt(col("n2").cast("double") * lit(cn2)))
+    val fastArr = array(centArr.map { case (cid, ce, cn2) =>
+      struct(negFast(ce, cn2).as("ns"), lit(cid).as("c_id")) }: _*)
+    val decArr = array(centArr.map { case (cid, ce, cn2) =>
+      struct(negDec(ce, cn2).as("ns"), lit(cid).as("c_id")) }: _*)
+    df.withColumn("sf", array_sort(fastArr))
+      .withColumn("gap",
+        when(lit(centArr.length >= 2),
+          element_at(col("sf"), 2).getField("ns") -
+            element_at(col("sf"), 1).getField("ns")))
+      .withColumn("ambig", coalesce(col("gap") <= RescoreEps, lit(false)))
+      .withColumn("c_id",
+        when(col("ambig"), element_at(array_sort(decArr), 1).getField("c_id"))
+          .otherwise(element_at(col("sf"), 1).getField("c_id")))
+      .drop("sf", "gap", "ambig")
+  }
+
+  private def annIvfBody(s: SparkSession, base: DataFrame, cent: DataFrame,
+      centArr: Array[(Long, Seq[Float], Double)]): DataFrame = {
+      val members = assignCentroid(base, centArr)
         .select(col("vec_id"), col("embedding"), col("n2"), col("c_id"))
       // probe branch: |queries| rows need their top-nprobe centroids —
       // the same per-vector window as before is fine at query-set size,
@@ -726,11 +747,7 @@ object Similarity extends QueryModule {
       // (Round-9 verdict item 3: the previous corpus×centroids
       // row_number window shuffled corpus×nlist rows WITH their
       // embedding payloads just to keep rank 1 of each group.)
-      val centArr = centDf
-        .select(col("c_id"), col("c_emb"), col("c_n2").cast("double").as("c_n2d"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
-        .sortBy(_._1)
+      val centArr = collectQuantizer(centDf)
       // Assignment must be DECIMAL-exact in effect (bucket MEMBERSHIP —
       // not just ranking — depends on it, so the tie-aware-rescore trick
       // can't absorb a fast-dot misrank), but paying the decimal dot for
@@ -759,6 +776,33 @@ object Similarity extends QueryModule {
           .select(col("vec_id").as("query_id"), lit(1).as("rk"),
             col("vec_id"), lit(0.0).as("cosine"))
       else annIvfBody(s, base, cent, centArr)
+    },
+
+    // K-MEANS CLUSTERING as a first-class op — the grouping step
+    // semantic curation recipes build on (SemDeDup prunes within
+    // embedding clusters; domain discovery and cluster-balanced
+    // sampling read the same assignment). Exposes the IVF coarse
+    // quantizer's artifacts directly: the deterministically TRAINED
+    // centroids ([[ivfCentroids]] — decimal-mean Lloyd, bit-stable)
+    // and the margin-gated exact assignment ([[assignCentroid]] — the
+    // per-row argmax over the collected model, NO join/shuffle/window;
+    // at 100 TB assignment stays a narrow map over the corpus and only
+    // the dim-sized cluster-size aggregate exchanges). ORACLED
+    // compositionally like ann_ivf: GIVEN the exported centroids,
+    // DuckDB reproduces the decimal-exact assignment and sizes.
+    "emb_kmeans" -> { (s, d) =>
+      val base = withNorm(s, d)
+      val centArr = collectQuantizer(ivfCentroids(s, d, annKmeansIters(s)))
+      if (centArr.isEmpty)
+        base.limit(0).select(col("vec_id"),
+          lit(0L).as("cluster_id"), lit(0L).as("cluster_size"))
+      else {
+        val m = assignCentroid(base, centArr).select(col("vec_id"), col("c_id"))
+        val sizes = m.groupBy(col("c_id")).agg(count(lit(1)).as("cluster_size"))
+        m.join(broadcast(sizes), Seq("c_id"))
+          .select(col("vec_id"), col("c_id").as("cluster_id"), col("cluster_size"))
+          .orderBy(col("vec_id"))
+      }
     },
 
     // Embedding near-duplicate pairs: blocked by (label, LSH band,
@@ -1102,6 +1146,35 @@ object Similarity extends QueryModule {
     // nprobe=4 probe set per query, and the decimal rescore + top-K of
     // the probed buckets' members. Only the two sketch ops (agg_approx,
     // agg_sketch_merge) remain rows-only by nature.
+    // same exported-centroid assignment CTEs as ann_ivf, stopped at
+    // `members` and joined to the per-cluster counts
+    "emb_kmeans" ->
+      s"""WITH $exSql,
+         |cex AS (SELECT c_id, generate_subscripts(c_emb, 1) AS i, unnest(c_emb) AS x
+         |        FROM parquet_scan('${ivfOracleCentroidsPath(lastIvf._1, lastIvf._2)}')),
+         |cnorms AS (
+         |  SELECT c_id,
+         |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
+         |  FROM cex GROUP BY c_id),
+         |assign AS (
+         |  SELECT e.vec_id, c.c_id,
+         |         CAST(sum(CAST(CAST(e.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         |           / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS c_cos
+         |  FROM ex e
+         |  JOIN cex c ON c.i = e.i
+         |  JOIN norms n ON n.vec_id = e.vec_id
+         |  JOIN cnorms cn ON cn.c_id = c.c_id
+         |  GROUP BY e.vec_id, c.c_id, n.n2, cn.n2),
+         |ranked AS (
+         |  SELECT vec_id, c_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rank
+         |  FROM assign),
+         |members AS (SELECT vec_id, c_id FROM ranked WHERE c_rank = 1),
+         |cs AS (SELECT c_id, count(*) AS cluster_size FROM members GROUP BY c_id)
+         |SELECT m.vec_id, m.c_id AS cluster_id, cs.cluster_size
+         |FROM members m JOIN cs USING (c_id)
+         |ORDER BY m.vec_id""".stripMargin,
+
     "ann_ivf" ->
       s"""WITH $exSql,
          |cex AS (SELECT c_id, generate_subscripts(c_emb, 1) AS i, unnest(c_emb) AS x

@@ -656,6 +656,25 @@ class PlanSpec extends GraftSuite {
     }.isEmpty, s"token stream entered a sort-merge join:\n$sp")
   }
 
+  test("emb_kmeans: assignment is a narrow map — no join/window/shuffle below it") {
+    val df = q("emb_kmeans")
+    val sp = df.queryExecution.sparkPlan
+    // the quantizer is a collected model folded into the projection as
+    // literal arrays: no WindowExec anywhere, and the only joins are
+    // the broadcast cluster-size attach
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"assignment went through a window:\n$sp")
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"non-broadcast join in the clustering plan:\n$sp")
+    val exchanges = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    // cluster-size aggregate + presentation sort only
+    assert(exchanges.size <= 2, s"unexpected exchanges:\n$sp")
+  }
+
   test("text_normalize plans as one narrow codegen projection over a pruned scan") {
     val p = plan("text_normalize")
     val finalPlan = p.split("== Initial Plan ==").head
