@@ -805,6 +805,34 @@ object Similarity extends QueryModule {
       }
     },
 
+    // CLUSTER-BALANCED diversity sampling — the consumer the clustering
+    // exists for in curation recipes (cluster-and-sample: cap each
+    // embedding cluster's contribution so the selected set spans modes
+    // instead of mirroring the corpus's density skew). Keep the
+    // md5-min-8 vectors per emb_kmeans cluster: the keep decision is
+    // the repo's content-stable md5 rule (reruns and engines agree
+    // row-by-row), the per-cluster rank is a window PARTITIONED BY
+    // cluster (bounded by cluster size — at a production nlist ~√n,
+    // clusters are corpus/√n-sized and the window spills, never
+    // driver-buffers). Oracled compositionally on the same exported
+    // centroids as emb_kmeans.
+    "data_sample_cluster_balanced" -> { (s, d) =>
+      val base = withNorm(s, d)
+      val centArr = collectQuantizer(ivfCentroids(s, d, annKmeansIters(s)))
+      if (centArr.isEmpty)
+        base.limit(0).select(col("vec_id"),
+          lit(0L).as("cluster_id"), lit(1).as("rk"))
+      else {
+        val m = assignCentroid(base, centArr).select(col("vec_id"), col("c_id"))
+        val w = Window.partitionBy(col("c_id"))
+          .orderBy(md5(concat(lit("cbal|"), col("vec_id").cast("string"))), col("vec_id"))
+        m.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 8)
+          .select(col("vec_id"), col("c_id").as("cluster_id"), col("rk"))
+          .orderBy(col("cluster_id"), col("rk"))
+      }
+    },
+
     // Embedding near-duplicate pairs: blocked by (label, LSH band,
     // hyperplane bucket) — never the full n² cross, and never a full
     // label² cross either: a hot label at corpus scale is sub-divided
@@ -1146,6 +1174,39 @@ object Similarity extends QueryModule {
     // nprobe=4 probe set per query, and the decimal rescore + top-K of
     // the probed buckets' members. Only the two sketch ops (agg_approx,
     // agg_sketch_merge) remain rows-only by nature.
+    // same exported-centroid assignment CTEs, md5-min-8 window per
+    // cluster (the vec_id tiebreak matters only for md5 collisions)
+    "data_sample_cluster_balanced" ->
+      s"""WITH $exSql,
+         |cex AS (SELECT c_id, generate_subscripts(c_emb, 1) AS i, unnest(c_emb) AS x
+         |        FROM parquet_scan('${ivfOracleCentroidsPath(lastIvf._1, lastIvf._2)}')),
+         |cnorms AS (
+         |  SELECT c_id,
+         |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
+         |  FROM cex GROUP BY c_id),
+         |assign AS (
+         |  SELECT e.vec_id, c.c_id,
+         |         CAST(sum(CAST(CAST(e.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         |           / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS c_cos
+         |  FROM ex e
+         |  JOIN cex c ON c.i = e.i
+         |  JOIN norms n ON n.vec_id = e.vec_id
+         |  JOIN cnorms cn ON cn.c_id = c.c_id
+         |  GROUP BY e.vec_id, c.c_id, n.n2, cn.n2),
+         |ranked AS (
+         |  SELECT vec_id, c_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rank
+         |  FROM assign),
+         |members AS (SELECT vec_id, c_id FROM ranked WHERE c_rank = 1),
+         |rk AS (
+         |  SELECT vec_id, c_id AS cluster_id,
+         |         row_number() OVER (PARTITION BY c_id
+         |           ORDER BY md5('cbal|' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         |  FROM members)
+         |SELECT vec_id, cluster_id, CAST(rk AS INT) AS rk
+         |FROM rk WHERE rk <= 8
+         |ORDER BY cluster_id, rk""".stripMargin,
+
     // same exported-centroid assignment CTEs as ann_ivf, stopped at
     // `members` and joined to the per-cluster counts
     "emb_kmeans" ->
