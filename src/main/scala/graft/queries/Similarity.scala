@@ -99,7 +99,13 @@ object Similarity extends QueryModule {
       // A NULL label, by contrast, stays RETRIEVABLE — it is preserved
       // as NULL here and folded to [[UnlabeledSentinel]] only at
       // topkPairs' typed-tuple boundary (see the sentinel's scaladoc).
-      .filter(col("embedding").isNotNull)
+      // A zero-LENGTH embedding is the same contract as NULL (nothing
+      // to index: n2 = 0 makes every cosine 0/0 = NaN, and emb_kmeans'
+      // literal-array argmax would assign it arbitrarily while the
+      // oracle's unnest drops it — a session-2 review finding); the
+      // SQL oracles drop such rows naturally, so filtering here keeps
+      // the two engines identical.
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"), col("label"), col("embedding"),
         normDec(col("embedding")).as("n2"))
 
@@ -374,11 +380,22 @@ object Similarity extends QueryModule {
     * emb_kmeans (cluster assignment). */
   private def assignCentroid(df: DataFrame,
       centArr: Array[(Long, Seq[Float], Double)]): DataFrame = {
+    // try_divide, NOT `/`: withNorm guarantees n2 > 0 upstream, but a
+    // consumer's join-key isnotnull pushdown inlines this whole
+    // expression into the scan-side Filter, where codegen SUBEXPRESSION
+    // ELIMINATION hoists it ABOVE the short-circuiting size-guard
+    // conjunct — an ANSI `/` then throws DIVIDE_BY_ZERO on the very
+    // zero-norm rows the guard exists to drop (measured in
+    // NullFixtureSpec's zero-length gate; the levenshtein CASE WHEN
+    // lesson again: a guard must live INSIDE the expression tree).
+    // try_divide yields NULL there instead, and those rows are
+    // filtered before any consumer reads the assignment.
     def negFast(ce: Seq[Float], cn2: Double): Column =
-      -(dotDbl(col("embedding"), typedLit(ce)) /
+      -call_function("try_divide", dotDbl(col("embedding"), typedLit(ce)),
         sqrt(col("n2").cast("double") * lit(cn2)))
     def negDec(ce: Seq[Float], cn2: Double): Column =
-      -(dotDec(col("embedding"), typedLit(ce)).cast("double") /
+      -call_function("try_divide",
+        dotDec(col("embedding"), typedLit(ce)).cast("double"),
         sqrt(col("n2").cast("double") * lit(cn2)))
     val fastArr = array(centArr.map { case (cid, ce, cn2) =>
       struct(negFast(ce, cn2).as("ns"), lit(cid).as("c_id")) }: _*)
@@ -957,6 +974,36 @@ object Similarity extends QueryModule {
   // a def, not a val: the ann_ivf oracle embeds the fixture-keyed
   // centroid-export path of the LAST ann_ivf build (Verify dumps oracle
   // SQL after running the queries, so the path matches the run it checks)
+  /** Exported-centroid assignment CTE chain (cex → cnorms → assign →
+    * ranked → members) — the SQL twin of [[assignCentroid]], shared by
+    * the ann_ivf / emb_kmeans / data_sample_cluster_balanced oracles so
+    * a tiebreak or decimal-scale change cannot silently diverge one of
+    * them (the engine side shares assignCentroid for the same reason).
+    * A DEF: it reads [[lastIvf]] at oracle-dump time, like the entries
+    * that embed it (`oracles` itself is a def). Expects `ex`/`norms`
+    * from $exSql in scope. */
+  private def assignMembersSql: String =
+    s"""cex AS (SELECT c_id, generate_subscripts(c_emb, 1) AS i, unnest(c_emb) AS x
+       |        FROM parquet_scan('${ivfOracleCentroidsPath(lastIvf._1, lastIvf._2)}')),
+       |cnorms AS (
+       |  SELECT c_id,
+       |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
+       |  FROM cex GROUP BY c_id),
+       |assign AS (
+       |  SELECT e.vec_id, c.c_id,
+       |         CAST(sum(CAST(CAST(e.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+       |           / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS c_cos
+       |  FROM ex e
+       |  JOIN cex c ON c.i = e.i
+       |  JOIN norms n ON n.vec_id = e.vec_id
+       |  JOIN cnorms cn ON cn.c_id = c.c_id
+       |  GROUP BY e.vec_id, c.c_id, n.n2, cn.n2),
+       |ranked AS (
+       |  SELECT vec_id, c_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rank
+       |  FROM assign),
+       |members AS (SELECT vec_id, c_id FROM ranked WHERE c_rank = 1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
 
     "ann_brute" ->
@@ -1165,39 +1212,11 @@ object Similarity extends QueryModule {
          |WHERE cosine >= 0.99
          |ORDER BY d1, d2""".stripMargin,
 
-    // COMPOSITIONAL oracle (round-8 verdict item 3): GIVEN the trained
-    // centroids (exported by the engine to [[IvfOracleCentroidsPath]] —
-    // training itself is deterministic: decimal-mean Lloyd over staged
-    // parquet, bit-stable across runs/partitionings), DuckDB reproduces
-    // the ENTIRE serving pipeline independently: decimal-exact
-    // assignment of every vector to its nearest centroid, the default
-    // nprobe=4 probe set per query, and the decimal rescore + top-K of
-    // the probed buckets' members. Only the two sketch ops (agg_approx,
-    // agg_sketch_merge) remain rows-only by nature.
     // same exported-centroid assignment CTEs, md5-min-8 window per
     // cluster (the vec_id tiebreak matters only for md5 collisions)
     "data_sample_cluster_balanced" ->
       s"""WITH $exSql,
-         |cex AS (SELECT c_id, generate_subscripts(c_emb, 1) AS i, unnest(c_emb) AS x
-         |        FROM parquet_scan('${ivfOracleCentroidsPath(lastIvf._1, lastIvf._2)}')),
-         |cnorms AS (
-         |  SELECT c_id,
-         |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
-         |  FROM cex GROUP BY c_id),
-         |assign AS (
-         |  SELECT e.vec_id, c.c_id,
-         |         CAST(sum(CAST(CAST(e.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
-         |           / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS c_cos
-         |  FROM ex e
-         |  JOIN cex c ON c.i = e.i
-         |  JOIN norms n ON n.vec_id = e.vec_id
-         |  JOIN cnorms cn ON cn.c_id = c.c_id
-         |  GROUP BY e.vec_id, c.c_id, n.n2, cn.n2),
-         |ranked AS (
-         |  SELECT vec_id, c_id,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rank
-         |  FROM assign),
-         |members AS (SELECT vec_id, c_id FROM ranked WHERE c_rank = 1),
+         |$assignMembersSql,
          |rk AS (
          |  SELECT vec_id, c_id AS cluster_id,
          |         row_number() OVER (PARTITION BY c_id
@@ -1211,53 +1230,24 @@ object Similarity extends QueryModule {
     // `members` and joined to the per-cluster counts
     "emb_kmeans" ->
       s"""WITH $exSql,
-         |cex AS (SELECT c_id, generate_subscripts(c_emb, 1) AS i, unnest(c_emb) AS x
-         |        FROM parquet_scan('${ivfOracleCentroidsPath(lastIvf._1, lastIvf._2)}')),
-         |cnorms AS (
-         |  SELECT c_id,
-         |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
-         |  FROM cex GROUP BY c_id),
-         |assign AS (
-         |  SELECT e.vec_id, c.c_id,
-         |         CAST(sum(CAST(CAST(e.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
-         |           / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS c_cos
-         |  FROM ex e
-         |  JOIN cex c ON c.i = e.i
-         |  JOIN norms n ON n.vec_id = e.vec_id
-         |  JOIN cnorms cn ON cn.c_id = c.c_id
-         |  GROUP BY e.vec_id, c.c_id, n.n2, cn.n2),
-         |ranked AS (
-         |  SELECT vec_id, c_id,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rank
-         |  FROM assign),
-         |members AS (SELECT vec_id, c_id FROM ranked WHERE c_rank = 1),
+         |$assignMembersSql,
          |cs AS (SELECT c_id, count(*) AS cluster_size FROM members GROUP BY c_id)
          |SELECT m.vec_id, m.c_id AS cluster_id, cs.cluster_size
          |FROM members m JOIN cs USING (c_id)
          |ORDER BY m.vec_id""".stripMargin,
 
+    // COMPOSITIONAL oracle (round-8 verdict item 3): GIVEN the trained
+    // centroids (exported by the engine to [[IvfOracleCentroidsPath]] —
+    // training itself is deterministic: decimal-mean Lloyd over staged
+    // parquet, bit-stable across runs/partitionings), DuckDB reproduces
+    // the ENTIRE serving pipeline independently: decimal-exact
+    // assignment of every vector to its nearest centroid, the default
+    // nprobe=4 probe set per query, and the decimal rescore + top-K of
+    // the probed buckets' members. Only the two sketch ops (agg_approx,
+    // agg_sketch_merge) remain rows-only by nature.
     "ann_ivf" ->
       s"""WITH $exSql,
-         |cex AS (SELECT c_id, generate_subscripts(c_emb, 1) AS i, unnest(c_emb) AS x
-         |        FROM parquet_scan('${ivfOracleCentroidsPath(lastIvf._1, lastIvf._2)}')),
-         |cnorms AS (
-         |  SELECT c_id,
-         |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
-         |  FROM cex GROUP BY c_id),
-         |assign AS (
-         |  SELECT e.vec_id, c.c_id,
-         |         CAST(sum(CAST(CAST(e.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
-         |           / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS c_cos
-         |  FROM ex e
-         |  JOIN cex c ON c.i = e.i
-         |  JOIN norms n ON n.vec_id = e.vec_id
-         |  JOIN cnorms cn ON cn.c_id = c.c_id
-         |  GROUP BY e.vec_id, c.c_id, n.n2, cn.n2),
-         |ranked AS (
-         |  SELECT vec_id, c_id,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rank
-         |  FROM assign),
-         |members AS (SELECT vec_id, c_id FROM ranked WHERE c_rank = 1),
+         |$assignMembersSql,
          |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
          |           WHERE vec_id < $NQ AND c_rank <= 4),
          |cand AS (

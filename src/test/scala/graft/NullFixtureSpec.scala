@@ -62,4 +62,23 @@ class NullFixtureSpec extends GraftSuite {
       assert(!r.isNullAt(i) && r.getInt(i) >= 0, s"pred_label in $r")
     }
   }
+
+  test("zero-length embeddings follow the NULL contract: not indexable") {
+    import spark.implicits._
+    // a non-null EMPTY array has nothing to index (n2 = 0 ⇒ every
+    // cosine is 0/0) — the engine must drop it like a NULL, exactly as
+    // the oracles' unnest does (session-2 review finding: emb_kmeans
+    // would otherwise assign it arbitrarily while the oracle drops it)
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptyemb").toString
+    // vec_ids above NQ so the IVF trainer sees them as corpus vectors
+    val rows = Seq(
+      (101L, Seq(1.0f, 0.0f), 0),
+      (102L, Seq.empty[Float], 1),
+      (103L, Seq(0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    rows.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("emb_kmeans")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(101L, 103L),
+      s"zero-length embedding was indexed: ${out.mkString(",")}")
+  }
 }
