@@ -178,7 +178,10 @@ object ExplainDump {
     "emb_kmeans" -> ("assignment = per-row margin-gated argmax over the collected " +
       "(model-sized) quantizer folded into the projection as literal arrays — no join, " +
       "no window, no shuffle below it (PlanSpec-pinned); only the dim-sized cluster-size " +
-      "aggregate and the presentation sort exchange")
+      "aggregate and the presentation sort exchange"),
+    "text_html_extract" -> ("one narrow codegen projection: block-drop → tag-strip → " +
+      "entity-decode → whitespace-collapse regex chain (RE2 ∩ Java, like text_pii_scrub); " +
+      "no shuffle but the presentation sort")
   )
 
   def main(args: Array[String]): Unit = {

@@ -478,6 +478,44 @@ object TextAnalysis extends QueryModule {
     // order matters and is pinned: email first (its local part contains
     // digits a later pass must not see), then phone, then IP; the
     // placeholders are letter-only so later passes can't re-match them.
+    // HTML → TEXT EXTRACTION — the stage every web-corpus pipeline runs
+    // FIRST (trafilatura/justext class, reduced to its deterministic
+    // core): drop non-content blocks (script/style, single-pass
+    // non-greedy (?s) — RE2 ∩ Java like the PII patterns), strip tags,
+    // decode the five XML entities, collapse whitespace. The fixture is
+    // plain word soup, so each doc is wrapped in a DETERMINISTIC page
+    // template (title/h1/p/b/script/style/entities, doc_id-varying
+    // title) built identically in both engines — the text_normalize
+    // recipe: what is under test is the EXTRACTION machinery, and
+    // md5(extracted) proves byte-identical recovery. Everything is one
+    // narrow codegen projection; no shuffle but the presentation sort.
+    "text_html_extract" -> { (s, d) =>
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; friends</title><style>p{color:red}</style></head>"),
+        lit("<body><h1>Heading</h1><script>var x=1;</script><p>"),
+        col("text"),
+        lit("</p><p>tail &lt;kept&gt; &quot;quoted&quot; &#39;q&#39;</p></body></html>"))
+      val noBlocks = regexp_replace(regexp_replace(page,
+        "(?s)<script.*?</script>", " "), "(?s)<style.*?</style>", " ")
+      val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+      val decoded = Seq(
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&#39;", "'"), ("&amp;", "&")
+      ).foldLeft(noTags) { case (c, (e, ch)) =>
+        // entity names contain no regex metacharacters — plain patterns
+        regexp_replace(c, e, ch) }
+      val extracted = trim(regexp_replace(decoded, "[\\x00-\\x20]+", " "))
+      val title = regexp_extract(page, "(?s)<title>(.*?)</title>", 1)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(extracted).as("text_hash"),
+        title.as("title"),
+        length(page).cast("int").as("n_html"),
+        length(extracted).cast("int").as("n_text"))
+        .orderBy(col("doc_id"))
+    },
+
     "text_pii_scrub" -> { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -1107,6 +1145,35 @@ object TextAnalysis extends QueryModule {
         |GROUP BY bigram
         |ORDER BY cnt DESC, bigram
         |LIMIT 30""".stripMargin,
+
+    // same page template, same strip order (blocks → tags → entities
+    // with &amp; LAST so no double-decode → whitespace collapse);
+    // literal entity decodes use DuckDB's plain replace()
+    "text_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |         ' &amp; friends</title><style>p{color:red}</style></head>' ||
+        |         '<body><h1>Heading</h1><script>var x=1;</script><p>' || text ||
+        |         '</p><p>tail &lt;kept&gt; &quot;quoted&quot; &#39;q&#39;</p></body></html>' AS page
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, page,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(
+        |             regexp_replace(
+        |               regexp_replace(regexp_replace(page, '(?s)<script.*?</script>', ' ', 'g'),
+        |                              '(?s)<style.*?</style>', ' ', 'g'),
+        |               '<[^>]*>', ' ', 'g'),
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |           '[\x00-\x20]+', ' ', 'g')) AS extracted
+        |  FROM h)
+        |SELECT doc_id, md5(extracted) AS text_hash,
+        |       regexp_extract(page, '(?s)<title>(.*?)</title>', 1) AS title,
+        |       CAST(length(page) AS INT) AS n_html,
+        |       CAST(length(extracted) AS INT) AS n_text
+        |FROM e
+        |ORDER BY doc_id""".stripMargin,
 
     // same deterministic PII suffix, same three RE2-safe patterns, same
     // scrub order; 'g' flag = Spark's replace-all default

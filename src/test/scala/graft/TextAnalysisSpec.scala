@@ -207,6 +207,32 @@ class TextAnalysisSpec extends GraftSuite {
     assert(normHashes == 1, "with NFC the twins collapse to one content hash")
   }
 
+  test("text_html_extract drops non-content, decodes entities, keeps text") {
+    val r = q("text_html_extract").limit(5).collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      // title recovered (raw, pre-decode — both engines emit the same)
+      assert(row.getAs[String]("title") ==
+        s"Doc ${row.getLong(0)} &amp; friends", row.toString)
+      // extraction strictly shrinks the page
+      assert(row.getAs[Int]("n_text") < row.getAs[Int]("n_html"))
+    }
+    // semantics pinned on one crafted doc end-to-end: build the same
+    // frame the query builds, over a known text, and check the bytes
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-html").toString
+    Seq((900L, "hello world", "en", "src0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val one = SparkEntry.queries("text_html_extract")(spark, dir).collect().head
+    val expected = "Doc 900 & friends Heading hello world " +
+      "tail <kept> \"quoted\" 'q'"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(one.getAs[String]("text_hash") == md,
+      s"extracted bytes differ from the expected reconstruction: $one")
+  }
+
   test("text_classify_nb learns a planted vocabulary signal perfectly") {
     import spark.implicits._
     // disjoint vocabularies per class — the NB log-odds must separate
