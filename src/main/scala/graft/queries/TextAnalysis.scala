@@ -464,20 +464,6 @@ object TextAnalysis extends QueryModule {
         .limit(30)
     },
 
-    // PII scrubbing — the redaction pass every web-scale training
-    // pipeline runs before anything else: emails, phone numbers, and
-    // IPv4 addresses → typed placeholders, via three chained
-    // regexp_replace passes (codegen'd built-ins, one narrow projection,
-    // no shuffle but the presentation sort). Patterns stay in the
-    // Java-regex ∩ RE2 class subset (no backrefs/lookaround) so the
-    // DuckDB oracle scrubs byte-identically. The fixture text is
-    // digit-free word soup with no natural PII, so a DETERMINISTIC
-    // PII-bearing suffix derived from doc_id is appended identically in
-    // both engines — what's under test is the scrub machinery, and the
-    // md5 of the scrubbed text proves byte-identical redaction. Scrub
-    // order matters and is pinned: email first (its local part contains
-    // digits a later pass must not see), then phone, then IP; the
-    // placeholders are letter-only so later passes can't re-match them.
     // HTML → TEXT EXTRACTION — the stage every web-corpus pipeline runs
     // FIRST (trafilatura/justext class, reduced to its deterministic
     // core): drop non-content blocks (script/style, single-pass
@@ -516,6 +502,20 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // PII scrubbing — the redaction pass every web-scale training
+    // pipeline runs before anything else: emails, phone numbers, and
+    // IPv4 addresses → typed placeholders, via three chained
+    // regexp_replace passes (codegen'd built-ins, one narrow projection,
+    // no shuffle but the presentation sort). Patterns stay in the
+    // Java-regex ∩ RE2 class subset (no backrefs/lookaround) so the
+    // DuckDB oracle scrubs byte-identically. The fixture text is
+    // digit-free word soup with no natural PII, so a DETERMINISTIC
+    // PII-bearing suffix derived from doc_id is appended identically in
+    // both engines — what's under test is the scrub machinery, and the
+    // md5 of the scrubbed text proves byte-identical redaction. Scrub
+    // order matters and is pinned: email first (its local part contains
+    // digits a later pass must not see), then phone, then IP; the
+    // placeholders are letter-only so later passes can't re-match them.
     "text_pii_scrub" -> { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),

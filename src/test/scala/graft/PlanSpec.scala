@@ -682,4 +682,12 @@ class PlanSpec extends GraftSuite {
     assert(exchanges == 1, s"expected only the presentation sort exchange:\n$p")
     assert(finalPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
+
+  test("text_html_extract plans as one narrow codegen projection over a pruned scan") {
+    val p = plan("text_html_extract")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected only the presentation sort exchange:\n$p")
+    assert(finalPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
 }
