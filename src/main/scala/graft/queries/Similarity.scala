@@ -361,6 +361,30 @@ object Similarity extends QueryModule {
     * literal-array margin-gated assignment, probe ranking, bucket join,
     * tie-aware decimal rescore. Split out so the empty-corpus guard in
     * the query lambda stays an expression (no non-local return). */
+  /** The PERSISTED cluster-assignment table (vec_id, c_id) — the
+    * artifact a production clustering run writes once and every
+    * consumer reads (here: emb_kmeans's size aggregate AND size-attach
+    * join, plus data_sample_cluster_balanced's per-cluster window —
+    * three lazy consumers that would each re-expand the margin-gated
+    * argmax subtree, the dominant cost; a round-10 bench showed
+    * emb_kmeans as the slowest query purely from that re-expansion).
+    * Skinny columns only: staging the rescore-bearing embedding/n2
+    * payload would duplicate the corpus on disk, so ann_ivf keeps its
+    * own in-plan assignment. Stage key folds the Lloyd iteration count
+    * (different quantizer ⇒ different assignment). Empty corpus:
+    * nothing to train on ⇒ the typed empty frame, never a staged
+    * write of an untypeable literal array. */
+  private def kmeansMembers(s: SparkSession, d: String): DataFrame = {
+    val iters = annKmeansIters(s)
+    val base = withNorm(s, d)
+    val centArr = collectQuantizer(ivfCentroids(s, d, iters))
+    if (centArr.isEmpty)
+      base.limit(0).select(col("vec_id"), lit(0L).as("c_id"))
+    else graft.Staging.stage(s, s"kmeans_members_i$iters", d) {
+      assignCentroid(base, centArr).select(col("vec_id"), col("c_id"))
+    }
+  }
+
   /** The trained quantizer as a driver-side model artifact (bounded by
     * nlist, never by the data — see ann_ivf's scaladoc). */
   private def collectQuantizer(
@@ -808,18 +832,11 @@ object Similarity extends QueryModule {
     // compositionally like ann_ivf: GIVEN the exported centroids,
     // DuckDB reproduces the decimal-exact assignment and sizes.
     "emb_kmeans" -> { (s, d) =>
-      val base = withNorm(s, d)
-      val centArr = collectQuantizer(ivfCentroids(s, d, annKmeansIters(s)))
-      if (centArr.isEmpty)
-        base.limit(0).select(col("vec_id"),
-          lit(0L).as("cluster_id"), lit(0L).as("cluster_size"))
-      else {
-        val m = assignCentroid(base, centArr).select(col("vec_id"), col("c_id"))
-        val sizes = m.groupBy(col("c_id")).agg(count(lit(1)).as("cluster_size"))
-        m.join(broadcast(sizes), Seq("c_id"))
-          .select(col("vec_id"), col("c_id").as("cluster_id"), col("cluster_size"))
-          .orderBy(col("vec_id"))
-      }
+      val m = kmeansMembers(s, d)
+      val sizes = m.groupBy(col("c_id")).agg(count(lit(1)).as("cluster_size"))
+      m.join(broadcast(sizes), Seq("c_id"))
+        .select(col("vec_id"), col("c_id").as("cluster_id"), col("cluster_size"))
+        .orderBy(col("vec_id"))
     },
 
     // CLUSTER-BALANCED diversity sampling — the consumer the clustering
@@ -834,20 +851,13 @@ object Similarity extends QueryModule {
     // driver-buffers). Oracled compositionally on the same exported
     // centroids as emb_kmeans.
     "data_sample_cluster_balanced" -> { (s, d) =>
-      val base = withNorm(s, d)
-      val centArr = collectQuantizer(ivfCentroids(s, d, annKmeansIters(s)))
-      if (centArr.isEmpty)
-        base.limit(0).select(col("vec_id"),
-          lit(0L).as("cluster_id"), lit(1).as("rk"))
-      else {
-        val m = assignCentroid(base, centArr).select(col("vec_id"), col("c_id"))
-        val w = Window.partitionBy(col("c_id"))
-          .orderBy(md5(concat(lit("cbal|"), col("vec_id").cast("string"))), col("vec_id"))
-        m.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 8)
-          .select(col("vec_id"), col("c_id").as("cluster_id"), col("rk"))
-          .orderBy(col("cluster_id"), col("rk"))
-      }
+      val m = kmeansMembers(s, d)
+      val w = Window.partitionBy(col("c_id"))
+        .orderBy(md5(concat(lit("cbal|"), col("vec_id").cast("string"))), col("vec_id"))
+      m.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 8)
+        .select(col("vec_id"), col("c_id").as("cluster_id"), col("rk"))
+        .orderBy(col("cluster_id"), col("rk"))
     },
 
     // Embedding near-duplicate pairs: blocked by (label, LSH band,
