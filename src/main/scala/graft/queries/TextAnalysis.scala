@@ -746,6 +746,44 @@ object TextAnalysis extends QueryModule {
     // (reruns and engines agree doc-by-doc). Bin-granular banding is
     // deliberate: docs sharing a bin share a band, so the band edge is
     // deterministic under ties (no row_number over equal scores).
+    // DATA SELECTION UNDER A TOKEN BUDGET — the allocation step of
+    // every data-mixing recipe (a training run buys N tokens; fill the
+    // budget with the best-scored documents). Score = the exact integer
+    // unigram avg-logprob (shared [[unigramScores]]); budget = an exact
+    // quarter of the corpus's tokens (integer DIV, oracle-recomputed).
+    // Scale discipline is pipeline_ppl_sample's, applied to a TOKEN
+    // (not doc-count) objective: a per-BIN token histogram (0.001-nat
+    // bins, bounded cardinality) cumulated from the best bin down, keep
+    // exactly the bins whose running token mass fits the budget —
+    // BIN-GRANULAR by design: docs sharing a bin share a fate, so the
+    // fill line is deterministic under score ties and no corpus-wide
+    // sort or intra-bin running sum ever runs (budget is honored as an
+    // upper bound, undershooting by at most one bin's tokens — at
+    // production bin counts the quantization is ~1/thousands). If even
+    // the best bin overflows the budget, nothing is kept (the honest
+    // reading of a hard cap; coalesce keeps the NULL threshold exact
+    // in both engines).
+    "pipeline_token_budget" -> { (s, d) =>
+      val scored = unigramScores(s, d)
+        .select(col("doc_id"), col("n_tokens"), col("avg_lp_micro"))
+        .withColumn("bin", expr(
+          "CASE WHEN avg_lp_micro < 0 THEN -((-avg_lp_micro) DIV 1000) " +
+            "ELSE avg_lp_micro DIV 1000 END"))
+      val wDesc = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // bins-only frames (bounded cardinality): histogram, budget, fill line
+      val fill = scored.groupBy(col("bin")).agg(sum(col("n_tokens")).as("btok"))
+        .withColumn("cum", sum(col("btok")).over(wDesc))
+        .crossJoin(broadcast(scored.agg(
+          expr("sum(n_tokens) DIV 4").as("budget"))))
+        .agg(min(when(col("cum") <= col("budget"), col("bin"))).as("kmin"))
+      scored.crossJoin(broadcast(fill))
+        .select(col("doc_id"), col("n_tokens"), col("avg_lp_micro"), col("bin"),
+          when(coalesce(col("bin") >= col("kmin"), lit(false)), 1)
+            .otherwise(0).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+
     "pipeline_ppl_sample" -> { (s, d) =>
       val scored = unigramScores(s, d)
         .select(col("doc_id"), col("avg_lp_micro"))
@@ -1338,6 +1376,55 @@ object TextAnalysis extends QueryModule {
     // (truncation-consistent // on the signed micro score), histogram
     // cum counts, exact-integer tercile edges (3·cum ≥ n), bin-granular
     // banding, md5-stable 50% middle keep
+    // same scoring CTEs; per-bin TOKEN histogram cumulated from the
+    // best bin down, budget = total tokens // 4 exact, bin-granular fill
+    "pipeline_token_budget" ->
+      """WITH w AS (
+        |  SELECT doc_id, w
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |f AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+        |hc AS (
+        |  SELECT cnt, ntypes,
+        |         coalesce(sum(ntypes) OVER (ORDER BY cnt DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+        |  FROM (SELECT cnt, count(*) AS ntypes FROM f GROUP BY cnt)),
+        |cut AS (
+        |  SELECT sum(cnt * ntypes) AS total,
+        |         CASE WHEN sum(ntypes) <= 1048576 THEN 0
+        |              ELSE min(CASE WHEN above <= 1048576 THEN cnt END) END AS c_star
+        |  FROM hc),
+        |sc AS (
+        |  SELECT doc_id,
+        |         CAST(round(ln(
+        |           (CASE WHEN f.cnt > (SELECT c_star FROM cut) THEN f.cnt ELSE 1 END)
+        |             / (SELECT total FROM cut)), 6) AS DECIMAL(12,6)) AS lp
+        |  FROM w JOIN f USING (w)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         CAST(sum(lp) * 1000000 AS BIGINT) AS micro
+        |  FROM sc GROUP BY doc_id),
+        |sb AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |         CASE WHEN micro < 0 THEN -((-micro) // n_tokens)
+        |              ELSE micro // n_tokens END AS avg_lp_micro
+        |  FROM agg),
+        |sb2 AS (
+        |  SELECT doc_id, n_tokens, avg_lp_micro,
+        |         CAST(CASE WHEN avg_lp_micro < 0 THEN -((-avg_lp_micro) // 1000)
+        |              ELSE avg_lp_micro // 1000 END AS BIGINT) AS bin
+        |  FROM sb),
+        |hist AS (SELECT bin, sum(n_tokens) AS btok FROM sb2 GROUP BY bin),
+        |ch AS (SELECT bin,
+        |              sum(btok) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM hist),
+        |bd AS (SELECT CAST(sum(n_tokens) // 4 AS BIGINT) AS budget FROM sb2),
+        |tk AS (SELECT min(CASE WHEN cum <= bd.budget THEN bin END) AS kmin FROM ch, bd)
+        |SELECT doc_id, n_tokens, avg_lp_micro, bin,
+        |       CASE WHEN bin >= (SELECT kmin FROM tk) THEN 1 ELSE 0 END AS kept
+        |FROM sb2
+        |ORDER BY doc_id""".stripMargin,
+
     "pipeline_ppl_sample" ->
       """WITH w AS (
         |  SELECT doc_id, w

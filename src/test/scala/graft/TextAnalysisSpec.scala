@@ -233,6 +233,22 @@ class TextAnalysisSpec extends GraftSuite {
       s"extracted bytes differ from the expected reconstruction: $one")
   }
 
+  test("pipeline_token_budget: budget respected, fill line monotone") {
+    val rows = q("pipeline_token_budget").collect()
+    val kept = rows.filter(_.getAs[Int]("kept") == 1)
+    val dropped = rows.filter(_.getAs[Int]("kept") == 0)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    val budget = rows.map(_.getAs[Long]("n_tokens")).sum / 4
+    val keptTokens = kept.map(_.getAs[Long]("n_tokens")).sum
+    assert(keptTokens <= budget,
+      s"budget $budget exceeded: kept $keptTokens tokens")
+    // bin-granular fill: every kept score strictly above every dropped
+    // one at bin granularity (no interleaving across the line)
+    assert(kept.map(_.getAs[Long]("bin")).min >
+      dropped.map(_.getAs[Long]("bin")).max,
+      "kept and dropped bins interleave")
+  }
+
   test("text_classify_nb learns a planted vocabulary signal perfectly") {
     import spark.implicits._
     // disjoint vocabularies per class — the NB log-odds must separate
