@@ -25,6 +25,10 @@ object Verify {
     // (e.g. a non-default dedup tau for the 100x slice checks)
     Tuning.applyEnvConf(spark)
     new java.io.File(outDir).mkdirs()
+    // the ann_ivf-family oracles embed a fixture-keyed centroid-export
+    // path; pin the dump default to THIS run's fixture so a subset run
+    // that skips ann_ivf never dumps SQL naming another machine's path
+    graft.queries.Similarity.pinOracleFixture(sfDir)
     // Oracle-pinned knobs (round-9 advice): some operator knobs are
     // recomputed by their DuckDB oracle from the DATA (derived rules),
     // but an explicit runtime override changes the ENGINE result while
@@ -46,7 +50,10 @@ object Verify {
       "spark.graft.mm.nearTau" -> Seq("mm_dedup_near"),
       "spark.graft.mm.bitsPerBand" -> Seq("mm_dedup_near"),
       "spark.graft.serving.shards" -> Seq("pipeline_pack", "data_shuffle_global"),
-      "spark.graft.vocab.topK" -> Seq("text_unigram_logprob", "pipeline_ppl_sample"),
+      // pipeline_token_budget scores via the same unigramScores vocab
+      // (its oracle hardcodes the derived cap), so it pins the knob too
+      "spark.graft.vocab.topK" -> Seq(
+        "text_unigram_logprob", "pipeline_ppl_sample", "pipeline_token_budget"),
       "spark.graft.streaming.statePartitions" -> Seq(), // parallelism only
       "spark.graft.streaming.stateStore" -> Seq(), // provider only
       "spark.graft.stage.dir" -> Seq(), // storage location only

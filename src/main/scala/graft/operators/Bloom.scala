@@ -48,9 +48,14 @@ object Bloom {
     * the result: the Tuning.initialShufflePartitions discipline). */
   def bitsFor(n: Long): Long = {
     var m = MinBits
-    // cap: 2^34 bits = 2 GiB, word count 2^28 (JVM array / Int index
-    // safe); past ~10^9 keys the prefix-sharding shape takes over
-    while (m < 16L * n && m < (1L << 34)) m <<= 1
+    // cap: 2^32 bits = 512 MiB. Each position hash is a 32-bit md5
+    // chunk, so bits past 2^32 would be UNREACHABLE — a bigger array
+    // silently halves the effective load factor instead of improving
+    // FPR (round-10 advice). Past ~2.7e8 keys per filter (16·n > 2^32)
+    // FPR degrades gracefully (never false-negative, results stay
+    // exact); the 100 TB shape shards by key prefix at that point so
+    // each shard's filter stays in the designed 0.24 % regime.
+    while (m < 16L * n && m < (1L << 32)) m <<= 1
     m
   }
 

@@ -477,7 +477,9 @@ object Relational extends QueryModule {
         // a NULL text has no length — excluded before the typed sketch
         // (whose buffer holds primitive Doubles; null-injection sweep)
         .filter(col("text").isNotNull)
-        .select(col("lang"),
+        // NULL lang → sentinel scope: null String keys break the typed
+        // groupByKey and NULL scope ordering diverges across engines
+        .select(coalesce(col("lang"), lit("UNKNOWN")).as("lang"),
           size(split(col("text"), " ")).cast("double").as("len"))
         .as[(String, Double)]
       val per = lens.groupByKey(_._1).mapValues(_._2)

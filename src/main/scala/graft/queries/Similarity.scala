@@ -105,7 +105,16 @@ object Similarity extends QueryModule {
       // oracle's unnest drops it — a session-2 review finding); the
       // SQL oracles drop such rows naturally, so filtering here keeps
       // the two engines identical.
-      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      // The third conjunct drops ALL-ZERO vectors (positive length,
+      // n2 = 0): without it an all-zero embedding gets a NULL
+      // try_divide cosine whose ordering differs across engines
+      // (round-10 advice). Checked with the CODEGEN float self-dot —
+      // sum of squares is 0 iff every element is 0 — not the
+      // interpreted normDec HOF, so the pushed-down filter stays
+      // inside whole-stage codegen (the lshBucketedNoNorm lesson).
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0 &&
+        graft.functions.FloatDotProduct.float_dot(
+          col("embedding"), col("embedding")) > lit(0d))
       .select(col("vec_id"), col("label"), col("embedding"),
         normDec(col("embedding")).as("n2"))
 
@@ -313,6 +322,14 @@ object Similarity extends QueryModule {
     * never ran in this JVM (the driver only checks oracles for queries
     * with a dumped result, so the default is never READ in that case). */
   @volatile private var lastIvf: (String, Int) = ("/root/testdata/sf0.01", 2)
+
+  /** Pin the oracle-dump default to the fixture Verify is actually
+    * running (round-10 advice): without this, a Verify subset run that
+    * skips ann_ivf dumps SQL naming the hardcoded sf0.01 export path,
+    * which on another machine/layout can never exist. Called by Verify
+    * before the query loop; an actual ann_ivf/emb_kmeans build
+    * overwrites it with the same fixture (and its true iters). */
+  def pinOracleFixture(dir: String): Unit = lastIvf = (dir, lastIvf._2)
 
   private val ivfExported = new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
 

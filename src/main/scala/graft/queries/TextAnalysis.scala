@@ -177,7 +177,12 @@ object TextAnalysis extends QueryModule {
       import graft.operators.FreqSketch
       val m = FreqSketch.DefaultM
       val toks = Tables.documents(s, d)
-        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        // NULL lang folds to a sentinel scope: the row-order-sensitive
+        // compare would otherwise hit Spark-vs-DuckDB NULL-ordering
+        // divergence on the scope sort (round-10 advice), and a null
+        // String key is poison for the typed groupByKey anyway
+        .select(coalesce(col("lang"), lit("UNKNOWN")).as("lang"),
+          explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .as[(String, String)]
       val per = toks.groupByKey(_._1).mapValues(_._2)
@@ -1003,7 +1008,7 @@ object TextAnalysis extends QueryModule {
     // the plain per-scope counts, top-10 by (count desc, token asc)
     "text_freq_merge" ->
       """WITH toks AS (
-        |  SELECT lang, w
+        |  SELECT coalesce(lang, 'UNKNOWN') AS lang, w
         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE w <> ''),
         |cnt AS (SELECT lang AS scope, w, count(*) AS c FROM toks GROUP BY lang, w),

@@ -805,7 +805,7 @@ object Windows extends QueryModule {
         |                - greatest(epoch_us(s), epoch_us(h)) AS ov_us
         |       FROM dec JOIN inc USING (h))
         |SELECT user_id, CAST(epoch_us(s) AS BIGINT) AS session_start_us,
-        |       count(*) AS n_inc_hours, sum(ov_us) AS incident_us
+        |       count(*) AS n_inc_hours, CAST(sum(ov_us) AS BIGINT) AS incident_us
         |FROM ov WHERE ov_us > 0
         |GROUP BY user_id, s
         |ORDER BY user_id, session_start_us""".stripMargin,

@@ -38,6 +38,32 @@ def frame_fingerprint(df: pd.DataFrame):
     return list(df.columns), len(rows), rows
 
 
+def kind(dtype):
+    """Coarse type class for the int-vs-float gate: the driver hashes
+    type-faithfully ('195932288' vs '195932288.0'), but norm_cell's %.9g
+    collapses exact-integer floats back to the integer rendering, so a
+    DuckDB HUGEINT/DOUBLE aggregate against a Spark BIGINT column passes
+    locally while failing the driver (events_incident_overlap, round 10).
+    Flagging the dtype-kind mismatch reproduces the driver's verdict."""
+    k = getattr(dtype, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    return "other"
+
+
+def type_mismatches(got: pd.DataFrame, exp: pd.DataFrame):
+    bad = []
+    for c in got.columns:
+        if c not in exp.columns:
+            continue
+        gk, ek = kind(got[c].dtype), kind(exp[c].dtype)
+        if {gk, ek} == {"int", "float"}:
+            bad.append(f"{c}: spark={got[c].dtype} oracle={exp[c].dtype}")
+    return bad
+
+
 def fresh_con(sf_dir):
     """One connection per query at big fixtures: a DuckDB OOM poisons the
     connection (every later query fails 'bad allocation'), so isolation
@@ -97,7 +123,11 @@ def main(sf_dir, out_dir, only=None):
                 qcon.close()
         gc, gn, gr = frame_fingerprint(got)
         ec, en, er = frame_fingerprint(exp)
-        if gc != ec:
+        tm = type_mismatches(got, exp)
+        if tm:
+            print(f"FAIL  {name}: int/float type drift (driver hashes type-faithfully): {tm}")
+            n_fail += 1
+        elif gc != ec:
             print(f"FAIL  {name}: columns {gc} != {ec}")
             n_fail += 1
         elif gn != en:
