@@ -181,7 +181,16 @@ object ExplainDump {
       "aggregate and the presentation sort exchange"),
     "text_html_extract" -> ("one narrow codegen projection: block-drop → tag-strip → " +
       "entity-decode → whitespace-collapse regex chain (RE2 ∩ Java, like text_pii_scrub); " +
-      "no shuffle but the presentation sort")
+      "no shuffle but the presentation sort"),
+    "dedup_semantic" -> ("SemDeDup prune: candidates from the (cluster, band, bucket)-blocked " +
+      "self-join over the staged kmeans_members assignment — clusters are never pairwised " +
+      "whole, bitsPerBand grows with the corpus to hold buckets ~200 rows; two-phase codegen " +
+      "scoring (float prefilter, decimal verify), drop set is survivor-sized; no window, no " +
+      "cartesian (PlanSpec-pinned)"),
+    "pipeline_chunk" -> ("one narrow codegen projection + per-doc explode: token-window " +
+      "starts from exact integer arithmetic, chunk text md5'd via array_join(slice(split)) — " +
+      "byte-exact byte-range reconstruction; no join, no window, no shuffle beyond the " +
+      "presentation sort — a pure map-side pass at any corpus size")
   )
 
   def main(args: Array[String]): Unit = {

@@ -46,10 +46,13 @@ object Verify {
       "spark.graft.ann.probeHamming" -> Seq("ann_lsh"),
       "spark.graft.ann.nprobe" -> Seq("ann_ivf"),
       "spark.graft.dedup.embTau" -> Seq("dedup_embedding"),
+      "spark.graft.dedup.semTau" -> Seq("dedup_semantic"),
       "spark.graft.dedup.levMaxLen" -> Seq("dedup_levenshtein", "dedup_lev_blocked"),
       "spark.graft.mm.nearTau" -> Seq("mm_dedup_near"),
       "spark.graft.mm.bitsPerBand" -> Seq("mm_dedup_near"),
       "spark.graft.serving.shards" -> Seq("pipeline_pack", "data_shuffle_global"),
+      "spark.graft.chunk.width" -> Seq("pipeline_chunk"),
+      "spark.graft.chunk.stride" -> Seq("pipeline_chunk"),
       // pipeline_token_budget scores via the same unigramScores vocab
       // (its oracle hardcodes the derived cap), so it pins the knob too
       "spark.graft.vocab.topK" -> Seq(

@@ -123,6 +123,25 @@ object Multimodal extends QueryModule {
     * frame-sample quartet): typed mapPartitions, one narrow pass, blob
     * consumed inside the stage — only sizes and a 32-char digest leave
     * it, so nothing payload-sized ever reaches an exchange. */
+  private val HexDigits = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** Lowercase-hex rendering as raw ASCII bytes — the digest input the
+    * round-10 multibyte fix hashes (hex is the byte-exact encoding a
+    * VARCHAR-only DuckDB md5 can reproduce). A table lookup per nibble:
+    * the original `map("%02x".format(_))` ran a format-string parse and
+    * a boxed allocation PER BYTE (the round-10 mm_resize bench drift). */
+  private def hexBytes(a: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](a.length * 2)
+    var i = 0
+    while (i < a.length) {
+      val v = a(i) & 0xff
+      out(2 * i) = HexDigits(v >>> 4)
+      out(2 * i + 1) = HexDigits(v & 0x0f)
+      i += 1
+    }
+    out
+  }
+
   def resizeStage(media: Dataset[MediaRow], stride: Int = 4): Dataset[MediaResized] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -135,9 +154,7 @@ object Multimodal extends QueryModule {
         // not valid text, and DuckDB's md5 is VARCHAR-only — hex is the
         // byte-exact encoding both engines can hash identically (the
         // multibyte-fixture gate caught the raw-bytes version diverging)
-        val resizedHex = resized.map("%02x".format(_)).mkString
-        val hex = md.digest(resizedHex.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
+        val hex = new String(hexBytes(md.digest(hexBytes(resized))), "US-ASCII")
         MediaResized(r.doc_id, r.payload.length.toLong, resized.length.toLong, hex)
       }
     }

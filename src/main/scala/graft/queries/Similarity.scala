@@ -944,6 +944,60 @@ object Similarity extends QueryModule {
         .select(col("d1"), col("d2"), col("label"), round(col("cosine"), 9).as("cosine"))
         .distinct()
         .orderBy(col("d1"), col("d2"))
+    },
+
+    // SemDeDup-style semantic prune (Abbas et al. 2023, PAPERS.md; the
+    // consumer emb_kmeans' clustering exists for): inside each k-means
+    // cluster, DROP every vector whose cosine to a LOWER-id cluster-mate
+    // is ≥ tau — the min-id member of each duplicate neighborhood is the
+    // kept representative. Output is the per-vector verdict table
+    // (vec_id, cluster_id, kept), the artifact a curation pipeline joins
+    // against its corpus.
+    //
+    // Scale shape: cluster sizes are UNBOUNDED (production nlist ~√n
+    // still leaves √n-sized clusters), so clusters are never pairwised
+    // whole — candidates block on (cluster, hyperplane band, bucket),
+    // the dedup_embedding sub-blocking with c_id replacing label, and
+    // bitsPerBand growing with the corpus keeps buckets ~200 rows at
+    // any n. Near-identical vectors agree on every sign bucket, so
+    // recall at SemDeDup's high-tau regime ≈ 1, and because the oracle
+    // replicates the identical md5-derived planes, even a band-split
+    // borderline pair is dropped IDENTICALLY on both sides. The members
+    // join carries the embedding payload once per vector (bucketing
+    // explodes AFTER the join); everything past the float prefilter is
+    // survivor-sized. tau is `spark.graft.dedup.semTau` (default 0.99,
+    // pinned by the oracle; registered in Verify's pinned-knob list).
+    "dedup_semantic" -> { (s, d) =>
+      val tau = s.conf.getOption("spark.graft.dedup.semTau")
+        .map(_.toDouble).getOrElse(0.99)
+      val m = kmeansMembers(s, d)
+      val bucketed = Tables.embeddings(s, d)
+        .join(m, Seq("vec_id"))
+        .withColumn("buckets",
+          graft.functions.HyperplaneBuckets.buckets(
+            col("embedding"), 4, annBitsPerBand(s, d)))
+        .select(col("vec_id"), col("c_id"), col("embedding"),
+          posexplode(col("buckets")).as(Seq("band", "bucket")))
+      val drops = bucketed.as("a")
+        .join(bucketed.as("b"),
+          col("a.c_id") === col("b.c_id") && col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("drop_id"),
+          col("a.embedding").as("e1"), col("b.embedding").as("e2"))
+        // same two-phase scoring as dedup_embedding: all-float codegen
+        // prefilter in-stage (margin 0.005 ≫ float-vs-decimal drift),
+        // oracle-exact decimal dot on the tiny survivor set
+        .filter(dotDbl(col("e1"), col("e2")) /
+          sqrt(dotDbl(col("e1"), col("e1")) * dotDbl(col("e2"), col("e2")))
+          >= tau - 0.005)
+        .filter(dotDec(col("e1"), col("e2")).cast("double") /
+          sqrt(normDec(col("e1")).cast("double") * normDec(col("e2")).cast("double"))
+          >= tau)
+        .select(col("drop_id")).distinct()
+      m.join(drops, col("vec_id") === col("drop_id"), "left")
+        .select(col("vec_id"), col("c_id").as("cluster_id"),
+          col("drop_id").isNull.as("kept"))
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -1295,6 +1349,36 @@ object Similarity extends QueryModule {
          |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
          |      FROM scored)
          |WHERE rk <= $K
-         |ORDER BY query_id, rk""".stripMargin
+         |ORDER BY query_id, rk""".stripMargin,
+
+    // exported-centroid assignment (members) + the same md5-derived
+    // hyperplane blocking as dedup_embedding, block key (c_id, band,
+    // bucket); decimal-exact verify at the pinned tau; dropped = the
+    // higher id of every confirmed pair
+    "dedup_semantic" ->
+      s"""WITH $exSql,
+         |$assignMembersSql,
+         |$lshBucketsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM buckets a
+         |  JOIN buckets b ON b.band = a.band AND b.bucket = a.bucket
+         |                AND a.vec_id < b.vec_id
+         |  JOIN members ma ON ma.vec_id = a.vec_id
+         |  JOIN members mb ON mb.vec_id = b.vec_id AND mb.c_id = ma.c_id),
+         |pairs AS (
+         |  SELECT c.d1, c.d2,
+         |         CAST(sum(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         |           / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+         |  FROM cand c
+         |  JOIN ex a ON a.vec_id = c.d1
+         |  JOIN ex b ON b.vec_id = c.d2 AND b.i = a.i
+         |  JOIN norms na ON na.vec_id = c.d1
+         |  JOIN norms nb ON nb.vec_id = c.d2
+         |  GROUP BY c.d1, c.d2, na.n2, nb.n2),
+         |drops AS (SELECT DISTINCT d2 FROM pairs WHERE cosine >= 0.99)
+         |SELECT m.vec_id, m.c_id AS cluster_id, (dr.d2 IS NULL) AS kept
+         |FROM members m LEFT JOIN drops dr ON dr.d2 = m.vec_id
+         |ORDER BY m.vec_id""".stripMargin
   )
 }

@@ -324,6 +324,46 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("lang"), col("shard"), col("bin"))
     },
 
+    // Document CHUNKING — the doc→passage step every retrieval/embedding
+    // pipeline runs before embedding or indexing (pipeline_pack's
+    // inverse): fixed-token windows of `spark.graft.chunk.width`
+    // (default 32) tokens at stride `spark.graft.chunk.stride` (default
+    // 24 ⇒ 8-token overlap), last chunk clipped to the document end so
+    // every token is covered. chunk_id = j for start 1 + j·stride;
+    // j runs to ⌈max(n−W,0)/S⌉ in EXACT integer arithmetic ((x+S−1) div
+    // S — a float ceil could round differently across engines). The
+    // chunk text is md5'd via array_join(slice(toks)) — byte-exact
+    // reconstruction of the original byte range by the
+    // TokenWindowHashes single-space-split argument — and the oracle's
+    // list_slice + array_to_string twin rejoins the identical bytes.
+    //
+    // Scale shape: one narrow codegen projection + a per-doc explode —
+    // no join, no window, no shuffle beyond the presentation sort;
+    // chunk boundaries are doc-local, so at 100 TB this is a pure
+    // map-side pass whatever the partitioning (PlanSpec-pinned).
+    "pipeline_chunk" -> { (s, d) =>
+      val w = s.conf.getOption("spark.graft.chunk.width").map(_.toInt).getOrElse(32)
+      val st = s.conf.getOption("spark.graft.chunk.stride").map(_.toInt).getOrElse(24)
+      require(w >= 1 && st >= 1, s"chunk width/stride must be >= 1, got $w/$st")
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(expr(
+            s"sequence(0L, (greatest(cast(n as bigint) - $w, 0L) + ${st - 1}L) div ${st}L)"))
+            .as("chunk_id"))
+        .withColumn("start", (col("chunk_id") * st + 1).cast("int"))
+        .withColumn("n_tokens",
+          least(lit(w), col("n") - col("start") + 1).cast("long"))
+        .select(col("doc_id"), col("chunk_id"),
+          col("n_tokens"),
+          md5(array_join(
+            slice(col("toks"), col("start"), col("n_tokens").cast("int")), " "))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // SimHash-64 per document as 4×16-bit chunks (chunk equality is the
     // classic near-dup blocking key — consumed by dedup_simhash).
     // Weight = token occurrence count; bit source = md5(token).
@@ -1088,6 +1128,25 @@ object TextAnalysis extends QueryModule {
         |      FROM documents)
         |GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin,
+
+    // list_slice is 1-based inclusive-end; generate_series is inclusive
+    // like Spark's sequence; // is DuckDB integral division = Spark div
+    "pipeline_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |j AS (
+        |  SELECT doc_id, toks, n,
+        |         unnest(generate_series(0, (greatest(n - 32, 0) + 23) // 24)) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tokens,
+        |       md5(array_to_string(
+        |             list_slice(toks, chunk_id * 24 + 1,
+        |                        least(chunk_id * 24 + 32, n)), ' ')) AS chunk_md5
+        |FROM j
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "pipeline_pack" ->
       (s"""WITH $ShardsCte,

@@ -13,7 +13,10 @@ class BloomSpec extends GraftSuite {
     assert(Bloom.bitsFor(0) == (1L << 16))
     assert(Bloom.bitsFor(4096) == (1L << 16)) // 16*4096 = 2^16 exactly
     assert(Bloom.bitsFor(4097) == (1L << 17))
-    assert(Bloom.bitsFor(Long.MaxValue / 32) == (1L << 34)) // capped
+    // capped at 2^32: each position hash is a 32-bit md5 chunk, so a
+    // bigger array would leave bits above 2^32 unreachable (round-10
+    // advice) — past ~2.7e8 keys the prefix-sharding shape takes over
+    assert(Bloom.bitsFor(Long.MaxValue / 32) == (1L << 32))
     (0 to 20).foreach { i =>
       val m = Bloom.bitsFor(1L << i)
       assert(java.lang.Long.bitCount(m) == 1 && m >= (1L << 16))

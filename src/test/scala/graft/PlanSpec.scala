@@ -675,6 +675,27 @@ class PlanSpec extends GraftSuite {
     assert(exchanges.size <= 2, s"unexpected exchanges:\n$sp")
   }
 
+  test("dedup_semantic: no window, no cartesian, codegen two-phase verify") {
+    // SemDeDup prune: cluster-mate candidates must come from the
+    // (c_id, band, bucket)-blocked self-join — never a per-cluster
+    // window (clusters are unbounded) or a cartesian — and both scoring
+    // phases must be the codegen dot products (an interpreted lambda on
+    // the pair path was the measured 194s-vs-8s difference in
+    // dedup_embedding's round-7 rework)
+    val df = q("dedup_semantic")
+    val sp = df.queryExecution.sparkPlan
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window in the prune plan:\n$sp")
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"cartesian in the prune plan:\n$sp")
+    val s = sp.toString
+    assert(s.contains("floatdotproduct"), s"codegen float prefilter missing:\n$s")
+    assert(s.contains("decimaldotproduct"), s"codegen decimal verify missing:\n$s")
+    assert(!s.contains("lambdafunction"), s"interpreted lambda on the prune path:\n$s")
+  }
+
   test("text_normalize plans as one narrow codegen projection over a pruned scan") {
     val p = plan("text_normalize")
     val finalPlan = p.split("== Initial Plan ==").head

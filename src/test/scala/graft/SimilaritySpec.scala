@@ -138,6 +138,37 @@ class SimilaritySpec extends GraftSuite {
     assert(got.find(t => (t._1, t._2) == (0L, 1L)).get._4 == 1.0)
   }
 
+  test("dedup_semantic drops every near-duplicate of a lower-id cluster-mate") {
+    // the fixture corpus has no cos>=0.99 pairs (all-kept output there),
+    // so the PRUNE path — within-cluster blocking, two-phase verify,
+    // greedy min-id keep — is exercised on a planted corpus: ids must be
+    // >= NQ(8) so the quantizer trains on them; the 10 one-hot anchors
+    // seed 10 mutually-orthogonal clusters, and the dup trio (dense
+    // all-positive vectors) lands in the anchor-19 cluster (largest
+    // coordinate) as NON-seed members, proving the sub-blocking pairs
+    // non-seed cluster-mates.
+    import spark.implicits._
+    val dim = 64
+    def oneHot(j: Int) = Array.tabulate(dim)(i => if (i == j) 1f else 0f)
+    val base = Array.tabulate(dim)(i => (i + 1).toFloat / dim)
+    val near = base.clone(); near(0) = near(0) + 1e-3f
+    val rows = (10 to 19).map(j => (j.toLong, oneHot(j - 10), 1)) ++
+      Seq((20L, base, 1), (21L, base, 1), (22L, near, 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("dedup_semantic")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSeq == (10L to 22L), s"got ${got.mkString(",")}")
+    // min-id representative (20) kept; its exact copy (21) and the 1e-3
+    // perturbation (22) dropped; the orthogonal anchors all kept
+    assert(got.filterNot(_._3).map(_._1).toSeq == Seq(21L, 22L),
+      s"got ${got.mkString(",")}")
+    // the trio shares one cluster — drops are within-cluster by design
+    val cid = got.map(t => t._1 -> t._2).toMap
+    assert(cid(20L) == cid(21L) && cid(21L) == cid(22L))
+  }
+
   test("ann_range agrees with ann_brute above the radius") {
     val tau = 0.25
     val range = q("ann_range").collect()
