@@ -493,8 +493,9 @@ object Streaming {
     *
     * Staged as two Spark-written single-file parquets with strictly
     * increasing mtimes (FileStreamSource orders discovered files by
-    * modification time, the same property StreamingSpec pins), so batch 0
-    * is every real event and batch 1 is the sentinel alone. */
+    * modification time, the same property StreamingSpec pins), read in
+    * ONE combined trigger — the flush only needs the sentinel's
+    * watermark committed at batch end, not a batch of its own. */
   def stampedEventsWithFlushSentinel(
       spark: SparkSession, dir: String): Dataset[StampedEvent] = {
     import java.nio.file.{Files, Paths}
@@ -515,8 +516,13 @@ object Streaming {
             .toDF("user_id", "ts"), "sentinel_01.parquet", now + 60000L)
         p
       })).path
+    // combined trigger, same reasoning as [[eventsWithFlushSentinel]]:
+    // open sessions land in state during the batch, the sentinel's
+    // watermark commits at batch END, and the event-time timeouts fire
+    // in the following no-data batch — the middle sentinel-only batch
+    // bought nothing but its fixed cost
     spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 2)
       .parquet(streamDir.toString)
       .as[StampedEvent]
   }
@@ -541,10 +547,10 @@ object Streaming {
       java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
   }
 
-  /** Full-column events stream whose FINAL micro-batch is two far-future
-    * SENTINEL events — one purchase, one click — so BOTH sides of a
-    * two-sided stateful operator see their watermark advance past every
-    * real row's join horizon. This extends the flush-sentinel recipe
+  /** Full-column events stream carrying two far-future SENTINEL events —
+    * one purchase, one click — so BOTH sides of a two-sided stateful
+    * operator see their watermark advance past every real row's join
+    * horizon once the (single, combined) data batch commits. This extends the flush-sentinel recipe
     * ([[stampedEventsWithFlushSentinel]]) to stream-stream OUTER joins:
     * null rows for unmatched purchases emit on watermark-driven state
     * eviction, so with the sentinel committed, every real purchase's
@@ -576,8 +582,17 @@ object Streaming {
           "sentinel_01.parquet", now + 60000L)
         p
       })).path
+    // BOTH files in one trigger: the flush recipe needs the sentinel's
+    // watermark COMMITTED after the real rows are in state, which batch
+    // semantics give for free (state is added during the batch, the
+    // watermark advances at batch END, eviction emits in the following
+    // no-data batch) — it does NOT need the sentinel in a separate
+    // batch. One combined batch + the no-data flush replaces the
+    // 3-batch sequence, saving a full per-batch fixed cost (planning,
+    // 4 store commits, sink commit) per gate — measured on the three
+    // outer-join gates (round-11 streaming diet).
     spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 2)
       .parquet(streamDir.toString)
   }
 
@@ -640,15 +655,28 @@ object Streaming {
   def upsertLatestPerUser(spark: SparkSession, dir: String,
       chunks: Int = 4): DataFrame = {
     val src = eventsStreamChunked(spark, dir, chunks)
+    val gateName = "graft-gate-upsert-" + java.util.UUID.randomUUID().toString.take(8)
     val gate = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft-gate-upsert-" + java.util.UUID.randomUUID().toString.take(8))
+      System.getProperty("java.io.tmpdir"), gateName)
     deleteTree(gate)
     java.nio.file.Files.createDirectories(gate)
     registerGateCleanup(gate)
+    // checkpoint on /dev/shm like runToCompletion's gates (round-11
+    // diet: this gate had been the one stream still fsyncing offsets/
+    // commits per micro-batch to disk tmpdir — 4 batches of pure
+    // durability cost the finite verification run doesn't need); the
+    // versioned TABLE stays in the disk gate dir, it IS the output
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val chkRoot =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+        val c = shm.resolve(gateName)
+        deleteTree(c)
+        registerGateCleanup(c)
+        c
+      } else gate
     @volatile var current: Option[String] = None
     val q = src.writeStream
-      .option("checkpointLocation", gate.resolve("chk").toString)
+      .option("checkpointLocation", chkRoot.resolve("chk").toString)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
         if (!batch.isEmpty) {

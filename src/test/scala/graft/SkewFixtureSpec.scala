@@ -103,4 +103,71 @@ class SkewFixtureSpec extends GraftSuite {
       .filter(col("doc_id") === OneTok).collect().head
     assert(t.getAs[Int]("n_ws_tokens") == 1)
   }
+
+  test("skew fixture: session-2 ops stay sane on the pathological docs") {
+    // BM25: the giant twins push dl five hundred times past avgdl and
+    // tf to 6 250 on every phrase token — the fixed-point BIGINT score
+    // pipeline must neither overflow (negative/absurd rrf) nor starve
+    // the ranking: still a full tie-broken top-k per query, rrf > 0
+    val bm = SparkEntry.queries("hybrid_search_bm25")(spark, skewDir).collect()
+    assert(bm.nonEmpty, "bm25 returned nothing on the skew fixture")
+    assert(bm.forall(_.getAs[Double]("rrf") > 0.0), "non-positive rrf fusion score")
+    val perQ = bm.groupBy(_.getAs[Long]("query_id")).values
+    assert(perQ.forall(rows => rows.map(_.getAs[Int]("rk")).sorted.toSeq ==
+      (1 to rows.length)), "rank column not dense per query")
+
+    // token-budget fill: the giant twins alone carry ~100k of the
+    // corpus's tokens — the budget (total div 4) must hold as a HARD
+    // bound even when single documents dwarf it
+    val tb = SparkEntry.queries("pipeline_token_budget")(spark, skewDir).collect()
+    val total = tb.map(_.getAs[Long]("n_tokens")).sum
+    val kept = tb.filter(_.getAs[Int]("kept") == 1).map(_.getAs[Long]("n_tokens")).sum
+    assert(kept <= total / 4, s"budget overshot: kept=$kept budget=${total / 4}")
+    // the 50k-token repetitive twins score as EXTREME perplexity
+    // outliers in some direction; whatever bin they land in, the
+    // monotone fill line must hold: every kept doc's bin >= every
+    // dropped doc's bin
+    // the twins can put the best bin ALONE over the budget, in which
+    // case the bin-granular hard bound legitimately keeps NOTHING —
+    // the fill line is only checkable when both sides are non-empty
+    val keptBins = tb.filter(_.getAs[Int]("kept") == 1).map(_.getAs[Long]("bin"))
+    val dropBins = tb.filter(_.getAs[Int]("kept") == 0).map(_.getAs[Long]("bin"))
+    if (keptBins.nonEmpty && dropBins.nonEmpty)
+      assert(keptBins.min >= dropBins.max,
+        s"fill line crossed: ${keptBins.min} < ${dropBins.max}")
+
+    // perplexity bucketing: a decision for every non-null doc, and the
+    // 100 identical boilerplate copies land in ONE band with ONE
+    // identical keep decision (content-stable md5 sampling would
+    // otherwise split identical docs only by doc_id — allowed — but
+    // band/score must agree exactly)
+    val pp = SparkEntry.queries("pipeline_ppl_sample")(spark, skewDir).collect()
+    val boiler = pp.filter(r => r.getAs[Long]("doc_id") >= 910000L &&
+      r.getAs[Long]("doc_id") < 910100L)
+    assert(boiler.length == 100)
+    assert(boiler.map(_.getAs[Long]("avg_lp_micro")).distinct.length == 1,
+      "identical boilerplate docs scored differently")
+    assert(boiler.map(_.getAs[String]("band")).distinct.length == 1,
+      "identical boilerplate docs banded differently")
+
+    // HTML extraction: the 200k-char single token flows through the
+    // regex chain as one token (no delimiter for the tag-stripper to
+    // choke on) and the giant page extracts non-empty text
+    val hx = SparkEntry.queries("text_html_extract")(spark, skewDir)
+      .filter(col("doc_id").isin(GiantA, OneTok)).collect()
+    assert(hx.length == 2)
+    assert(hx.forall(_.getAs[Number]("n_text").longValue > 0L),
+      "pathological page extracted empty")
+
+    // NB classifier: 100 identical docs must get the identical score
+    // and prediction (the model is a function of the corpus, the score
+    // a function of the text)
+    val nb = SparkEntry.queries("text_classify_nb")(spark, skewDir)
+      .filter(col("doc_id") >= 910000L && col("doc_id") < 910100L).collect()
+    assert(nb.length == 100)
+    assert(nb.map(_.getAs[Long]("score_micro")).distinct.length == 1,
+      "identical boilerplate docs scored differently by NB")
+    assert(nb.map(_.getAs[String]("pred")).distinct.length == 1,
+      "identical boilerplate docs classified differently")
+  }
 }
