@@ -190,7 +190,18 @@ object ExplainDump {
     "pipeline_chunk" -> ("one narrow codegen projection + per-doc explode: token-window " +
       "starts from exact integer arithmetic, chunk text md5'd via array_join(slice(split)) — " +
       "byte-exact byte-range reconstruction; no join, no window, no shuffle beyond the " +
-      "presentation sort — a pure map-side pass at any corpus size")
+      "presentation sort — a pure map-side pass at any corpus size"),
+    "text_phrase_search" -> ("inverted-index phrase lookup: the dim-sized query-hash set " +
+      "BROADCASTS onto the staged span-postings scan — one broadcast hash join, no corpus " +
+      "shuffle (PlanSpec-pinned); an 8-token phrase IS one shingle hash, so search never " +
+      "rescans text"),
+    "pipeline_filter_cascade" -> ("four audit rules + in-row langid argmax as ONE narrow " +
+      "projection over one documents scan — no join, no aggregate, only the presentation " +
+      "sort (PlanSpec-pinned); all rules exact integer comparisons"),
+    "ann_ivf_pq" -> ("product-quantized ANN: encoding is a margin-gated narrow projection " +
+      "(model-sized codebook as literals), ADC tables are 512 literal longs, scoring is one " +
+      "narrow pass over 4-byte codes into the bounded exact-integer topKLong aggregator — " +
+      "never a corpus-wide window; every score a decimal-exact ×10^12 fixed-point BIGINT")
   )
 
   def main(args: Array[String]): Unit = {

@@ -223,6 +223,30 @@ object Dedup extends QueryModule {
       substringSpans(spanPostings(s, d), SpanK)
     },
 
+    // Exact PHRASE SEARCH over the same staged inverted index — the
+    // retrieval consumer a span-postings table exists for beyond dedup:
+    // an 8-token phrase IS one shingle hash, so lookup is a probe of
+    // the posting list, never a text scan. Query phrases are derived
+    // deterministically (the first SpanK tokens of five fixed docs) so
+    // both engines build the identical query set; docs shorter than one
+    // window contribute no phrase on either side. The dim-sized query
+    // set BROADCASTS onto the postings scan — at 100 TB the probe is
+    // one broadcast hash join against the staged index, no corpus
+    // shuffle (PlanSpec-pinned); self-matches (the source doc at pos 1)
+    // are kept deliberately — they prove retrieval, and a consumer
+    // filters them trivially.
+    "text_phrase_search" -> { (s, d) =>
+      val queryDocs = Seq(0L, 7L, 14L, 21L, 28L)
+      val qs = Tables.documents(s, d)
+        .filter(col("doc_id").isin(queryDocs: _*))
+        .filter(size(split(col("text"), " ")) >= SpanK)
+        .select(col("doc_id").as("query_id"),
+          md5(array_join(slice(split(col("text"), " "), 1, SpanK), " ")).as("h"))
+      spanPostings(s, d).join(broadcast(qs), Seq("h"))
+        .select(col("query_id"), col("doc_id"), col("pos"))
+        .orderBy(col("query_id"), col("doc_id"), col("pos"))
+    },
+
     // The CONSUMER of dedup_substring: actually remove the duplicated
     // spans (Lee et al.'s point is the removal, not the report). Policy:
     // per duplicated shingle hash, the doc with the MIN doc_id keeps
@@ -912,6 +936,17 @@ object Dedup extends QueryModule {
     // mirrors spanPostings + the islands merge: 1-based positions, md5
     // over the space-joined 8-token slice (list_slice's inclusive end =
     // Spark slice's length-8 window), BIGINT casts to match Spark longs
+    // same postings CTE; query hashes from the same five fixed docs
+    "text_phrase_search" ->
+      s"""WITH $spanPostingsSql,
+         |q AS (
+         |  SELECT doc_id AS query_id,
+         |         md5(array_to_string(list_slice(toks, 1, $SpanK), ' ')) AS h
+         |  FROM t WHERE doc_id IN (0, 7, 14, 21, 28) AND len(toks) >= $SpanK)
+         |SELECT q.query_id, p.doc_id, p.pos
+         |FROM p JOIN q USING (h)
+         |ORDER BY q.query_id, p.doc_id, p.pos""".stripMargin,
+
     "dedup_substring" ->
       s"""WITH $spanPostingsSql,
          |dh AS (SELECT h, count(DISTINCT doc_id) AS n_docs

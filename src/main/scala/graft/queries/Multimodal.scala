@@ -332,10 +332,17 @@ object Multimodal extends QueryModule {
           // DOUBLE, and at 9 dp a 10×-fixture pair landed exactly on a
           // rounding boundary (…1835 ulp-split across engines). 6 dp
           // puts boundary-hit odds at ~1e-4 even at 200k pairs.
+          // try_divide, NOT `/` (the assignCentroid discipline): a NULL
+          // or featureless text yields a zero/NULL feature norm, and the
+          // ANSI divide THROWS on it — caught by the null-injection gate
+          // once runAllQueries stopped letting Catalyst prune this
+          // column. try_divide renders the degenerate pair's cosine as
+          // NULL in both engines (DuckDB's /0 is NULL already).
           round(
-            dotDec(col("a.f"), col("b.f")).cast("double") /
+            call_function("try_divide",
+              dotDec(col("a.f"), col("b.f")).cast("double"),
               sqrt(dotDec(col("a.f"), col("a.f")).cast("double") *
-                dotDec(col("b.f"), col("b.f")).cast("double")), 6).as("feature_cosine"))
+                dotDec(col("b.f"), col("b.f")).cast("double"))), 6).as("feature_cosine"))
         .orderBy(col("d1"))
     },
 

@@ -329,7 +329,10 @@ object Similarity extends QueryModule {
     * which on another machine/layout can never exist. Called by Verify
     * before the query loop; an actual ann_ivf/emb_kmeans build
     * overwrites it with the same fixture (and its true iters). */
-  def pinOracleFixture(dir: String): Unit = lastIvf = (dir, lastIvf._2)
+  def pinOracleFixture(dir: String): Unit = {
+    lastIvf = (dir, lastIvf._2)
+    lastPq = dir
+  }
 
   private val ivfExported = new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
 
@@ -372,6 +375,150 @@ object Similarity extends QueryModule {
           .withColumn("c_n2", normDec(col("c_emb")))
           .filter(col("c_n2") > 0)
       }
+    }
+
+  // ---- Product quantization (ann_ivf_pq) ------------------------------
+
+  /** PQ geometry: 64-dim vectors as M=4 contiguous 16-dim subspaces,
+    * 16 codes per sub-codebook ⇒ a 4-byte code per vector — the
+    * memory-bounded ANN shape for corpora where even float16 vectors
+    * can't be RAM-resident (1 B × 64 dims = 256 GB raw vs 4 GB coded;
+    * Jégou et al., PAPERS.md). Square L2 distances are computed through
+    * the decimal identity ‖x−c‖² = x·x − 2·x·c + c·c over the SAME
+    * codegen DecimalDotProduct the cosine family uses, so decimal
+    * addition keeps every distance EXACT and cross-engine stable; the
+    * fixed-point (×10¹²) rendering makes scores exact BIGINTs end to
+    * end (the BM25 discipline — no double ever ranks). */
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqKsub = 16
+  private val PqFp = 1000000000000L // 10^12: DECIMAL(…,12) → exact long
+
+  private def subVec(e: Column, m: Int): Column =
+    slice(e, m * PqSubDim + 1, PqSubDim)
+
+  /** Decimal-exact squared L2 between a subvector column and a literal
+    * sub-centroid (both 16 floats). Each dot is cast down to
+    * DECIMAL(20,12) FIRST (values are ≤ ~10³, so the narrowing is
+    * value-exact) and the 2· is written as two subtractions: on the raw
+    * DECIMAL(38,12) dots, Spark's precision-overflow rule would REDUCE
+    * SCALE on `2 * dot` (p = 38+10+1 > 38 ⇒ scale drops toward 6) and
+    * silently round the distance — caught as an oracle fp mismatch in
+    * the 12th digit. Result stays exact at scale 12. */
+  private def d2Dec(sv: Column, c: Seq[Float]): Column = {
+    val cl = typedLit(c)
+    def dd(a: Column, b: Column): Column = dotDec(a, b).cast("decimal(20,12)")
+    dd(sv, sv) - dd(sv, cl) - dd(sv, cl) + dd(cl, cl)
+  }
+
+  /** ×10¹² fixed-point rendering of an exact small decimal as a LONG —
+    * the narrowing casts keep the multiply inside precision 38 (a
+    * direct DECIMAL(38,12) × long literal overflows p = 38+20+1 and
+    * triggers the same silent scale reduction). */
+  private def d2Fp(d2: Column): Column =
+    (d2.cast("decimal(24,12)") * lit(PqFp).cast("decimal(13,0)")).cast("long")
+
+  private def d2Dbl(sv: Column, c: Seq[Float]): Column = {
+    val cl = typedLit(c)
+    dotDbl(sv, sv) - lit(2.0) * dotDbl(sv, cl) + dotDbl(cl, cl)
+  }
+
+  /** Deterministically trained sub-codebooks: per subspace, Lloyd on
+    * subvectors (seeds = the 16 lowest vec_ids ≥ NQ, 2 iterations,
+    * decimal means — the ivfCentroidsStaged recipe on (m, code) keys
+    * with double-L2 assignment and a (d2, code) total order). Staged
+    * once per fixture; exported for the compositional oracle like the
+    * IVF centroids. Rows: (m, code, c_sub). */
+  private def pqCodebooksStaged(s: SparkSession, d: String): DataFrame =
+    graft.Staging.stage(s, "pq_codebooks_i2", d) {
+      val base = withNorm(s, d)
+      val subs = base.select(col("vec_id"),
+        posexplode(array((0 until PqM).map(m => subVec(col("embedding"), m)): _*))
+          .as(Seq("m", "sv")))
+      val seedIds = base.filter(col("vec_id") >= NQ)
+        .select(col("vec_id")).orderBy(col("vec_id")).limit(PqKsub)
+        .withColumn("code", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      val seeds = subs.join(seedIds, Seq("vec_id"))
+        .select(col("m"), col("code"), col("sv").as("c_sub"))
+      val wAssign = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2"), col("code"))
+      (1 to 2).foldLeft(seeds) { (cent, _) =>
+        subs.join(cent, Seq("m"))
+          .withColumn("d2",
+            dotDbl(col("sv"), col("sv")) -
+              lit(2.0) * dotDbl(col("sv"), col("c_sub")) +
+              dotDbl(col("c_sub"), col("c_sub")))
+          .withColumn("rk", row_number().over(wAssign))
+          .filter(col("rk") === 1)
+          .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+          .groupBy(col("m"), col("code"), col("i"))
+          .agg((sum(col("x").cast("decimal(20,12)")) / count(lit(1)))
+            .cast("double").as("mx"))
+          .groupBy(col("m"), col("code"))
+          .agg(array_sort(collect_list(struct(col("i"), col("mx")))).as("ms"))
+          .select(col("m"), col("code"),
+            expr("transform(ms, e -> CAST(e.mx AS FLOAT))").as("c_sub"))
+      }
+    }
+
+  private[graft] def pqOracleCodebookPath(dir: String): String = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"),
+      "graft-oracle-" + System.getProperty("user.name", "u")
+        .replaceAll("[^A-Za-z0-9._-]", "-"))
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|pq2".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    base.resolve(s"pq-codebooks-$dig.parquet").toString
+  }
+
+  @volatile private var lastPq: String = "/root/testdata/sf0.01"
+
+  private val pqExported = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  private def pqCodebooks(s: SparkSession, d: String): DataFrame = {
+    val staged = pqCodebooksStaged(s, d)
+    lastPq = d
+    pqExported.computeIfAbsent(d, _ => {
+      val p = pqOracleCodebookPath(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
+      graft.ScaleData.writeSingleFile(staged, p)
+      true
+    })
+    staged
+  }
+
+  /** Collected codebook, model-sized (≤ M·Ksub = 64 rows). */
+  private def collectPqCodebook(cb: DataFrame): Array[(Int, Int, Seq[Float])] =
+    cb.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      .sortBy(t => (t._1, t._2))
+
+  /** Margin-gated per-subspace encoder — assignCentroid's two-phase
+    * argmax transposed to an L2 argmin: the fast double identity
+    * decides unless the top-1/top-2 gap is within [[RescoreEps]]
+    * (double L2 drift is ~1e-12 absolute at these magnitudes, three
+    * orders inside the gate), in which case the decimal argmin
+    * re-decides. Adds code_0..code_{M−1} columns; one narrow
+    * projection, no join/shuffle. */
+  private def pqEncode(df: DataFrame,
+      cb: Array[(Int, Int, Seq[Float])]): DataFrame =
+    (0 until PqM).foldLeft(df) { (acc, m) =>
+      val cands = cb.filter(_._1 == m)
+      val sv = subVec(col("embedding"), m)
+      val fastArr = array(cands.map { case (_, code, c) =>
+        struct(d2Dbl(sv, c).as("d2"), lit(code).as("code")) }: _*)
+      val decArr = array(cands.map { case (_, code, c) =>
+        struct(d2Dec(sv, c).as("d2"), lit(code).as("code")) }: _*)
+      acc.withColumn("sf", array_sort(fastArr))
+        .withColumn("gap",
+          when(lit(cands.length >= 2),
+            element_at(col("sf"), 2).getField("d2") -
+              element_at(col("sf"), 1).getField("d2")))
+        .withColumn("ambig", coalesce(col("gap") <= RescoreEps, lit(false)))
+        .withColumn(s"code_$m",
+          when(col("ambig"), element_at(array_sort(decArr), 1).getField("code"))
+            .otherwise(element_at(col("sf"), 1).getField("code")))
+        .drop("sf", "gap", "ambig")
     }
 
   /** The trained-quantizer path of ann_ivf (nonempty corpus):
@@ -946,6 +1093,80 @@ object Similarity extends QueryModule {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // IVF-PQ-style product-quantized ANN (Jégou et al., PAPERS.md) —
+    // the memory-bounded serving shape: the corpus is ENCODED once into
+    // 4 sub-codebook codes (4 bytes/vector — a 1 B-vector index fits in
+    // 4 GB where raw floats need 256 GB), and each query scans codes
+    // with an ADC table (its precomputed exact distance to every
+    // sub-centroid) — no vector arithmetic per candidate at query time.
+    //
+    // Exactness: every distance is the decimal identity x·x − 2·x·c +
+    // c·c over codegen DecimalDotProduct, rendered as ×10¹² fixed-point
+    // BIGINTs (the BM25 exact-integer discipline) — encoding, ADC
+    // tables, and the summed scores are bit-identical across engines,
+    // so the gate is a full hash match (compositional from the exported
+    // codebooks, the ann_ivf precedent). Scale shape: encoding is a
+    // narrow margin-gated projection (model-sized codebook folded in as
+    // literals, no join/shuffle); the ADC tables are NQ·M·Ksub = 512
+    // longs folded in as literal arrays; scoring is one narrow pass
+    // over the coded corpus into the bounded exact-integer topKLong
+    // aggregator — the hierarchical ann_brute shape, never a
+    // corpus-wide window (PlanSpec-pinned).
+    "ann_ivf_pq" -> { (s, d) =>
+      import s.implicits._
+      val cb = collectPqCodebook(pqCodebooks(s, d))
+      val base = withNorm(s, d)
+      if (cb.isEmpty)
+        base.limit(0).select(col("vec_id").as("query_id"), lit(1).as("rk"),
+          col("vec_id"), lit(0L).as("adc_d2_fp"))
+      else {
+        val queries = base.filter(col("vec_id") < NQ)
+        // exact ADC tables, computed in-engine on the model-sized
+        // query × codebook frame, collected as fp longs
+        val entries = array(cb.map { case (m, code, c) =>
+          struct(lit(m).as("m"), lit(code).as("code"),
+            d2Fp(d2Dec(subVec(col("embedding"), m), c)).as("dfp"))
+        }: _*)
+        val qtab = queries.select(col("vec_id"), explode(entries).as("e"))
+          .select(col("vec_id"), col("e.m"), col("e.code"), col("e.dfp"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+          .toMap
+        val qids = qtab.keys.map(_._1).toSeq.distinct.sorted
+        val maxCode = cb.map(_._2).max
+        // dense per-(query, m) lookup arrays indexed by code; codes a
+        // Lloyd round emptied never appear in the coded corpus, so
+        // their slots are inert fill
+        def qArr(q: Long, m: Int): Column = array((0 to maxCode).map(code =>
+          lit(qtab.getOrElse((q, m, code), Long.MaxValue))): _*)
+        // the coded corpus IS the PQ index — a production system writes
+        // it once and every query scans codes, never vectors (the
+        // kmeans_members staging precedent; measured at 100×: the
+        // re-encode was ~9 s of an 11 s query). Skinny columns only:
+        // vec_id + M bytes of codes.
+        val coded = graft.Staging.stage(s, "pq_codes_i2", d) {
+          pqEncode(base.select(col("vec_id"), col("embedding")), cb)
+            .select(col("vec_id") +: (0 until PqM).map(m => col(s"code_$m")): _*)
+        }
+        val perQ = array(qids.map { q =>
+          struct(lit(q).as("query_id"),
+            (0 until PqM).map(m => element_at(qArr(q, m), col(s"code_$m") + 1))
+              .reduce(_ + _).as("dfp"))
+        }: _*)
+        coded.select(col("vec_id"), explode(perQ).as("e"))
+          .select(col("e.query_id").as("query_id"), col("vec_id"), col("e.dfp").as("dfp"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => (-t._3, t._2))
+          .agg(graft.operators.TopK.topKLong(K).toColumn.name("top"))
+          .flatMap { case (qid, top) => top.zipWithIndex.map { case ((v, id), i) =>
+            (qid, i + 1, id, -v) } }
+          .toDF("query_id", "rk", "vec_id", "adc_d2_fp")
+          .orderBy(col("query_id"), col("rk"))
+      }
+    },
+
     // SemDeDup-style semantic prune (Abbas et al. 2023, PAPERS.md; the
     // consumer emb_kmeans' clustering exists for): inside each k-means
     // cluster, DROP every vector whose cosine to a LOWER-id cluster-mate
@@ -1348,6 +1569,43 @@ object Similarity extends QueryModule {
          |FROM (SELECT query_id, vec_id, cosine,
          |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
          |      FROM scored)
+         |WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
+
+    // compositional from the exported sub-codebooks (the ann_ivf
+    // precedent): DuckDB re-derives the decimal-exact encoding, the
+    // fixed-point ADC tables, and the summed BIGINT scores
+    "ann_ivf_pq" ->
+      s"""WITH $exSql,
+         |cb AS (SELECT m, code, generate_subscripts(c_sub, 1) AS j, unnest(c_sub) AS x
+         |       FROM parquet_scan('${pqOracleCodebookPath(lastPq)}')),
+         |exm AS (SELECT vec_id, CAST((i - 1) // $PqSubDim AS INT) AS m,
+         |               CAST((i - 1) % $PqSubDim + 1 AS INT) AS j, x
+         |        FROM ex),
+         |d2 AS (
+         |  SELECT e.vec_id, e.m, c.code,
+         |         sum(CAST(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE) AS DECIMAL(38,12)))
+         |       - 2 * sum(CAST(CAST(e.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12)))
+         |       + sum(CAST(CAST(c.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS d2dec
+         |  FROM exm e JOIN cb c ON c.m = e.m AND c.j = e.j
+         |  GROUP BY e.vec_id, e.m, c.code),
+         |codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2dec, code) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |qtab AS (SELECT vec_id AS query_id, m, code,
+         |                CAST(d2dec * $PqFp AS BIGINT) AS dfp
+         |         FROM d2 WHERE vec_id < $NQ),
+         |adc AS (
+         |  SELECT q.query_id, c.vec_id, CAST(sum(q.dfp) AS BIGINT) AS adc_d2_fp
+         |  FROM codes c JOIN qtab q ON q.m = c.m AND q.code = c.code
+         |  WHERE c.vec_id <> q.query_id
+         |  GROUP BY q.query_id, c.vec_id)
+         |SELECT query_id, CAST(rk AS INT) AS rk, vec_id, adc_d2_fp
+         |FROM (SELECT query_id, vec_id, adc_d2_fp,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY adc_d2_fp, vec_id) AS rk
+         |      FROM adc)
          |WHERE rk <= $K
          |ORDER BY query_id, rk""".stripMargin,
 

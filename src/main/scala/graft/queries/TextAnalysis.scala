@@ -224,6 +224,15 @@ object TextAnalysis extends QueryModule {
           lit(lang).as("lang"))
       }
       Tables.documents(s, d)
+        // a NULL text has no tokens to score — dropped at the ingest
+        // boundary, matching the oracle's inner join against the token
+        // stream. (Without the filter, every per-lang score is NULL, the
+        // max-score filter keeps NOTHING, and the ANSI element_at on the
+        // empty array THROWS — a latent crash the fixture gates missed
+        // for two rounds because runAllQueries counted rows and Catalyst
+        // pruned the never-read projection; the gate now forces full
+        // evaluation, see SparkTestBase.runAllQueries.)
+        .filter(col("text").isNotNull)
         // sort (score, lang) descending → ties sit lang-desc; re-sort the
         // max-score prefix ascending to get the lang-asc tie-break.
         .withColumn("all_scores", reverse(array_sort(array(scored: _*))))
@@ -234,6 +243,54 @@ object TextAnalysis extends QueryModule {
               x => x.getField("score") === element_at(col("all_scores"), 1).getField("score"))),
             1).getField("lang").as("pred_lang"),
           element_at(col("all_scores"), 1).getField("score").as("pred_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Rule-CASCADE quality filter with an AUDIT trail — the C4/Gopher-
+    // style stage every curation pipeline runs between extraction and
+    // dedup: each heuristic is one bit in a fail mask (1 = token count
+    // outside [20, 100000], 2 = distinct-token ratio ≤ 5%, 4 = mean
+    // token span > 12 chars, 8 = marker-langid disagrees with the
+    // labeled lang), kept ⇔ mask = 0. The mask, not just the boolean,
+    // is the point: real pipelines report WHY documents die (rule-level
+    // loss accounting drives threshold tuning). All rules are EXACT
+    // integer comparisons (distinct·20 > n, chars ≤ 12·n — never a
+    // double ratio) so the oracle agrees bit-for-bit; NULL text or lang
+    // fails the affected rule via coalesce(pass, false) on both sides.
+    // One narrow projection over the corpus — no join, no shuffle
+    // beyond the presentation sort at any scale (langid is the same
+    // in-row argmax text_langid uses).
+    "pipeline_filter_cascade" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val nDist = size(array_distinct(toks))
+      val scored = langMarkers.map { case (lang, markers) =>
+        struct(
+          size(filter(toks, t => markers.map(t === _).reduce(_ || _))).as("score"),
+          lit(lang).as("lang"))
+      }
+      def failBit(pass: org.apache.spark.sql.Column, bit: Int): org.apache.spark.sql.Column =
+        when(!coalesce(pass, lit(false)), lit(bit)).otherwise(lit(0))
+      Tables.documents(s, d)
+        .withColumn("all_scores", reverse(array_sort(array(scored: _*))))
+        // the argmax is guarded INSIDE the expression tree (the CASE
+        // WHEN discipline): on NULL text every score is NULL, the
+        // max-score filter keeps nothing, and an unguarded ANSI
+        // element_at on the empty array throws — here the null-text doc
+        // must be KEPT (it fails rules, that is the audit trail), so
+        // pred_lang is NULL and bit 8 fires via coalesce
+        .withColumn("pred_lang",
+          when(col("text").isNotNull,
+            element_at(
+              array_sort(filter(col("all_scores"),
+                x => x.getField("score") === element_at(col("all_scores"), 1).getField("score"))),
+              1).getField("lang")))
+        .select(col("doc_id"),
+          (failBit(nTok >= 20 && nTok <= 100000, 1) +
+            failBit(nDist * 20 > nTok, 2) +
+            failBit(length(col("text")) <= nTok * 12, 4) +
+            failBit(col("pred_lang") === col("lang"), 8)).as("fail_mask"))
+        .withColumn("kept", col("fail_mask") === 0)
         .orderBy(col("doc_id"))
     },
 
@@ -1087,6 +1144,36 @@ object TextAnalysis extends QueryModule {
          |SELECT d.doc_id, d.lang AS labeled_lang, r.lang AS pred_lang, r.score AS pred_score
          |FROM documents d JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // same langid ranking CTE; rules as exact integer comparisons with
+    // coalesce(pass, FALSE) so NULL text/lang fails the affected rule
+    "pipeline_filter_cascade" -> {
+      val scores = langMarkers.map { case (l, ms) => langScoreSql(l, ms) }.mkString(" UNION ALL ")
+      s"""WITH m AS (
+         |  SELECT doc_id, lang,
+         |         len(string_split(text, ' ')) AS n_tok,
+         |         len(list_distinct(string_split(text, ' '))) AS n_dist,
+         |         length(text) AS n_char
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |scores AS ($scores),
+         |pred AS (
+         |  SELECT doc_id, lang AS pred_lang FROM (
+         |    SELECT doc_id, lang,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+         |    FROM scores) WHERE rn = 1),
+         |sel AS (
+         |  SELECT m.doc_id,
+         |         CAST((CASE WHEN NOT coalesce(m.n_tok BETWEEN 20 AND 100000, FALSE) THEN 1 ELSE 0 END)
+         |            + (CASE WHEN NOT coalesce(m.n_dist * 20 > m.n_tok, FALSE) THEN 2 ELSE 0 END)
+         |            + (CASE WHEN NOT coalesce(m.n_char <= m.n_tok * 12, FALSE) THEN 4 ELSE 0 END)
+         |            + (CASE WHEN NOT coalesce(p.pred_lang = m.lang, FALSE) THEN 8 ELSE 0 END)
+         |           AS INT) AS fail_mask
+         |  FROM m LEFT JOIN pred p USING (doc_id))
+         |SELECT doc_id, fail_mask, fail_mask = 0 AS kept
+         |FROM sel
+         |ORDER BY doc_id""".stripMargin
     },
 
     "text_repetition" ->

@@ -175,6 +175,26 @@ class DedupSpec extends GraftSuite {
       s"incremental ${inc.toSet} != minhash slice $expected")
   }
 
+  test("text_phrase_search retrieves planted occurrences through the postings index") {
+    // the fixture corpus has no repeated 8-token phrase, so retrieval
+    // there is self-matches only — the planted corpus exercises a real
+    // hit at a non-1 position, a 7/8-token near-miss (must NOT match),
+    // and a query doc shorter than one window (contributes no query)
+    import spark.implicits._
+    val phrase = (1 to 8).map(i => s"p$i")
+    val docs = Seq(
+      (0L, (phrase ++ Seq("tail1", "tail2")).mkString(" ")), // query doc
+      (7L, "too short"), // < SpanK tokens: drops out of the query set
+      (30L, ((1 to 4).map(i => s"u$i") ++ phrase ++ Seq("z")).mkString(" ")),
+      (31L, (phrase.take(7) ++ Seq("different", "suffix", "w", "v")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_phrase_search")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 0L, 1L), (0L, 30L, 5L)), s"got ${got.mkString(",")}")
+  }
+
   test("dedup_substring: maximal cross-doc spans, islands merged, within-doc repeats ignored") {
     import spark.implicits._
     import graft.queries.Dedup.{substringSpans, tokenSpanPostings}

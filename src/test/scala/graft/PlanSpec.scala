@@ -675,6 +675,25 @@ class PlanSpec extends GraftSuite {
     assert(exchanges.size <= 2, s"unexpected exchanges:\n$sp")
   }
 
+  test("ann_ivf_pq: no join, no window — literal-folded encode into a bounded aggregate") {
+    // the PQ serving shape: codebook and ADC tables fold into the
+    // projection as literals, so the whole query is scan → narrow
+    // encode → explode → ObjectHashAggregate(topKLong) → sort. A join
+    // or per-query window here would mean the code table or the query
+    // set went through an exchange — the thing PQ exists to avoid.
+    val df = q("ann_ivf_pq")
+    val sp = df.queryExecution.sparkPlan
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"join in the PQ plan:\n$sp")
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window in the PQ plan:\n$sp")
+    assert(sp.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }.nonEmpty, s"bounded top-k aggregator missing:\n$sp")
+  }
+
   test("dedup_semantic: no window, no cartesian, codegen two-phase verify") {
     // SemDeDup prune: cluster-mate candidates must come from the
     // (c_id, band, bucket)-blocked self-join — never a per-cluster
@@ -694,6 +713,35 @@ class PlanSpec extends GraftSuite {
     assert(s.contains("floatdotproduct"), s"codegen float prefilter missing:\n$s")
     assert(s.contains("decimaldotproduct"), s"codegen decimal verify missing:\n$s")
     assert(!s.contains("lambdafunction"), s"interpreted lambda on the prune path:\n$s")
+  }
+
+  test("text_phrase_search: broadcast probe of the postings index, no corpus shuffle") {
+    // inverted-index lookup shape: the dim-sized query-hash set must
+    // BROADCAST onto the staged postings scan — the only shuffle is the
+    // presentation sort (a shuffled join here would re-partition the
+    // whole index per query batch at 100 TB)
+    val df = q("text_phrase_search")
+    val sp = df.queryExecution.sparkPlan
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, s"query set did not broadcast:\n$sp")
+    val shuffles = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"corpus shuffle in the probe plan:\n$sp")
+  }
+
+  test("pipeline_filter_cascade is one narrow pass: no join, only the presentation sort") {
+    // four audit rules + in-row langid argmax must stay a projection
+    // over one documents scan — a join or aggregate here would mean a
+    // rule got re-derived from a shuffled subquery
+    val df = q("pipeline_filter_cascade")
+    val sp = df.queryExecution.sparkPlan
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"join in the cascade plan:\n$sp")
+    val shuffles = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"more than the presentation sort:\n$sp")
   }
 
   test("text_normalize plans as one narrow codegen projection over a pruned scan") {

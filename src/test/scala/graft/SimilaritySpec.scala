@@ -169,6 +169,48 @@ class SimilaritySpec extends GraftSuite {
     assert(cid(20L) == cid(21L) && cid(21L) == cid(22L))
   }
 
+  test("ann_ivf_pq: dense ranks, no self-matches, ADC monotone with rank") {
+    val rows = q("ann_ivf_pq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { qs =>
+      val sorted = qs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"ranks not dense: $qs")
+      assert(sorted.forall(t => t._3 != t._1), "self-match in PQ results")
+      // fixed-point ADC distances must be non-decreasing with rank
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        s"ADC not monotone: ${sorted.mkString(",")}")
+    }
+  }
+
+  test("ann_ivf_pq: a planted exact copy of the query attains the rank-1 ADC distance") {
+    // an exact copy gets the query's own codes in every subspace, so its
+    // ADC distance is the MINIMUM any vector can have for that query —
+    // the structural property that makes PQ retrieval work. (It can TIE
+    // with a cell-mate — ADC cannot distinguish same-coded vectors —
+    // so the assertion is on the distance, not on strict rank-1.)
+    import spark.implicits._
+    val dim = 64
+    // seed 43 ≡ 9 (mod 17) is the one residue class no seed id 10..25
+    // occupies, so the query/copy pair collides with no seed vector
+    def vec(seed: Int) = Array.tabulate(dim)(i =>
+      (((seed * 31 + i) % 17) - 8).toFloat / 8f)
+    val rows =
+      Seq((0L, vec(43), 1)) ++                        // the query
+        (10 to 25).map(j => (j.toLong, vec(j), 1)) ++ // 16 seed vectors
+        Seq((30L, vec(43), 1))                        // exact copy of the query
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val q0 = SparkEntry.queries("ann_ivf_pq")(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    val copy = q0.find(_._2 == 30L)
+    assert(copy.isDefined, s"copy missing from the top list: ${q0.mkString(",")}")
+    assert(copy.get._3 == q0.minBy(_._1)._3,
+      s"copy not at the minimum ADC distance: ${q0.mkString(",")}")
+  }
+
   test("ann_range agrees with ann_brute above the radius") {
     val tau = 0.25
     val range = q("ann_range").collect()

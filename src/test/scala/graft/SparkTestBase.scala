@@ -34,7 +34,13 @@ abstract class GraftSuite extends AnyFunSuite {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     val counts = scala.collection.mutable.Map.empty[String, Long]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try counts(name) = fn(spark, dir).count()
+      // toRdd.count(), NOT count(): count() lets Catalyst PRUNE the
+      // entire projection, so a per-row evaluation error in an output
+      // column (e.g. an ANSI element_at on an empty array) never runs
+      // and the robustness gates silently pass — text_langid's
+      // null-text crash hid behind exactly this for two rounds. toRdd
+      // materializes every output column of the optimized plan.
+      try counts(name) = fn(spark, dir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         failures += s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(100)}"
       }

@@ -282,4 +282,37 @@ class TextAnalysisSpec extends GraftSuite {
         r.getAs[Double]("f1") == 1.0, s"imperfect eval on planted corpus: $r")
     }
   }
+
+  test("pipeline_filter_cascade: each rule fires alone on a doc crafted to violate it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // base passes every rule: 25 distinct short tokens, 'the'-heavy so
+    // en-langid agrees with the label
+    val good = ((1 to 24).map(i => s"w$i") :+ "the").mkString(" ")
+    val docs = Seq(
+      (0L, good, "en"),                                   // mask 0
+      (1L, "the a fast slow", "en"),                      // short → 1
+      (2L, Seq.fill(21)("the").mkString(" "), "en"), // 1/21 distinct → 2
+      (3L, ((1 to 24).map(i => "x" * 20 + i) :+ "the").mkString(" "), "en"), // long tokens → 4
+      (4L, good, "fr"),                                   // langid says en → 8
+      (5L, "der die das und " + (1 to 21).map(i => s"w$i").mkString(" "), "fr"), // de beats fr → 8
+      (6L, null.asInstanceOf[String], "en")               // null text → 1+2+4+8
+    ).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cascade").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // text_langid on the same corpus: null-text doc DROPPED (ingest
+    // contract), not crashed — the regression this fixture caught
+    val lid = SparkEntry.queries("text_langid")(spark, dir).collect()
+    assert(lid.length == 6 && !lid.exists(_.getLong(0) == 6L),
+      s"null-text doc should drop from langid: ${lid.mkString(";")}")
+    val got = SparkEntry.queries("pipeline_filter_cascade")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(got(0L) == (0, true), s"good doc: ${got(0L)}")
+    assert(got(1L) == (1, false))
+    assert(got(2L) == (2, false), s"got ${got(2L)}")
+    assert(got(3L) == (4, false))
+    assert(got(4L) == (8, false))
+    assert(got(5L) == (8, false))
+    assert(got(6L) == (15, false), s"null text: ${got(6L)}")
+  }
 }
