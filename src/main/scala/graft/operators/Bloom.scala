@@ -29,11 +29,14 @@ import org.apache.spark.sql.functions._
   *
   * Sizing: [[bitsFor]] gives the smallest power of two ≥ 16·n bits
   * (load factor m/n = 16, k = 4 ⇒ FPR ≈ (1−e^−¼)⁴ ≈ 0.24 %), floored
-  * at 2^16. 100 TB shape: 10⁹ base hashes → a 2 GiB array — still a
-  * broadcastable model (executors hold it once, like a dimension
-  * bloom); beyond that the hash SPACE is sharded (a bloom per md5
-  * prefix, probes routed by the same prefix) so each shard's array
-  * stays executor-resident. The build itself is a distributed
+  * at 2^16 and CAPPED at 2^32 — each position hash is a 32-bit md5
+  * chunk, so a wider array would leave bits past 2^32 unreachable
+  * (round-10 advice). 100 TB shape: one filter holds the designed
+  * 0.24 % regime to ~2.7e8 keys (2^32/16); past that the hash SPACE
+  * is sharded (a bloom per md5 prefix, probes routed by the same
+  * prefix — 4 prefix shards carry a 10⁹-key base) so each shard's
+  * 512 MiB array stays executor-resident and in-regime. The build
+  * itself is a distributed
   * aggregate: partial blooms per partition, OR-merged — the exchange
   * carries O(partitions × m/8) bytes, never the key set.
   */

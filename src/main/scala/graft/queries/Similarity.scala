@@ -1133,6 +1133,15 @@ object Similarity extends QueryModule {
           .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
           .toMap
         val qids = qtab.keys.map(_._1).toSeq.distinct.sorted
+        // a corpus with no query vectors (every vec_id >= NQ) must
+        // return empty like ann_brute does — an explode over array()
+        // yields a void-typed column whose struct fields fail analysis.
+        // An if/else EXPRESSION, not an early return: a `return` in a
+        // query lambda is a non-local return (the kmeansMembers lesson).
+        if (qids.isEmpty)
+          base.limit(0).select(col("vec_id").as("query_id"),
+            lit(1).as("rk"), col("vec_id"), lit(0L).as("adc_d2_fp"))
+        else {
         val maxCode = cb.map(_._2).max
         // dense per-(query, m) lookup arrays indexed by code; codes a
         // Lloyd round emptied never appear in the coded corpus, so
@@ -1164,6 +1173,7 @@ object Similarity extends QueryModule {
             (qid, i + 1, id, -v) } }
           .toDF("query_id", "rk", "vec_id", "adc_d2_fp")
           .orderBy(col("query_id"), col("rk"))
+        }
       }
     },
 
@@ -1222,14 +1232,24 @@ object Similarity extends QueryModule {
     }
   )
 
-  /** Shared oracle CTEs: per-element exploded view + decimal norms. */
+  /** Shared oracle CTEs: per-element exploded view + decimal norms.
+    * The HAVING mirrors [[withNorm]]'s ingest filter EXACTLY: an
+    * all-zero vector is not indexable (round-10 advice), and the
+    * double sum of squares is 0 iff every element is 0 (float32
+    * squares cannot underflow a double), the same predicate the
+    * engine's codegen float self-dot evaluates — NOT `n2 > 0`, whose
+    * per-term DECIMAL(…,12) rounding would also drop tiny-but-nonzero
+    * vectors the engine keeps. Every oracle consumer reaches vectors
+    * through `norms` (or through `members`, which joins it), so the
+    * filter applies corpus-wide. */
   private val exSql =
     """ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
       |       FROM embeddings),
       |norms AS (
       |  SELECT vec_id,
       |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
-      |  FROM ex GROUP BY vec_id)""".stripMargin
+      |  FROM ex GROUP BY vec_id
+      |  HAVING sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0)""".stripMargin
 
   private def pairSql(nq: Int): String =
     s"""pairs AS (
@@ -1579,9 +1599,9 @@ object Similarity extends QueryModule {
       s"""WITH $exSql,
          |cb AS (SELECT m, code, generate_subscripts(c_sub, 1) AS j, unnest(c_sub) AS x
          |       FROM parquet_scan('${pqOracleCodebookPath(lastPq)}')),
-         |exm AS (SELECT vec_id, CAST((i - 1) // $PqSubDim AS INT) AS m,
-         |               CAST((i - 1) % $PqSubDim + 1 AS INT) AS j, x
-         |        FROM ex),
+         |exm AS (SELECT e.vec_id, CAST((e.i - 1) // $PqSubDim AS INT) AS m,
+         |               CAST((e.i - 1) % $PqSubDim + 1 AS INT) AS j, e.x
+         |        FROM ex e JOIN norms USING (vec_id)),
          |d2 AS (
          |  SELECT e.vec_id, e.m, c.code,
          |         sum(CAST(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE) AS DECIMAL(38,12)))

@@ -402,6 +402,13 @@ object TextAnalysis extends QueryModule {
       val w = s.conf.getOption("spark.graft.chunk.width").map(_.toInt).getOrElse(32)
       val st = s.conf.getOption("spark.graft.chunk.stride").map(_.toInt).getOrElse(24)
       require(w >= 1 && st >= 1, s"chunk width/stride must be >= 1, got $w/$st")
+      // stride ≤ width IS the coverage contract: a stride past the
+      // window would skip tokens w+1..st of every window (and the last
+      // chunk's start could pass the doc end, where the ANSI slice
+      // throws on its negative length) — reject the misconfiguration
+      // instead of silently violating "every token is covered"
+      require(st <= w, s"chunk stride ($st) must be <= width ($w): " +
+        "a larger stride leaves tokens uncovered")
       Tables.documents(s, d)
         .filter(col("text").isNotNull)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -153,13 +153,19 @@ class SimilaritySpec extends GraftSuite {
     val base = Array.tabulate(dim)(i => (i + 1).toFloat / dim)
     val near = base.clone(); near(0) = near(0) + 1e-3f
     val rows = (10 to 19).map(j => (j.toLong, oneHot(j - 10), 1)) ++
-      Seq((20L, base, 1), (21L, base, 1), (22L, near, 1))
+      Seq((20L, base, 1), (21L, base, 1), (22L, near, 1),
+        // ALL-ZERO vector (positive length, zero norm): not indexable —
+        // withNorm drops it at ingest and the oracle's norms CTE drops
+        // it identically (round-10 advice + round-11 review finding);
+        // the verdict table must not contain it
+        (23L, Array.fill(dim)(0f), 1))
     val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val got = SparkEntry.queries("dedup_semantic")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(got.map(_._1).toSeq == (10L to 22L), s"got ${got.mkString(",")}")
+    assert(!got.exists(_._1 == 23L), "zero-norm vector entered the index")
     // min-id representative (20) kept; its exact copy (21) and the 1e-3
     // perturbation (22) dropped; the orthogonal anchors all kept
     assert(got.filterNot(_._3).map(_._1).toSeq == Seq(21L, 22L),
