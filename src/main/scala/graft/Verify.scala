@@ -42,7 +42,8 @@ object Verify {
     // consumes the exported trained centroids, whatever the iteration
     // count was).
     val oraclePinnedKnobs: Map[String, Seq[String]] = Map(
-      "spark.graft.ann.bitsPerBand" -> Seq("ann_lsh", "dedup_embedding"),
+      // dedup_semantic blocks on the same derived hyperplane buckets
+      "spark.graft.ann.bitsPerBand" -> Seq("ann_lsh", "dedup_embedding", "dedup_semantic"),
       "spark.graft.ann.probeHamming" -> Seq("ann_lsh"),
       "spark.graft.ann.nprobe" -> Seq("ann_ivf"),
       "spark.graft.dedup.embTau" -> Seq("dedup_embedding"),

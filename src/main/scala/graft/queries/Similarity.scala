@@ -301,18 +301,24 @@ object Similarity extends QueryModule {
     * the NAME — so the export is content-addressed and memoizing one
     * write per (dir, iters) per JVM is sound again (the round-9 hazard
     * was the fixed name serving one fixture's bytes for another's). */
-  private[graft] def ivfOracleCentroidsPath(dir: String, iters: Int): String = {
-    // pure path computation — the parent dir is created at the one
-    // write site below, so callers that merely BUILD oracle SQL strings
-    // (dumps, tests) never touch the filesystem
+  /** Content-addressed oracle-export path under the per-user tmpdir
+    * base — ONE copy of the base-dir / sanitization / digest rules,
+    * shared by the IVF-centroid and PQ-codebook exports so the two can
+    * never drift (review finding). Pure path computation — the parent
+    * dir is created at the write sites, so callers that merely BUILD
+    * oracle SQL strings (dumps, tests) never touch the filesystem. */
+  private def oracleExportPath(salt: String, prefix: String): String = {
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir", "/tmp"),
       "graft-oracle-" + System.getProperty("user.name", "u")
         .replaceAll("[^A-Za-z0-9._-]", "-"))
     val dig = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|i$iters".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    base.resolve(s"ivf-centroids-$dig.parquet").toString
+      .digest(salt.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    base.resolve(s"$prefix-$dig.parquet").toString
   }
+
+  private[graft] def ivfOracleCentroidsPath(dir: String, iters: Int): String =
+    oracleExportPath(s"$dir|i$iters", "ivf-centroids")
 
   /** (fixture dir, iters) of the most recent ann_ivf plan build in this
     * JVM — read by [[oracles]] so the dumped oracle SQL names the export
@@ -461,15 +467,8 @@ object Similarity extends QueryModule {
       }
     }
 
-  private[graft] def pqOracleCodebookPath(dir: String): String = {
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir", "/tmp"),
-      "graft-oracle-" + System.getProperty("user.name", "u")
-        .replaceAll("[^A-Za-z0-9._-]", "-"))
-    val dig = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|pq2".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    base.resolve(s"pq-codebooks-$dig.parquet").toString
-  }
+  private[graft] def pqOracleCodebookPath(dir: String): String =
+    oracleExportPath(s"$dir|pq2", "pq-codebooks")
 
   @volatile private var lastPq: String = "/root/testdata/sf0.01"
 
@@ -1239,9 +1238,17 @@ object Similarity extends QueryModule {
     * squares cannot underflow a double), the same predicate the
     * engine's codegen float self-dot evaluates — NOT `n2 > 0`, whose
     * per-term DECIMAL(…,12) rounding would also drop tiny-but-nonzero
-    * vectors the engine keeps. Every oracle consumer reaches vectors
-    * through `norms` (or through `members`, which joins it), so the
-    * filter applies corpus-wide. */
+    * vectors the engine keeps. NaN elements: Spark's `NaN > 0` is
+    * false (vector dropped) while DuckDB orders NaN above every
+    * number, so the HAVING carries an explicit NOT isnan to keep the
+    * predicates identical. Accepted residual (review-noted, adversarial
+    * only): a vector whose EVERY |element| < ~7e-7 passes both filters
+    * yet rounds to decimal n2 = 0, so its cosines are NULL with
+    * engine-specific ordering — a real ingest normalizes vectors, and
+    * excluding the class would need a magnitude threshold whose
+    * boundary ulps differ across engines. Every oracle consumer
+    * reaches vectors through `norms` (or through `members`, which
+    * joins it), so the filter applies corpus-wide. */
   private val exSql =
     """ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
       |       FROM embeddings),
@@ -1249,7 +1256,8 @@ object Similarity extends QueryModule {
       |  SELECT vec_id,
       |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
       |  FROM ex GROUP BY vec_id
-      |  HAVING sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0)""".stripMargin
+      |  HAVING sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0
+      |     AND NOT isnan(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
 
   private def pairSql(nq: Int): String =
     s"""pairs AS (
