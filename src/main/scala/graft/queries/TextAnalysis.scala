@@ -33,8 +33,16 @@ object TextAnalysis extends QueryModule {
   /** PII patterns — deliberately inside the Java-regex ∩ RE2 class
     * subset (no backrefs, no lookaround) so Spark and the DuckDB
     * oracle match byte-identically. Package-visible so the spec can
-    * assert zero residual matches after the scrub. */
-  private[graft] val PiiEmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    * assert zero residual matches after the scrub.
+    *
+    * The email local part is BOUNDED at {1,64} (the RFC 5321 cap), and
+    * the bound is load-bearing at scale, not cosmetic: an unbounded
+    * `[..]+@` restarts its greedy scan at every offset of a token with
+    * no `@`, going O(n²) on pathological single-token blobs — the skew
+    * gate measured 140+ s of regex CPU on ONE 200 k-char token once
+    * runAllQueries stopped letting Catalyst prune the scrub column.
+    * {1,64} caps the rescan window and restores linear scans. */
+  private[graft] val PiiEmailPat = "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val PiiPhonePat = "\\+\\d{1,3}-\\d{3}-\\d{4}"
   private[graft] val PiiIpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
@@ -1387,12 +1395,12 @@ object TextAnalysis extends QueryModule {
         |         regexp_replace(
         |           regexp_replace(
         |             regexp_replace(pii,
-        |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |               '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |             '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g'),
         |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
         |  FROM p)
         |SELECT doc_id, md5(scrubbed) AS scrub_hash,
-        |       CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |       CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
         |       CAST(len(regexp_extract_all(pii, '\+\d{1,3}-\d{3}-\d{4}')) AS INT) AS n_phone,
         |       CAST(len(regexp_extract_all(pii, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
         |       length(pii) - length(scrubbed) AS chars_removed

@@ -40,10 +40,15 @@ abstract class GraftSuite extends AnyFunSuite {
       // and the robustness gates silently pass — text_langid's
       // null-text crash hid behind exactly this for two rounds. toRdd
       // materializes every output column of the optimized plan.
+      val t0 = System.nanoTime()
       try counts(name) = fn(spark, dir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         failures += s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(100)}"
       }
+      // gate-cost diagnostics: full materialization (above) made the
+      // fixture gates honest but also slower — keep the hot spots visible
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (secs > 5.0) System.err.println(f"[gate $dir] $name%-32s ${secs}%.1fs")
     }
     (failures.toSeq, counts.toMap)
   }
