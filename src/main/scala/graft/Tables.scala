@@ -23,6 +23,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+
+  /** Fixture contract for `documents.lang` (round-11 advice): the string
+    * 'UNKNOWN' is a RESERVED value — the per-lang scope queries
+    * (text_freq_merge, text_langid's eval join, agg_quantile_merge) fold
+    * a NULL lang to this sentinel on both engines, so a corpus that
+    * legitimately shipped lang='UNKNOWN' would silently merge that
+    * population with the NULL-lang scope. A deployment whose lang domain
+    * can contain the literal must remap it (or change the sentinel
+    * consistently at TextAnalysis.scala / Relational.scala / the oracle
+    * SQL — the three fold sites reference this contract). */
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

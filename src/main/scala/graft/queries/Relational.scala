@@ -478,7 +478,9 @@ object Relational extends QueryModule {
         // (whose buffer holds primitive Doubles; null-injection sweep)
         .filter(col("text").isNotNull)
         // NULL lang → sentinel scope: null String keys break the typed
-        // groupByKey and NULL scope ordering diverges across engines
+        // groupByKey and NULL scope ordering diverges across engines.
+        // 'UNKNOWN' is a RESERVED lang value by fixture contract — see
+        // [[graft.Tables.documents]] (round-11 advice)
         .select(coalesce(col("lang"), lit("UNKNOWN")).as("lang"),
           size(split(col("text"), " ")).cast("double").as("len"))
         .as[(String, Double)]

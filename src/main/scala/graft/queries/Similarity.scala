@@ -809,21 +809,27 @@ object Similarity extends QueryModule {
       val vec = topkPairs(s, d)
         .select(col("query_id"), col("vec_id").as("doc_id"),
           col("rk").cast("int").as("rv"))
-      // the (doc, term, tf) index is STAGED once per fixture (the
-      // Staging two-job discipline): four consumers below — dl window,
-      // document frequencies, query-term slice, corpus token total —
-      // would each re-expand the tokenize+groupBy subtree otherwise
-      // (plan audit: 3 corpus token shuffles for one query). Building a
-      // term-frequency index once and serving every ranker from it is
-      // exactly what a production lexical index does.
-      val tf = graft.Staging.stage(s, "bm25_tf", d) {
-        Tables.documents(s, d)
+      // the (doc, term, tf, dl) index is STAGED once per fixture (the
+      // Staging two-job discipline): four consumers below — candidate
+      // scoring, document frequencies, query-term slice, corpus token
+      // total — would each re-expand the tokenize+groupBy subtree
+      // otherwise (plan audit: 3 corpus token shuffles for one query).
+      // Building a term-frequency index once and serving every ranker
+      // from it is exactly what a production lexical index does — and
+      // the per-doc length `dl` is a COLUMN OF THAT INDEX (round-11
+      // verdict item 3): it is a property of the corpus, not of any
+      // query, so computing it at query time was a corpus-scale window
+      // shuffle per run for stage-time data (the suite's slowest query;
+      // BenchOne A/B in docs/SCALING.md). The stage-time window is
+      // per-doc bounded and paid once per fixture.
+      val tf = graft.Staging.stage(s, "bm25_index", d) {
+        val t = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .filter(col("w") =!= "")
           .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        t.withColumn("dl",
+          sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       }
-      val tfdl = tf.withColumn("dl",
-        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       val totals = Tables.documents(s, d).agg(count(lit(1)).as("N"))
         .crossJoin(tf.agg(sum(col("tf")).as("L")))
       val dfTab = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -839,7 +845,7 @@ object Similarity extends QueryModule {
           |        CAST(3 AS DECIMAL(38,0)) * CAST(L AS DECIMAL(38,0)) +
           |        CAST(9 AS DECIMAL(38,0)) * CAST(dl AS DECIMAL(38,0)) * CAST(N AS DECIMAL(38,0))))
           |AS BIGINT)""".stripMargin)
-      val lexScores = tfdl.join(broadcast(qref), Seq("w"))
+      val lexScores = tf.join(broadcast(qref), Seq("w"))
         .filter(col("doc_id") =!= col("query_id"))
         .crossJoin(broadcast(totals))
         .withColumn("s6", score6)
@@ -1212,7 +1218,7 @@ object Similarity extends QueryModule {
         .join(bucketed.as("b"),
           col("a.c_id") === col("b.c_id") && col("a.band") === col("b.band") &&
             col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("b.vec_id").as("drop_id"),
+        .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
           col("a.embedding").as("e1"), col("b.embedding").as("e2"))
         // same two-phase scoring as dedup_embedding: all-float codegen
         // prefilter in-stage (margin 0.005 ≫ float-vs-decimal drift),
@@ -1220,6 +1226,17 @@ object Similarity extends QueryModule {
         .filter(dotDbl(col("e1"), col("e2")) /
           sqrt(dotDbl(col("e1"), col("e1")) * dotDbl(col("e2"), col("e2")))
           >= tau - 0.005)
+        // pair-dedup BETWEEN the phases (round-11 advice): a pair
+        // colliding in k of the 4 bands would otherwise pay the decimal
+        // verify k× — and multi-band collisions concentrate on exactly
+        // the near-identical pairs this query targets (they agree on
+        // every sign bucket). Placed AFTER the float gate, not before
+        // it: the prefilter is cheap per candidate, so deduping the raw
+        // blocked join would shuffle all ~13 M candidate pairs (100×
+        // figure) WITH their embedding payloads to save re-running a
+        // codegen float dot, while here the exchange carries only the
+        // float survivors (near-dup-sized) into the expensive verify.
+        .distinct()
         .filter(dotDec(col("e1"), col("e2")).cast("double") /
           sqrt(normDec(col("e1")).cast("double") * normDec(col("e2")).cast("double"))
           >= tau)
@@ -1602,7 +1619,12 @@ object Similarity extends QueryModule {
 
     // compositional from the exported sub-codebooks (the ann_ivf
     // precedent): DuckDB re-derives the decimal-exact encoding, the
-    // fixed-point ADC tables, and the summed BIGINT scores
+    // fixed-point ADC tables, and the summed BIGINT scores. The fp
+    // rendering mirrors the engine's d2Fp NARROWING exactly: a direct
+    // d2dec * 10^12 on DECIMAL(38,12) needs width 38+13 > DuckDB's max,
+    // and DuckDB silently falls back to DOUBLE arithmetic there —
+    // agreement would then rest on |d2|·10^12 < 2^53 (round-11 advice);
+    // DECIMAL(24,12) × DECIMAL(13,0) stays width 37, decimal-exact.
     "ann_ivf_pq" ->
       s"""WITH $exSql,
          |cb AS (SELECT m, code, generate_subscripts(c_sub, 1) AS j, unnest(c_sub) AS x
@@ -1623,7 +1645,8 @@ object Similarity extends QueryModule {
          |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2dec, code) AS rn
          |    FROM d2) WHERE rn = 1),
          |qtab AS (SELECT vec_id AS query_id, m, code,
-         |                CAST(d2dec * $PqFp AS BIGINT) AS dfp
+         |                CAST(CAST(d2dec AS DECIMAL(24,12)) *
+         |                     CAST($PqFp AS DECIMAL(13,0)) AS BIGINT) AS dfp
          |         FROM d2 WHERE vec_id < $NQ),
          |adc AS (
          |  SELECT q.query_id, c.vec_id, CAST(sum(q.dfp) AS BIGINT) AS adc_d2_fp

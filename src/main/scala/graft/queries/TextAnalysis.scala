@@ -188,7 +188,9 @@ object TextAnalysis extends QueryModule {
         // NULL lang folds to a sentinel scope: the row-order-sensitive
         // compare would otherwise hit Spark-vs-DuckDB NULL-ordering
         // divergence on the scope sort (round-10 advice), and a null
-        // String key is poison for the typed groupByKey anyway
+        // String key is poison for the typed groupByKey anyway.
+        // 'UNKNOWN' is a RESERVED lang value by fixture contract — see
+        // [[graft.Tables.documents]] (round-11 advice)
         .select(coalesce(col("lang"), lit("UNKNOWN")).as("lang"),
           explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")

@@ -47,7 +47,10 @@ def main(sf_dir, out_dir, tau):
         f"CREATE VIEW members AS SELECT vec_id, cluster_id "
         f"FROM read_parquet('{out_dir}/emb_kmeans/*.parquet')")
     n = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
-    bits = next(b for b in range(4, 31) if (1 << b) * 200 >= n)
+    # fallback 30 matches the engine's Similarity.bitsFor getOrElse(30):
+    # without it a corpus past 200*2^30 rows would raise StopIteration
+    # here while the engine keeps running at bits=30 (round-11 advice)
+    bits = next((b for b in range(4, 31) if (1 << b) * 200 >= n), 30)
     clusters = [r[0] for r in con.execute(
         "SELECT DISTINCT cluster_id FROM members ORDER BY cluster_id").fetchall()]
     print(f"corpus={n} derived bits={bits} clusters={len(clusters)}", flush=True)
