@@ -28,6 +28,22 @@ object Multimodal extends QueryModule {
   /** Input row for the decode stage. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte], source: String)
 
+  /** The 8 character classes of the deterministic featurizer — the
+    * stand-in for a real media/text encoder pair sharing one embedding
+    * space. ONE copy, consumed by the mm_embed query, its oracle, and
+    * mm_crossmodal's two encoder arms, so the "shared space" can never
+    * drift between them. */
+  private val FeatureClasses = Seq("[aeiou]", "[b-df-hj-np-tv-z]", "[A-Z]",
+    "[0-9]", "[ ]", "[.,;:]", "[qwxz]", "[stnr]")
+
+  /** 8-dim char-class frequency vector of a string column (9-dp rounded
+    * doubles — exactly representable inputs for the decimal dots). */
+  private def featOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def classCount(cls: String) =
+      (length(c) - length(regexp_replace(c, cls, ""))).cast("double")
+    array(FeatureClasses.map(cl => round(classCount(cl) / length(c), 9)): _*)
+  }
+
   /** Decoded-metadata row produced by the (stubbed) decoder. */
   final case class MediaMeta(
       doc_id: Long,
@@ -308,14 +324,8 @@ object Multimodal extends QueryModule {
     // between id-adjacent payloads — the "extract features from media,
     // then run similarity" pipeline end to end.
     "mm_embed" -> { (s, d) =>
-      def classCount(c: org.apache.spark.sql.Column, cls: String) =
-        (length(c) - length(regexp_replace(c, cls, ""))).cast("double")
-      val classes = Seq("[aeiou]", "[b-df-hj-np-tv-z]", "[A-Z]", "[0-9]",
-        "[ ]", "[.,;:]", "[qwxz]", "[stnr]")
-      val feat = array(classes.map(cl =>
-        round(classCount(col("text"), cl) / length(col("text")), 9)): _*)
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), feat.as("f"))
+        .select(col("doc_id"), featOf(col("text")).as("f"))
       // decimal-exact cosine through the CODEGEN DecimalDotProduct
       // (round-8 verdict item 6): the interpreted HOF it replaces
       // expelled the corpus-sized join tail from whole-stage codegen
@@ -344,6 +354,59 @@ object Multimodal extends QueryModule {
               sqrt(dotDec(col("a.f"), col("a.f")).cast("double") *
                 dotDec(col("b.f"), col("b.f")).cast("double"))), 6).as("feature_cosine"))
         .orderBy(col("d1"))
+    },
+
+    // CROSS-MODAL retrieval (round-11 verdict item 7): a TEXT query
+    // searching the MEDIA corpus over one shared embedding space — the
+    // CLIP-shaped serving pattern. Two "encoders" share the space by
+    // construction: the text arm featurizes the query document's text,
+    // the media arm decodes each binary payload and featurizes the
+    // decoded content (the [[FeatureClasses]] histogram standing in for
+    // a real encoder pair; with real models both arms are narrow
+    // mapInPandas/mapPartitions stages with the same output schema).
+    // Scale shape: the query features broadcast (NQ rows); the media
+    // arm is ONE narrow pass — scan → decode → featurize, payload
+    // pruned before anything shuffles (PlanSpec pins payload-free
+    // exchanges) — reduced by the bounded [[graft.operators.TopK]]
+    // aggregator (partial map-side, the ann_brute hierarchical shape:
+    // the exchange carries O(tasks × NQ) buffers, never media rows).
+    // Exactness: features are 9-dp doubles, dots decimal-exact
+    // (DecimalDotProduct), the divide/sqrt bit-identical doubles, so
+    // ranking matches the oracle exactly; output cosine rounded to 6
+    // (the mm_embed boundary-odds discipline). Zero-feature docs (no
+    // class hits) have no direction and are dropped by the norm > 0
+    // ingest rule on both engines, like withNorm's zero-vector rule.
+    "mm_crossmodal" -> { (s, d) =>
+      import s.implicits._
+      def dotDec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.functions.DecimalDotProduct.decimal_dot(a, b)
+      // media arm: binary payload → decode → featurize, all narrow
+      val media = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"), featOf(decode(col("payload"), "UTF-8")).as("f"))
+      // text arm: the query documents' text through the shared space
+      val qf = broadcast(Tables.documents(s, d)
+        .filter(col("doc_id") < 8 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), featOf(col("text")).as("qf")))
+      media.join(qf, col("doc_id") =!= col("query_id"))
+        .withColumn("cosine",
+          call_function("try_divide",
+            dotDec(col("qf"), col("f")).cast("double"),
+            sqrt(dotDec(col("qf"), col("qf")).cast("double") *
+              dotDec(col("f"), col("f")).cast("double"))))
+        // NULL cosine = a zero-norm side (try_divide by 0): not rankable
+        .filter(col("cosine").isNotNull)
+        .select(col("query_id"), col("cosine"), col("doc_id"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(graft.operators.TopK.topK(10).toColumn.name("top"))
+        .flatMap { case (qid, top) =>
+          top.zipWithIndex.map { case ((c, did), i) => (qid, i + 1, did, c) } }
+        .toDF("query_id", "rk", "doc_id", "cosine")
+        .select(col("query_id"), col("rk"), col("doc_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rk"))
     },
 
     // Frame sampling as a per-frame pipeline stage: decode with the
@@ -488,9 +551,7 @@ object Multimodal extends QueryModule {
   /** mm_embed oracle generated from the same class list as the Spark
     * side, so the two can't drift. */
   private val mmEmbedOracle: String = {
-    val classes = Seq("[aeiou]", "[b-df-hj-np-tv-z]", "[A-Z]", "[0-9]",
-      "[ ]", "[.,;:]", "[qwxz]", "[stnr]")
-    val feats = classes.zipWithIndex.map { case (cl, i) =>
+    val feats = FeatureClasses.zipWithIndex.map { case (cl, i) =>
       s"round(CAST(length(text) - length(regexp_replace(text, '$cl', '', 'g')) AS DOUBLE) / length(text), 9) AS f$i"
     }.mkString(",\n         ")
     def dot(x: String, y: String) = (0 until 8)
@@ -510,9 +571,40 @@ object Multimodal extends QueryModule {
        |ORDER BY d1""".stripMargin
   }
 
+  /** mm_crossmodal oracle — the same generated featurizer over the
+    * documents' text (the payload is its UTF-8 encoding, so the decoded
+    * media content IS the text), the norm > 0 ingest rule on both
+    * sides, raw-cosine ranking with doc_id tiebreak, round-6 output. */
+  private val mmCrossmodalOracle: String = {
+    val feats = FeatureClasses.zipWithIndex.map { case (cl, i) =>
+      s"round(CAST(length(text) - length(regexp_replace(text, '$cl', '', 'g')) AS DOUBLE) / length(text), 9) AS f$i"
+    }.mkString(",\n         ")
+    def dot(x: String, y: String) = (0 until 8)
+      .map(i => s"CAST($x.f$i * $y.f$i AS DECIMAL(20,12))").mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         $feats
+       |  FROM documents WHERE text IS NOT NULL),
+       |p AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+       |         CAST(${dot("q", "c")} AS DOUBLE) AS dot,
+       |         CAST(${dot("q", "q")} AS DOUBLE) AS nq,
+       |         CAST(${dot("c", "c")} AS DOUBLE) AS nc
+       |  FROM f q JOIN f c ON q.doc_id < 8 AND c.doc_id <> q.doc_id)
+       |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, round(cosine, 6) AS cosine
+       |FROM (SELECT query_id, doc_id, dot / sqrt(nq * nc) AS cosine,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY dot / sqrt(nq * nc) DESC, doc_id) AS rk
+       |      FROM p WHERE nq > 0 AND nc > 0)
+       |WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
 
     "mm_embed" -> mmEmbedOracle,
+
+    "mm_crossmodal" -> mmCrossmodalOracle,
 
     // mirrors mm_dedup_near end to end: same md5 token→bin rule; raw
     // integer counts as FLOAT descriptors for VERIFICATION (sparse here

@@ -51,12 +51,18 @@ object Similarity extends QueryModule {
     * whole-partition window over the corpus-sized candidate set. Rows
     * ranked below K always have the rank-K row earlier in the frame;
     * rows at rank < K see null and pass via the rank predicate. */
-  private def tieAwareCut(df: DataFrame): DataFrame = {
+  private def tieAwareCut(df: DataFrame): DataFrame = tieAwareCutK(K)(df)
+
+  /** [[tieAwareCut]] at an arbitrary boundary `k` — ann_filtered's
+    * post-filter arm over-fetches k′ > K exact candidates before the
+    * predicate prunes them, so the safe phase-1 cut must track ITS
+    * boundary, not the output K. */
+  private def tieAwareCutK(k: Int)(df: DataFrame): DataFrame = {
     val wRun = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_fast").desc, col("vec_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("kth_fast", max(when(col("rk_fast") === K, col("cos_fast"))).over(wRun))
-      .filter(col("rk_fast") <= K || col("cos_fast") >= col("kth_fast") - RescoreEps)
+    df.withColumn("kth_fast", max(when(col("rk_fast") === k, col("cos_fast"))).over(wRun))
+      .filter(col("rk_fast") <= k || col("cos_fast") >= col("kth_fast") - RescoreEps)
   }
 
   /** Exact decimal dot product of two float-array columns — the codegen
@@ -225,6 +231,21 @@ object Similarity extends QueryModule {
   private def corpusCount(s: SparkSession, d: String): Long =
     corpusCounts.computeIfAbsent(d, _ => Tables.embeddings(s, d).count())
 
+  /** Memoized INDEXABLE corpus count (withNorm's ingest filter applied)
+    * and per-predicate match counts — ann_filtered's selectivity
+    * estimate. Two model-sized count scalars per predicate, the table
+    * statistics any planner's filter-strategy choice reads; the SQL
+    * oracle recomputes both from its `norms` CTE, so the policy
+    * decision is reproduced exactly at any corpus size. Same
+    * immutable-fixture memo contract as [[corpusCount]]. */
+  private val indexableCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private def indexableCount(s: SparkSession, d: String): Long =
+    indexableCounts.computeIfAbsent(d, _ => withNorm(s, d).count())
+
+  private val matchCounts = new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+  private def matchCount(d: String, pred: String, df: => DataFrame): Long =
+    matchCounts.computeIfAbsent((d, pred), _ => df.count())
+
   /** Smallest b ≥ 4 with 2^b · [[TargetBucket]] ≥ n — the integer form of
     * bits ≈ log2(corpus / target bucket), exact-arithmetic so any SQL
     * oracle computes the identical value (a floating log2 could round
@@ -338,6 +359,7 @@ object Similarity extends QueryModule {
   def pinOracleFixture(dir: String): Unit = {
     lastIvf = (dir, lastIvf._2)
     lastPq = dir
+    lastPqRes = dir
   }
 
   private val ivfExported = new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
@@ -433,15 +455,19 @@ object Similarity extends QueryModule {
     * subvectors (seeds = the 16 lowest vec_ids ≥ NQ, 2 iterations,
     * decimal means — the ivfCentroidsStaged recipe on (m, code) keys
     * with double-L2 assignment and a (d2, code) total order). Staged
-    * once per fixture; exported for the compositional oracle like the
-    * IVF centroids. Rows: (m, code, c_sub). */
-  private def pqCodebooksStaged(s: SparkSession, d: String): DataFrame =
-    graft.Staging.stage(s, "pq_codebooks_i2", d) {
-      val base = withNorm(s, d)
-      val subs = base.select(col("vec_id"),
+    * once per fixture under `tag`; exported for the compositional
+    * oracle like the IVF centroids. Rows: (m, code, c_sub). Shared by
+    * the flat-PQ variant (over raw vectors) and the IVF-PQ residual
+    * variant (over x − centroid residuals) — `vecs` supplies the
+    * (vec_id, embedding) training frame. */
+  private def trainPqCodebooks(s: SparkSession, tag: String, d: String)(
+      vecs: => DataFrame): DataFrame =
+    graft.Staging.stage(s, tag, d) {
+      val v = vecs
+      val subs = v.select(col("vec_id"),
         posexplode(array((0 until PqM).map(m => subVec(col("embedding"), m)): _*))
           .as(Seq("m", "sv")))
-      val seedIds = base.filter(col("vec_id") >= NQ)
+      val seedIds = v.filter(col("vec_id") >= NQ)
         .select(col("vec_id")).orderBy(col("vec_id")).limit(PqKsub)
         .withColumn("code", row_number().over(Window.orderBy(col("vec_id"))) - 1)
       val seeds = subs.join(seedIds, Seq("vec_id"))
@@ -466,6 +492,9 @@ object Similarity extends QueryModule {
             expr("transform(ms, e -> CAST(e.mx AS FLOAT))").as("c_sub"))
       }
     }
+
+  private def pqCodebooksStaged(s: SparkSession, d: String): DataFrame =
+    trainPqCodebooks(s, "pq_codebooks_i2", d)(withNorm(s, d))
 
   private[graft] def pqOracleCodebookPath(dir: String): String =
     oracleExportPath(s"$dir|pq2", "pq-codebooks")
@@ -519,6 +548,49 @@ object Similarity extends QueryModule {
             .otherwise(element_at(col("sf"), 1).getField("code")))
         .drop("sf", "gap", "ambig")
     }
+
+  /** x − centroid RESIDUALS of the assigned corpus, as float arrays in
+    * the `embedding` column so every PQ helper (subVec, d2Dec,
+    * pqEncode, the codebook trainer) applies unchanged. The rounding
+    * protocol is pinned for cross-engine exactness: float→double
+    * conversions are exact, the DOUBLE subtraction rounds identically
+    * under IEEE in both engines, and the single cast back to FLOAT
+    * rounds identically — whereas a native float−float would rest on
+    * both engines implementing the same single-rounding, and DuckDB's
+    * REAL arithmetic isn't contractually pinned. The SQL twin is
+    * CAST(CAST(x AS DOUBLE) − CAST(cx AS DOUBLE) AS REAL). */
+  private def residuals(centDf: DataFrame,
+      centArr: Array[(Long, Seq[Float], Double)])(base: DataFrame): DataFrame =
+    assignCentroid(base, centArr)
+      .join(broadcast(centDf.select(col("c_id"), col("c_emb"))), Seq("c_id"))
+      .select(col("vec_id"), col("c_id"),
+        expr("zip_with(embedding, c_emb, " +
+          "(a, b) -> CAST(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) AS FLOAT))")
+          .as("embedding"))
+
+  private[graft] def pqResOracleCodebookPath(dir: String): String =
+    oracleExportPath(s"$dir|pqres2", "pqres-codebooks")
+
+  @volatile private var lastPqRes: String = "/root/testdata/sf0.01"
+
+  private val pqResExported = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Residual sub-codebooks (trained on x − centroid, staged, exported
+    * for the compositional oracle — the pqCodebooks recipe on the
+    * residual frame). */
+  private def pqResCodebooks(s: SparkSession, d: String, centDf: DataFrame,
+      centArr: Array[(Long, Seq[Float], Double)]): DataFrame = {
+    val staged = trainPqCodebooks(s, "pqres_codebooks_i2", d)(
+      residuals(centDf, centArr)(withNorm(s, d)))
+    lastPqRes = d
+    pqResExported.computeIfAbsent(d, _ => {
+      val p = pqResOracleCodebookPath(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
+      graft.ScaleData.writeSingleFile(staged, p)
+      true
+    })
+    staged
+  }
 
   /** The trained-quantizer path of ann_ivf (nonempty corpus):
     * literal-array margin-gated assignment, probe ranking, bucket join,
@@ -600,64 +672,92 @@ object Similarity extends QueryModule {
       .drop("sf", "gap", "ambig")
   }
 
+  /** Per-vector ranking against the broadcast centroid table, margin-
+    * gated at `boundary` (the same fast-vs-decimal two-phase as
+    * [[assignCentroid]], but windowed — only ever run on the QUERY set,
+    * which is bounded). Shared by ann_ivf and ann_filtered's probe
+    * branches. */
+  private def rankCentroids(df: DataFrame, cent: DataFrame, boundary: Int): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val wFastA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_fast").desc, col("c_id"))
+    val wVec = Window.partitionBy(col("vec_id"))
+    df.join(cent)
+      .withColumn("c_fast",
+        dotDbl(col("embedding"), col("c_emb")) /
+          sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
+      .withColumn("fr", row_number().over(wFastA))
+      .withColumn("gap",
+        max(when(col("fr") === boundary, col("c_fast"))).over(wVec) -
+          max(when(col("fr") === boundary + 1, col("c_fast"))).over(wVec))
+      .withColumn("ambig", coalesce(col("gap") <= RescoreEps, lit(false)))
+      .withColumn("c_cos",
+        when(col("ambig"),
+          dotDec(col("embedding"), col("c_emb")).cast("double") /
+            sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
+          .otherwise(col("c_fast")))
+      .withColumn("c_rank", row_number().over(wAssign))
+  }
+
+  /** The queries' nprobe nearest-centroid probe set:
+    * (query_id, qe, qn2, c_id) — query-set × nprobe rows, broadcast by
+    * every consumer. */
+  private def ivfProbes(s: SparkSession, base: DataFrame, cent: DataFrame): DataFrame =
+    rankCentroids(base.filter(col("vec_id") < NQ), cent, annNprobe(s))
+      .filter(col("c_rank") <= annNprobe(s))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("n2").as("qn2"), col("c_id"))
+
+  /** Probed-bucket candidate pairs: `corpus` (already centroid-assigned)
+    * joined to the broadcast probe set on the bucket id. No dedup
+    * needed: each member lives in exactly one bucket and a query's
+    * probes are distinct buckets. */
+  private def ivfCandidates(corpus: DataFrame, probes: DataFrame): DataFrame =
+    corpus.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      // label rides along (skinny int) so a post-filter predicate on
+      // vector-table metadata stays a narrow filter on the survivors
+      .select(col("query_id"), col("vec_id"), col("label"), col("qe"),
+        col("embedding"), col("qn2"), col("n2"))
+
+  /** Exact decimal top-`k` per query over a candidate frame — the
+    * two-phase rescoring of topkPairs/ann_lsh as a reusable tail:
+    * double-rank the candidates, decimal-rescore only the tie-aware
+    * top-k prefix, exact-rank the survivors. Candidate volume is
+    * bucket-bounded for every caller, so the windows never see the
+    * corpus (the bounded-aggregator shape of ann_brute is for
+    * corpus-sized candidate sets). */
+  private def exactTopK(cands: DataFrame, k: Int): DataFrame = {
+    val wFast = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_fast").desc, col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands
+      .withColumn("cos_fast",
+        dotDbl(col("qe"), col("embedding")) /
+          sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+      .withColumn("rk_fast", row_number().over(wFast))
+      .transform(tieAwareCutK(k))
+      .withColumn("cosine",
+        dotDec(col("qe"), col("embedding")).cast("double") /
+          sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   private def annIvfBody(s: SparkSession, base: DataFrame, cent: DataFrame,
       centArr: Array[(Long, Seq[Float], Double)]): DataFrame = {
-      val members = assignCentroid(base, centArr)
-        .select(col("vec_id"), col("embedding"), col("n2"), col("c_id"))
-      // probe branch: |queries| rows need their top-nprobe centroids —
-      // the same per-vector window as before is fine at query-set size,
-      // with the same margin gate at the nprobe boundary
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("c_id"))
-      def ranked(df: DataFrame, boundary: Int): DataFrame = {
-        val wFastA = Window.partitionBy(col("vec_id"))
-          .orderBy(col("c_fast").desc, col("c_id"))
-        val wVec = Window.partitionBy(col("vec_id"))
-        df.join(cent)
-          .withColumn("c_fast",
-            dotDbl(col("embedding"), col("c_emb")) /
-              sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
-          .withColumn("fr", row_number().over(wFastA))
-          .withColumn("gap",
-            max(when(col("fr") === boundary, col("c_fast"))).over(wVec) -
-              max(when(col("fr") === boundary + 1, col("c_fast"))).over(wVec))
-          .withColumn("ambig", coalesce(col("gap") <= RescoreEps, lit(false)))
-          .withColumn("c_cos",
-            when(col("ambig"),
-              dotDec(col("embedding"), col("c_emb")).cast("double") /
-                sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
-              .otherwise(col("c_fast")))
-          .withColumn("c_rank", row_number().over(wAssign))
-      }
-      val probes = ranked(base.filter(col("vec_id") < NQ), annNprobe(s))
-        .filter(col("c_rank") <= annNprobe(s))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("n2").as("qn2"), col("c_id"))
-      val wFastIvf = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_fast").desc, col("vec_id"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      members.join(broadcast(probes),
-        Seq("c_id")).filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), col("qe"), col("embedding"),
-          col("qn2"), col("n2"))
-        // no dedup needed: each member lives in exactly one bucket and a
-        // query's probes are distinct buckets. Two-phase rescoring as in
-        // topkPairs/ann_lsh: double-rank the bucket members, decimal-
-        // rescore only the tie-aware top-K prefix.
-        .withColumn("cos_fast",
-          dotDbl(col("qe"), col("embedding")) /
-            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-        .withColumn("rk_fast", row_number().over(wFastIvf))
-        .transform(tieAwareCut)
-        .withColumn("cosine",
-          dotDec(col("qe"), col("embedding")).cast("double") /
-            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= K)
-        .select(col("query_id"), col("rk"), col("vec_id"),
-          round(col("cosine"), 9).as("cosine"))
-        .orderBy(col("query_id"), col("rk"))
+    val members = assignCentroid(base, centArr)
+      .select(col("vec_id"), col("label"), col("embedding"), col("n2"), col("c_id"))
+    // probe branch: |queries| rows need their top-nprobe centroids —
+    // a per-vector window is fine at query-set size, with the same
+    // margin gate at the nprobe boundary
+    val probes = ivfProbes(s, base, cent)
+    exactTopK(ivfCandidates(members, probes), K)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("cosine"), 9).as("cosine"))
+      .orderBy(col("query_id"), col("rk"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -988,6 +1088,87 @@ object Similarity extends QueryModule {
       else annIvfBody(s, base, cent, centArr)
     },
 
+    // METADATA-FILTERED vector search (round-11 verdict item 1) — the
+    // compositional query every production vector store serves: top-K
+    // among corpus vectors satisfying a metadata predicate. Two filter
+    // strategies exist and neither dominates (the pre/post-filter trade
+    // every vector DB documents):
+    //  - PRE-filter: the predicate sits BELOW assignment and candidate
+    //    generation (pushed into the corpus scan for a vector-table
+    //    column; a broadcast semi join against the filtered dimension
+    //    for a join predicate), and the IVF probe runs among survivors.
+    //    Right when the predicate is SELECTIVE — candidates are scarce
+    //    and an unfiltered over-fetch would need k′ ≈ K/sel to survive.
+    //  - POST-filter: probe unfiltered buckets, take the exact decimal
+    //    top-k′ (k′ = ⌈K/sel⌉ clamped to [2K, 10K]), THEN filter and
+    //    re-rank. Right when the predicate is BROAD — most candidates
+    //    survive, so a small over-fetch avoids pushing the predicate
+    //    into the whole corpus path.
+    // The POLICY is selectivity-driven (the heuristic every serving
+    // stack applies): sel = |match ∩ indexable| / |indexable| from two
+    // model-sized count scalars (planner statistics), pre-filter iff
+    // sel ≤ 0.2 — an EXACT integer rule (5·nm ≤ nc) the oracle
+    // reproduces at any corpus size, as it does the integer k′. Two
+    // fixture predicates exercise both arms: lang_zh (documents
+    // dimension join, sel ≈ 0.15 → pre) and label_even (vector-table
+    // metadata column, sel ≈ 0.49 → post). Both arms are IVF-probed,
+    // bucket-bounded, two-phase rescored; the oracle replays
+    // probe → filter → rescore compositionally from the exported
+    // centroids (the ann_ivf precedent), and ScalaTest asserts recall
+    // vs the filtered-brute ground truth plus predicate satisfaction.
+    "ann_filtered" -> { (s, d) =>
+      val base = withNorm(s, d)
+      val centDf = ivfCentroids(s, d, annKmeansIters(s))
+      val centArr = collectQuantizer(centDf)
+      if (centArr.isEmpty)
+        base.limit(0).select(lit("").as("pred"), lit("").as("policy"),
+          col("vec_id").as("query_id"), lit(1).as("rk"), col("vec_id"),
+          lit(0.0).as("cosine"))
+      else {
+        val cent = broadcast(centDf)
+        val probes = ivfProbes(s, base, cent)
+        val nc = indexableCount(s, d)
+        val zhIds = broadcast(Tables.documents(s, d)
+          .filter(col("lang") === "zh").select(col("doc_id").as("vec_id")))
+        def labelEven(df: DataFrame): DataFrame =
+          df.filter(col("label").isNotNull && col("label") % 2 === 0)
+        // (name, predicate-as-transform) — the transform is applied to
+        // the corpus BELOW candidates (pre arm) or to the k′ survivors
+        // (post arm); both shapes stay narrow/broadcast either way
+        val preds: Seq[(String, DataFrame => DataFrame)] = Seq(
+          "lang_zh" -> ((df: DataFrame) => df.join(zhIds, Seq("vec_id"), "left_semi")),
+          "label_even" -> (labelEven(_)))
+        val arms = preds.map { case (name, pf) =>
+          val nm = matchCount(d, name, pf(base))
+          if (5 * nm <= nc) {
+            val corpus = assignCentroid(pf(base), centArr)
+              .select(col("vec_id"), col("label"), col("embedding"),
+                col("n2"), col("c_id"))
+            exactTopK(ivfCandidates(corpus, probes), K)
+              .select(lit(name).as("pred"), lit("pre").as("policy"),
+                col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+          } else {
+            val kPrime =
+              math.min(10L * K, math.max(2L * K, (K * nc + nm - 1) / nm)).toInt
+            val corpus = assignCentroid(base, centArr)
+              .select(col("vec_id"), col("label"), col("embedding"),
+                col("n2"), col("c_id"))
+            val w2 = Window.partitionBy(col("query_id"))
+              .orderBy(col("cosine").desc, col("vec_id"))
+            pf(exactTopK(ivfCandidates(corpus, probes), kPrime))
+              .withColumn("rk2", row_number().over(w2))
+              .filter(col("rk2") <= K)
+              .select(lit(name).as("pred"), lit("post").as("policy"),
+                col("query_id"), col("rk2").as("rk"), col("vec_id"), col("cosine"))
+          }
+        }
+        arms.reduce(_.unionByName(_))
+          .select(col("pred"), col("policy"), col("query_id"), col("rk"),
+            col("vec_id"), round(col("cosine"), 9).as("cosine"))
+          .orderBy(col("pred"), col("query_id"), col("rk"))
+      }
+    },
+
     // K-MEANS CLUSTERING as a first-class op — the grouping step
     // semantic curation recipes build on (SemDeDup prunes within
     // embedding clusters; domain discovery and cluster-balanced
@@ -1117,6 +1298,15 @@ object Similarity extends QueryModule {
     // over the coded corpus into the bounded exact-integer topKLong
     // aggregator — the hierarchical ann_brute shape, never a
     // corpus-wide window (PlanSpec-pinned).
+    //
+    // QUERY-BATCH BOUND (round-11 verdict): folding the ADC tables in
+    // as literal arrays makes the PLAN O(NQ × M × Ksub × maxCode) —
+    // sound at the pinned NQ = 8 (≤ ~8k literals), but a production
+    // batch of thousands of queries would blow plan size/codegen
+    // limits. The scale path for large NQ is the JOIN-BASED ADC that
+    // ann_ivfpq_residual implements below: per-query lookup arrays
+    // computed in-engine on the probe frame and broadcast-joined, so
+    // the plan stays O(M·Ksub) expressions regardless of NQ.
     "ann_ivf_pq" -> { (s, d) =>
       import s.implicits._
       val cb = collectPqCodebook(pqCodebooks(s, d))
@@ -1178,6 +1368,90 @@ object Similarity extends QueryModule {
             (qid, i + 1, id, -v) } }
           .toDF("query_id", "rk", "vec_id", "adc_d2_fp")
           .orderBy(col("query_id"), col("rk"))
+        }
+      }
+    },
+
+    // IVF+PQ RESIDUAL fusion (round-11 verdict item 2) — the FAISS
+    // IVFADC serving shape (Jégou et al., PAPERS.md): the coarse IVF
+    // quantizer routes each vector to a bucket, PQ encodes the RESIDUAL
+    // x − centroid inside that bucket (residuals cluster far tighter
+    // than raw vectors, so the same 4-byte code carries more precision),
+    // and a query probes its nprobe nearest buckets, scanning only
+    // their codes with a per-(query, bucket) ADC table over the QUERY'S
+    // residual vs that bucket's centroid. This fuses the two existing
+    // halves (ann_ivf's trained coarse quantizer + ann_ivf_pq's
+    // sub-codebooks) into the shape a production server runs.
+    //
+    // Exactness: residuals are pinned to double-subtract-then-float
+    // rounding (see [[residuals]] — identical IEEE steps in both
+    // engines); distances are the same decimal identity / ×10¹²
+    // fixed-point BIGINT discipline as ann_ivf_pq, so the gate is a
+    // full hash match, compositional from BOTH exported artifacts
+    // (coarse centroids + residual sub-codebooks).
+    //
+    // Scale shape: the coded corpus (vec_id, c_id, 4 codes) is STAGED —
+    // the persisted index a server memory-maps; the ADC tables are
+    // computed IN-ENGINE on the probe frame (NQ × nprobe rows) as
+    // dense lookup arrays and BROADCAST-JOINED to the coded corpus on
+    // the bucket id — the join-based ADC variant, so plan size stays
+    // O(M·Ksub) expressions regardless of the query-batch size (the
+    // documented NQ bound of ann_ivf_pq's literal folding); the
+    // bucket join restricts scanning to probed buckets' codes, and the
+    // exact-integer topKLong aggregator keeps the top-k hierarchical.
+    "ann_ivfpq_residual" -> { (s, d) =>
+      import s.implicits._
+      val base = withNorm(s, d)
+      val centDf = ivfCentroids(s, d, annKmeansIters(s))
+      val centArr = collectQuantizer(centDf)
+      // if/else EXPRESSIONS, not early returns (the kmeansMembers lesson)
+      def empty = base.limit(0).select(col("vec_id").as("query_id"),
+        lit(1).as("rk"), col("vec_id"), lit(0L).as("adc_d2_fp"))
+      if (centArr.isEmpty) empty
+      else {
+        val cent = broadcast(centDf)
+        val cb = collectPqCodebook(pqResCodebooks(s, d, centDf, centArr))
+        if (cb.isEmpty) empty
+        else {
+          val maxCode = cb.map(_._2).max
+          val coded = graft.Staging.stage(s, "pqres_codes_i2", d) {
+            pqEncode(residuals(centDf, centArr)(base), cb)
+              .select(col("vec_id") +: col("c_id") +:
+                (0 until PqM).map(m => col(s"code_$m")): _*)
+          }
+          val probesR = rankCentroids(base.filter(col("vec_id") < NQ),
+              cent, annNprobe(s))
+            .filter(col("c_rank") <= annNprobe(s))
+            .select(col("vec_id").as("query_id"), col("c_id"),
+              expr("zip_with(embedding, c_emb, " +
+                "(a, b) -> CAST(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) AS FLOAT))")
+                .as("qres"))
+          // dense per-(query, bucket) ADC lookup arrays indexed by code,
+          // one array column per subspace; codes a Lloyd round emptied
+          // never appear in the coded corpus, so their slots are inert
+          val adcTabs = (0 until PqM).foldLeft(probesR) { (acc, m) =>
+            val cands = cb.filter(_._1 == m)
+            acc.withColumn(s"a_$m", array((0 to maxCode).map { code =>
+              cands.find(_._2 == code) match {
+                case Some((_, _, c)) => d2Fp(d2Dec(subVec(col("qres"), m), c))
+                case None            => lit(Long.MaxValue)
+              }
+            }: _*))
+          }.drop("qres")
+          coded.join(broadcast(adcTabs), Seq("c_id"))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id"),
+              (0 until PqM).map(m =>
+                element_at(col(s"a_$m"), col(s"code_$m") + 1)).reduce(_ + _)
+                .as("dfp"))
+            .as[(Long, Long, Long)]
+            .groupByKey(_._1)
+            .mapValues(t => (-t._3, t._2))
+            .agg(graft.operators.TopK.topKLong(K).toColumn.name("top"))
+            .flatMap { case (qid, top) =>
+              top.zipWithIndex.map { case ((v, id), i) => (qid, i + 1, id, -v) } }
+            .toDF("query_id", "rk", "vec_id", "adc_d2_fp")
+            .orderBy(col("query_id"), col("rk"))
         }
       }
     },
@@ -1617,6 +1891,81 @@ object Similarity extends QueryModule {
          |WHERE rk <= $K
          |ORDER BY query_id, rk""".stripMargin,
 
+    // Compositional like ann_ivf, PLUS the filter-strategy policy
+    // replayed exactly: selectivity counts come from the same `norms`
+    // ingest-filtered view the engine counts, the pre/post decision is
+    // the integer rule 5·nm ≤ nc (θ = 0.2 as an exact rational), and
+    // the post arm's over-fetch k′ is the same integer ⌈K·nc/nm⌉
+    // clamped to [2K, 10K] — each arm's SELECT is gated by the policy
+    // predicate, so exactly one arm per predicate emits rows at any
+    // corpus size. greatest(nm, 1) only guards the k′ division: nm = 0
+    // implies the pre arm (5·0 ≤ nc), so the guard never alters an
+    // emitted row.
+    "ann_filtered" ->
+      s"""WITH $exSql,
+         |$assignMembersSql,
+         |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
+         |           WHERE vec_id < $NQ AND c_rank <= 4),
+         |cand AS (
+         |  SELECT p.query_id, m.vec_id
+         |  FROM probes p JOIN members m ON m.c_id = p.c_id AND m.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT cd.query_id, cd.vec_id,
+         |         CAST(sum(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         |           / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nv.n2 AS DOUBLE)) AS cosine
+         |  FROM cand cd
+         |  JOIN ex q ON q.vec_id = cd.query_id
+         |  JOIN ex c ON c.vec_id = cd.vec_id AND c.i = q.i
+         |  JOIN norms nq ON nq.vec_id = cd.query_id
+         |  JOIN norms nv ON nv.vec_id = cd.vec_id
+         |  GROUP BY cd.query_id, cd.vec_id, nq.n2, nv.n2),
+         |ranked_all AS (
+         |  SELECT query_id, vec_id, cosine,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk1
+         |  FROM scored),
+         |ntot AS (SELECT count(*) AS n FROM norms),
+         |mz AS (SELECT n.vec_id FROM norms n JOIN documents dd ON dd.doc_id = n.vec_id
+         |       WHERE dd.lang = 'zh'),
+         |me AS (SELECT n.vec_id FROM norms n JOIN embeddings e ON e.vec_id = n.vec_id
+         |       WHERE e.label IS NOT NULL AND e.label % 2 = 0),
+         |nmz AS (SELECT count(*) AS n FROM mz),
+         |nme AS (SELECT count(*) AS n FROM me),
+         |pre_z AS (
+         |  SELECT 'lang_zh' AS pred, 'pre' AS policy, query_id, rk, vec_id, cosine
+         |  FROM (SELECT s.query_id, s.vec_id, s.cosine,
+         |               row_number() OVER (PARTITION BY s.query_id ORDER BY s.cosine DESC, s.vec_id) AS rk
+         |        FROM scored s JOIN mz ON mz.vec_id = s.vec_id)
+         |  WHERE rk <= $K AND 5 * (SELECT n FROM nmz) <= (SELECT n FROM ntot)),
+         |post_z AS (
+         |  SELECT 'lang_zh' AS pred, 'post' AS policy, query_id, rk, vec_id, cosine
+         |  FROM (SELECT r.query_id, r.vec_id, r.cosine,
+         |               row_number() OVER (PARTITION BY r.query_id ORDER BY r.cosine DESC, r.vec_id) AS rk
+         |        FROM ranked_all r JOIN mz ON mz.vec_id = r.vec_id
+         |        WHERE r.rk1 <= least(${10 * K}, greatest(${2 * K},
+         |          ($K * (SELECT n FROM ntot) + (SELECT n FROM nmz) - 1)
+         |            // greatest((SELECT n FROM nmz), 1))))
+         |  WHERE rk <= $K AND 5 * (SELECT n FROM nmz) > (SELECT n FROM ntot)),
+         |pre_e AS (
+         |  SELECT 'label_even' AS pred, 'pre' AS policy, query_id, rk, vec_id, cosine
+         |  FROM (SELECT s.query_id, s.vec_id, s.cosine,
+         |               row_number() OVER (PARTITION BY s.query_id ORDER BY s.cosine DESC, s.vec_id) AS rk
+         |        FROM scored s JOIN me ON me.vec_id = s.vec_id)
+         |  WHERE rk <= $K AND 5 * (SELECT n FROM nme) <= (SELECT n FROM ntot)),
+         |post_e AS (
+         |  SELECT 'label_even' AS pred, 'post' AS policy, query_id, rk, vec_id, cosine
+         |  FROM (SELECT r.query_id, r.vec_id, r.cosine,
+         |               row_number() OVER (PARTITION BY r.query_id ORDER BY r.cosine DESC, r.vec_id) AS rk
+         |        FROM ranked_all r JOIN me ON me.vec_id = r.vec_id
+         |        WHERE r.rk1 <= least(${10 * K}, greatest(${2 * K},
+         |          ($K * (SELECT n FROM ntot) + (SELECT n FROM nme) - 1)
+         |            // greatest((SELECT n FROM nme), 1))))
+         |  WHERE rk <= $K AND 5 * (SELECT n FROM nme) > (SELECT n FROM ntot))
+         |SELECT pred, policy, query_id, CAST(rk AS INT) AS rk, vec_id,
+         |       round(cosine, 9) AS cosine
+         |FROM (SELECT * FROM pre_z UNION ALL SELECT * FROM post_z
+         |      UNION ALL SELECT * FROM pre_e UNION ALL SELECT * FROM post_e)
+         |ORDER BY pred, query_id, rk""".stripMargin,
+
     // compositional from the exported sub-codebooks (the ann_ivf
     // precedent): DuckDB re-derives the decimal-exact encoding, the
     // fixed-point ADC tables, and the summed BIGINT scores. The fp
@@ -1653,6 +2002,73 @@ object Similarity extends QueryModule {
          |  FROM codes c JOIN qtab q ON q.m = c.m AND q.code = c.code
          |  WHERE c.vec_id <> q.query_id
          |  GROUP BY q.query_id, c.vec_id)
+         |SELECT query_id, CAST(rk AS INT) AS rk, vec_id, adc_d2_fp
+         |FROM (SELECT query_id, vec_id, adc_d2_fp,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY adc_d2_fp, vec_id) AS rk
+         |      FROM adc)
+         |WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
+
+    // compositional from BOTH exported artifacts: the coarse centroids
+    // (assignMembersSql — members + the probe ranking) and the residual
+    // sub-codebooks. DuckDB re-derives residuals under the pinned
+    // double-subtract-then-float rounding (CAST(x_d − c_d AS REAL)),
+    // the decimal-exact residual encoding, the per-(query, probed
+    // bucket) fixed-point ADC tables (the engine's d2Fp narrowing), and
+    // the summed BIGINT scores over probed buckets only
+    "ann_ivfpq_residual" ->
+      s"""WITH $exSql,
+         |$assignMembersSql,
+         |rcb AS (SELECT m, code, generate_subscripts(c_sub, 1) AS j, unnest(c_sub) AS x
+         |        FROM parquet_scan('${pqResOracleCodebookPath(lastPqRes)}')),
+         |res AS (
+         |  SELECT e.vec_id, mm.c_id,
+         |         CAST((e.i - 1) // $PqSubDim AS INT) AS m,
+         |         CAST((e.i - 1) % $PqSubDim + 1 AS INT) AS j,
+         |         CAST(CAST(e.x AS DOUBLE) - CAST(c.x AS DOUBLE) AS REAL) AS r
+         |  FROM ex e
+         |  JOIN members mm ON mm.vec_id = e.vec_id
+         |  JOIN cex c ON c.c_id = mm.c_id AND c.i = e.i),
+         |d2r AS (
+         |  SELECT r.vec_id, r.m, b.code,
+         |         sum(CAST(CAST(r.r AS DOUBLE) * CAST(r.r AS DOUBLE) AS DECIMAL(38,12)))
+         |       - 2 * sum(CAST(CAST(r.r AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12)))
+         |       + sum(CAST(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS d2dec
+         |  FROM res r JOIN rcb b ON b.m = r.m AND b.j = r.j
+         |  GROUP BY r.vec_id, r.m, b.code),
+         |codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2dec, code) AS rn
+         |    FROM d2r) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
+         |           WHERE vec_id < $NQ AND c_rank <= 4),
+         |qres AS (
+         |  SELECT p.query_id, p.c_id,
+         |         CAST((e.i - 1) // $PqSubDim AS INT) AS m,
+         |         CAST((e.i - 1) % $PqSubDim + 1 AS INT) AS j,
+         |         CAST(CAST(e.x AS DOUBLE) - CAST(c.x AS DOUBLE) AS REAL) AS r
+         |  FROM probes p
+         |  JOIN ex e ON e.vec_id = p.query_id
+         |  JOIN cex c ON c.c_id = p.c_id AND c.i = e.i),
+         |qd2 AS (
+         |  SELECT q.query_id, q.c_id, q.m, b.code,
+         |         sum(CAST(CAST(q.r AS DOUBLE) * CAST(q.r AS DOUBLE) AS DECIMAL(38,12)))
+         |       - 2 * sum(CAST(CAST(q.r AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12)))
+         |       + sum(CAST(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS d2dec
+         |  FROM qres q JOIN rcb b ON b.m = q.m AND b.j = q.j
+         |  GROUP BY q.query_id, q.c_id, q.m, b.code),
+         |qtab AS (SELECT query_id, c_id, m, code,
+         |                CAST(CAST(d2dec AS DECIMAL(24,12)) *
+         |                     CAST($PqFp AS DECIMAL(13,0)) AS BIGINT) AS dfp
+         |         FROM qd2),
+         |adc AS (
+         |  SELECT q.query_id, mm.vec_id, CAST(sum(q.dfp) AS BIGINT) AS adc_d2_fp
+         |  FROM members mm
+         |  JOIN codes cd ON cd.vec_id = mm.vec_id
+         |  JOIN qtab q ON q.c_id = mm.c_id AND q.m = cd.m AND q.code = cd.code
+         |  WHERE mm.vec_id <> q.query_id
+         |  GROUP BY q.query_id, mm.vec_id)
          |SELECT query_id, CAST(rk AS INT) AS rk, vec_id, adc_d2_fp
          |FROM (SELECT query_id, vec_id, adc_d2_fp,
          |             row_number() OVER (PARTITION BY query_id ORDER BY adc_d2_fp, vec_id) AS rk

@@ -68,4 +68,37 @@ class MultimodalSpec extends GraftSuite {
       assert(fs.map(_._4).sum == byteLens(doc), s"doc $doc frames don't tile")
     }
   }
+
+  test("mm_crossmodal: well-formed ranking; a media twin of the query text is its top match") {
+    // standard fixture: 8 text queries, dense ranks, cosine bounded,
+    // no self-match (the query's own media row is excluded)
+    val rows = q("mm_crossmodal").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).distinct.length == 8)
+    rows.groupBy(_._1).values.foreach { qs =>
+      assert(qs.sortBy(_._2).map(_._2).toSeq == (1 to qs.length))
+      assert(qs.forall(t => t._3 != t._1))
+      assert(qs.forall(t => math.abs(t._4) <= 1.0 + 1e-9))
+    }
+    // planted cross-modal twin: a media doc whose decoded content is
+    // the query's text shares its feature direction exactly → cosine 1
+    // at the top of query 0's list
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xmodal").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "src0"),
+      (1L, "numbers 123 and CAPITALS here", "en", "src0"),
+      (10L, "totally different content with zeds zz", "en", "src1"),
+      (11L, "more unrelated words qqq xxx", "en", "src1"),
+      (30L, "alpha beta gamma delta epsilon", "en", "src2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q0 = SparkEntry.queries("mm_crossmodal")(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(q0.nonEmpty)
+    val top = q0.minBy(_._1)
+    assert(top._2 == 30L && math.abs(top._3 - 1.0) < 1e-9,
+      s"media twin not the top match: ${q0.mkString(",")}")
+  }
 }

@@ -141,6 +141,33 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("mm_crossmodal: bounded top-k aggregate, no payload bytes in any exchange") {
+    // the media arm must reduce to 8-dim feature rows BEFORE anything
+    // shuffles (scan → decode → featurize is one narrow pass; at 100 TB
+    // the payload column dominates row width), and the per-query top-k
+    // must be the bounded aggregator (partial map-side merge), never a
+    // media-corpus window
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case qs: QueryStageExec       => p +: allNodes(qs.plan)
+      case other                    => other +: other.children.flatMap(allNodes)
+    }
+    val df = q("mm_crossmodal")
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    nodes.collect { case e: Exchange => e }.foreach { e =>
+      assert(!e.output.exists(_.name.contains("payload")),
+        s"payload bytes cross an exchange:\n$e")
+    }
+    assert(nodes.exists(_.nodeName.contains("ObjectHashAggregate")),
+      s"bounded top-k aggregator missing:\n${df.queryExecution.executedPlan}")
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      s"media-corpus window in mm_crossmodal:\n${df.queryExecution.executedPlan}")
+  }
+
   test("mm_dedup hashes map-side: no payload bytes in any exchange") {
     // content-hash dedup must shuffle 16-byte digests, never blobs —
     // the md5 runs before the partial aggregate, so every exchange
@@ -340,6 +367,30 @@ class PlanSpec extends GraftSuite {
     val vecExchanges = "Exchange hashpartitioning\\(vec_id".r.findAllIn(p).length
     assert(vecExchanges == 1,
       s"expected exactly the probe branch's query-set exchange on vec_id, got $vecExchanges:\n$p")
+  }
+
+  test("ann_filtered: predicate below candidate generation, no corpus shuffle on vec_id") {
+    // the pre-filter arm must push its predicate UNDER the probe join —
+    // a broadcast LEFT SEMI against the filtered dimension sitting
+    // directly on the corpus scan (and the dimension's own filter
+    // pushed into ITS scan) — so candidates are generated among
+    // survivors only; the corpus must never hash-partition on vec_id
+    // (assignment is the narrow argmax projection, candidates join the
+    // BROADCAST probe set) — the only vec_id exchanges allowed are the
+    // query-set-sized probe branches (≤ 2 arms; AQE usually reuses one)
+    val full = plan("ann_filtered")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"cartesian in ann_filtered:\n$p")
+    assert(p.contains("LeftSemi"), s"pre-filter semi join missing:\n$p")
+    assert(p.contains("EqualTo(lang,zh)"),
+      s"dimension predicate not pushed to its scan:\n$p")
+    val candJoinAt = p.indexOf("BroadcastHashJoin [c_id")
+    assert(candJoinAt >= 0, s"broadcast probe join missing:\n$p")
+    assert(p.indexOf("LeftSemi") > candJoinAt,
+      s"pre-filter semi join is not below the candidate join:\n$p")
+    val vecExchanges = "Exchange hashpartitioning\\(vec_id".r.findAllIn(p).length
+    assert(vecExchanges <= 2,
+      s"corpus-side vec_id exchange in ann_filtered ($vecExchanges):\n$p")
   }
 
   test("dedup_substring: hash-keyed shuffles only, per-doc islands window, no cartesian") {
@@ -689,6 +740,38 @@ class PlanSpec extends GraftSuite {
     assert(sp.collect {
       case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
     }.nonEmpty, s"bounded top-k aggregator missing:\n$sp")
+  }
+
+  test("ann_ivfpq_residual: one broadcast ADC join on the coded corpus into a bounded aggregate") {
+    // the IVFADC serving shape: the staged coded corpus is scanned
+    // once, joined to the BROADCAST per-(query, bucket) ADC tables on
+    // the bucket id (the join-based ADC — plan size independent of the
+    // query-batch size), and reduced by the bounded topKLong
+    // aggregator. The corpus side must see NO window and NO non-
+    // broadcast join; broadcast joins beyond the ADC one are fine
+    // (they live in the query-set-sized probe branch).
+    val df = q("ann_ivfpq_residual")
+    val sp = df.queryExecution.sparkPlan
+    val joins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, s"ADC broadcast join missing:\n$sp")
+    val nonBroadcast = joins.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      .filterNot(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(nonBroadcast.isEmpty,
+      s"non-broadcast join in the residual-PQ plan:\n$nonBroadcast")
+    assert(sp.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }.nonEmpty, s"bounded top-k aggregator missing:\n$sp")
+    // windows only in the probe branch (per-QUERY centroid ranking,
+    // partitioned by vec_id) — never over the coded corpus per query
+    val badWindow = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.exists(_.references.exists(_.name == "query_id")) => w
+    }
+    assert(badWindow.isEmpty, s"per-query window over the coded corpus:\n$badWindow")
   }
 
   test("dedup_semantic: no window, no cartesian, codegen two-phase verify") {

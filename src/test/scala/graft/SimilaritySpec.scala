@@ -217,6 +217,55 @@ class SimilaritySpec extends GraftSuite {
       s"copy not at the minimum ADC distance: ${q0.mkString(",")}")
   }
 
+  test("ann_ivfpq_residual: dense ranks, no self-matches, ADC monotone, probed-bucket recall") {
+    val rows = q("ann_ivfpq_residual").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { qs =>
+      val sorted = qs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"ranks not dense: $qs")
+      assert(sorted.forall(t => t._3 != t._1), "self-match in residual-PQ results")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        s"ADC not monotone: ${sorted.mkString(",")}")
+    }
+    // residual coding retrieves a useful share of the exact cosine
+    // top-k despite (a) probing 4 of 10 buckets and (b) 4-byte code
+    // quantization — the qualitative property the residual fusion
+    // exists for. L2-over-residual vs cosine ranking differ, so the
+    // floor is looser than ann_ivf's; it is still the only quality
+    // gate this approximate op has beyond the hash-exact oracle.
+    val exact = q("ann_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = rows.map(r => (r._1, r._3)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
+  test("ann_ivfpq_residual: a planted exact copy of the query attains the rank-1 ADC distance") {
+    // the residual of an exact copy (assigned to the same coarse bucket
+    // — identical vector, identical argmax) equals the query's residual,
+    // so it gets the query's own codes and the minimum ADC distance —
+    // the IVFADC analog of the flat-PQ planted-copy property
+    import spark.implicits._
+    val dim = 64
+    def vec(seed: Int) = Array.tabulate(dim)(i =>
+      (((seed * 31 + i) % 17) - 8).toFloat / 8f)
+    val rows =
+      Seq((0L, vec(43), 1)) ++
+        (10 to 25).map(j => (j.toLong, vec(j), 1)) ++
+        Seq((30L, vec(43), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqres").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val q0 = SparkEntry.queries("ann_ivfpq_residual")(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    val copy = q0.find(_._2 == 30L)
+    assert(copy.isDefined, s"copy missing from the top list: ${q0.mkString(",")}")
+    assert(copy.get._3 == q0.minBy(_._1)._3,
+      s"copy not at the minimum ADC distance: ${q0.mkString(",")}")
+  }
+
   test("ann_range agrees with ann_brute above the radius") {
     val tau = 0.25
     val range = q("ann_range").collect()
@@ -254,6 +303,72 @@ class SimilaritySpec extends GraftSuite {
     val rows = q("hybrid_search_bm25").collect()
     rows.groupBy(_.getLong(0)).values.foreach { rs =>
       assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("ann_filtered: policy follows the selectivity rule, predicates hold, both arms recall the filtered brute top-k") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("ann_filtered").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSet == Set("lang_zh", "label_even"))
+    // fixture metadata (no zero/null vectors in this fixture, so the
+    // raw counts equal the engine's indexable counts)
+    val zhIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "zh").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    val nc = emb.length
+    def matches(pred: String, id: Long, label: Int): Boolean = pred match {
+      case "lang_zh"    => zhIds.contains(id)
+      case "label_even" => label >= 0 && label % 2 == 0
+    }
+    val nMatch = Map(
+      "lang_zh" -> emb.count(e => matches("lang_zh", e._1, e._2)),
+      "label_even" -> emb.count(e => matches("label_even", e._1, e._2)))
+    // policy column = the exact integer rule the engine and oracle apply
+    rows.groupBy(_._1).foreach { case (pred, rs) =>
+      val expect = if (5L * nMatch(pred) <= nc) "pre" else "post"
+      assert(rs.map(_._2).toSet == Set(expect),
+        s"$pred: policy ${rs.map(_._2).toSet}, expected $expect " +
+          s"(nm=${nMatch(pred)}, nc=$nc)")
+    }
+    val labelOf = emb.map(e => e._1 -> e._2).toMap
+    // every result satisfies its predicate; no self-matches; dense ranks
+    rows.foreach { case (pred, _, qid, _, vid, _) =>
+      assert(vid != qid)
+      assert(matches(pred, vid, labelOf(vid)), s"$pred violated by vec $vid")
+    }
+    rows.groupBy(r => (r._1, r._3)).values.foreach { rs =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length))
+    }
+    // recall vs the FILTERED brute-force ground truth (double cosine is
+    // fine for set overlap): probing nprobe=4 of 10 trained buckets
+    // measured ~0.7 recall unfiltered (ann_ivf spec); filtering shrinks
+    // per-bucket candidates but the planted structure keeps ≥ 0.5 on
+    // this pinned fixture for both arms
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val queries = emb.filter(_._1 < 8)
+    Seq("lang_zh", "label_even").foreach { pred =>
+      val truth = (for {
+        (qid, _, qe) <- queries
+        top = emb.filter(e => e._1 != qid && matches(pred, e._1, e._2))
+          .map(e => (cos(qe, e._3), e._1)).sortBy(t => (-t._1, t._2)).take(10)
+        (_, vid) <- top
+      } yield (qid, vid)).toSet
+      val got = rows.filter(_._1 == pred).map(r => (r._3, r._5)).toSet
+      val recall = (truth & got).size.toDouble / truth.size
+      assert(recall >= 0.5, s"$pred recall=$recall")
     }
   }
 }
