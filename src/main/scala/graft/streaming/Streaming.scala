@@ -596,6 +596,87 @@ object Streaming {
       .parquet(streamDir.toString)
   }
 
+  /** Documents replayed as BASE then DELTA micro-batches — the arrival
+    * order of the daily-ingest shape (`doc_id % 10 == 0` is the delta,
+    * the fixture split convention dedup_incremental pins): the existing
+    * corpus is in the index before today's crawl probes it. Two
+    * single-file parquets with increasing mtimes at
+    * maxFilesPerTrigger = 1, like [[eventsStreamChunked]]. */
+  def documentsStreamBaseDelta(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val streamDir = stagedSources.computeIfAbsent(("docs-basedelta", dir, 1),
+      _ => new SourceCell(() => {
+        val p = Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft-stream-docs-" + stagingKey(dir))
+        Files.createDirectories(p)
+        val now = System.currentTimeMillis()
+        stageSingleFile(p, docs.filter(col("doc_id") % 10 =!= 0),
+          "base_00.parquet", now)
+        stageSingleFile(p, docs.filter(col("doc_id") % 10 === 0),
+          "delta_01.parquet", now + 60000L)
+        p
+      })).path
+    spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+  }
+
+  /** Streaming NEAR-duplicate candidate generation — the band-signature
+    * index as KEYED STREAMING STATE (round-11 verdict item 4, gate 14):
+    * every arriving document is folded to its 4 LSH band signatures by
+    * the same codegen MinhashBandSigs projection the batch index uses
+    * (narrow — no stateful aggregation needed to build signatures), and
+    * state is keyed by (band, sig): each bucket holds the BASE doc_ids
+    * seen so far, and a delta document arriving in a bucket emits one
+    * candidate pair per resident — exactly the newSigs ⋈ baseSigs
+    * bucket join of the batch twin (`dedup_incremental`), incrementally.
+    * Delta docs are probes, not residents (delta-delta pairs are out of
+    * the incremental contract), so buckets grow only with the base.
+    *
+    * Scale notes: state volume is the base corpus's signature index —
+    * 4 rows × ~40 bytes per document, sharded by (band, sig) across
+    * state-store partitions; a production ingest bounds it with an
+    * event-time-timeout retention horizon (dedupe against the last N
+    * days), exactly like dropDuplicatesWithinWatermark's contract.
+    * Emission is immediate (Append + NoTimeout — nothing watermark-
+    * held); the expensive exact verify runs OUTSIDE the stream on the
+    * candidate-sized output, the standard flag-then-verify split. */
+  def nearDupCandidates(docs: DataFrame): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    docs
+      // a NULL text has no content to index — the ingest boundary drops
+      // it (the mediaTable/withNorm contract)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), (col("doc_id") % 10 === 0).as("is_delta"),
+        posexplode(
+          graft.functions.MinhashBandSigs.minhash_band_sigs(col("text"), 3))
+          .as(Seq("band", "sig")))
+      .as[(Long, Boolean, Int, String)]
+      .groupByKey(t => (t._3, t._4))
+      .flatMapGroupsWithState[List[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), batch: Iterator[(Long, Boolean, Int, String)],
+            state: GroupState[List[Long]]) =>
+          val rows = batch.toList
+          // base rows of THIS batch enter the bucket before any delta
+          // row probes it, so results are independent of intra-batch
+          // row order (matters if base and delta ever share a batch)
+          val newBase = rows.collect { case (id, false, _, _) => id }
+          val bucket =
+            if (newBase.isEmpty) state.getOption.getOrElse(Nil)
+            else {
+              val b = (state.getOption.getOrElse(Nil) ++ newBase).distinct.sorted
+              state.update(b)
+              b
+            }
+          for {
+            (newId, true, _, _) <- rows.iterator
+            baseId <- bucket.iterator
+          } yield (newId, baseId)
+      }
+  }
+
   /** Events replayed as `chunks` TIME-ORDERED micro-batches: the fixture
     * split into single-file parquets by equal-width ts range (computed
     * from min/max — two scalar aggregates, no global sort or window),

@@ -336,4 +336,20 @@ class StreamingSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("streaming near-dup ingest equals the batch incremental dedup") {
+    // gate 14: the (band, sig)-keyed state store accumulates the base
+    // batch's signatures, the delta batch probes them, and the verified
+    // output must equal dedup_incremental row for row — candidate
+    // generation moved into streaming state changes WHEN pairs surface,
+    // never WHICH pairs
+    def rows(name: String) = q(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val streaming = rows("streaming_dedup_near")
+    val batch = rows("dedup_incremental")
+    assert(streaming == batch,
+      s"streaming=${streaming.size} rows, batch=${batch.size} rows, " +
+        s"diff=${(streaming diff batch) ++ (batch diff streaming)}")
+    assert(streaming.nonEmpty, "fixture should contain near-dup delta docs")
+  }
 }
