@@ -119,11 +119,11 @@ object ExplainDump {
       "duplicated hashes shuffle-join back onto the postings (hash = the blocking key, no " +
       "all-pairs), and the islands merge is a per-DOCUMENT window (partition bounded by doc " +
       "length at any corpus size)"),
-    "hybrid_search_bm25" -> ("BM25 lexical arm over the STAGED (doc, term, tf) index: df is " +
-      "a vocab-sized aggregate joined onto the tiny query-term set which then BROADCASTS; " +
-      "the only windows below the bounded top-k aggregates partition by doc_id (dl — bounded " +
-      "by one document's vocabulary); integer fixed-point term scores partial-aggregate " +
-      "map-side; both arms hierarchical (PlanSpec-pinned)"),
+    "hybrid_search_bm25" -> ("BM25 lexical arm over the STAGED (doc, term, tf, dl) index " +
+      "(dl is a COLUMN of the index since round 12 — no query-time corpus window at all): " +
+      "df is a vocab-sized aggregate joined onto the tiny query-term set which then " +
+      "BROADCASTS; integer fixed-point term scores partial-aggregate map-side; ZERO windows " +
+      "below the bounded top-k aggregates; both arms hierarchical (PlanSpec-pinned)"),
     "agg_quantile_merge" -> ("two-level mergeable sketch rollup: per-lang compactor-stack " +
       "quantile sketches (typed Aggregator, ObjectHashAggregate partial merge — the exchange " +
       "carries k·log(n/k)-bounded sketch state, never values), then an ALL rollup that " +
@@ -201,7 +201,25 @@ object ExplainDump {
     "ann_ivf_pq" -> ("product-quantized ANN: encoding is a margin-gated narrow projection " +
       "(model-sized codebook as literals), ADC tables are 512 literal longs, scoring is one " +
       "narrow pass over 4-byte codes into the bounded exact-integer topKLong aggregator — " +
-      "never a corpus-wide window; every score a decimal-exact ×10^12 fixed-point BIGINT")
+      "never a corpus-wide window; every score a decimal-exact ×10^12 fixed-point BIGINT"),
+    "ann_filtered" -> ("metadata-filtered ANN with the selectivity policy: the pre arm's " +
+      "predicate is a broadcast LeftSemi UNDER the probe join (dimension filter pushed to " +
+      "its scan), the post arm over-fetches the exact top-k' then filters survivors; the " +
+      "corpus never hash-partitions on vec_id (narrow argmax assignment + broadcast probe " +
+      "set, reused across arms); windows only over bucket-bounded candidates"),
+    "ann_ivfpq_residual" -> ("IVFADC residual fusion: the STAGED residual-coded corpus is " +
+      "scanned once and joined to the BROADCAST per-(query, bucket) ADC lookup arrays on " +
+      "c_id (join-based ADC — plan size independent of the query-batch size), then reduced " +
+      "by the bounded topKLong aggregator; probing restricts the scan to nprobe buckets of " +
+      "4-byte codes — no per-query window over the coded corpus (PlanSpec-pinned)"),
+    "mm_crossmodal" -> ("text query → media corpus over one shared feature space: the media " +
+      "arm is scan → decode → featurize in ONE narrow pass (payload pruned before any " +
+      "exchange — PlanSpec-pinned), query features broadcast, per-query top-k through the " +
+      "bounded TopK aggregator (exchange carries O(tasks × NQ) buffers, never media rows)"),
+    "streaming_dedup_near" -> ("near-dup on ingest, the batch verify tail of gate 14: the " +
+      "candidate pairs come from (band, sig)-keyed STREAMING STATE (base batch populates, " +
+      "delta batch probes — the plan here shows the candidate-sized exact shingle-Jaccard " +
+      "verify + per-new-doc argmax, every join keyed by shingle/doc, no corpus self-join)")
   )
 
   def main(args: Array[String]): Unit = {
