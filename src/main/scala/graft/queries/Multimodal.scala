@@ -548,14 +548,25 @@ object Multimodal extends QueryModule {
     }
   )
 
+  /** SQL renderings of the [[FeatureClasses]] space — ONE copy of the
+    * per-class f_i expressions and the DECIMAL(20,12) dot template,
+    * consumed by BOTH the mm_embed and mm_crossmodal oracles so the
+    * two can't gate different numbers for the same feature space
+    * (review finding — the FeatureClasses discipline applied to the
+    * oracle side too). */
+  private val featsSql: String = FeatureClasses.zipWithIndex.map { case (cl, i) =>
+    s"round(CAST(length(text) - length(regexp_replace(text, '$cl', '', 'g')) AS DOUBLE) / length(text), 9) AS f$i"
+  }.mkString(",\n         ")
+
+  private def dotSql(x: String, y: String): String =
+    FeatureClasses.indices
+      .map(i => s"CAST($x.f$i * $y.f$i AS DECIMAL(20,12))").mkString(" + ")
+
   /** mm_embed oracle generated from the same class list as the Spark
     * side, so the two can't drift. */
   private val mmEmbedOracle: String = {
-    val feats = FeatureClasses.zipWithIndex.map { case (cl, i) =>
-      s"round(CAST(length(text) - length(regexp_replace(text, '$cl', '', 'g')) AS DOUBLE) / length(text), 9) AS f$i"
-    }.mkString(",\n         ")
-    def dot(x: String, y: String) = (0 until 8)
-      .map(i => s"CAST($x.f$i * $y.f$i AS DECIMAL(20,12))").mkString(" + ")
+    val feats = featsSql
+    def dot(x: String, y: String) = dotSql(x, y)
     s"""WITH f AS (
        |  SELECT doc_id,
        |         $feats
@@ -576,11 +587,8 @@ object Multimodal extends QueryModule {
     * media content IS the text), the norm > 0 ingest rule on both
     * sides, raw-cosine ranking with doc_id tiebreak, round-6 output. */
   private val mmCrossmodalOracle: String = {
-    val feats = FeatureClasses.zipWithIndex.map { case (cl, i) =>
-      s"round(CAST(length(text) - length(regexp_replace(text, '$cl', '', 'g')) AS DOUBLE) / length(text), 9) AS f$i"
-    }.mkString(",\n         ")
-    def dot(x: String, y: String) = (0 until 8)
-      .map(i => s"CAST($x.f$i * $y.f$i AS DECIMAL(20,12))").mkString(" + ")
+    val feats = featsSql
+    def dot(x: String, y: String) = dotSql(x, y)
     s"""WITH f AS (
        |  SELECT doc_id,
        |         $feats

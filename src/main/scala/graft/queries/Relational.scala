@@ -35,6 +35,26 @@ object Relational extends QueryModule {
   /** Order-independent exact money arithmetic: double → DECIMAL(18,2). */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** agg_quantile_merge's sketch parameter — sized so the verify
+    * fixtures (≤ 500 docs per scope incl. the ALL rollup) sit in the
+    * MRL stack's EXACT REGIME (no compactor fires at ≤ k values; see
+    * the query's contract note). */
+  private val QuantileK = 512
+
+  /** ALL-scope input count per fixture dir (memoized — the
+    * [[graft.queries.Similarity]] corpusCounts contract) and the
+    * exact-regime flag of the MOST RECENT agg_quantile_merge build in
+    * this JVM, read by [[oracles]] at dump time: outside the regime
+    * the sketch is merge-order-dependent and the nearest-rank oracle
+    * would be a spurious hash mismatch, so the entry is withheld and
+    * the driver records the rows-only sketch contract instead.
+    * Defaults to true (the driver's sf0.01 verify fixture is in
+    * regime); the driver only compares oracles for queries it actually
+    * ran, which overwrite the flag first — the lastIvf precedent. */
+  private val quantileAllScopeCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  @volatile private var quantileExactRegime: Boolean = true
+
   /** Synthesized `partsupp` — the one TPC-H table the fixture doesn't
     * ship (SURVEY §8.2), derived DETERMINISTICALLY from `part` ×
     * `supplier` count with TPC-H's own supplier-assignment formula
@@ -485,7 +505,15 @@ object Relational extends QueryModule {
     "agg_quantile_merge" -> { (s, d) =>
       import s.implicits._
       import graft.operators.QuantileSketch
-      val k = 512
+      val k = QuantileK
+      // record whether THIS fixture sits in the exact regime (the ALL
+      // rollup is the first scope to cross k values): `oracles` reads
+      // the flag at dump time and withholds the nearest-rank oracle
+      // outside the regime, downgrading to the rows-only sketch
+      // contract instead of a spurious hash mismatch (review finding;
+      // the lastIvf/pinOracleFixture dump-after-run precedent)
+      quantileExactRegime = quantileAllScopeCounts.computeIfAbsent(d,
+        _ => Tables.documents(s, d).filter(col("text").isNotNull).count()) <= k
       val lens = Tables.documents(s, d)
         // a NULL text has no length — excluded before the typed sketch
         // (whose buffer holds primitive Doubles; null-injection sweep)
@@ -1142,7 +1170,15 @@ object Relational extends QueryModule {
     }
   )
 
-  val oracles: Map[String, String] = Map(
+  /** A def, not a val: the agg_quantile_merge entry is withheld when
+    * the most recent build ran OUTSIDE the sketch's exact regime (see
+    * [[quantileExactRegime]]) — the driver then records the rows-only
+    * sketch contract instead of a guaranteed-spurious hash mismatch. */
+  def oracles: Map[String, String] =
+    if (quantileExactRegime) oracleSqlAll
+    else oracleSqlAll - "agg_quantile_merge"
+
+  private val oracleSqlAll: Map[String, String] = Map(
 
     // EXACT-REGIME oracle (see the query's contract note): at k = 512
     // no compactor fires on the ≤500-doc verify fixtures, so every

@@ -559,14 +559,20 @@ object Similarity extends QueryModule {
     * both engines implementing the same single-rounding, and DuckDB's
     * REAL arithmetic isn't contractually pinned. The SQL twin is
     * CAST(CAST(x AS DOUBLE) − CAST(cx AS DOUBLE) AS REAL). */
+  /** ONE copy of the pinned residual rounding protocol (see
+    * [[residuals]]'s scaladoc), shared by the corpus-residual and
+    * query-residual branches so the two can never drift (review
+    * finding — the FeatureClasses/incrementalOracle discipline). */
+  private def residualOf(vec: Column, cent: Column): Column =
+    zip_with(vec, cent,
+      (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
+
   private def residuals(centDf: DataFrame,
       centArr: Array[(Long, Seq[Float], Double)])(base: DataFrame): DataFrame =
     assignCentroid(base, centArr)
       .join(broadcast(centDf.select(col("c_id"), col("c_emb"))), Seq("c_id"))
       .select(col("vec_id"), col("c_id"),
-        expr("zip_with(embedding, c_emb, " +
-          "(a, b) -> CAST(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) AS FLOAT))")
-          .as("embedding"))
+        residualOf(col("embedding"), col("c_emb")).as("embedding"))
 
   private[graft] def pqResOracleCodebookPath(dir: String): String =
     oracleExportPath(s"$dir|pqres2", "pqres-codebooks")
@@ -1423,9 +1429,7 @@ object Similarity extends QueryModule {
               cent, annNprobe(s))
             .filter(col("c_rank") <= annNprobe(s))
             .select(col("vec_id").as("query_id"), col("c_id"),
-              expr("zip_with(embedding, c_emb, " +
-                "(a, b) -> CAST(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) AS FLOAT))")
-                .as("qres"))
+              residualOf(col("embedding"), col("c_emb")).as("qres"))
           // dense per-(query, bucket) ADC lookup arrays indexed by code,
           // one array column per subspace; codes a Lloyd round emptied
           // never appear in the coded corpus, so their slots are inert
