@@ -24,15 +24,23 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** Fixture contract for `documents.lang` (round-11 advice): the string
-    * 'UNKNOWN' is a RESERVED value — the per-lang scope queries
-    * (text_freq_merge, text_langid's eval join, agg_quantile_merge) fold
-    * a NULL lang to this sentinel on both engines, so a corpus that
-    * legitimately shipped lang='UNKNOWN' would silently merge that
-    * population with the NULL-lang scope. A deployment whose lang domain
-    * can contain the literal must remap it (or change the sentinel
-    * consistently at TextAnalysis.scala / Relational.scala / the oracle
-    * SQL — the three fold sites reference this contract). */
+  /** Fixture contract for `documents.lang` (round-11 advice): the
+    * strings 'UNKNOWN' and 'ALL' are RESERVED values —
+    *  - 'UNKNOWN': the per-lang scope queries (text_freq_merge,
+    *    text_langid's eval join, agg_quantile_merge) fold a NULL lang
+    *    to this sentinel on both engines, so a corpus that legitimately
+    *    shipped lang='UNKNOWN' would silently merge that population
+    *    with the NULL-lang scope;
+    *  - 'ALL': the sketch-rollup queries (text_freq_merge,
+    *    agg_quantile_merge, agg_sketch_merge) label their global rollup
+    *    row with this scope, so a corpus shipping lang='ALL' would
+    *    collide two populations under one scope key (and their oracles'
+    *    UNION + GROUP BY would merge them differently than the engines'
+    *    two distinct rows — a hash hazard, round-12 review finding).
+    * A deployment whose lang domain can contain either literal must
+    * remap it at ingest (or change the sentinels consistently at
+    * TextAnalysis.scala / Relational.scala / the oracle SQL — the fold
+    * and rollup sites reference this contract). */
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -37,11 +37,19 @@ object Multimodal extends QueryModule {
     "[0-9]", "[ ]", "[.,;:]", "[qwxz]", "[stnr]")
 
   /** 8-dim char-class frequency vector of a string column (9-dp rounded
-    * doubles — exactly representable inputs for the decimal dots). */
+    * doubles — exactly representable inputs for the decimal dots). A
+    * zero-LENGTH (or NULL) text has no frequency distribution — the
+    * whole array is NULL, never a 0/0 element: under ANSI the bare
+    * divide would throw, and the DuckDB twin's DOUBLE 0/0 is IEEE NaN,
+    * which poisons CAST(... AS DECIMAL) in the dot (review finding —
+    * the withNorm NaN-parity class). The SQL twin divides by
+    * nullif(length(text), 0), so both engines render the degenerate
+    * doc as NULL features → NULL cosine. */
   private def featOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def classCount(cls: String) =
       (length(c) - length(regexp_replace(c, cls, ""))).cast("double")
-    array(FeatureClasses.map(cl => round(classCount(cl) / length(c), 9)): _*)
+    when(length(c) > 0,
+      array(FeatureClasses.map(cl => round(classCount(cl) / length(c), 9)): _*))
   }
 
   /** Decoded-metadata row produced by the (stubbed) decoder. */
@@ -555,7 +563,7 @@ object Multimodal extends QueryModule {
     * (review finding — the FeatureClasses discipline applied to the
     * oracle side too). */
   private val featsSql: String = FeatureClasses.zipWithIndex.map { case (cl, i) =>
-    s"round(CAST(length(text) - length(regexp_replace(text, '$cl', '', 'g')) AS DOUBLE) / length(text), 9) AS f$i"
+    s"round(CAST(length(text) - length(regexp_replace(text, '$cl', '', 'g')) AS DOUBLE) / nullif(length(text), 0), 9) AS f$i"
   }.mkString(",\n         ")
 
   private def dotSql(x: String, y: String): String =

@@ -359,7 +359,7 @@ object Similarity extends QueryModule {
   def pinOracleFixture(dir: String): Unit = {
     lastIvf = (dir, lastIvf._2)
     lastPq = dir
-    lastPqRes = dir
+    lastPqRes = (dir, lastPqRes._2)
   }
 
   private val ivfExported = new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
@@ -574,23 +574,33 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("c_id"),
         residualOf(col("embedding"), col("c_emb")).as("embedding"))
 
-  private[graft] def pqResOracleCodebookPath(dir: String): String =
-    oracleExportPath(s"$dir|pqres2", "pqres-codebooks")
+  /** Keyed by (dir, COARSE iters) like the IVF centroid export:
+    * residual artifacts depend on the centroids that produced the
+    * residuals, so a kmeansIters override must address DIFFERENT
+    * staged/exported files — otherwise a same-JVM iters change would
+    * serve residual codes bucketed under the OLD quantizer against
+    * probes ranked by the NEW one (review finding; the content-
+    * addressing contract of ivfOracleCentroidsPath). The trailing
+    * `pqres2` is the sub-codebooks' OWN Lloyd iteration count. */
+  private[graft] def pqResOracleCodebookPath(dir: String, iters: Int): String =
+    oracleExportPath(s"$dir|c$iters|pqres2", "pqres-codebooks")
 
-  @volatile private var lastPqRes: String = "/root/testdata/sf0.01"
+  @volatile private var lastPqRes: (String, Int) = ("/root/testdata/sf0.01", 2)
 
-  private val pqResExported = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private val pqResExported =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
 
   /** Residual sub-codebooks (trained on x − centroid, staged, exported
     * for the compositional oracle — the pqCodebooks recipe on the
     * residual frame). */
-  private def pqResCodebooks(s: SparkSession, d: String, centDf: DataFrame,
+  private def pqResCodebooks(s: SparkSession, d: String, iters: Int,
+      centDf: DataFrame,
       centArr: Array[(Long, Seq[Float], Double)]): DataFrame = {
-    val staged = trainPqCodebooks(s, "pqres_codebooks_i2", d)(
+    val staged = trainPqCodebooks(s, s"pqres_codebooks_c${iters}_i2", d)(
       residuals(centDf, centArr)(withNorm(s, d)))
-    lastPqRes = d
-    pqResExported.computeIfAbsent(d, _ => {
-      val p = pqResOracleCodebookPath(d)
+    lastPqRes = (d, iters)
+    pqResExported.computeIfAbsent((d, iters), _ => {
+      val p = pqResOracleCodebookPath(d, iters)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
       graft.ScaleData.writeSingleFile(staged, p)
       true
@@ -1144,6 +1154,17 @@ object Similarity extends QueryModule {
         val preds: Seq[(String, DataFrame => DataFrame)] = Seq(
           "lang_zh" -> ((df: DataFrame) => df.join(zhIds, Seq("vec_id"), "left_semi")),
           "label_even" -> (labelEven(_)))
+        // predicate-INDEPENDENT probed candidates, built once and
+        // shared by every post arm (review finding: two broad
+        // predicates would otherwise each re-construct the corpus-scale
+        // assignment + bucket-join subtree; sharing the frame also
+        // lets AQE's exchange reuse fire across the union's branches,
+        // as it already does for the broadcast probe set)
+        lazy val candsAll = ivfCandidates(
+          assignCentroid(base, centArr)
+            .select(col("vec_id"), col("label"), col("embedding"),
+              col("n2"), col("c_id")),
+          probes)
         val arms = preds.map { case (name, pf) =>
           val nm = matchCount(d, name, pf(base))
           if (5 * nm <= nc) {
@@ -1156,12 +1177,9 @@ object Similarity extends QueryModule {
           } else {
             val kPrime =
               math.min(10L * K, math.max(2L * K, (K * nc + nm - 1) / nm)).toInt
-            val corpus = assignCentroid(base, centArr)
-              .select(col("vec_id"), col("label"), col("embedding"),
-                col("n2"), col("c_id"))
             val w2 = Window.partitionBy(col("query_id"))
               .orderBy(col("cosine").desc, col("vec_id"))
-            pf(exactTopK(ivfCandidates(corpus, probes), kPrime))
+            pf(exactTopK(candsAll, kPrime))
               .withColumn("rk2", row_number().over(w2))
               .filter(col("rk2") <= K)
               .select(lit(name).as("pred"), lit("post").as("policy"),
@@ -1408,7 +1426,8 @@ object Similarity extends QueryModule {
     "ann_ivfpq_residual" -> { (s, d) =>
       import s.implicits._
       val base = withNorm(s, d)
-      val centDf = ivfCentroids(s, d, annKmeansIters(s))
+      val iters = annKmeansIters(s)
+      val centDf = ivfCentroids(s, d, iters)
       val centArr = collectQuantizer(centDf)
       // if/else EXPRESSIONS, not early returns (the kmeansMembers lesson)
       def empty = base.limit(0).select(col("vec_id").as("query_id"),
@@ -1416,11 +1435,11 @@ object Similarity extends QueryModule {
       if (centArr.isEmpty) empty
       else {
         val cent = broadcast(centDf)
-        val cb = collectPqCodebook(pqResCodebooks(s, d, centDf, centArr))
+        val cb = collectPqCodebook(pqResCodebooks(s, d, iters, centDf, centArr))
         if (cb.isEmpty) empty
         else {
           val maxCode = cb.map(_._2).max
-          val coded = graft.Staging.stage(s, "pqres_codes_i2", d) {
+          val coded = graft.Staging.stage(s, s"pqres_codes_c${iters}_i2", d) {
             pqEncode(residuals(centDf, centArr)(base), cb)
               .select(col("vec_id") +: col("c_id") +:
                 (0 until PqM).map(m => col(s"code_$m")): _*)
@@ -2024,7 +2043,7 @@ object Similarity extends QueryModule {
       s"""WITH $exSql,
          |$assignMembersSql,
          |rcb AS (SELECT m, code, generate_subscripts(c_sub, 1) AS j, unnest(c_sub) AS x
-         |        FROM parquet_scan('${pqResOracleCodebookPath(lastPqRes)}')),
+         |        FROM parquet_scan('${pqResOracleCodebookPath(lastPqRes._1, lastPqRes._2)}')),
          |res AS (
          |  SELECT e.vec_id, mm.c_id,
          |         CAST((e.i - 1) // $PqSubDim AS INT) AS m,
