@@ -212,6 +212,11 @@ object ExplainDump {
       "c_id (join-based ADC — plan size independent of the query-batch size), then reduced " +
       "by the bounded topKLong aggregator; probing restricts the scan to nprobe buckets of " +
       "4-byte codes — no per-query window over the coded corpus (PlanSpec-pinned)"),
+    "ann_filtered_pq" -> ("filtered IVFADC (the production filtered-search serving shape): " +
+      "the pre arm's predicate filters the coded-INDEX scan below the broadcast ADC join " +
+      "(LeftSemi for the dimension predicate, a plain scan filter for index-resident " +
+      "metadata), the post arm filters the exact fixed-point top-k' survivors; every join " +
+      "broadcast — the coded corpus never shuffles (PlanSpec-pinned)"),
     "mm_crossmodal" -> ("text query → media corpus over one shared feature space: the media " +
       "arm is scan → decode → featurize in ONE narrow pass (payload pruned before any " +
       "exchange — PlanSpec-pinned), query features broadcast, per-query top-k through the " +

@@ -45,7 +45,8 @@ object Verify {
       // dedup_semantic blocks on the same derived hyperplane buckets
       "spark.graft.ann.bitsPerBand" -> Seq("ann_lsh", "dedup_embedding", "dedup_semantic"),
       "spark.graft.ann.probeHamming" -> Seq("ann_lsh"),
-      "spark.graft.ann.nprobe" -> Seq("ann_ivf", "ann_filtered", "ann_ivfpq_residual"),
+      "spark.graft.ann.nprobe" -> Seq(
+        "ann_ivf", "ann_filtered", "ann_ivfpq_residual", "ann_filtered_pq"),
       "spark.graft.dedup.embTau" -> Seq("dedup_embedding"),
       "spark.graft.dedup.semTau" -> Seq("dedup_semantic"),
       "spark.graft.dedup.levMaxLen" -> Seq("dedup_levenshtein", "dedup_lev_blocked"),

@@ -571,8 +571,76 @@ object Similarity extends QueryModule {
       centArr: Array[(Long, Seq[Float], Double)])(base: DataFrame): DataFrame =
     assignCentroid(base, centArr)
       .join(broadcast(centDf.select(col("c_id"), col("c_emb"))), Seq("c_id"))
-      .select(col("vec_id"), col("c_id"),
+      // label rides along into the coded index: a PQ store keeps its
+      // filterable metadata NEXT TO the codes (ann_filtered_pq's pre
+      // arm filters the index scan on it) — one skinny int per row
+      .select(col("vec_id"), col("label"), col("c_id"),
         residualOf(col("embedding"), col("c_emb")).as("embedding"))
+
+  /** The staged residual-coded corpus — THE persisted IVFADC index:
+    * (vec_id, label, c_id, code_0..code_{M-1}). Shared by
+    * ann_ivfpq_residual and ann_filtered_pq. */
+  private def residualCodedCorpus(s: SparkSession, d: String, iters: Int,
+      centDf: DataFrame, centArr: Array[(Long, Seq[Float], Double)],
+      cb: Array[(Int, Int, Seq[Float])]): DataFrame =
+    graft.Staging.stage(s, s"pqres_codes_c${iters}_i2", d) {
+      pqEncode(residuals(centDf, centArr)(withNorm(s, d)), cb)
+        .select(col("vec_id") +: col("label") +: col("c_id") +:
+          (0 until PqM).map(m => col(s"code_$m")): _*)
+    }
+
+  /** (query_id, c_id, a_0..a_{M-1}) — per-(query, probed bucket) dense
+    * ADC lookup arrays over the residual sub-codebooks, computed
+    * IN-ENGINE on the probe frame (NQ × nprobe rows) and BROADCAST by
+    * consumers: the join-based ADC, plan size O(M·Ksub) expressions
+    * regardless of the query-batch size. Codes a Lloyd round emptied
+    * never appear in the coded corpus, so their slots are inert. */
+  private def residualAdcTabs(s: SparkSession, base: DataFrame,
+      cent: DataFrame, cb: Array[(Int, Int, Seq[Float])]): DataFrame = {
+    val maxCode = cb.map(_._2).max
+    val probesR = rankCentroids(base.filter(col("vec_id") < NQ),
+        cent, annNprobe(s))
+      .filter(col("c_rank") <= annNprobe(s))
+      .select(col("vec_id").as("query_id"), col("c_id"),
+        residualOf(col("embedding"), col("c_emb")).as("qres"))
+    (0 until PqM).foldLeft(probesR) { (acc, m) =>
+      val cands = cb.filter(_._1 == m)
+      acc.withColumn(s"a_$m", array((0 to maxCode).map { code =>
+        cands.find(_._2 == code) match {
+          case Some((_, _, c)) => d2Fp(d2Dec(subVec(col("qres"), m), c))
+          case None            => lit(Long.MaxValue)
+        }
+      }: _*))
+    }.drop("qres")
+  }
+
+  /** Exact fixed-point ADC score per (query, candidate) over probed
+    * buckets: one broadcast join of the coded corpus against the ADC
+    * arrays on the bucket id, then an element_at sum per subspace —
+    * no unpivot, no intermediate aggregation. Keeps `label` for
+    * post-filter consumers. */
+  private def adcScores(coded: DataFrame, adcTabs: DataFrame): DataFrame =
+    coded.join(broadcast(adcTabs), Seq("c_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        (0 until PqM).map(m =>
+          element_at(col(s"a_$m"), col(s"code_$m") + 1)).reduce(_ + _)
+          .as("dfp"))
+
+  /** Hierarchical exact-integer top-k ranks over (query_id, vec_id,
+    * dfp) — ascending dfp, vec_id tiebreak — through the bounded
+    * topKLong aggregator. Output (query_id, rk, vec_id, adc_d2_fp). */
+  private def topKLongRanks(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    scored.select(col("query_id"), col("vec_id"), col("dfp"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (-t._3, t._2))
+      .agg(graft.operators.TopK.topKLong(k).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case ((v, id), i) => (qid, i + 1, id, -v) } }
+      .toDF("query_id", "rk", "vec_id", "adc_d2_fp")
+  }
 
   /** Keyed by (dir, COARSE iters) like the IVF centroid export:
     * residual artifacts depend on the centroids that produced the
@@ -1438,43 +1506,83 @@ object Similarity extends QueryModule {
         val cb = collectPqCodebook(pqResCodebooks(s, d, iters, centDf, centArr))
         if (cb.isEmpty) empty
         else {
-          val maxCode = cb.map(_._2).max
-          val coded = graft.Staging.stage(s, s"pqres_codes_c${iters}_i2", d) {
-            pqEncode(residuals(centDf, centArr)(base), cb)
-              .select(col("vec_id") +: col("c_id") +:
-                (0 until PqM).map(m => col(s"code_$m")): _*)
-          }
-          val probesR = rankCentroids(base.filter(col("vec_id") < NQ),
-              cent, annNprobe(s))
-            .filter(col("c_rank") <= annNprobe(s))
-            .select(col("vec_id").as("query_id"), col("c_id"),
-              residualOf(col("embedding"), col("c_emb")).as("qres"))
-          // dense per-(query, bucket) ADC lookup arrays indexed by code,
-          // one array column per subspace; codes a Lloyd round emptied
-          // never appear in the coded corpus, so their slots are inert
-          val adcTabs = (0 until PqM).foldLeft(probesR) { (acc, m) =>
-            val cands = cb.filter(_._1 == m)
-            acc.withColumn(s"a_$m", array((0 to maxCode).map { code =>
-              cands.find(_._2 == code) match {
-                case Some((_, _, c)) => d2Fp(d2Dec(subVec(col("qres"), m), c))
-                case None            => lit(Long.MaxValue)
-              }
-            }: _*))
-          }.drop("qres")
-          coded.join(broadcast(adcTabs), Seq("c_id"))
-            .filter(col("vec_id") =!= col("query_id"))
-            .select(col("query_id"), col("vec_id"),
-              (0 until PqM).map(m =>
-                element_at(col(s"a_$m"), col(s"code_$m") + 1)).reduce(_ + _)
-                .as("dfp"))
-            .as[(Long, Long, Long)]
-            .groupByKey(_._1)
-            .mapValues(t => (-t._3, t._2))
-            .agg(graft.operators.TopK.topKLong(K).toColumn.name("top"))
-            .flatMap { case (qid, top) =>
-              top.zipWithIndex.map { case ((v, id), i) => (qid, i + 1, id, -v) } }
-            .toDF("query_id", "rk", "vec_id", "adc_d2_fp")
+          val coded = residualCodedCorpus(s, d, iters, centDf, centArr, cb)
+          val adcTabs = residualAdcTabs(s, base, cent, cb)
+          topKLongRanks(s, adcScores(coded, adcTabs), K)
             .orderBy(col("query_id"), col("rk"))
+        }
+      }
+    },
+
+    // FILTERED search over the IVFADC index — the composition of the
+    // round's two serving shapes, and precisely how a production
+    // vector store serves "top-k where <metadata predicate>" at scale
+    // (FAISS IVFPQ + an IDSelector / payload filter): the SAME
+    // selectivity-driven pre/post-filter policy as ann_filtered, but
+    // the candidate scan is the residual-coded index, not the float
+    // vectors. The pre arm filters the INDEX SCAN itself (the coded
+    // corpus carries its filterable metadata next to the codes —
+    // label directly, dimension predicates via a broadcast semi join)
+    // below the ADC join; the post arm over-fetches the exact
+    // fixed-point top-k′ from the unfiltered probed buckets, then
+    // filters the k′ survivors and re-ranks. Every score is the exact
+    // ×10¹² BIGINT ADC distance, so the oracle replays the whole
+    // pipeline — probe, encode, ADC, policy, k′ — compositionally from
+    // the two exported artifacts, and the gate is a full hash match.
+    "ann_filtered_pq" -> { (s, d) =>
+      val base = withNorm(s, d)
+      val iters = annKmeansIters(s)
+      val centDf = ivfCentroids(s, d, iters)
+      val centArr = collectQuantizer(centDf)
+      def empty = base.limit(0).select(lit("").as("pred"), lit("").as("policy"),
+        col("vec_id").as("query_id"), lit(1).as("rk"), col("vec_id"),
+        lit(0L).as("adc_d2_fp"))
+      if (centArr.isEmpty) empty
+      else {
+        val cent = broadcast(centDf)
+        val cb = collectPqCodebook(pqResCodebooks(s, d, iters, centDf, centArr))
+        if (cb.isEmpty) empty
+        else {
+          val coded = residualCodedCorpus(s, d, iters, centDf, centArr, cb)
+          val adcTabs = residualAdcTabs(s, base, cent, cb)
+          val nc = indexableCount(s, d)
+          val zhIds = broadcast(Tables.documents(s, d)
+            .filter(col("lang") === "zh").select(col("doc_id").as("vec_id")))
+          def labelEven(df: DataFrame): DataFrame =
+            df.filter(col("label").isNotNull && col("label") % 2 === 0)
+          val preds: Seq[(String, DataFrame => DataFrame)] = Seq(
+            "lang_zh" -> ((df: DataFrame) => df.join(zhIds, Seq("vec_id"), "left_semi")),
+            "label_even" -> (labelEven(_)))
+          // the unfiltered ADC ranking, shared by every post arm
+          lazy val scoredAll = adcScores(coded, adcTabs)
+          val arms = preds.map { case (name, pf) =>
+            val nm = matchCount(d, name, pf(base))
+            if (5 * nm <= nc) {
+              // PRE: the predicate filters the coded-INDEX scan, below
+              // the ADC broadcast join
+              topKLongRanks(s, adcScores(pf(coded), adcTabs), K)
+                .select(lit(name).as("pred"), lit("pre").as("policy"),
+                  col("query_id"), col("rk"), col("vec_id"), col("adc_d2_fp"))
+            } else {
+              val kPrime =
+                math.min(10L * K, math.max(2L * K, (K * nc + nm - 1) / nm)).toInt
+              val w2 = Window.partitionBy(col("query_id"))
+                .orderBy(col("adc_d2_fp"), col("vec_id"))
+              // POST: exact top-k′ over the unfiltered probed codes,
+              // predicate on the ≤ NQ·k′ survivors (semi join against
+              // the match-id set — the candidate-driven metadata
+              // lookup), re-rank
+              topKLongRanks(s, scoredAll, kPrime)
+                .join(pf(base).select(col("vec_id")), Seq("vec_id"), "left_semi")
+                .withColumn("rk2", row_number().over(w2))
+                .filter(col("rk2") <= K)
+                .select(lit(name).as("pred"), lit("post").as("policy"),
+                  col("query_id"), col("rk2").as("rk"), col("vec_id"),
+                  col("adc_d2_fp"))
+            }
+          }
+          arms.reduce(_.unionByName(_))
+            .orderBy(col("pred"), col("query_id"), col("rk"))
         }
       }
     },
@@ -1647,6 +1755,65 @@ object Similarity extends QueryModule {
        |         row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rank
        |  FROM assign),
        |members AS (SELECT vec_id, c_id FROM ranked WHERE c_rank = 1)""".stripMargin
+
+  /** The IVFADC CTE chain (residual sub-codebooks → per-vector residual
+    * encoding → probe residual ADC tables → summed BIGINT scores over
+    * probed buckets), ONE copy shared by the ann_ivfpq_residual and
+    * ann_filtered_pq oracles (the incrementalOracle discipline). A DEF:
+    * embeds the fixture-keyed codebook export path of the last build,
+    * like [[assignMembersSql]]. Expects ex/norms/cex/members/ranked in
+    * scope; yields `adc(query_id, vec_id, adc_d2_fp)`. */
+  private def residualAdcSql: String =
+    s"""rcb AS (SELECT m, code, generate_subscripts(c_sub, 1) AS j, unnest(c_sub) AS x
+       |        FROM parquet_scan('${pqResOracleCodebookPath(lastPqRes._1, lastPqRes._2)}')),
+       |res AS (
+       |  SELECT e.vec_id, mm.c_id,
+       |         CAST((e.i - 1) // $PqSubDim AS INT) AS m,
+       |         CAST((e.i - 1) % $PqSubDim + 1 AS INT) AS j,
+       |         CAST(CAST(e.x AS DOUBLE) - CAST(c.x AS DOUBLE) AS REAL) AS r
+       |  FROM ex e
+       |  JOIN members mm ON mm.vec_id = e.vec_id
+       |  JOIN cex c ON c.c_id = mm.c_id AND c.i = e.i),
+       |d2r AS (
+       |  SELECT r.vec_id, r.m, b.code,
+       |         sum(CAST(CAST(r.r AS DOUBLE) * CAST(r.r AS DOUBLE) AS DECIMAL(38,12)))
+       |       - 2 * sum(CAST(CAST(r.r AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12)))
+       |       + sum(CAST(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS d2dec
+       |  FROM res r JOIN rcb b ON b.m = r.m AND b.j = r.j
+       |  GROUP BY r.vec_id, r.m, b.code),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2dec, code) AS rn
+       |    FROM d2r) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
+       |           WHERE vec_id < $NQ AND c_rank <= 4),
+       |qres AS (
+       |  SELECT p.query_id, p.c_id,
+       |         CAST((e.i - 1) // $PqSubDim AS INT) AS m,
+       |         CAST((e.i - 1) % $PqSubDim + 1 AS INT) AS j,
+       |         CAST(CAST(e.x AS DOUBLE) - CAST(c.x AS DOUBLE) AS REAL) AS r
+       |  FROM probes p
+       |  JOIN ex e ON e.vec_id = p.query_id
+       |  JOIN cex c ON c.c_id = p.c_id AND c.i = e.i),
+       |qd2 AS (
+       |  SELECT q.query_id, q.c_id, q.m, b.code,
+       |         sum(CAST(CAST(q.r AS DOUBLE) * CAST(q.r AS DOUBLE) AS DECIMAL(38,12)))
+       |       - 2 * sum(CAST(CAST(q.r AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12)))
+       |       + sum(CAST(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS d2dec
+       |  FROM qres q JOIN rcb b ON b.m = q.m AND b.j = q.j
+       |  GROUP BY q.query_id, q.c_id, q.m, b.code),
+       |qtab AS (SELECT query_id, c_id, m, code,
+       |                CAST(CAST(d2dec AS DECIMAL(24,12)) *
+       |                     CAST($PqFp AS DECIMAL(13,0)) AS BIGINT) AS dfp
+       |         FROM qd2),
+       |adc AS (
+       |  SELECT q.query_id, mm.vec_id, CAST(sum(q.dfp) AS BIGINT) AS adc_d2_fp
+       |  FROM members mm
+       |  JOIN codes cd ON cd.vec_id = mm.vec_id
+       |  JOIN qtab q ON q.c_id = mm.c_id AND q.m = cd.m AND q.code = cd.code
+       |  WHERE mm.vec_id <> q.query_id
+       |  GROUP BY q.query_id, mm.vec_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
 
@@ -2042,62 +2209,66 @@ object Similarity extends QueryModule {
     "ann_ivfpq_residual" ->
       s"""WITH $exSql,
          |$assignMembersSql,
-         |rcb AS (SELECT m, code, generate_subscripts(c_sub, 1) AS j, unnest(c_sub) AS x
-         |        FROM parquet_scan('${pqResOracleCodebookPath(lastPqRes._1, lastPqRes._2)}')),
-         |res AS (
-         |  SELECT e.vec_id, mm.c_id,
-         |         CAST((e.i - 1) // $PqSubDim AS INT) AS m,
-         |         CAST((e.i - 1) % $PqSubDim + 1 AS INT) AS j,
-         |         CAST(CAST(e.x AS DOUBLE) - CAST(c.x AS DOUBLE) AS REAL) AS r
-         |  FROM ex e
-         |  JOIN members mm ON mm.vec_id = e.vec_id
-         |  JOIN cex c ON c.c_id = mm.c_id AND c.i = e.i),
-         |d2r AS (
-         |  SELECT r.vec_id, r.m, b.code,
-         |         sum(CAST(CAST(r.r AS DOUBLE) * CAST(r.r AS DOUBLE) AS DECIMAL(38,12)))
-         |       - 2 * sum(CAST(CAST(r.r AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12)))
-         |       + sum(CAST(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS d2dec
-         |  FROM res r JOIN rcb b ON b.m = r.m AND b.j = r.j
-         |  GROUP BY r.vec_id, r.m, b.code),
-         |codes AS (
-         |  SELECT vec_id, m, code FROM (
-         |    SELECT vec_id, m, code,
-         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2dec, code) AS rn
-         |    FROM d2r) WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
-         |           WHERE vec_id < $NQ AND c_rank <= 4),
-         |qres AS (
-         |  SELECT p.query_id, p.c_id,
-         |         CAST((e.i - 1) // $PqSubDim AS INT) AS m,
-         |         CAST((e.i - 1) % $PqSubDim + 1 AS INT) AS j,
-         |         CAST(CAST(e.x AS DOUBLE) - CAST(c.x AS DOUBLE) AS REAL) AS r
-         |  FROM probes p
-         |  JOIN ex e ON e.vec_id = p.query_id
-         |  JOIN cex c ON c.c_id = p.c_id AND c.i = e.i),
-         |qd2 AS (
-         |  SELECT q.query_id, q.c_id, q.m, b.code,
-         |         sum(CAST(CAST(q.r AS DOUBLE) * CAST(q.r AS DOUBLE) AS DECIMAL(38,12)))
-         |       - 2 * sum(CAST(CAST(q.r AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12)))
-         |       + sum(CAST(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS d2dec
-         |  FROM qres q JOIN rcb b ON b.m = q.m AND b.j = q.j
-         |  GROUP BY q.query_id, q.c_id, q.m, b.code),
-         |qtab AS (SELECT query_id, c_id, m, code,
-         |                CAST(CAST(d2dec AS DECIMAL(24,12)) *
-         |                     CAST($PqFp AS DECIMAL(13,0)) AS BIGINT) AS dfp
-         |         FROM qd2),
-         |adc AS (
-         |  SELECT q.query_id, mm.vec_id, CAST(sum(q.dfp) AS BIGINT) AS adc_d2_fp
-         |  FROM members mm
-         |  JOIN codes cd ON cd.vec_id = mm.vec_id
-         |  JOIN qtab q ON q.c_id = mm.c_id AND q.m = cd.m AND q.code = cd.code
-         |  WHERE mm.vec_id <> q.query_id
-         |  GROUP BY q.query_id, mm.vec_id)
+         |$residualAdcSql
          |SELECT query_id, CAST(rk AS INT) AS rk, vec_id, adc_d2_fp
          |FROM (SELECT query_id, vec_id, adc_d2_fp,
          |             row_number() OVER (PARTITION BY query_id ORDER BY adc_d2_fp, vec_id) AS rk
          |      FROM adc)
          |WHERE rk <= $K
          |ORDER BY query_id, rk""".stripMargin,
+
+    // the IVFADC ranking (shared $residualAdcSql CTEs) gated by
+    // ann_filtered's policy machinery — same integer selectivity rule,
+    // same k′, same arm gating; scores stay exact BIGINT ADC distances
+    "ann_filtered_pq" ->
+      s"""WITH $exSql,
+         |$assignMembersSql,
+         |$residualAdcSql,
+         |ranked_all AS (
+         |  SELECT query_id, vec_id, adc_d2_fp,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adc_d2_fp, vec_id) AS rk1
+         |  FROM adc),
+         |ntot AS (SELECT count(*) AS n FROM norms),
+         |mz AS (SELECT n.vec_id FROM norms n JOIN documents dd ON dd.doc_id = n.vec_id
+         |       WHERE dd.lang = 'zh'),
+         |me AS (SELECT n.vec_id FROM norms n JOIN embeddings e ON e.vec_id = n.vec_id
+         |       WHERE e.label IS NOT NULL AND e.label % 2 = 0),
+         |nmz AS (SELECT count(*) AS n FROM mz),
+         |nme AS (SELECT count(*) AS n FROM me),
+         |pre_z AS (
+         |  SELECT 'lang_zh' AS pred, 'pre' AS policy, query_id, rk, vec_id, adc_d2_fp
+         |  FROM (SELECT a.query_id, a.vec_id, a.adc_d2_fp,
+         |               row_number() OVER (PARTITION BY a.query_id ORDER BY a.adc_d2_fp, a.vec_id) AS rk
+         |        FROM adc a JOIN mz ON mz.vec_id = a.vec_id)
+         |  WHERE rk <= $K AND 5 * (SELECT n FROM nmz) <= (SELECT n FROM ntot)),
+         |post_z AS (
+         |  SELECT 'lang_zh' AS pred, 'post' AS policy, query_id, rk, vec_id, adc_d2_fp
+         |  FROM (SELECT r.query_id, r.vec_id, r.adc_d2_fp,
+         |               row_number() OVER (PARTITION BY r.query_id ORDER BY r.adc_d2_fp, r.vec_id) AS rk
+         |        FROM ranked_all r JOIN mz ON mz.vec_id = r.vec_id
+         |        WHERE r.rk1 <= least(${10 * K}, greatest(${2 * K},
+         |          ($K * (SELECT n FROM ntot) + (SELECT n FROM nmz) - 1)
+         |            // greatest((SELECT n FROM nmz), 1))))
+         |  WHERE rk <= $K AND 5 * (SELECT n FROM nmz) > (SELECT n FROM ntot)),
+         |pre_e AS (
+         |  SELECT 'label_even' AS pred, 'pre' AS policy, query_id, rk, vec_id, adc_d2_fp
+         |  FROM (SELECT a.query_id, a.vec_id, a.adc_d2_fp,
+         |               row_number() OVER (PARTITION BY a.query_id ORDER BY a.adc_d2_fp, a.vec_id) AS rk
+         |        FROM adc a JOIN me ON me.vec_id = a.vec_id)
+         |  WHERE rk <= $K AND 5 * (SELECT n FROM nme) <= (SELECT n FROM ntot)),
+         |post_e AS (
+         |  SELECT 'label_even' AS pred, 'post' AS policy, query_id, rk, vec_id, adc_d2_fp
+         |  FROM (SELECT r.query_id, r.vec_id, r.adc_d2_fp,
+         |               row_number() OVER (PARTITION BY r.query_id ORDER BY r.adc_d2_fp, r.vec_id) AS rk
+         |        FROM ranked_all r JOIN me ON me.vec_id = r.vec_id
+         |        WHERE r.rk1 <= least(${10 * K}, greatest(${2 * K},
+         |          ($K * (SELECT n FROM ntot) + (SELECT n FROM nme) - 1)
+         |            // greatest((SELECT n FROM nme), 1))))
+         |  WHERE rk <= $K AND 5 * (SELECT n FROM nme) > (SELECT n FROM ntot))
+         |SELECT pred, policy, query_id, CAST(rk AS INT) AS rk, vec_id, adc_d2_fp
+         |FROM (SELECT * FROM pre_z UNION ALL SELECT * FROM post_z
+         |      UNION ALL SELECT * FROM pre_e UNION ALL SELECT * FROM post_e)
+         |ORDER BY pred, query_id, rk""".stripMargin,
 
     // exported-centroid assignment (members) + the same md5-derived
     // hyperplane blocking as dedup_embedding, block key (c_id, band,

@@ -774,6 +774,31 @@ class PlanSpec extends GraftSuite {
     assert(badWindow.isEmpty, s"per-query window over the coded corpus:\n$badWindow")
   }
 
+  test("ann_filtered_pq: predicate below the ADC join, broadcast-only joins, bounded aggregate") {
+    // filtered IVFADC: the pre arm's predicate must filter the coded-
+    // INDEX scan below the broadcast ADC join (LeftSemi for the
+    // dimension predicate; the label predicate is a plain scan filter),
+    // every join must be broadcast (the coded corpus never shuffles for
+    // a join), and the ranking must be the bounded topKLong aggregate
+    val df = q("ann_filtered_pq")
+    val sp = df.queryExecution.sparkPlan
+    val joins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, s"joins missing:\n$sp")
+    val nonBroadcast = joins.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      .filterNot(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(nonBroadcast.isEmpty,
+      s"non-broadcast join in the filtered-PQ plan:\n$nonBroadcast")
+    assert(sp.toString.contains("LeftSemi"), s"pre-filter semi join missing:\n$sp")
+    assert(sp.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }.nonEmpty, s"bounded top-k aggregator missing:\n$sp")
+    assert(!sp.toString.contains("CartesianProduct"), s"cartesian:\n$sp")
+  }
+
   test("dedup_semantic: no window, no cartesian, codegen two-phase verify") {
     // SemDeDup prune: cluster-mate candidates must come from the
     // (c_id, band, bucket)-blocked self-join — never a per-cluster

@@ -266,6 +266,52 @@ class SimilaritySpec extends GraftSuite {
       s"copy not at the minimum ADC distance: ${q0.mkString(",")}")
   }
 
+  test("ann_filtered_pq: policy rule holds, predicates hold, ADC monotone, agrees with the unfiltered index") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("ann_filtered_pq").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSet == Set("lang_zh", "label_even"))
+    val zhIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "zh").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    def matches(pred: String, id: Long): Boolean = pred match {
+      case "lang_zh"    => zhIds.contains(id)
+      case "label_even" => emb(id) >= 0 && emb(id) % 2 == 0
+    }
+    val nc = emb.size
+    val nMatch = Map(
+      "lang_zh" -> emb.keys.count(matches("lang_zh", _)),
+      "label_even" -> emb.keys.count(matches("label_even", _)))
+    rows.groupBy(_._1).foreach { case (pred, rs) =>
+      val expect = if (5L * nMatch(pred) <= nc) "pre" else "post"
+      assert(rs.map(_._2).toSet == Set(expect), s"$pred policy ${rs.map(_._2).toSet}")
+    }
+    rows.foreach { case (pred, _, qid, _, vid, _) =>
+      assert(vid != qid)
+      assert(matches(pred, vid), s"$pred violated by vec $vid")
+    }
+    rows.groupBy(r => (r._1, r._3)).values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rs.length))
+      // exact fixed-point ADC distances are non-decreasing with rank
+      assert(sorted.map(_._6).toSeq == sorted.map(_._6).sorted.toSeq)
+    }
+    // consistency with the unfiltered IVFADC index: a filtered result's
+    // ADC distance comes from the SAME index, so every (query, vec)
+    // that also appears in ann_ivfpq_residual's top list must carry
+    // the identical score
+    val unfiltered = q("ann_ivfpq_residual").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    rows.foreach { case (_, _, qid, _, vid, adc) =>
+      unfiltered.get((qid, vid)).foreach(u =>
+        assert(u == adc, s"ADC drift between filtered and unfiltered index at ($qid,$vid)"))
+    }
+  }
+
   test("ann_range agrees with ann_brute above the radius") {
     val tau = 0.25
     val range = q("ann_range").collect()
