@@ -246,6 +246,30 @@ object Similarity extends QueryModule {
   private def matchCount(d: String, pred: String, df: => DataFrame): Long =
     matchCounts.computeIfAbsent((d, pred), _ => df.count())
 
+  /** The metadata-filter predicate set shared by ann_filtered and
+    * ann_filtered_pq — ONE copy of the predicate definitions (review
+    * finding: the policy machinery had drifted into per-query copies).
+    * Each transform applies to ANY frame carrying (vec_id, label): the
+    * float corpus, the coded index, or a survivor set with its index
+    * metadata attached. lang_zh is the DIMENSION-join predicate (the
+    * filtered dim broadcasts); label_even is vector-table metadata
+    * (pushes into the scan as a plain filter). */
+  private def filterPreds(s: SparkSession, d: String): Seq[(String, DataFrame => DataFrame)] = {
+    val zhIds = broadcast(Tables.documents(s, d)
+      .filter(col("lang") === "zh").select(col("doc_id").as("vec_id")))
+    Seq(
+      "lang_zh" -> ((df: DataFrame) => df.join(zhIds, Seq("vec_id"), "left_semi")),
+      "label_even" -> ((df: DataFrame) =>
+        df.filter(col("label").isNotNull && col("label") % 2 === 0)))
+  }
+
+  /** Filter-strategy policy + over-fetch, as exact integer rules the
+    * oracles recompute: pre-filter iff sel ≤ 0.2 ⇔ 5·nm ≤ nc; post
+    * arms over-fetch k′ = ⌈K·nc/nm⌉ clamped to [2K, 10K]. */
+  private def preFilterChosen(nm: Long, nc: Long): Boolean = 5 * nm <= nc
+  private def overfetchK(nc: Long, nm: Long): Int =
+    math.min(10L * K, math.max(2L * K, (K * nc + nm - 1) / nm)).toInt
+
   /** Smallest b ≥ 4 with 2^b · [[TargetBucket]] ≥ n — the integer form of
     * bits ≈ log2(corpus / target bucket), exact-arithmetic so any SQL
     * oracle computes the identical value (a floating log2 could round
@@ -617,12 +641,11 @@ object Similarity extends QueryModule {
   /** Exact fixed-point ADC score per (query, candidate) over probed
     * buckets: one broadcast join of the coded corpus against the ADC
     * arrays on the bucket id, then an element_at sum per subspace —
-    * no unpivot, no intermediate aggregation. Keeps `label` for
-    * post-filter consumers. */
+    * no unpivot, no intermediate aggregation. */
   private def adcScores(coded: DataFrame, adcTabs: DataFrame): DataFrame =
     coded.join(broadcast(adcTabs), Seq("c_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("label"),
+      .select(col("query_id"), col("vec_id"),
         (0 until PqM).map(m =>
           element_at(col(s"a_$m"), col(s"code_$m") + 1)).reduce(_ + _)
           .as("dfp"))
@@ -1212,16 +1235,10 @@ object Similarity extends QueryModule {
         val cent = broadcast(centDf)
         val probes = ivfProbes(s, base, cent)
         val nc = indexableCount(s, d)
-        val zhIds = broadcast(Tables.documents(s, d)
-          .filter(col("lang") === "zh").select(col("doc_id").as("vec_id")))
-        def labelEven(df: DataFrame): DataFrame =
-          df.filter(col("label").isNotNull && col("label") % 2 === 0)
-        // (name, predicate-as-transform) — the transform is applied to
-        // the corpus BELOW candidates (pre arm) or to the k′ survivors
-        // (post arm); both shapes stay narrow/broadcast either way
-        val preds: Seq[(String, DataFrame => DataFrame)] = Seq(
-          "lang_zh" -> ((df: DataFrame) => df.join(zhIds, Seq("vec_id"), "left_semi")),
-          "label_even" -> (labelEven(_)))
+        // (name, predicate-as-transform) — ONE shared definition (see
+        // filterPreds); applied to the corpus BELOW candidates (pre
+        // arm) or to the k′ survivors, which carry label (post arm) —
+        // both shapes stay narrow/broadcast either way
         // predicate-INDEPENDENT probed candidates, built once and
         // shared by every post arm (review finding: two broad
         // predicates would otherwise each re-construct the corpus-scale
@@ -1233,9 +1250,9 @@ object Similarity extends QueryModule {
             .select(col("vec_id"), col("label"), col("embedding"),
               col("n2"), col("c_id")),
           probes)
-        val arms = preds.map { case (name, pf) =>
+        val arms = filterPreds(s, d).map { case (name, pf) =>
           val nm = matchCount(d, name, pf(base))
-          if (5 * nm <= nc) {
+          if (preFilterChosen(nm, nc)) {
             val corpus = assignCentroid(pf(base), centArr)
               .select(col("vec_id"), col("label"), col("embedding"),
                 col("n2"), col("c_id"))
@@ -1243,8 +1260,7 @@ object Similarity extends QueryModule {
               .select(lit(name).as("pred"), lit("pre").as("policy"),
                 col("query_id"), col("rk"), col("vec_id"), col("cosine"))
           } else {
-            val kPrime =
-              math.min(10L * K, math.max(2L * K, (K * nc + nm - 1) / nm)).toInt
+            val kPrime = overfetchK(nc, nm)
             val w2 = Window.partitionBy(col("query_id"))
               .orderBy(col("cosine").desc, col("vec_id"))
             pf(exactTopK(candsAll, kPrime))
@@ -1492,7 +1508,6 @@ object Similarity extends QueryModule {
     // bucket join restricts scanning to probed buckets' codes, and the
     // exact-integer topKLong aggregator keeps the top-k hierarchical.
     "ann_ivfpq_residual" -> { (s, d) =>
-      import s.implicits._
       val base = withNorm(s, d)
       val iters = annKmeansIters(s)
       val centDf = ivfCentroids(s, d, iters)
@@ -1546,34 +1561,32 @@ object Similarity extends QueryModule {
           val coded = residualCodedCorpus(s, d, iters, centDf, centArr, cb)
           val adcTabs = residualAdcTabs(s, base, cent, cb)
           val nc = indexableCount(s, d)
-          val zhIds = broadcast(Tables.documents(s, d)
-            .filter(col("lang") === "zh").select(col("doc_id").as("vec_id")))
-          def labelEven(df: DataFrame): DataFrame =
-            df.filter(col("label").isNotNull && col("label") % 2 === 0)
-          val preds: Seq[(String, DataFrame => DataFrame)] = Seq(
-            "lang_zh" -> ((df: DataFrame) => df.join(zhIds, Seq("vec_id"), "left_semi")),
-            "label_even" -> (labelEven(_)))
           // the unfiltered ADC ranking, shared by every post arm
           lazy val scoredAll = adcScores(coded, adcTabs)
-          val arms = preds.map { case (name, pf) =>
+          val arms = filterPreds(s, d).map { case (name, pf) =>
             val nm = matchCount(d, name, pf(base))
-            if (5 * nm <= nc) {
+            if (preFilterChosen(nm, nc)) {
               // PRE: the predicate filters the coded-INDEX scan, below
               // the ADC broadcast join
               topKLongRanks(s, adcScores(pf(coded), adcTabs), K)
                 .select(lit(name).as("pred"), lit("pre").as("policy"),
                   col("query_id"), col("rk"), col("vec_id"), col("adc_d2_fp"))
             } else {
-              val kPrime =
-                math.min(10L * K, math.max(2L * K, (K * nc + nm - 1) / nm)).toInt
+              val kPrime = overfetchK(nc, nm)
               val w2 = Window.partitionBy(col("query_id"))
                 .orderBy(col("adc_d2_fp"), col("vec_id"))
-              // POST: exact top-k′ over the unfiltered probed codes,
-              // predicate on the ≤ NQ·k′ survivors (semi join against
-              // the match-id set — the candidate-driven metadata
-              // lookup), re-rank
-              topKLongRanks(s, scoredAll, kPrime)
-                .join(pf(base).select(col("vec_id")), Seq("vec_id"), "left_semi")
+              // POST: exact top-k′ over the unfiltered probed codes;
+              // the predicate evaluates on the survivors' INDEX-
+              // RESIDENT metadata — the ≤ NQ·k′ survivor set BROADCASTS
+              // into a column-pruned (vec_id, label) scan of the coded
+              // index, and pf filters the result. The float corpus is
+              // never touched (review finding: a semi join against the
+              // filtered EMBEDDINGS re-scanned the vectors and could
+              // shuffle at exactly the broad selectivities this arm
+              // fires at).
+              val withMeta = coded.select(col("vec_id"), col("label"))
+                .join(broadcast(topKLongRanks(s, scoredAll, kPrime)), Seq("vec_id"))
+              pf(withMeta)
                 .withColumn("rk2", row_number().over(w2))
                 .filter(col("rk2") <= K)
                 .select(lit(name).as("pred"), lit("post").as("policy"),
@@ -1814,6 +1827,56 @@ object Similarity extends QueryModule {
        |  JOIN qtab q ON q.c_id = mm.c_id AND q.m = cd.m AND q.code = cd.code
        |  WHERE mm.vec_id <> q.query_id
        |  GROUP BY q.query_id, mm.vec_id)""".stripMargin
+
+  /** The selectivity-policy CTE chain + final SELECT shared by the
+    * ann_filtered and ann_filtered_pq oracles — ONE copy of the match
+    * sets, the integer policy rule (5·nm ≤ nc), the k′ clamp, and the
+    * four gated arms (review finding: the block had drifted into two
+    * near-verbatim copies). `src` must expose (query_id, vec_id,
+    * `valCol`); `desc` picks the ranking direction; `outScore` renders
+    * the score column in the output row. Expects `norms` in scope.
+    * greatest(nm, 1) only guards the k′ division: nm = 0 implies the
+    * pre arm (5·0 ≤ nc), so the guard never alters an emitted row.
+    * Built without margin chars — it is interpolated into stripMargin
+    * templates. */
+  private def policyArmsSql(src: String, valCol: String, desc: Boolean,
+      outScore: String): String = {
+    val dir = if (desc) " DESC" else ""
+    def inner(from: String, mset: String, extra: String): String =
+      s"SELECT t.query_id, t.vec_id, t.$valCol,\n" +
+        s"               row_number() OVER (PARTITION BY t.query_id ORDER BY t.$valCol$dir, t.vec_id) AS rk\n" +
+        s"        FROM $from t JOIN $mset ms ON ms.vec_id = t.vec_id$extra"
+    def kPrime(nmCte: String): String =
+      s"least(${10 * K}, greatest(${2 * K}, " +
+        s"($K * (SELECT n FROM ntot) + (SELECT n FROM $nmCte) - 1) " +
+        s"// greatest((SELECT n FROM $nmCte), 1)))"
+    def arms(tag: String, pred: String, mset: String, nmCte: String): String =
+      s"pre_$tag AS (\n" +
+        s"  SELECT '$pred' AS pred, 'pre' AS policy, query_id, rk, vec_id, $valCol\n" +
+        s"  FROM (${inner(src, mset, "")})\n" +
+        s"  WHERE rk <= $K AND 5 * (SELECT n FROM $nmCte) <= (SELECT n FROM ntot)),\n" +
+        s"post_$tag AS (\n" +
+        s"  SELECT '$pred' AS pred, 'post' AS policy, query_id, rk, vec_id, $valCol\n" +
+        s"  FROM (${inner("ranked_all", mset, s"\n        WHERE t.rk1 <= ${kPrime(nmCte)}")})\n" +
+        s"  WHERE rk <= $K AND 5 * (SELECT n FROM $nmCte) > (SELECT n FROM ntot))"
+    s"ranked_all AS (\n" +
+      s"  SELECT query_id, vec_id, $valCol,\n" +
+      s"         row_number() OVER (PARTITION BY query_id ORDER BY $valCol$dir, vec_id) AS rk1\n" +
+      s"  FROM $src),\n" +
+      "ntot AS (SELECT count(*) AS n FROM norms),\n" +
+      "mz AS (SELECT n.vec_id FROM norms n JOIN documents dd ON dd.doc_id = n.vec_id\n" +
+      "       WHERE dd.lang = 'zh'),\n" +
+      "me AS (SELECT n.vec_id FROM norms n JOIN embeddings e ON e.vec_id = n.vec_id\n" +
+      "       WHERE e.label IS NOT NULL AND e.label % 2 = 0),\n" +
+      "nmz AS (SELECT count(*) AS n FROM mz),\n" +
+      "nme AS (SELECT count(*) AS n FROM me),\n" +
+      s"${arms("z", "lang_zh", "mz", "nmz")},\n" +
+      s"${arms("e", "label_even", "me", "nme")}\n" +
+      s"SELECT pred, policy, query_id, CAST(rk AS INT) AS rk, vec_id, $outScore\n" +
+      "FROM (SELECT * FROM pre_z UNION ALL SELECT * FROM post_z\n" +
+      "      UNION ALL SELECT * FROM pre_e UNION ALL SELECT * FROM post_e)\n" +
+      "ORDER BY pred, query_id, rk"
+  }
 
   def oracles: Map[String, String] = Map(
 
@@ -2109,52 +2172,7 @@ object Similarity extends QueryModule {
          |  JOIN norms nq ON nq.vec_id = cd.query_id
          |  JOIN norms nv ON nv.vec_id = cd.vec_id
          |  GROUP BY cd.query_id, cd.vec_id, nq.n2, nv.n2),
-         |ranked_all AS (
-         |  SELECT query_id, vec_id, cosine,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk1
-         |  FROM scored),
-         |ntot AS (SELECT count(*) AS n FROM norms),
-         |mz AS (SELECT n.vec_id FROM norms n JOIN documents dd ON dd.doc_id = n.vec_id
-         |       WHERE dd.lang = 'zh'),
-         |me AS (SELECT n.vec_id FROM norms n JOIN embeddings e ON e.vec_id = n.vec_id
-         |       WHERE e.label IS NOT NULL AND e.label % 2 = 0),
-         |nmz AS (SELECT count(*) AS n FROM mz),
-         |nme AS (SELECT count(*) AS n FROM me),
-         |pre_z AS (
-         |  SELECT 'lang_zh' AS pred, 'pre' AS policy, query_id, rk, vec_id, cosine
-         |  FROM (SELECT s.query_id, s.vec_id, s.cosine,
-         |               row_number() OVER (PARTITION BY s.query_id ORDER BY s.cosine DESC, s.vec_id) AS rk
-         |        FROM scored s JOIN mz ON mz.vec_id = s.vec_id)
-         |  WHERE rk <= $K AND 5 * (SELECT n FROM nmz) <= (SELECT n FROM ntot)),
-         |post_z AS (
-         |  SELECT 'lang_zh' AS pred, 'post' AS policy, query_id, rk, vec_id, cosine
-         |  FROM (SELECT r.query_id, r.vec_id, r.cosine,
-         |               row_number() OVER (PARTITION BY r.query_id ORDER BY r.cosine DESC, r.vec_id) AS rk
-         |        FROM ranked_all r JOIN mz ON mz.vec_id = r.vec_id
-         |        WHERE r.rk1 <= least(${10 * K}, greatest(${2 * K},
-         |          ($K * (SELECT n FROM ntot) + (SELECT n FROM nmz) - 1)
-         |            // greatest((SELECT n FROM nmz), 1))))
-         |  WHERE rk <= $K AND 5 * (SELECT n FROM nmz) > (SELECT n FROM ntot)),
-         |pre_e AS (
-         |  SELECT 'label_even' AS pred, 'pre' AS policy, query_id, rk, vec_id, cosine
-         |  FROM (SELECT s.query_id, s.vec_id, s.cosine,
-         |               row_number() OVER (PARTITION BY s.query_id ORDER BY s.cosine DESC, s.vec_id) AS rk
-         |        FROM scored s JOIN me ON me.vec_id = s.vec_id)
-         |  WHERE rk <= $K AND 5 * (SELECT n FROM nme) <= (SELECT n FROM ntot)),
-         |post_e AS (
-         |  SELECT 'label_even' AS pred, 'post' AS policy, query_id, rk, vec_id, cosine
-         |  FROM (SELECT r.query_id, r.vec_id, r.cosine,
-         |               row_number() OVER (PARTITION BY r.query_id ORDER BY r.cosine DESC, r.vec_id) AS rk
-         |        FROM ranked_all r JOIN me ON me.vec_id = r.vec_id
-         |        WHERE r.rk1 <= least(${10 * K}, greatest(${2 * K},
-         |          ($K * (SELECT n FROM ntot) + (SELECT n FROM nme) - 1)
-         |            // greatest((SELECT n FROM nme), 1))))
-         |  WHERE rk <= $K AND 5 * (SELECT n FROM nme) > (SELECT n FROM ntot))
-         |SELECT pred, policy, query_id, CAST(rk AS INT) AS rk, vec_id,
-         |       round(cosine, 9) AS cosine
-         |FROM (SELECT * FROM pre_z UNION ALL SELECT * FROM post_z
-         |      UNION ALL SELECT * FROM pre_e UNION ALL SELECT * FROM post_e)
-         |ORDER BY pred, query_id, rk""".stripMargin,
+         |${policyArmsSql("scored", "cosine", desc = true, "round(cosine, 9) AS cosine")}""".stripMargin,
 
     // compositional from the exported sub-codebooks (the ann_ivf
     // precedent): DuckDB re-derives the decimal-exact encoding, the
@@ -2224,51 +2242,7 @@ object Similarity extends QueryModule {
       s"""WITH $exSql,
          |$assignMembersSql,
          |$residualAdcSql,
-         |ranked_all AS (
-         |  SELECT query_id, vec_id, adc_d2_fp,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY adc_d2_fp, vec_id) AS rk1
-         |  FROM adc),
-         |ntot AS (SELECT count(*) AS n FROM norms),
-         |mz AS (SELECT n.vec_id FROM norms n JOIN documents dd ON dd.doc_id = n.vec_id
-         |       WHERE dd.lang = 'zh'),
-         |me AS (SELECT n.vec_id FROM norms n JOIN embeddings e ON e.vec_id = n.vec_id
-         |       WHERE e.label IS NOT NULL AND e.label % 2 = 0),
-         |nmz AS (SELECT count(*) AS n FROM mz),
-         |nme AS (SELECT count(*) AS n FROM me),
-         |pre_z AS (
-         |  SELECT 'lang_zh' AS pred, 'pre' AS policy, query_id, rk, vec_id, adc_d2_fp
-         |  FROM (SELECT a.query_id, a.vec_id, a.adc_d2_fp,
-         |               row_number() OVER (PARTITION BY a.query_id ORDER BY a.adc_d2_fp, a.vec_id) AS rk
-         |        FROM adc a JOIN mz ON mz.vec_id = a.vec_id)
-         |  WHERE rk <= $K AND 5 * (SELECT n FROM nmz) <= (SELECT n FROM ntot)),
-         |post_z AS (
-         |  SELECT 'lang_zh' AS pred, 'post' AS policy, query_id, rk, vec_id, adc_d2_fp
-         |  FROM (SELECT r.query_id, r.vec_id, r.adc_d2_fp,
-         |               row_number() OVER (PARTITION BY r.query_id ORDER BY r.adc_d2_fp, r.vec_id) AS rk
-         |        FROM ranked_all r JOIN mz ON mz.vec_id = r.vec_id
-         |        WHERE r.rk1 <= least(${10 * K}, greatest(${2 * K},
-         |          ($K * (SELECT n FROM ntot) + (SELECT n FROM nmz) - 1)
-         |            // greatest((SELECT n FROM nmz), 1))))
-         |  WHERE rk <= $K AND 5 * (SELECT n FROM nmz) > (SELECT n FROM ntot)),
-         |pre_e AS (
-         |  SELECT 'label_even' AS pred, 'pre' AS policy, query_id, rk, vec_id, adc_d2_fp
-         |  FROM (SELECT a.query_id, a.vec_id, a.adc_d2_fp,
-         |               row_number() OVER (PARTITION BY a.query_id ORDER BY a.adc_d2_fp, a.vec_id) AS rk
-         |        FROM adc a JOIN me ON me.vec_id = a.vec_id)
-         |  WHERE rk <= $K AND 5 * (SELECT n FROM nme) <= (SELECT n FROM ntot)),
-         |post_e AS (
-         |  SELECT 'label_even' AS pred, 'post' AS policy, query_id, rk, vec_id, adc_d2_fp
-         |  FROM (SELECT r.query_id, r.vec_id, r.adc_d2_fp,
-         |               row_number() OVER (PARTITION BY r.query_id ORDER BY r.adc_d2_fp, r.vec_id) AS rk
-         |        FROM ranked_all r JOIN me ON me.vec_id = r.vec_id
-         |        WHERE r.rk1 <= least(${10 * K}, greatest(${2 * K},
-         |          ($K * (SELECT n FROM ntot) + (SELECT n FROM nme) - 1)
-         |            // greatest((SELECT n FROM nme), 1))))
-         |  WHERE rk <= $K AND 5 * (SELECT n FROM nme) > (SELECT n FROM ntot))
-         |SELECT pred, policy, query_id, CAST(rk AS INT) AS rk, vec_id, adc_d2_fp
-         |FROM (SELECT * FROM pre_z UNION ALL SELECT * FROM post_z
-         |      UNION ALL SELECT * FROM pre_e UNION ALL SELECT * FROM post_e)
-         |ORDER BY pred, query_id, rk""".stripMargin,
+         |${policyArmsSql("adc", "adc_d2_fp", desc = false, "adc_d2_fp")}""".stripMargin,
 
     // exported-centroid assignment (members) + the same md5-derived
     // hyperplane blocking as dedup_embedding, block key (c_id, band,

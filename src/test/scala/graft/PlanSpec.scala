@@ -792,11 +792,20 @@ class PlanSpec extends GraftSuite {
         _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
     assert(nonBroadcast.isEmpty,
       s"non-broadcast join in the filtered-PQ plan:\n$nonBroadcast")
-    assert(sp.toString.contains("LeftSemi"), s"pre-filter semi join missing:\n$sp")
+    // POSITION matters (review finding): the pre arm's semi join must
+    // sit BELOW its ADC join (plan text is parent-first, so deeper =
+    // later; the union's first branch is the lang_zh pre arm) — a
+    // contains() alone would pass even if the filter were lifted above
+    // the scoring, which is exactly the regression this pins against
+    val p = sp.toString
+    val adcJoinAt = p.indexOf("BroadcastHashJoin [c_id")
+    assert(adcJoinAt >= 0, s"broadcast ADC join missing:\n$p")
+    assert(p.indexOf("LeftSemi") > adcJoinAt,
+      s"pre-filter semi join is not below the ADC join:\n$p")
     assert(sp.collect {
       case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
     }.nonEmpty, s"bounded top-k aggregator missing:\n$sp")
-    assert(!sp.toString.contains("CartesianProduct"), s"cartesian:\n$sp")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 
   test("dedup_semantic: no window, no cartesian, codegen two-phase verify") {

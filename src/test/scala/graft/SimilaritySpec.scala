@@ -272,6 +272,10 @@ class SimilaritySpec extends GraftSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3),
         r.getLong(4), r.getLong(5)))
     assert(rows.map(_._1).toSet == Set("lang_zh", "label_even"))
+    // fixture assumptions (as in the ann_filtered test): no zero/null
+    // vectors, so raw counts equal the engine's indexable counts; and
+    // labels are non-negative, so `>= 0 && % 2 == 0` equals the
+    // engine's isNotNull + even rule
     val zhIds = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("lang") === "zh").select("doc_id")
       .collect().map(_.getLong(0)).toSet
