@@ -97,7 +97,14 @@ object Similarity extends QueryModule {
   private val UnlabeledSentinel = -1
 
   private def withNorm(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    indexable(Tables.embeddings(s, d))
+
+  /** The vector-ingest contract applied to ANY (vec_id, label,
+    * embedding) frame — the whole corpus (withNorm) or one arriving
+    * micro-batch (streaming_index_maintain); per-row, so the two can
+    * never disagree on what is indexable. */
+  private def indexable(df: DataFrame): DataFrame =
+    df
       // a NULL embedding cannot be indexed or scored — excluded at the
       // load boundary (the ingest contract of any vector store). Without
       // this, a null cosine reaches the bounded top-k aggregator's
@@ -1600,6 +1607,51 @@ object Similarity extends QueryModule {
       }
     },
 
+    // STREAMING INDEX MAINTENANCE (gate 15) — the job that keeps the
+    // IVFADC index CURRENT as embeddings arrive: vectors replay as
+    // chunked micro-batches, each batch passes the same per-row ingest
+    // contract ([[indexable]]), is assigned + residual-encoded with
+    // the FROZEN serving artifacts (the trained coarse centroids and
+    // residual sub-codebooks — a production updater trains once /
+    // periodically and freezes between retrains), and APPENDS to the
+    // versioned index table (foreachBatch, append-only — the
+    // upsertLatestPerUser plumbing without the merge, since vec_ids
+    // are immutable). Because encoding is per-row under frozen
+    // artifacts, the stream-built index equals the batch encode
+    // row-for-row WHATEVER the batch boundaries — so the oracle is the
+    // batch derivation (members + codes from the two exported
+    // artifacts), a full hash gate, and gate 14 + gate 15 together
+    // cover the two ingest jobs a continuously-crawled corpus runs
+    // (dedup the arrivals; index the survivors). Scale shape: each
+    // micro-batch is one narrow assign+encode projection (model
+    // artifacts broadcast as literals) and one append — no state
+    // store, no shuffle; the index IS the state.
+    "streaming_index_maintain" -> { (s, d) =>
+      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
+      val iters = annKmeansIters(ss)
+      val centDf = ivfCentroids(ss, d, iters)
+      val centArr = collectQuantizer(centDf)
+      def empty = withNorm(ss, d).limit(0)
+        .select(col("vec_id"), lit(0L).as("c_id"),
+          lit(0).as("code_0"), lit(0).as("code_1"),
+          lit(0).as("code_2"), lit(0).as("code_3"))
+      if (centArr.isEmpty) empty
+      else {
+        val cb = collectPqCodebook(pqResCodebooks(ss, d, iters, centDf, centArr))
+        if (cb.isEmpty) empty
+        else {
+          def encodeBatch(raw: DataFrame): DataFrame =
+            pqEncode(residuals(centDf, centArr)(indexable(raw)), cb)
+              .select(col("vec_id") +: col("c_id") +:
+                (0 until PqM).map(m => col(s"code_$m")): _*)
+          graft.streaming.Streaming.appendThroughGate(
+            graft.streaming.Streaming.embeddingsStreamChunked(ss, d, 4),
+            encodeBatch, empty)
+            .orderBy(col("vec_id"))
+        }
+      }
+    },
+
     // SemDeDup-style semantic prune (Abbas et al. 2023, PAPERS.md; the
     // consumer emb_kmeans' clustering exists for): inside each k-means
     // cluster, DROP every vector whose cosine to a LOWER-id cluster-mate
@@ -2234,6 +2286,24 @@ object Similarity extends QueryModule {
          |      FROM adc)
          |WHERE rk <= $K
          |ORDER BY query_id, rk""".stripMargin,
+
+    // the stream-built index must equal the BATCH derivation row for
+    // row (per-row encoding under frozen artifacts is independent of
+    // batch boundaries): members + codes from the shared residual CTE
+    // chain, codes pivoted to the index's column layout
+    "streaming_index_maintain" ->
+      s"""WITH $exSql,
+         |$assignMembersSql,
+         |$residualAdcSql,
+         |codesp AS (
+         |  SELECT vec_id,
+         |         ${(0 until PqM).map(m =>
+        s"CAST(max(CASE WHEN m = $m THEN code END) AS INT) AS code_$m")
+        .mkString(",\n         |         ")}
+         |  FROM codes GROUP BY vec_id)
+         |SELECT mm.vec_id, mm.c_id, ${(0 until PqM).map(m => s"cp.code_$m").mkString(", ")}
+         |FROM members mm JOIN codesp cp ON cp.vec_id = mm.vec_id
+         |ORDER BY mm.vec_id""".stripMargin,
 
     // the IVFADC ranking (shared $residualAdcSql CTEs) gated by
     // ann_filtered's policy machinery — same integer selectivity rule,

@@ -677,6 +677,31 @@ object Streaming {
       }
   }
 
+  /** Embeddings replayed as `chunks` micro-batches (split by
+    * vec_id % chunks — any deterministic split works: the consumer's
+    * per-row encode is independent of batch boundaries), single-file
+    * parquets with increasing mtimes at maxFilesPerTrigger = 1 — the
+    * arrival pattern of a continuous embedding ingest. */
+  def embeddingsStreamChunked(spark: SparkSession, dir: String, chunks: Int): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val emb = Tables.embeddings(spark, dir)
+    val streamDir = stagedSources.computeIfAbsent(("embchunks", dir, chunks),
+      _ => new SourceCell(() => {
+        val p = Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft-stream-emb$chunks-" + stagingKey(dir))
+        Files.createDirectories(p)
+        val now = System.currentTimeMillis()
+        (0 until chunks).foreach { i =>
+          stageSingleFile(p, emb.filter(pmod(col("vec_id"), lit(chunks)) === i),
+            f"emb_$i%02d.parquet", now + i * 60000L)
+        }
+        p
+      })).path
+    spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+  }
+
   /** Events replayed as `chunks` TIME-ORDERED micro-batches: the fixture
     * split into single-file parquets by equal-width ts range (computed
     * from min/max — two scalar aggregates, no global sort or window),
@@ -778,6 +803,49 @@ object Streaming {
         // table is the empty frame with the upsert schema
         upsertStep(None, Tables.events(spark, dir).limit(0))
     }
+  }
+
+  /** Drive a finite stream through foreachBatch, TRANSFORMING each
+    * micro-batch and APPENDING the result to a gate-dir parquet table;
+    * returns the final table. The append-only sibling of
+    * [[upsertLatestPerUser]]'s plumbing (same /dev/shm checkpoint diet,
+    * same gate-dir lifecycle): the production shape of any ingest job
+    * whose per-row output is independent of batch boundaries — e.g.
+    * encoding arriving vectors into a serving index with FROZEN model
+    * artifacts. `emptyResult` supplies the typed empty frame when the
+    * source never delivers a row. */
+  def appendThroughGate(src: DataFrame, transform: DataFrame => DataFrame,
+      emptyResult: => DataFrame): DataFrame = {
+    val spark = src.sparkSession
+    val gateName = "graft-gate-append-" + java.util.UUID.randomUUID().toString.take(8)
+    val gate = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), gateName)
+    deleteTree(gate)
+    java.nio.file.Files.createDirectories(gate)
+    registerGateCleanup(gate)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val chkRoot =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+        val c = shm.resolve(gateName)
+        deleteTree(c)
+        registerGateCleanup(c)
+        c
+      } else gate
+    val out = gate.resolve("data").toString
+    @volatile var wrote = false
+    val q = src.writeStream
+      .option("checkpointLocation", chkRoot.resolve("chk").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        if (!batch.isEmpty) {
+          transform(batch.toDF()).write.mode("append").parquet(out)
+          wrote = true
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    if (wrote) spark.read.parquet(out) else emptyResult
   }
 
   /** One upsert step of [[upsertLatestPerUser]], split out so the spec

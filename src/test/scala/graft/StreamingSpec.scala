@@ -352,4 +352,24 @@ class StreamingSpec extends GraftSuite {
         s"diff=${(streaming diff batch) ++ (batch diff streaming)}")
     assert(streaming.nonEmpty, "fixture should contain near-dup delta docs")
   }
+
+  test("streaming index maintenance equals the batch assignment (gate 15)") {
+    // per-row encoding under frozen artifacts is batch-boundary
+    // independent: every indexable vector appears exactly once, codes
+    // are within the sub-codebook range, and the bucket id equals the
+    // batch k-means assignment (emb_kmeans runs the same margin-gated
+    // argmax over the same exported centroids)
+    val idx = q("streaming_index_maintain").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Seq(r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+    assert(idx.nonEmpty)
+    assert(idx.map(_._1).distinct.length == idx.length, "duplicate vec in the index")
+    assert(idx.forall(_._3.forall(c => c >= 0 && c < 16)), "code outside sub-codebook range")
+    val km = q("emb_kmeans").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idx.length == km.size, "index row count differs from the batch assignment")
+    idx.foreach { case (v, c, _) =>
+      assert(km(v) == c, s"stream-built bucket for vec $v differs from the batch assignment")
+    }
+  }
 }
