@@ -1627,17 +1627,20 @@ object Similarity extends QueryModule {
     // artifacts broadcast as literals) and one append — no state
     // store, no shuffle; the index IS the state.
     "streaming_index_maintain" -> { (s, d) =>
-      val ss = graft.streaming.Streaming.stateSizedSession(s, d)
-      val iters = annKmeansIters(ss)
-      val centDf = ivfCentroids(ss, d, iters)
+      // the PARENT session, not stateSizedSession: there is no stateful
+      // operator here (foreachBatch append-only — no state store to
+      // size), and the state-partition derivation reads events.parquet,
+      // which has nothing to do with the embeddings being indexed
+      // (review finding)
+      val iters = annKmeansIters(s)
+      val centDf = ivfCentroids(s, d, iters)
       val centArr = collectQuantizer(centDf)
-      def empty = withNorm(ss, d).limit(0)
-        .select(col("vec_id"), lit(0L).as("c_id"),
-          lit(0).as("code_0"), lit(0).as("code_1"),
-          lit(0).as("code_2"), lit(0).as("code_3"))
+      def empty = withNorm(s, d).limit(0)
+        .select(col("vec_id") +: lit(0L).as("c_id") +:
+          (0 until PqM).map(m => lit(0).as(s"code_$m")): _*)
       if (centArr.isEmpty) empty
       else {
-        val cb = collectPqCodebook(pqResCodebooks(ss, d, iters, centDf, centArr))
+        val cb = collectPqCodebook(pqResCodebooks(s, d, iters, centDf, centArr))
         if (cb.isEmpty) empty
         else {
           def encodeBatch(raw: DataFrame): DataFrame =
@@ -1645,7 +1648,7 @@ object Similarity extends QueryModule {
               .select(col("vec_id") +: col("c_id") +:
                 (0 until PqM).map(m => col(s"code_$m")): _*)
           graft.streaming.Streaming.appendThroughGate(
-            graft.streaming.Streaming.embeddingsStreamChunked(ss, d, 4),
+            graft.streaming.Streaming.embeddingsStreamChunked(s, d, 4),
             encodeBatch, empty)
             .orderBy(col("vec_id"))
         }

@@ -143,6 +143,7 @@ object Streaming {
           System.getProperty("java.io.tmpdir"),
           s"graft-stream-${copies}x-" + stagingKey(dir))
         java.nio.file.Files.createDirectories(p)
+        registerGateCleanup(p) // exit-time cleanup; lives for the JVM
         (0 until copies).foreach { i =>
           java.nio.file.Files.copy(
             java.nio.file.Paths.get(dir, "events.parquet"),
@@ -509,6 +510,7 @@ object Streaming {
         val p = Paths.get(System.getProperty("java.io.tmpdir"),
           "graft-stream-flush-" + stagingKey(dir))
         Files.createDirectories(p)
+        registerGateCleanup(p) // exit-time cleanup; lives for the JVM
         val now = System.currentTimeMillis()
         stageSingleFile(p, ev, "events_00.parquet", now)
         stageSingleFile(p,
@@ -573,6 +575,7 @@ object Streaming {
         val p = Paths.get(System.getProperty("java.io.tmpdir"),
           "graft-stream-joinflush-" + stagingKey(dir))
         Files.createDirectories(p)
+        registerGateCleanup(p) // exit-time cleanup; lives for the JVM
         val now = System.currentTimeMillis()
         stageSingleFile(p, ev, "events_00.parquet", now)
         stageSingleFile(p,
@@ -610,6 +613,7 @@ object Streaming {
         val p = Paths.get(System.getProperty("java.io.tmpdir"),
           "graft-stream-docs-" + stagingKey(dir))
         Files.createDirectories(p)
+        registerGateCleanup(p) // exit-time cleanup; lives for the JVM
         val now = System.currentTimeMillis()
         stageSingleFile(p, docs.filter(col("doc_id") % 10 =!= 0),
           "base_00.parquet", now)
@@ -690,6 +694,7 @@ object Streaming {
         val p = Paths.get(System.getProperty("java.io.tmpdir"),
           s"graft-stream-emb$chunks-" + stagingKey(dir))
         Files.createDirectories(p)
+        registerGateCleanup(p) // exit-time cleanup; lives for the JVM
         val now = System.currentTimeMillis()
         (0 until chunks).foreach { i =>
           stageSingleFile(p, emb.filter(pmod(col("vec_id"), lit(chunks)) === i),
@@ -727,6 +732,7 @@ object Streaming {
         val p = Paths.get(System.getProperty("java.io.tmpdir"),
           s"graft-stream-chunks$chunks-" + stagingKey(dir))
         Files.createDirectories(p)
+        registerGateCleanup(p) // exit-time cleanup; lives for the JVM
         val now = System.currentTimeMillis()
         val tagged = ev.withColumn("_c",
           least(lit(chunks - 1),
@@ -761,25 +767,12 @@ object Streaming {
   def upsertLatestPerUser(spark: SparkSession, dir: String,
       chunks: Int = 4): DataFrame = {
     val src = eventsStreamChunked(spark, dir, chunks)
-    val gateName = "graft-gate-upsert-" + java.util.UUID.randomUUID().toString.take(8)
-    val gate = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), gateName)
-    deleteTree(gate)
-    java.nio.file.Files.createDirectories(gate)
-    registerGateCleanup(gate)
-    // checkpoint on /dev/shm like runToCompletion's gates (round-11
+    // checkpoint on /dev/shm via the shared gate lifecycle (round-11
     // diet: this gate had been the one stream still fsyncing offsets/
-    // commits per micro-batch to disk tmpdir — 4 batches of pure
-    // durability cost the finite verification run doesn't need); the
-    // versioned TABLE stays in the disk gate dir, it IS the output
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val chkRoot =
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
-        val c = shm.resolve(gateName)
-        deleteTree(c)
-        registerGateCleanup(c)
-        c
-      } else gate
+    // commits per micro-batch to disk tmpdir); the versioned TABLE
+    // stays in the disk gate dir, it IS the output
+    val (gate, chkRoot) = newGateDirs(
+      "graft-gate-upsert-" + java.util.UUID.randomUUID().toString.take(8))
     @volatile var current: Option[String] = None
     val q = src.writeStream
       .option("checkpointLocation", chkRoot.resolve("chk").toString)
@@ -817,20 +810,8 @@ object Streaming {
   def appendThroughGate(src: DataFrame, transform: DataFrame => DataFrame,
       emptyResult: => DataFrame): DataFrame = {
     val spark = src.sparkSession
-    val gateName = "graft-gate-append-" + java.util.UUID.randomUUID().toString.take(8)
-    val gate = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), gateName)
-    deleteTree(gate)
-    java.nio.file.Files.createDirectories(gate)
-    registerGateCleanup(gate)
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val chkRoot =
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
-        val c = shm.resolve(gateName)
-        deleteTree(c)
-        registerGateCleanup(c)
-        c
-      } else gate
+    val (gate, chkRoot) = newGateDirs(
+      "graft-gate-append-" + java.util.UUID.randomUUID().toString.take(8))
     val out = gate.resolve("data").toString
     @volatile var wrote = false
     val q = src.writeStream
@@ -894,6 +875,30 @@ object Streaming {
       finally walk.close()
     }
 
+  /** Allocate a run's gate dir and checkpoint root (on /dev/shm when
+    * available — the round-9/11 checkpoint diet: a finite verification
+    * run doesn't need checkpoint durability), clean and track both for
+    * the shutdown hook, and sweep crashed-JVM leftovers. ONE copy of
+    * the lifecycle shared by runToCompletion / upsertLatestPerUser /
+    * appendThroughGate (review finding: three drifting copies, two of
+    * which skipped the stale sweep). */
+  private def newGateDirs(name: String): (java.nio.file.Path, java.nio.file.Path) = {
+    val gate = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), name)
+    deleteTree(gate)
+    java.nio.file.Files.createDirectories(gate)
+    sweepStaleGateDirs()
+    registerGateCleanup(gate)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val chkRoot =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+        val c = shm.resolve(name)
+        deleteTree(c)
+        registerGateCleanup(c)
+        c
+      } else gate
+    (gate, chkRoot)
+  }
+
   /** Gate dirs this JVM owns, deleted in one shutdown hook at exit. */
   private val gateDirsToClean =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
@@ -905,9 +910,12 @@ object Streaming {
     gateDirsToClean.add(dir)
   }
 
-  /** Delete graft-gate-* dirs a crashed JVM left behind. Age-gated (6 h
-    * since last touch) so a CONCURRENT session's live gates are never
-    * swept — this JVM's own gates go through the shutdown hook. */
+  /** Delete graft-gate-* AND graft-stream-* dirs a crashed JVM left
+    * behind (the staged stream-source copies are corpus-sized at 100×
+    * and were otherwise never deleted — review finding). Age-gated
+    * (6 h since last touch) so a CONCURRENT session's live gates and
+    * sources are never swept — this JVM's own dirs go through the
+    * shutdown hook. */
   private def sweepStaleGateDirs(): Unit = {
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     val roots = Seq(
@@ -915,7 +923,10 @@ object Streaming {
       java.nio.file.Paths.get("/dev/shm")) // checkpoint roots live here too
     for (root <- roots if java.nio.file.Files.isDirectory(root)) {
       val list = java.nio.file.Files.list(root)
-      try list.filter(p => p.getFileName.toString.startsWith("graft-gate-"))
+      try list.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("graft-gate-") || n.startsWith("graft-stream-")
+        }
         .filter(p =>
           try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
           catch { case _: Exception => false })
@@ -951,8 +962,6 @@ object Streaming {
     // aggregates, per-user totals — where driver residency is bounded
     // by key cardinality, not stream length.
     val fileSink = mode == OutputMode.Append()
-    val outDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-gate-$name")
     // Checkpoint I/O is per-micro-batch fsync-heavy (offsets, commits,
     // and the state store's delta/snapshot files) — on RAM-backed
     // /dev/shm when available (round-9 verdict item 5: the five
@@ -965,26 +974,23 @@ object Streaming {
     // state checkpoints are a few hundred MB against /dev/shm's
     // half-of-RAM default), never by sink volume: the data sink stays
     // on disk. Falls back to the disk gate dir when /dev/shm is absent.
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val chkRoot =
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-        shm.resolve(s"graft-gate-$name")
-      else outDir
     // A stale gate dir would make the sink's metadata log + checkpoint
     // treat this run's batches as already committed (and emit nothing),
     // so the gate always starts from scratch. Gate names are UUID-
     // suffixed per run, so this run's dirs are also swept: by shutdown
     // hook at JVM exit (the read-back DataFrame below is only valid
-    // within this JVM) plus a stale-dir sweep here for dirs a crashed
-    // JVM left behind — without both, every Append gate leaks its full
+    // within this JVM) plus a stale-dir sweep for dirs a crashed JVM
+    // left behind — without both, every Append gate leaks its full
     // output (input-sized at 100×) into tmpdir across bench reps/rounds.
-    if (fileSink) {
-      deleteTree(outDir)
-      deleteTree(chkRoot)
-      sweepStaleGateDirs()
-      registerGateCleanup(outDir)
-      if (chkRoot != outDir) registerGateCleanup(chkRoot)
-    }
+    // Both behaviors live in the shared newGateDirs lifecycle; the
+    // memory-sink modes need no dirs (no checkpointLocation is set).
+    val (outDir, chkRoot) =
+      if (fileSink) newGateDirs(s"graft-gate-$name")
+      else {
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft-gate-$name")
+        (p, p)
+      }
     // phase timings on stderr under SPARK_GRAFT_STREAM_DEBUG — the gate
     // profiling knob (start / drain / watermark-wait / stop attribution)
     val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")

@@ -369,7 +369,10 @@ class StreamingSpec extends GraftSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(idx.length == km.size, "index row count differs from the batch assignment")
     idx.foreach { case (v, c, _) =>
-      assert(km(v) == c, s"stream-built bucket for vec $v differs from the batch assignment")
+      // .get, not apply: a key-set divergence must fail with THIS
+      // message, not an opaque NoSuchElementException
+      assert(km.get(v).contains(c),
+        s"stream-built bucket for vec $v differs from the batch assignment (${km.get(v)} vs $c)")
     }
   }
 }
