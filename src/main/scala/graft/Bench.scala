@@ -47,7 +47,11 @@ object Bench {
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
-    s(s.length / 2)
+    // even length averages the two middle elements (round-13 advice: the
+    // upper-middle pick systematically biased the 2-element warm set
+    // toward the slower rep, misreading small warm regressions)
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
   private def fmt(d: Double, dec: Int): String =
@@ -91,31 +95,43 @@ object Bench {
 
     // CALIBRATION datum (round-5 verdict: BENCH_r05 ran uniformly ~25%
     // above r04 on untouched queries — environment load, not plan
-    // change — making cross-round totals misleading). Warm wordcount ×3,
-    // median: a fixed, code-invariant workload whose drift measures the
-    // MACHINE, not the engine. Compare rounds as value/calibration.
-    val calibration = {
+    // change — making cross-round totals misleading). Warm wordcount:
+    // a fixed, code-invariant workload whose drift measures the MACHINE,
+    // not the engine. Compare rounds as value/calibration.
+    //
+    // Round-13 hardening (verdict item 6): a single start-of-run probe
+    // swung 0.45→0.72 within 40 minutes on this VM, so one point sample
+    // cannot normalize a 3-minute suite under drifting load. The probe
+    // now runs at THREE points — start (1 warmup + 2 kept), middle (2),
+    // end (2) — and `calibration` is the median of the 6 kept samples,
+    // i.e. the machine's central speed OVER the window the suite
+    // actually ran in, not whichever instant the run started at.
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var calibFailed = false
+    def calibProbe(warmups: Int, keep: Int): Unit = {
       val fn = SparkEntry.queries("wordcount")
-      var failed = false
-      val ts = (1 to 3).map { i =>
+      (1 to warmups + keep).foreach { i =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          failed = true
+          calibFailed = true
           System.err.println(s"[bench] calibration rep$i failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        if (i > warmups) calibSamples += t
       }
-      // a failed run's time-to-fail is NOT a calibration datum: it would
-      // silently skew every value/calibration cross-round normalization.
-      // -1 marks the datum invalid (consumers must skip normalizing).
-      if (failed) -1.0 else median(ts)
+      spark.catalog.clearCache()
     }
-    spark.catalog.clearCache()
+    calibProbe(warmups = 1, keep = 2)
 
     val stagingOk = scala.collection.mutable.Map.empty[String, Double]
     val stagingFailed = scala.collection.mutable.Map.empty[String, Double]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val querySeq = SparkEntry.queries.toSeq.sortBy(_._1)
+    val midpoint = querySeq.length / 2
+    val results = querySeq.zipWithIndex.map { case ((name, fn), qIdx) =>
+      // mid-suite calibration probe (see calibProbe above): sample the
+      // machine's speed where the suite's middle actually ran
+      if (qIdx == midpoint) calibProbe(warmups = 0, keep = 2)
       // isolate queries from each other: drop cached relations/broadcasts
       // from the previous query so its GC debt isn't billed to this one
       spark.catalog.clearCache()
@@ -159,6 +175,13 @@ object Bench {
         median(if (times.length > 1) times.tail else times))
       else name -> (-1.0, -1.0, -1.0) // any failed rep marks the query failed
     }
+
+    // end-of-suite probe, then the calibration datum = median over all
+    // interleaved samples. A failed probe run's time-to-fail is NOT a
+    // calibration datum: it would silently skew every value/calibration
+    // cross-round normalization. -1 marks the datum invalid.
+    calibProbe(warmups = 0, keep = 2)
+    val calibration = if (calibFailed) -1.0 else median(calibSamples.toSeq)
 
     val stagingTotal = stagingOk.values.sum
     // -1 sentinels mark failures; only successful timings enter the total

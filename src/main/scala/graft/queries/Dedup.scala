@@ -762,25 +762,7 @@ object Dedup extends QueryModule {
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
         .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("base_id"))
         .distinct()
-      val sh = shingles(s, d)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.as("x"), col("new_id") === col("x.doc_id"))
-        .join(sh.as("y"), col("base_id") === col("y.doc_id") && col("x.s") === col("y.s"))
-        .groupBy(col("new_id"), col("base_id")).agg(count(lit(1)).as("ninter"))
-      inter
-        .join(sizes.as("s1"), col("new_id") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("base_id") === col("s2.doc_id"))
-        .withColumn("jaccard",
-          round(col("ninter") * lit(1.0) / (col("s1.n") + col("s2.n") - col("ninter")), 6))
-        .filter(col("jaccard") >= 0.6)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("new_id"))
-            .orderBy(col("jaccard").desc, col("base_id"))))
-        .withColumn("n_matches", count(lit(1)).over(Window.partitionBy(col("new_id"))))
-        .filter(col("rk") === 1)
-        .select(col("new_id"), col("base_id").as("dup_of"), col("jaccard"), col("n_matches"))
-        .orderBy(col("new_id"))
+      incrementalVerifyTail(s, d, cand)
     },
 
     // NEAR-DUP ON INGEST (gate 14, round-11 verdict item 4): the
@@ -808,29 +790,41 @@ object Dedup extends QueryModule {
         // a pair may collide in several bands — same dedup as the batch
         // twin's DISTINCT candidate set
         .select(col("new_id"), col("base_id")).distinct()
-      // the batch verify tail, verbatim from dedup_incremental (same
-      // staged shingles, same rounded-Jaccard filter, same argmax)
-      val sh = shingles(ss, d)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.as("x"), col("new_id") === col("x.doc_id"))
-        .join(sh.as("y"), col("base_id") === col("y.doc_id") && col("x.s") === col("y.s"))
-        .groupBy(col("new_id"), col("base_id")).agg(count(lit(1)).as("ninter"))
-      inter
-        .join(sizes.as("s1"), col("new_id") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("base_id") === col("s2.doc_id"))
-        .withColumn("jaccard",
-          round(col("ninter") * lit(1.0) / (col("s1.n") + col("s2.n") - col("ninter")), 6))
-        .filter(col("jaccard") >= 0.6)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("new_id"))
-            .orderBy(col("jaccard").desc, col("base_id"))))
-        .withColumn("n_matches", count(lit(1)).over(Window.partitionBy(col("new_id"))))
-        .filter(col("rk") === 1)
-        .select(col("new_id"), col("base_id").as("dup_of"), col("jaccard"), col("n_matches"))
-        .orderBy(col("new_id"))
+      // ONE copy of the batch verify tail (shared with dedup_incremental
+      // — round-13 advice: the inlined twin could drift from the oracle
+      // they share)
+      incrementalVerifyTail(ss, d, cand)
     }
   )
+
+  /** The incremental-dedup verify tail shared by `dedup_incremental` and
+    * its streaming twin `streaming_dedup_near` (one oracle, ONE engine
+    * copy): exact shingle-Jaccard over the candidate (new_id, base_id)
+    * pairs — staged-shingle equi-join intersection, rounded Jaccard
+    * ≥ 0.6, then the per-new-doc argmax verdict (highest jaccard, min
+    * base_id tiebreak) plus the match count. The window is bounded by
+    * the per-new-doc candidate count, never corpus-sized. */
+  private def incrementalVerifyTail(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("new_id") === col("x.doc_id"))
+      .join(sh.as("y"), col("base_id") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("new_id"), col("base_id")).agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.as("s1"), col("new_id") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("base_id") === col("s2.doc_id"))
+      .withColumn("jaccard",
+        round(col("ninter") * lit(1.0) / (col("s1.n") + col("s2.n") - col("ninter")), 6))
+      .filter(col("jaccard") >= 0.6)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("new_id"))
+          .orderBy(col("jaccard").desc, col("base_id"))))
+      .withColumn("n_matches", count(lit(1)).over(Window.partitionBy(col("new_id"))))
+      .filter(col("rk") === 1)
+      .select(col("new_id"), col("base_id").as("dup_of"), col("jaccard"), col("n_matches"))
+      .orderBy(col("new_id"))
+  }
 
   private val shingleSql =
     """sh AS (

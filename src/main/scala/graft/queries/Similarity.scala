@@ -1647,10 +1647,113 @@ object Similarity extends QueryModule {
             pqEncode(residuals(centDf, centArr)(indexable(raw)), cb)
               .select(col("vec_id") +: col("c_id") +:
                 (0 until PqM).map(m => col(s"code_$m")): _*)
+          // 2 chunks, not 4 (round-13 diet): the boundary-independence
+          // proof above holds for ANY split, so two micro-batches carry
+          // the full multi-batch demonstration at half the per-batch
+          // commit/planning fixed cost (measured ~0.9 s/batch at sf0.1)
           graft.streaming.Streaming.appendThroughGate(
-            graft.streaming.Streaming.embeddingsStreamChunked(s, d, 4),
+            graft.streaming.Streaming.embeddingsStreamChunked(s, d, 2),
             encodeBatch, empty)
             .orderBy(col("vec_id"))
+        }
+      }
+    },
+
+    // INDEX LIFECYCLE (gate 16, round-13 verdict item 1) — the two
+    // maintenance jobs gates 14/15 left uncovered: DELETES from the
+    // serving index (takedowns + dedup-driven removals arrive as a
+    // tombstone CDC feed; each micro-batch MERGE-deletes its ids from
+    // the versioned index table through the same [[graft.operators
+    // .Merge]] op='D' path the batch CDC operator uses) and DRIFT
+    // DETECTION (has the corpus the index now serves moved far enough
+    // from the frozen training snapshot that the quantizer/codebooks
+    // need retraining?). Deletes of distinct keys commute, so the
+    // stream-maintained live index equals the batch anti-join WHATEVER
+    // the batch boundaries — the gate-15 argument — and the whole
+    // verdict is a batch derivation the DuckDB oracle replays exactly.
+    //
+    // The drift statistic is computed FROM THE INDEX ITSELF, never the
+    // float corpus: each vector's quantized-residual energy is the sum
+    // of its assigned sub-codebook entries' self-distances — a per-(m,
+    // code) MODEL table (≤ M·Ksub rows) folded into literal lookup
+    // arrays, so the per-vector qfp is one narrow codegen projection
+    // over the coded index (the production property: lifecycle jobs
+    // run on the compact index, not on 100 TB of floats). Per bucket,
+    // RETRAIN fires on either exact integer rule: the bucket lost
+    // ≥ 1/6 of its training members, or the live members' mean
+    // quantized-residual energy drifted > 1/50 relative from the
+    // training snapshot (cross-multiplied BIGINT/decimal comparisons —
+    // no division, no floats, bit-replayable by the oracle).
+    //
+    // Scale shape: the tombstone feed is takedown-sized; each MERGE is
+    // one key-partitioned join of a tombstone-sized delta against the
+    // skinny coded index (a lakehouse deployment would use delete
+    // vectors instead of table rewrites — same semantics); the stats
+    // are two hash aggregations of the coded index down to nlist rows,
+    // joined broadcast. The 38-digit decimal cross products hold to
+    // ~10^14 indexed vectors per shard; beyond that the statistic
+    // shards per bucket range first.
+    "ann_index_lifecycle" -> { (s, d) =>
+      val iters = annKmeansIters(s)
+      val centDf = ivfCentroids(s, d, iters)
+      val centArr = collectQuantizer(centDf)
+      def empty = withNorm(s, d).limit(0).select(
+        lit(0L).as("c_id"), lit(0L).as("n_train"), lit(0L).as("n_live"),
+        lit(0L).as("n_deleted"), lit(0L).as("norm_train_fp"),
+        lit(0L).as("norm_live_fp"), lit(false).as("retrain"))
+      if (centArr.isEmpty) empty
+      else {
+        val cbDf = pqResCodebooks(s, d, iters, centDf, centArr)
+        val cb = collectPqCodebook(cbDf)
+        if (cb.isEmpty) empty
+        else {
+          val coded = residualCodedCorpus(s, d, iters, centDf, centArr, cb)
+          // per-(m, code) quantized-residual self-energy, fixed point —
+          // computed through the same decimal protocol as every ranking
+          // distance (dotDec → d2Fp), collected model-sized (≤ 64 rows)
+          val nfp = cbDf.select(col("m"), col("code"),
+              d2Fp(dotDec(col("c_sub"), col("c_sub")).cast("decimal(20,12)"))
+                .as("nfp"))
+            .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+          val maxCode = cb.map(_._2).max
+          def qfpCol: Column = (0 until PqM).map { m =>
+            element_at(array((0 to maxCode).map(code =>
+              lit(nfp.getOrElse((m, code), 0L))): _*), col(s"code_$m") + 1)
+          }.reduce(_ + _)
+          // live index: the tombstone feed replayed as 2 micro-batches
+          // (deletes commute — any split carries the multi-batch
+          // demonstration), each MERGE-deleted from the versioned table
+          val live = graft.streaming.Streaming.maintainThroughGate(
+            graft.streaming.Streaming.idsStreamChunked(
+              s, d, "tomb", tombstoneIds(s, d), 2),
+            "graft-gate-lifecycle-", initial = Some(coded),
+            step = (cur, batch) => deleteStep(cur.get, batch),
+            emptyResult = coded)
+          def stats(df: DataFrame, n: String, sm: String): DataFrame =
+            df.withColumn("qfp", qfpCol).groupBy(col("c_id"))
+              // decimal-summed: a BIGINT sum would wrap silently at
+              // scales a 100 TB shard reaches; decimal(38,0) is exact
+              .agg(count(lit(1)).as(n),
+                sum(col("qfp").cast("decimal(28,0)")).as(sm))
+          val j = stats(coded, "n_train", "s_train")
+            .join(broadcast(stats(live, "n_live", "s_live")), Seq("c_id"), "left")
+            .withColumn("n_live", coalesce(col("n_live"), lit(0L)))
+            .withColumn("s_live", coalesce(col("s_live"), lit(0).cast("decimal(38,0)")))
+          // exact integer cross products: cast to the narrowest widths
+          // that hold the magnitudes so no product exceeds precision 38
+          def xmul(sc: Column, nc: Column): Column =
+            sc.cast("decimal(24,0)") * nc.cast("decimal(10,0)")
+          val del = lit(LifecycleDelDen) * (col("n_train") - col("n_live")) >=
+            col("n_train")
+          val drift = lit(LifecycleDriftDen).cast("decimal(3,0)") *
+            abs(xmul(col("s_live"), col("n_train")) - xmul(col("s_train"), col("n_live"))) >
+            xmul(col("s_train"), col("n_live"))
+          j.select(col("c_id"), col("n_train"), col("n_live"),
+              (col("n_train") - col("n_live")).as("n_deleted"),
+              col("s_train").cast("long").as("norm_train_fp"),
+              col("s_live").cast("long").as("norm_live_fp"),
+              (del || drift).as("retrain"))
+            .orderBy(col("c_id"))
         }
       }
     },
@@ -1720,6 +1823,39 @@ object Similarity extends QueryModule {
         .orderBy(col("vec_id"))
     }
   )
+
+  /** Lifecycle thresholds (gate 16): a bucket RETRAINS when it lost at
+    * least 1/LifecycleDelDen of its training members (takedown mass
+    * invalidates the local geometry the codebooks were trained on) OR
+    * when the live members' mean quantized-residual energy drifts more
+    * than 1/LifecycleDriftDen relative from the frozen training
+    * snapshot. Both rules are exact integer comparisons
+    * (cross-multiplied — no division, no floats), so the oracle
+    * replays them bit-for-bit at any corpus size. */
+  private val LifecycleDelDen = 6L
+  private val LifecycleDriftDen = 50L
+
+  /** The takedown feed: one full source takedown (label = 1) plus
+    * scattered per-item requests (vec_id % 13 = 5) — the two shapes a
+    * production tombstone list mixes. Deterministic and data-derived,
+    * so the DuckDB oracle regenerates the identical list. */
+  private def tombstoneIds(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("label") === 1 || col("vec_id") % 13 === 5)
+      .select(col("vec_id"))
+
+  /** One tombstone-application step of the gate-16 maintenance stream:
+    * the batch's ids become op='D' delta rows (payload columns NULL —
+    * a delete only needs the key) applied through the shared MERGE
+    * operator; a tombstone for an id the index doesn't hold is a no-op,
+    * per SQL MERGE. */
+  private def deleteStep(cur: DataFrame, batch: DataFrame): DataFrame = {
+    val delta = cur.columns.filterNot(_ == "vec_id").foldLeft(
+      batch.select(col("vec_id"))) { (acc, c) =>
+        acc.withColumn(c, lit(null).cast(cur.schema(c).dataType)) }
+      .withColumn("op", lit("D"))
+    graft.operators.Merge.merge(cur, delta, "vec_id").drop("action")
+  }
 
   /** Shared oracle CTEs: per-element exploded view + decimal norms.
     * The HAVING mirrors [[withNorm]]'s ingest filter EXACTLY: an
@@ -1824,14 +1960,15 @@ object Similarity extends QueryModule {
        |  FROM assign),
        |members AS (SELECT vec_id, c_id FROM ranked WHERE c_rank = 1)""".stripMargin
 
-  /** The IVFADC CTE chain (residual sub-codebooks → per-vector residual
-    * encoding → probe residual ADC tables → summed BIGINT scores over
-    * probed buckets), ONE copy shared by the ann_ivfpq_residual and
-    * ann_filtered_pq oracles (the incrementalOracle discipline). A DEF:
+  /** The residual ENCODING CTE chain (residual sub-codebooks →
+    * per-vector residual encoding → winning codes) — the coded-index
+    * derivation alone, shared by [[residualAdcSql]] (which adds the
+    * query-side ADC tail) and the oracles that only need the index
+    * itself (streaming_index_maintain, ann_index_lifecycle). A DEF:
     * embeds the fixture-keyed codebook export path of the last build,
-    * like [[assignMembersSql]]. Expects ex/norms/cex/members/ranked in
-    * scope; yields `adc(query_id, vec_id, adc_d2_fp)`. */
-  private def residualAdcSql: String =
+    * like [[assignMembersSql]]. Expects ex/norms/cex/members in scope;
+    * yields `rcb(m, code, j, x)` and `codes(vec_id, m, code)`. */
+  private def residualCodesSql: String =
     s"""rcb AS (SELECT m, code, generate_subscripts(c_sub, 1) AS j, unnest(c_sub) AS x
        |        FROM parquet_scan('${pqResOracleCodebookPath(lastPqRes._1, lastPqRes._2)}')),
        |res AS (
@@ -1853,7 +1990,15 @@ object Similarity extends QueryModule {
        |  SELECT vec_id, m, code FROM (
        |    SELECT vec_id, m, code,
        |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2dec, code) AS rn
-       |    FROM d2r) WHERE rn = 1),
+       |    FROM d2r) WHERE rn = 1)""".stripMargin
+
+  /** The full IVFADC CTE chain ([[residualCodesSql]] + probe residual
+    * ADC tables → summed BIGINT scores over probed buckets), ONE copy
+    * shared by the ann_ivfpq_residual and ann_filtered_pq oracles (the
+    * incrementalOracle discipline). Expects ex/norms/cex/members/ranked
+    * in scope; yields `adc(query_id, vec_id, adc_d2_fp)`. */
+  private def residualAdcSql: String =
+    s"""$residualCodesSql,
        |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
        |           WHERE vec_id < $NQ AND c_rank <= 4),
        |qres AS (
@@ -2297,7 +2442,7 @@ object Similarity extends QueryModule {
     "streaming_index_maintain" ->
       s"""WITH $exSql,
          |$assignMembersSql,
-         |$residualAdcSql,
+         |$residualCodesSql,
          |codesp AS (
          |  SELECT vec_id,
          |         ${(0 until PqM).map(m =>
@@ -2307,6 +2452,48 @@ object Similarity extends QueryModule {
          |SELECT mm.vec_id, mm.c_id, ${(0 until PqM).map(m => s"cp.code_$m").mkString(", ")}
          |FROM members mm JOIN codesp cp ON cp.vec_id = mm.vec_id
          |ORDER BY mm.vec_id""".stripMargin,
+
+    // gate 16: the live index is the batch anti-join of the coded index
+    // against the tombstone list (deletes of distinct keys commute, so
+    // the stream-maintained table equals it under any batch split); the
+    // per-vector quantized-residual energy re-derives from the exported
+    // sub-codebooks through the engine's exact d2Fp narrowing, and both
+    // retrain rules replay as integer comparisons (HUGEINT cross
+    // products — DuckDB BIGINT×BIGINT errors on overflow rather than
+    // widening, and the DECIMAL route would silently fall to DOUBLE
+    // past width 38)
+    "ann_index_lifecycle" ->
+      s"""WITH $exSql,
+         |$assignMembersSql,
+         |$residualCodesSql,
+         |ncb AS (
+         |  SELECT m, code,
+         |         CAST(CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DECIMAL(24,12)) *
+         |              CAST($PqFp AS DECIMAL(13,0)) AS BIGINT) AS nfp
+         |  FROM rcb GROUP BY m, code),
+         |qn AS (SELECT c.vec_id, CAST(sum(n.nfp) AS BIGINT) AS qfp
+         |       FROM codes c JOIN ncb n ON n.m = c.m AND n.code = c.code
+         |       GROUP BY c.vec_id),
+         |idx AS (SELECT mm.vec_id, mm.c_id, q.qfp
+         |        FROM members mm JOIN qn q ON q.vec_id = mm.vec_id),
+         |tomb AS (SELECT vec_id FROM embeddings WHERE label = 1 OR vec_id % 13 = 5),
+         |lv AS (SELECT i.* FROM idx i LEFT JOIN tomb t ON t.vec_id = i.vec_id
+         |       WHERE t.vec_id IS NULL),
+         |ts AS (SELECT c_id, count(*) AS n_train, CAST(sum(qfp) AS BIGINT) AS s_train
+         |       FROM idx GROUP BY c_id),
+         |ls AS (SELECT c_id, count(*) AS n_live, CAST(sum(qfp) AS BIGINT) AS s_live
+         |       FROM lv GROUP BY c_id)
+         |SELECT t.c_id, t.n_train,
+         |       CAST(coalesce(l.n_live, 0) AS BIGINT) AS n_live,
+         |       CAST(t.n_train - coalesce(l.n_live, 0) AS BIGINT) AS n_deleted,
+         |       t.s_train AS norm_train_fp,
+         |       CAST(coalesce(l.s_live, 0) AS BIGINT) AS norm_live_fp,
+         |       ($LifecycleDelDen * (t.n_train - coalesce(l.n_live, 0)) >= t.n_train
+         |        OR $LifecycleDriftDen * abs(CAST(coalesce(l.s_live, 0) AS HUGEINT) * t.n_train
+         |             - CAST(t.s_train AS HUGEINT) * coalesce(l.n_live, 0))
+         |           > CAST(t.s_train AS HUGEINT) * coalesce(l.n_live, 0)) AS retrain
+         |FROM ts t LEFT JOIN ls l ON l.c_id = t.c_id
+         |ORDER BY t.c_id""".stripMargin,
 
     // the IVFADC ranking (shared $residualAdcSql CTEs) gated by
     // ann_filtered's policy machinery — same integer selectivity rule,

@@ -266,7 +266,12 @@ object Windows extends QueryModule {
     // batch boundaries were.
     "streaming_upsert" -> { (s, d) =>
       val ss = graft.streaming.Streaming.stateSizedSession(s, d)
-      graft.streaming.Streaming.upsertLatestPerUser(ss, d)
+      // 2 chunks (round-13 diet): the conditional-upsert step is
+      // arrival-order independent (upsertStep's out-of-order unit test
+      // pins it; the spec still drives the 4-chunk replay), so two
+      // micro-batches exercise bootstrap + MERGE at half the per-batch
+      // fixed cost
+      graft.streaming.Streaming.upsertLatestPerUser(ss, d, chunks = 2)
         .orderBy(col("user_id"))
     },
 

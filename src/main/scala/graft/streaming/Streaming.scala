@@ -765,22 +765,52 @@ object Streaming {
     * store state would grow forever; the table is the state, and each
     * batch touches it through one key-partitioned merge join. */
   def upsertLatestPerUser(spark: SparkSession, dir: String,
-      chunks: Int = 4): DataFrame = {
-    val src = eventsStreamChunked(spark, dir, chunks)
-    // checkpoint on /dev/shm via the shared gate lifecycle (round-11
-    // diet: this gate had been the one stream still fsyncing offsets/
-    // commits per micro-batch to disk tmpdir); the versioned TABLE
-    // stays in the disk gate dir, it IS the output
+      chunks: Int = 4): DataFrame =
+    maintainThroughGate(eventsStreamChunked(spark, dir, chunks),
+      "graft-gate-upsert-", initial = None,
+      step = upsertStep,
+      // no data batch ever fired (empty source): the latest-state
+      // table is the empty frame with the upsert schema
+      emptyResult = upsertStep(None, Tables.events(spark, dir).limit(0)))
+
+  /** Drive a finite stream through foreachBatch, MAINTAINING a versioned
+    * materialized table across micro-batches: each batch applies `step`
+    * (current snapshot, batch) → next snapshot, writes version
+    * v<batchId>, and swaps the pointer — the "MERGE INTO from a stream"
+    * pattern every ingest that serves current state runs, here with
+    * plain versioned parquet + a pointer swap instead of a lakehouse
+    * table format (same recipe, no extra dependency). `initial`
+    * bootstraps the table BEFORE the stream starts (the pre-existing
+    * index/snapshot a maintenance feed applies to); None starts empty
+    * (first batch bootstraps). State lives in the TABLE, not in
+    * streaming state stores — the unbounded-key regime where
+    * watermarked store state would grow forever; the table is the
+    * state, and each batch touches it through one key-partitioned
+    * merge join. Checkpoints ride /dev/shm via the shared gate
+    * lifecycle (round-11 diet); the versioned table stays in the disk
+    * gate dir, it IS the output. ONE copy of the pointer-swap plumbing,
+    * shared by [[upsertLatestPerUser]] (CDC upsert) and the IVFADC
+    * tombstone-delete gate (round-13: gate 16). */
+  def maintainThroughGate(src: DataFrame, gatePrefix: String,
+      initial: Option[DataFrame],
+      step: (Option[DataFrame], DataFrame) => DataFrame,
+      emptyResult: => DataFrame): DataFrame = {
+    val spark = src.sparkSession
     val (gate, chkRoot) = newGateDirs(
-      "graft-gate-upsert-" + java.util.UUID.randomUUID().toString.take(8))
+      gatePrefix + java.util.UUID.randomUUID().toString.take(8))
     @volatile var current: Option[String] = None
+    initial.foreach { df =>
+      val out = gate.resolve("v_init").toString
+      df.write.mode("overwrite").parquet(out)
+      current = Some(out)
+    }
     val q = src.writeStream
       .option("checkpointLocation", chkRoot.resolve("chk").toString)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
         if (!batch.isEmpty) {
-          val merged = upsertStep(
-            current.map(batch.sparkSession.read.parquet(_)), batch)
+          val merged = step(
+            current.map(batch.sparkSession.read.parquet(_)), batch.toDF())
           val out = gate.resolve(s"v$id").toString
           merged.write.mode("overwrite").parquet(out)
           current = Some(out)
@@ -791,11 +821,36 @@ object Streaming {
     q.stop()
     current match {
       case Some(p) => spark.read.parquet(p)
-      case None =>
-        // no data batch ever fired (empty source): the latest-state
-        // table is the empty frame with the upsert schema
-        upsertStep(None, Tables.events(spark, dir).limit(0))
+      case None => emptyResult
     }
+  }
+
+  /** A small id/key frame replayed as `chunks` micro-batches split by
+    * `vec_id % chunks` — the arrival pattern of an external feed whose
+    * per-row effect is batch-boundary independent (e.g. a takedown/
+    * tombstone list applied to an index: deletes of distinct keys
+    * commute). `tag` keys the staged source dir per semantic content
+    * (the stager memo cannot see through the `ids` thunk). */
+  def idsStreamChunked(spark: SparkSession, dir: String, tag: String,
+      ids: => DataFrame, chunks: Int): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val frame = ids
+    val streamDir = stagedSources.computeIfAbsent((s"ids-$tag", dir, chunks),
+      _ => new SourceCell(() => {
+        val p = Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft-stream-ids-$tag$chunks-" + stagingKey(dir))
+        Files.createDirectories(p)
+        registerGateCleanup(p) // exit-time cleanup; lives for the JVM
+        val now = System.currentTimeMillis()
+        (0 until chunks).foreach { i =>
+          stageSingleFile(p, frame.filter(pmod(col("vec_id"), lit(chunks)) === i),
+            f"ids_$i%02d.parquet", now + i * 60000L)
+        }
+        p
+      })).path
+    spark.readStream.schema(frame.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
   }
 
   /** Drive a finite stream through foreachBatch, TRANSFORMING each
@@ -912,10 +967,16 @@ object Streaming {
 
   /** Delete graft-gate-* AND graft-stream-* dirs a crashed JVM left
     * behind (the staged stream-source copies are corpus-sized at 100×
-    * and were otherwise never deleted — review finding). Age-gated
-    * (6 h since last touch) so a CONCURRENT session's live gates and
-    * sources are never swept — this JVM's own dirs go through the
-    * shutdown hook. */
+    * and were otherwise never deleted — review finding). Two guards:
+    * paths THIS JVM owns (`gateDirsToClean` — every gate dir, checkpoint
+    * root, and memoized stream-source dir registers there) are never
+    * swept regardless of age, because the stream-source memo caches the
+    * path for the JVM's lifetime and its mtime is only set at build — a
+    * session outliving the cutoff would otherwise sweep its own live
+    * source (round-13 advice fix); everything else is age-gated (6 h
+    * since last touch) so a CONCURRENT session's live dirs are not
+    * swept while active (stream-source names embed the pid via
+    * stagingKey; gate dirs are UUID- or query-named and short-lived). */
   private def sweepStaleGateDirs(): Unit = {
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     val roots = Seq(
@@ -925,7 +986,8 @@ object Streaming {
       val list = java.nio.file.Files.list(root)
       try list.filter { p =>
           val n = p.getFileName.toString
-          n.startsWith("graft-gate-") || n.startsWith("graft-stream-")
+          (n.startsWith("graft-gate-") || n.startsWith("graft-stream-")) &&
+            !gateDirsToClean.contains(p)
         }
         .filter(p =>
           try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff

@@ -808,6 +808,32 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 
+  test("ann_index_lifecycle: broadcast-only stats join, literal qfp lookup, no window") {
+    // gate 16's verdict plan: the per-vector quantized-residual energy
+    // must be a literal-array lookup folded into the aggregate's child
+    // projection (model-sized nfp table as literals — no join below
+    // either stats aggregation), the train ⋈ live stats join must be
+    // broadcast (both sides are nlist-sized), and nothing may window
+    // or cartesian over the coded index
+    val df = q("ann_index_lifecycle")
+    val sp = df.queryExecution.sparkPlan
+    val joins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    val nonBroadcast = joins.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      .filterNot(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(nonBroadcast.isEmpty,
+      s"non-broadcast join in the lifecycle verdict plan:\n$nonBroadcast")
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window in the lifecycle plan:\n$sp")
+    val s = sp.toString
+    assert(!s.contains("CartesianProduct"), s"cartesian:\n$s")
+    assert(!s.contains("lambdafunction"), s"interpreted lambda on the stats path:\n$s")
+  }
+
   test("dedup_semantic: no window, no cartesian, codegen two-phase verify") {
     // SemDeDup prune: cluster-mate candidates must come from the
     // (c_id, band, bucket)-blocked self-join — never a per-cluster

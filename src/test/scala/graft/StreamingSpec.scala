@@ -375,4 +375,42 @@ class StreamingSpec extends GraftSuite {
         s"stream-built bucket for vec $v differs from the batch assignment (${km.get(v)} vs $c)")
     }
   }
+
+  test("index lifecycle: stream-deleted live set and retrain rules (gate 16)") {
+    // the tombstone stream MERGE-deletes must leave exactly the batch
+    // anti-join alive, and both retrain rules must replay from the
+    // emitted integers (the oracle replays the same arithmetic)
+    val rows = q("ann_index_lifecycle").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, nt, nl, nd, _, _, _) =>
+      assert(nd == nt - nl && nl >= 0 && nl <= nt, s"bucket $c counts inconsistent")
+    }
+    // per-bucket training census == the batch assignment's census
+    val km = q("emb_kmeans").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val wantTrain = km.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == wantTrain,
+      "per-bucket n_train differs from the batch assignment census")
+    // per-bucket deletions == the tombstone list intersected with the
+    // assignment (label = 1 OR vec_id % 13 == 5, the takedown feed)
+    val tombed = Tables.embeddings(spark, sf)
+      .filter(col("label") === 1 || col("vec_id") % 13 === 5)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val wantDel = km.filter(t => tombed(t._1))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (c, _, _, nd, _, _, _) =>
+      assert(nd == wantDel.getOrElse(c, 0L),
+        s"bucket $c deleted $nd, tombstone list says ${wantDel.getOrElse(c, 0L)}")
+    }
+    assert(rows.map(_._4).sum > 0, "fixture should tombstone at least one vector")
+    // both retrain rules recomputed exactly from the emitted integers
+    rows.foreach { case (c, nt, nl, nd, st, sl, retrain) =>
+      val del = 6L * nd >= nt
+      val drift = BigInt(50) * (BigInt(sl) * nt - BigInt(st) * nl).abs >
+        BigInt(st) * nl
+      assert(retrain == (del || drift),
+        s"bucket $c verdict $retrain, rules say del=$del drift=$drift")
+    }
+  }
 }
