@@ -198,15 +198,29 @@ object ExplainDump {
     "pipeline_filter_cascade" -> ("four audit rules + in-row langid argmax as ONE narrow " +
       "projection over one documents scan — no join, no aggregate, only the presentation " +
       "sort (PlanSpec-pinned); all rules exact integer comparisons"),
-    "ann_ivf_pq" -> ("product-quantized ANN: encoding is a margin-gated narrow projection " +
-      "(model-sized codebook as literals), ADC tables are 512 literal longs, scoring is one " +
-      "narrow pass over 4-byte codes into the bounded exact-integer topKLong aggregator — " +
-      "never a corpus-wide window; every score a decimal-exact ×10^12 fixed-point BIGINT"),
-    "ann_filtered" -> ("metadata-filtered ANN with the selectivity policy: the pre arm's " +
-      "predicate is a broadcast LeftSemi UNDER the probe join (dimension filter pushed to " +
-      "its scan), the post arm over-fetches the exact top-k' then filters survivors; the " +
-      "corpus never hash-partitions on vec_id (narrow argmax assignment + broadcast probe " +
-      "set, reused across arms); windows only over bucket-bounded candidates"),
+    "ann_ivf_pq" -> ("product-quantized ANN via the join-based ADC (round 13 — the old " +
+      "NQ-literal folding and its driver-side table are gone): the STAGED coded corpus is " +
+      "scanned once and broadcast-nested-loop joined to the NQ-sized in-engine ADC lookup " +
+      "arrays (flat-PQ semantics — no buckets, every query scans all codes), reduced by the " +
+      "bounded exact-integer topKLong aggregator; every score a decimal-exact ×10^12 " +
+      "fixed-point BIGINT; plan size O(M·Ksub) regardless of the query batch"),
+    "ann_filtered" -> ("metadata-filtered ANN with the selectivity policy: bucket membership " +
+      "attaches from the PERSISTED kmeans_members table (broadcast skinny pairs; " +
+      "co-partitioned at production scale) — round 13 removed the twice-per-run in-plan " +
+      "argmax; the pre arm's predicate is a broadcast LeftSemi UNDER the probe join, the " +
+      "post arm over-fetches the exact top-k' then filters survivors; the corpus never " +
+      "hash-partitions on vec_id; windows only over bucket-bounded candidates"),
+    "text_segment" -> ("sentence-boundary-snapped chunking: page synthesis, terminator " +
+      "split, and the per-doc token prefix-sum fold all inside ONE narrow projection (no " +
+      "window — the fold is bounded by the doc's sentence count); the only exchange is the " +
+      "(doc_id, chunk_id) re-group that materializes chunks, segmentation's floor " +
+      "(PlanSpec-pinned ≤ 2 exchanges incl. the presentation sort)"),
+    "ann_index_lifecycle" -> ("gate 16's batch-side verdict: per-vector quantized-residual " +
+      "energy is a literal-array lookup over the coded index (model-sized nfp table — no " +
+      "join below either stats aggregation); train and live stats are two skinny hash " +
+      "aggregations to nlist rows joined BROADCAST; retrain rules exact decimal " +
+      "cross-products (no division, no floats); the tombstone MERGE-deletes run in the " +
+      "streaming gate, not this plan (PlanSpec-pinned broadcast-only)"),
     "ann_ivfpq_residual" -> ("IVFADC residual fusion: the STAGED residual-coded corpus is " +
       "scanned once and joined to the BROADCAST per-(query, bucket) ADC lookup arrays on " +
       "c_id (join-based ADC — plan size independent of the query-batch size), then reduced " +

@@ -55,6 +55,7 @@ object Verify {
       "spark.graft.serving.shards" -> Seq("pipeline_pack", "data_shuffle_global"),
       "spark.graft.chunk.width" -> Seq("pipeline_chunk"),
       "spark.graft.chunk.stride" -> Seq("pipeline_chunk"),
+      "spark.graft.segment.budget" -> Seq("text_segment"),
       // pipeline_token_budget scores via the same unigramScores vocab
       // (its oracle hardcodes the derived cap), so it pins the knob too
       "spark.graft.vocab.topK" -> Seq(

@@ -723,17 +723,24 @@ class PlanSpec extends GraftSuite {
     assert(exchanges.size <= 2, s"unexpected exchanges:\n$sp")
   }
 
-  test("ann_ivf_pq: no join, no window — literal-folded encode into a bounded aggregate") {
-    // the PQ serving shape: codebook and ADC tables fold into the
-    // projection as literals, so the whole query is scan → narrow
-    // encode → explode → ObjectHashAggregate(topKLong) → sort. A join
-    // or per-query window here would mean the code table or the query
-    // set went through an exchange — the thing PQ exists to avoid.
+  test("ann_ivf_pq: broadcast-only ADC join over the staged codes into a bounded aggregate") {
+    // the flat-PQ serving shape (round-13: routed through the
+    // join-based ADC, closing the old NQ literal-folding bound): the
+    // staged coded corpus is scanned once and joined to the BROADCAST
+    // NQ-sized ADC table (nested-loop by construction — a flat index
+    // has no bucket key; every query scans all codes), reduced by the
+    // bounded topKLong aggregator. A non-broadcast join or a per-query
+    // window would mean the code table or the query set went through a
+    // shuffle — the thing PQ exists to avoid.
     val df = q("ann_ivf_pq")
     val sp = df.queryExecution.sparkPlan
-    assert(sp.collect {
+    val joins = sp.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
-    }.isEmpty, s"join in the PQ plan:\n$sp")
+    }
+    assert(joins.nonEmpty, s"broadcast ADC join missing:\n$sp")
+    val nonBroadcast = joins.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(nonBroadcast.isEmpty, s"non-broadcast join in the PQ plan:\n$nonBroadcast")
     assert(sp.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, s"window in the PQ plan:\n$sp")
@@ -882,6 +889,28 @@ class PlanSpec extends GraftSuite {
     val shuffles = sp.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
     assert(shuffles.size <= 1, s"more than the presentation sort:\n$sp")
+  }
+
+  test("text_segment: one re-group exchange, no join, no window") {
+    // segmentation is a reorganization: its floor is ONE corpus shuffle
+    // keyed by the output grouping (doc_id, chunk_id). Everything else —
+    // page synthesis, sentence split, the per-doc prefix-sum fold —
+    // must stay inside the narrow pass below that exchange; a second
+    // exchange would mean the prefix sums leaked into a window shuffle
+    val df = q("text_segment")
+    val sp = df.queryExecution.sparkPlan
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"join in the segment plan:\n$sp")
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window in the segment plan:\n$sp")
+    val exchanges = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one hash re-group + the presentation sort's range exchange
+    assert(exchanges.length <= 2,
+      s"${exchanges.length} exchanges in the segment plan:\n$sp")
   }
 
   test("text_normalize plans as one narrow codegen projection over a pruned scan") {

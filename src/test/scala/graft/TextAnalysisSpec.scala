@@ -315,4 +315,38 @@ class TextAnalysisSpec extends GraftSuite {
     assert(got(5L) == (8, false))
     assert(got(6L) == (15, false), s"null text: ${got(6L)}")
   }
+
+  test("text_segment: hand-built page's chunk boundaries are sentence-snapped") {
+    import spark.implicits._
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // sentences: "a b." (2 toks) | "c d e f." (4) | "g." (1) |
+    // "h i j k l m n." (7); cumulative-before = 0, 2, 6, 7; budget 5 ⇒
+    // chunk 0 = sentences 1–2 (6 tokens), chunk 1 = sentences 3–4 (8)
+    val pages = Seq((1L, "a b. c d e f. g. h i j k l m n."))
+      .toDF("doc_id", "page")
+    val got = graft.queries.TextAnalysis.segmentChunks(pages, budget = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 6L, md5Hex("a b. c d e f.")),
+      (1L, 2L, 8L, md5Hex("g. h i j k l m n."))),
+      s"hand-built boundaries: ${got.mkString(";")}")
+    // fixture-level invariants: chunks partition each document's token
+    // stream (no token lost to a cut) and chunk ids are contiguous
+    val segs = q("text_segment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val tokCounts = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = segs.groupBy(_._1)
+    assert(byDoc.keySet == tokCounts.keySet)
+    byDoc.foreach { case (doc, rows) =>
+      assert(rows.map(_._3).sum == tokCounts(doc),
+        s"doc $doc: chunk tokens ${rows.map(_._3).sum} != ${tokCounts(doc)}")
+      assert(rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq,
+        s"doc $doc: chunk ids not contiguous")
+    }
+  }
 }
