@@ -109,6 +109,12 @@ object Bench {
     val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     var calibFailed = false
     def calibProbe(warmups: Int, keep: Int): Unit = {
+      // every probe samples from the same clean state the per-query
+      // loop gives each query (review finding: the mid/end probes
+      // otherwise carry the preceding query's cached relations and GC
+      // debt, biasing 4 of the 6 calibration samples upward)
+      spark.catalog.clearCache()
+      System.gc()
       val fn = SparkEntry.queries("wordcount")
       (1 to warmups + keep).foreach { i =>
         val t0 = System.nanoTime()

@@ -1267,13 +1267,20 @@ object Similarity extends QueryModule {
         // projection was the dominant 100× cost (round-13 verdict
         // item 4; the emb_kmeans staging precedent measured the same
         // subtree at 13.6 s → 0.87 s). The skinny (vec_id, c_id) table
-        // broadcasts here (2 longs/row); at production scale it
-        // co-partitions with the corpus on vec_id (both bucketed), so
-        // the attach join stays co-located — the corpus never shuffles
-        // for it either way. This is exactly how a production IVF
-        // serves: membership is INDEX STATE, computed at ingest (gate
-        // 15), not re-derived per query.
-        val members = broadcast(kmeansMembers(s, d))
+        // broadcasts only while it genuinely fits (size-gated on the
+        // indexable count — review finding: an unconditional hint
+        // would collect one row per corpus vector to the driver and
+        // hit the 8 GB broadcast wall near ~5·10⁸ vectors); past the
+        // gate it degrades to the plain join, which at production
+        // scale co-partitions with the corpus on vec_id (both
+        // bucketed), so the attach stays co-located — the corpus never
+        // shuffles on vec_id either way. This is exactly how a
+        // production IVF serves: membership is INDEX STATE, computed
+        // at ingest (gate 15), not re-derived per query.
+        val membersDf = kmeansMembers(s, d)
+        val members =
+          if (indexableCount(s, d) <= 10000000L) broadcast(membersDf)
+          else membersDf
         def assigned(df: DataFrame): DataFrame =
           df.join(members, Seq("vec_id"))
             .select(col("vec_id"), col("label"), col("embedding"),

@@ -122,6 +122,28 @@ object Streaming {
   private val stagedSources =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), SourceCell]()
 
+  /** Resolve a memoized staged-source dir: build once per key, REFRESH
+    * the dir's mtime on every access (so a live session's sources never
+    * age past another JVM's 6 h stale sweep — review finding: the
+    * mtime was only set at build, leaving a long-lived session's
+    * sources sweepable by a CONCURRENT session even after the
+    * own-dirs exclusion), and REBUILD if the dir vanished anyway (the
+    * memoized path would otherwise dangle for the JVM's life). */
+  private def memoSource(key: (String, String, Int))(
+      build: () => java.nio.file.Path): java.nio.file.Path = {
+    def resolve() =
+      stagedSources.computeIfAbsent(key, _ => new SourceCell(build)).path
+    var p = resolve()
+    if (!java.nio.file.Files.isDirectory(p)) {
+      stagedSources.remove(key)
+      p = resolve()
+    }
+    try java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: Exception => () }
+    p
+  }
+
   /** Max event-time µs of a frame, or `default` when the frame is empty
     * (the agg row's max is NULL) — shared by the sentinel/chunk stagers;
     * for a sentinel, any epoch works on an empty stream (no state to
@@ -137,8 +159,7 @@ object Streaming {
     // FileStreamSource requires a directory source (it pins basePath to
     // the source path itself); the fixture dir mixes all tables, so stage
     // the events file alone into a per-fixture stream dir.
-    val streamDir = stagedSources.computeIfAbsent(("copies", dir, copies),
-      _ => new SourceCell(() => {
+    val streamDir = memoSource(("copies", dir, copies))(() => {
         val p = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"),
           s"graft-stream-${copies}x-" + stagingKey(dir))
@@ -151,7 +172,7 @@ object Streaming {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         p
-      })).path
+      })
     val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -502,8 +523,7 @@ object Streaming {
     import java.nio.file.{Files, Paths}
     import spark.implicits._
     val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
-    val streamDir = stagedSources.computeIfAbsent(("flush", dir, 1),
-      _ => new SourceCell(() => {
+    val streamDir = memoSource(("flush", dir, 1))(() => {
         val maxUs = maxUsOr(ev, 0L)
         // past watermark delay (1 h) + session gap (10 min), with 1 h slack
         val sentinelUs = maxUs + (3600L + 600L + 3600L) * 1000000L
@@ -517,7 +537,7 @@ object Streaming {
           Seq((-1L, new java.sql.Timestamp(sentinelUs / 1000L)))
             .toDF("user_id", "ts"), "sentinel_01.parquet", now + 60000L)
         p
-      })).path
+      })
     // combined trigger, same reasoning as [[eventsWithFlushSentinel]]:
     // open sessions land in state during the batch, the sentinel's
     // watermark commits at batch END, and the event-time timeouts fire
@@ -567,8 +587,7 @@ object Streaming {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
         col("value"))
-    val streamDir = stagedSources.computeIfAbsent(("joinflush", dir, 1),
-      _ => new SourceCell(() => {
+    val streamDir = memoSource(("joinflush", dir, 1))(() => {
         val maxUs = maxUsOr(ev, 0L)
         // past watermark delay (1 h) + join interval (30 min), with 1 h slack
         val sentinelUs = maxUs + (3600L + 1800L + 3600L) * 1000000L
@@ -584,7 +603,7 @@ object Streaming {
             .toDF("event_id", "user_id", "event_type", "ts", "value"),
           "sentinel_01.parquet", now + 60000L)
         p
-      })).path
+      })
     // BOTH files in one trigger: the flush recipe needs the sentinel's
     // watermark COMMITTED after the real rows are in state, which batch
     // semantics give for free (state is added during the batch, the
@@ -608,8 +627,7 @@ object Streaming {
   def documentsStreamBaseDelta(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val streamDir = stagedSources.computeIfAbsent(("docs-basedelta", dir, 1),
-      _ => new SourceCell(() => {
+    val streamDir = memoSource(("docs-basedelta", dir, 1))(() => {
         val p = Paths.get(System.getProperty("java.io.tmpdir"),
           "graft-stream-docs-" + stagingKey(dir))
         Files.createDirectories(p)
@@ -620,7 +638,7 @@ object Streaming {
         stageSingleFile(p, docs.filter(col("doc_id") % 10 === 0),
           "delta_01.parquet", now + 60000L)
         p
-      })).path
+      })
     spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
@@ -689,8 +707,7 @@ object Streaming {
   def embeddingsStreamChunked(spark: SparkSession, dir: String, chunks: Int): DataFrame = {
     import java.nio.file.{Files, Paths}
     val emb = Tables.embeddings(spark, dir)
-    val streamDir = stagedSources.computeIfAbsent(("embchunks", dir, chunks),
-      _ => new SourceCell(() => {
+    val streamDir = memoSource(("embchunks", dir, chunks))(() => {
         val p = Paths.get(System.getProperty("java.io.tmpdir"),
           s"graft-stream-emb$chunks-" + stagingKey(dir))
         Files.createDirectories(p)
@@ -701,7 +718,7 @@ object Streaming {
             f"emb_$i%02d.parquet", now + i * 60000L)
         }
         p
-      })).path
+      })
     spark.readStream.schema(emb.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
@@ -720,8 +737,7 @@ object Streaming {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
         col("value"))
-    val streamDir = stagedSources.computeIfAbsent(("chunks", dir, chunks),
-      _ => new SourceCell(() => {
+    val streamDir = memoSource(("chunks", dir, chunks))(() => {
         val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
         // empty source → both NULL (same rule as maxUsOr); a degenerate
         // [0, 0] range still stages `chunks` (empty) files, so the
@@ -742,7 +758,7 @@ object Streaming {
             f"events_$i%02d.parquet", now + i * 60000L)
         }
         p
-      })).path
+      })
     spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
@@ -795,34 +811,31 @@ object Streaming {
       initial: Option[DataFrame],
       step: (Option[DataFrame], DataFrame) => DataFrame,
       emptyResult: => DataFrame): DataFrame = {
-    val spark = src.sparkSession
     val (gate, chkRoot) = newGateDirs(
       gatePrefix + java.util.UUID.randomUUID().toString.take(8))
-    @volatile var current: Option[String] = None
-    initial.foreach { df =>
-      val out = gate.resolve("v_init").toString
-      df.write.mode("overwrite").parquet(out)
-      current = Some(out)
-    }
+    // the pointer holds DataFrames: the initial snapshot is served
+    // AS-IS to batch 0 (review finding: writing it to a v_init table
+    // first duplicated an already-durable staged artifact, a
+    // corpus-sized write per run at 100×); every post-batch version IS
+    // written and re-read, so a later batch never re-executes the
+    // previous merge's plan chain
+    @volatile var current: Option[DataFrame] = initial
     val q = src.writeStream
       .option("checkpointLocation", chkRoot.resolve("chk").toString)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
         if (!batch.isEmpty) {
-          val merged = step(
-            current.map(batch.sparkSession.read.parquet(_)), batch.toDF())
+          val merged = step(current, batch.toDF())
           val out = gate.resolve(s"v$id").toString
           merged.write.mode("overwrite").parquet(out)
-          current = Some(out)
+          current = Some(batch.sparkSession.read.parquet(out))
         }
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    current match {
-      case Some(p) => spark.read.parquet(p)
-      case None => emptyResult
-    }
+    // current is None iff initial was None and no data batch ever fired
+    current.getOrElse(emptyResult)
   }
 
   /** A small id/key frame replayed as `chunks` micro-batches split by
@@ -835,8 +848,7 @@ object Streaming {
       ids: => DataFrame, chunks: Int): DataFrame = {
     import java.nio.file.{Files, Paths}
     val frame = ids
-    val streamDir = stagedSources.computeIfAbsent((s"ids-$tag", dir, chunks),
-      _ => new SourceCell(() => {
+    val streamDir = memoSource((s"ids-$tag", dir, chunks))(() => {
         val p = Paths.get(System.getProperty("java.io.tmpdir"),
           s"graft-stream-ids-$tag$chunks-" + stagingKey(dir))
         Files.createDirectories(p)
@@ -847,7 +859,7 @@ object Streaming {
             f"ids_$i%02d.parquet", now + i * 60000L)
         }
         p
-      })).path
+      })
     spark.readStream.schema(frame.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
@@ -974,9 +986,12 @@ object Streaming {
     * path for the JVM's lifetime and its mtime is only set at build — a
     * session outliving the cutoff would otherwise sweep its own live
     * source (round-13 advice fix); everything else is age-gated (6 h
-    * since last touch) so a CONCURRENT session's live dirs are not
-    * swept while active (stream-source names embed the pid via
-    * stagingKey; gate dirs are UUID- or query-named and short-lived). */
+    * since last touch). A CONCURRENT session's dirs survive because it
+    * keeps them fresh: memoSource refreshes the source dir's mtime on
+    * EVERY access and rebuilds if the dir vanished anyway, and gate
+    * dirs are per-run short-lived — so the sweep can only collect dirs
+    * whose owner has been idle past the cutoff, and even that owner
+    * self-heals on its next access. */
   private def sweepStaleGateDirs(): Unit = {
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     val roots = Seq(
