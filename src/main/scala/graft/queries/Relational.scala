@@ -55,6 +55,14 @@ object Relational extends QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
   @volatile private var quantileExactRegime: Boolean = true
 
+  /** agg_theta_sketch's bottom-k size — the sf0.01 verify fixture
+    * (1 500 customers) sits UNDER-FULL (estimates degenerate to exact
+    * distinct counts) while the sf0.1 bench corpus (15 000) exercises
+    * the genuine estimation arithmetic; BOTH regimes stay hash-oracled
+    * because the k-min sets and the estimator are deterministic (see
+    * the query's contract note). */
+  private val ThetaK = 1024
+
   /** Synthesized `partsupp` — the one TPC-H table the fixture doesn't
     * ship (SURVEY §8.2), derived DETERMINISTICALLY from `part` ×
     * `supplier` count with TPC-H's own supplier-assignment formula
@@ -548,6 +556,82 @@ object Relational extends QueryModule {
         .select(col("scope"),
           hll_sketch_estimate(col("sk")).as("est_distinct_orders"))
         .orderBy(col("scope"))
+    },
+
+    // THETA-SKETCH set operations over ENTITY slices — the sketch
+    // capability the HLL family structurally lacks: per-slice bottom-k
+    // (KMV / theta) sketches support INTERSECTION and DIFFERENCE, so
+    // retention/overlap/churn questions ("how many 1995 customers came
+    // back in 1996, how many churned") become arithmetic over two ≤k-
+    // long staged states instead of an exact distinct self-join of the
+    // raw fact. Mechanism is pipeline_overlap_est's, ONE copy
+    // ([[graft.operators.TopK.kMinDistinct]] + md5-derived 60-bit
+    // hashes): this query extends the estimator family with per-slice
+    // cardinalities and the A∖B difference (theta framework: every
+    // retained hash below θ = the union's k-th minimum is a uniform
+    // rate-θ sample of the union, so |sample ∩ predicate| / θ estimates
+    // any set-algebra predicate's cardinality).
+    //
+    // Unlike the HLL pair (agg_approx/agg_sketch_merge, whose register
+    // states are engine-private — docs/SCALING.md round-13 note), the
+    // ENTIRE pipeline is deterministic and engine-replayable: md5 is a
+    // public function, "k smallest distinct hashes" is associative-
+    // commutative (merge-order-free under AQE), and the estimator is
+    // the same IEEE expression in both engines — so the gate is a FULL
+    // hash match at EVERY scale: under-full (sf0.01: 1 500 customers <
+    // k ⇒ estimates ARE the exact distinct counts) and genuinely
+    // estimating (sf0.1: 15 000 > k; std error ≈ 1/√k ≈ 3 %, accuracy
+    // vs the exact twin asserted in RelationalSpec).
+    //
+    // Scale: one pass over the filtered fact per slice, map-side
+    // partial k-min merge — the exchange carries ≤k longs per task,
+    // the "join" is a broadcast 1×1 of two sketch rows; per-slice
+    // sketches are the few-KB staged artifact a production retention
+    // dashboard unions/intersects WITHOUT recounting the fact.
+    "agg_theta_sketch" -> { (s, d) =>
+      import s.implicits._
+      val k = ThetaK
+      // NULL custkeys carry no identity to count — excluded on BOTH
+      // engines (and year(NULL) is NULL, never 1995/1996)
+      val ord = Tables.orders(s, d).filter(col("o_custkey").isNotNull)
+      // GLOBAL typed aggregate (the pipeline_overlap_est discipline):
+      // emits its zero row on an EMPTY slice, keeping the 1×1 shape
+      def kmin(y: Int) = ord
+        .filter(year(col("o_orderdate")) === y)
+        .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .as[Long]
+        .select(graft.operators.TopK.kMinDistinct(k).toColumn.name("s"))
+      // KMV estimator over a k-min set: exact size while under-full,
+      // (k−1)·2⁶⁰/x_k once full — one copy used by all four estimates
+      def est(set: Column): Column =
+        when(size(set) < k, size(set).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+            array_max(set).cast("double"))
+      val a = kmin(1995).select(col("s").as("sa"))
+      val b = kmin(1996).select(col("s").as("sb"))
+      a.crossJoin(b) // 1×1: two sketch rows
+        .withColumn("u", slice(array_sort(array_distinct(
+          concat(col("sa"), col("sb")))), 1, k))
+        .withColumn("n_u", size(col("u")))
+        .withColumn("n_both", size(expr(
+          "filter(u, h -> array_contains(sa, h) AND array_contains(sb, h))")))
+        .withColumn("n_a_only", size(expr(
+          "filter(u, h -> array_contains(sa, h) AND NOT array_contains(sb, h))")))
+        .withColumn("union_est", est(col("u")))
+        .select(
+          lit(k).as("k"), col("n_u"), col("n_both"), col("n_a_only"),
+          round(est(col("sa")), 2).as("est_1995"),
+          round(est(col("sb")), 2).as("est_1996"),
+          round(col("union_est"), 2).as("union_est"),
+          // rate-θ uniform-sample fractions of the union scale every
+          // set-algebra predicate; 0/0 on the all-empty edge pinned to 0
+          when(col("n_u") === 0, lit(0.0)).otherwise(
+            round(col("n_both").cast("double") / col("n_u") * col("union_est"), 2))
+            .as("retained_est"),
+          when(col("n_u") === 0, lit(0.0)).otherwise(
+            round(col("n_a_only").cast("double") / col("n_u") * col("union_est"), 2))
+            .as("churned_est"))
     },
 
     // Set operations on key projections: customers active in 1995 vs 1996.
@@ -1188,6 +1272,50 @@ object Relational extends QueryModule {
     // on both engines (DuckDB's bare 0.95 literal is DECIMAL: 0.95·n
     // would round differently from the engine's IEEE q·n at e.g.
     // n = 500, where 0.95·500 is 475.000…0006 in doubles → ceil 476)
+    // DETERMINISTIC-SKETCH oracle (the pipeline_overlap_est recipe):
+    // DuckDB mirrors the k-min sets (ORDER BY h LIMIT k over the same
+    // md5-derived 60-bit hashes) and replays the identical estimator
+    // arithmetic — a full hash match in BOTH the under-full and the
+    // estimating regime (see the query's contract note).
+    "agg_theta_sketch" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+        |  FROM orders
+        |  WHERE extract(year FROM o_orderdate) = 1995 AND o_custkey IS NOT NULL),
+        |hb AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+        |  FROM orders
+        |  WHERE extract(year FROM o_orderdate) = 1996 AND o_custkey IS NOT NULL),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 1024),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 1024),
+        |u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 1024),
+        |st AS (SELECT count(*) AS n_u, max(h) AS x_u,
+        |              count(*) FILTER (WHERE h IN (SELECT h FROM ka)
+        |                                 AND h IN (SELECT h FROM kb)) AS n_both,
+        |              count(*) FILTER (WHERE h IN (SELECT h FROM ka)
+        |                                 AND h NOT IN (SELECT h FROM kb)) AS n_a_only,
+        |              (SELECT count(*) FROM ka) AS n_a, (SELECT max(h) FROM ka) AS x_a,
+        |              (SELECT count(*) FROM kb) AS n_b, (SELECT max(h) FROM kb) AS x_b
+        |       FROM u),
+        |est AS (SELECT n_u, n_both, n_a_only,
+        |               CASE WHEN n_a < 1024 THEN CAST(n_a AS DOUBLE)
+        |                    ELSE 1023 * power(2.0, 60.0) / CAST(x_a AS DOUBLE) END AS ea,
+        |               CASE WHEN n_b < 1024 THEN CAST(n_b AS DOUBLE)
+        |                    ELSE 1023 * power(2.0, 60.0) / CAST(x_b AS DOUBLE) END AS eb,
+        |               CASE WHEN n_u < 1024 THEN CAST(n_u AS DOUBLE)
+        |                    ELSE 1023 * power(2.0, 60.0) / CAST(x_u AS DOUBLE) END AS ue
+        |        FROM st)
+        |SELECT CAST(1024 AS INT) AS k, CAST(n_u AS INT) AS n_u,
+        |       CAST(n_both AS INT) AS n_both, CAST(n_a_only AS INT) AS n_a_only,
+        |       round(ea, 2) AS est_1995,
+        |       round(eb, 2) AS est_1996,
+        |       round(ue, 2) AS union_est,
+        |       CASE WHEN n_u = 0 THEN 0.0
+        |            ELSE round(CAST(n_both AS DOUBLE) / n_u * ue, 2) END AS retained_est,
+        |       CASE WHEN n_u = 0 THEN 0.0
+        |            ELSE round(CAST(n_a_only AS DOUBLE) / n_u * ue, 2) END AS churned_est
+        |FROM est""".stripMargin,
+
     "agg_quantile_merge" ->
       """WITH lens AS (
         |  SELECT coalesce(lang, 'UNKNOWN') AS lang,

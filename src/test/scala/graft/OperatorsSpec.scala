@@ -493,4 +493,46 @@ class OperatorsSpec extends GraftSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(one == Map(1L -> 20L, 2L -> 5L))
   }
+
+  test("agg_theta_sketch: under-full estimates ARE the exact set algebra") {
+    // the sf0.001 fixture's per-year customer sets sit far under
+    // k = 1024, so every estimate must degenerate to the exact distinct
+    // count / intersection / difference (the query's under-full regime)
+    val row = q("agg_theta_sketch").collect().head
+    val out = row.schema.fieldNames.zip(row.toSeq).toMap
+    val ord = Tables.orders(spark, sf)
+    def custs(y: Int) = ord
+      .filter(year(col("o_orderdate")) === y && col("o_custkey").isNotNull)
+      .select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val c95 = custs(1995)
+    val c96 = custs(1996)
+    assert(c95.size < 1024 && c96.size < 1024, "fixture must be under-full")
+    assert(out("est_1995") == c95.size.toDouble)
+    assert(out("est_1996") == c96.size.toDouble)
+    assert(out("union_est") == (c95 union c96).size.toDouble)
+    assert(out("retained_est") == (c95 intersect c96).size.toDouble)
+    assert(out("churned_est") == (c95 diff c96).size.toDouble)
+  }
+
+  test("KMV theta estimator: within 3 sigma past the under-full regime") {
+    import graft.operators.TopK
+    // same estimator arithmetic the query uses, driven past k so the
+    // (k−1)·2⁶⁰/x_k branch is the one under test; hashes mirror the
+    // query's md5-derived 60-bit recipe
+    val k = 1024
+    val n = 30000
+    val agg = TopK.kMinDistinct(k)
+    def h(key: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val kmin = agg.finish((1 to n).foldLeft(agg.zero)((b, i) => agg.reduce(b, h(i.toLong))))
+    assert(kmin.length == k)
+    val est = (k - 1).toDouble * math.pow(2.0, 60.0) / kmin.max.toDouble
+    val sigma = 1.0 / math.sqrt(k - 2.0) // KMV standard error
+    assert(math.abs(est / n - 1.0) <= 3 * sigma, s"est=$est n=$n")
+  }
 }
