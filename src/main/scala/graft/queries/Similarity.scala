@@ -391,6 +391,7 @@ object Similarity extends QueryModule {
     lastIvf = (dir, lastIvf._2)
     lastPq = dir
     lastPqRes = (dir, lastPqRes._2)
+    lastPca = dir
   }
 
   private val ivfExported = new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
@@ -749,6 +750,99 @@ object Similarity extends QueryModule {
       assignCentroid(base, centArr).select(col("vec_id"), col("c_id"))
     }
   }
+
+  /** One-pass POPULATION-COVARIANCE stats over the indexable corpus —
+    * the Gram-matrix primitive PCA/whitening builds on. Shape: two
+    * chained generators turn each vector into its dim·(dim+1)/2
+    * upper-triangle term pairs MAP-SIDE (no self-join, no shuffle of
+    * the corpus), which partial hash aggregation folds into ≤ dim²
+    * groups per task — the exchange carries O(dim²·partitions) rows
+    * whatever the corpus size, the exact aggregation shape a 100 TB
+    * covariance pass must have. Per-term products are computed in
+    * DOUBLE (float×float is exact in double) then rounded once to
+    * DECIMAL(38,12) and summed exactly — order-independent, so the
+    * DuckDB oracle (a vec_id self-join over the same rounded terms)
+    * reproduces every sum bit-for-bit; the cov/mean derivation is the
+    * same IEEE expression on both engines. Staged: dim²-sized, the
+    * centroid-table discipline. */
+  private def covarianceStats(s: SparkSession, d: String): DataFrame =
+    graft.Staging.stage(s, "emb_cov", d) {
+      val ex = withNorm(s, d)
+        .select(col("embedding").as("e"),
+          posexplode(col("embedding")).as(Seq("i", "xi")))
+      val pairs = ex
+        .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
+        .filter(col("j") >= col("i"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("xi").cast("double") * col("xj").cast("double"))
+            .cast("decimal(38,12)")).as("sxy"))
+      val sums = ex.groupBy(col("i"))
+        .agg(sum(col("xi").cast("double").cast("decimal(38,12)")).as("sx"))
+      pairs
+        .join(broadcast(sums.select(col("i"), col("sx").as("sx_i"))), Seq("i"))
+        .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+        .select(col("i"), col("j"), col("n"),
+          (col("sxy").cast("double") / col("n") -
+            (col("sx_i").cast("double") / col("n")) *
+              (col("sx_j").cast("double") / col("n"))).as("cov"),
+          // per-dim mean rides along for the PCA centering constants
+          // (exact decimal sum / n — same IEEE division both engines)
+          (col("sx_i").cast("double") / col("n")).as("mean_i"))
+    }
+
+  /** Principal components as a driver-side MODEL artifact (dim² →
+    * eigen is a few KB of arithmetic however large the corpus — the
+    * collected-quantizer precedent): covariance collected from the
+    * staged stats, deterministic cyclic-Jacobi eigendecomposition
+    * ([[graft.operators.Eigen]], canonical order + sign), top-[[PcaP]]
+    * components kept. Returns (component, eigenvector, μ·v centering
+    * constant) and EXPORTS the same rows for the compositional oracle
+    * (the ivfCentroids recipe: content-addressed single-file parquet,
+    * memoized one write per fixture per JVM). */
+  private def pcaComponents(s: SparkSession, d: String): Array[(Int, Array[Double], Double)] = {
+    val rows = covarianceStats(s, d)
+      .select(col("i"), col("j"), col("cov"), col("mean_i")).collect()
+    lastPca = d
+    val comps =
+      if (rows.isEmpty) Array.empty[(Int, Array[Double], Double)]
+      else {
+        val dim = rows.iterator.map(_.getInt(1)).max + 1
+        val c = Array.ofDim[Double](dim, dim)
+        val mu = new Array[Double](dim)
+        rows.foreach { r =>
+          val (i, j, cv) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+          c(i)(j) = cv
+          c(j)(i) = cv
+          if (i == j) mu(i) = r.getDouble(3)
+        }
+        val (_, vecs) = graft.operators.Eigen.jacobi(c)
+        vecs.take(PcaP).zipWithIndex.map { case (v, p) =>
+          (p, v, (0 until dim).map(i => mu(i) * v(i)).sum)
+        }
+      }
+    pcaExported.computeIfAbsent(d, _ => {
+      val p = pcaOracleComponentsPath(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
+      val flat = comps.flatMap { case (cmp, v, muDot) =>
+        v.zipWithIndex.map { case (x, i) => (cmp, i, x, muDot) }
+      }.toSeq
+      graft.ScaleData.writeSingleFile(
+        s.createDataFrame(flat).toDF("component", "i", "v", "mu_dot"), p)
+      true
+    })
+    comps
+  }
+
+  /** Components kept by emb_pca — a serving choice, not a training one
+    * (all dim eigenpairs exist; 8 of 64 retains the fixture's dominant
+    * variance and keeps the projection row narrow). */
+  private val PcaP = 8
+
+  @volatile private var lastPca: String = "/root/testdata/sf0.01"
+  private[graft] def pcaOracleComponentsPath(dir: String): String =
+    oracleExportPath(s"$dir|pca$PcaP", "pca-components")
+  private val pcaExported = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
   /** The trained quantizer as a driver-side model artifact (bounded by
     * nlist, never by the data — see ann_ivf's scaladoc). */
@@ -1359,6 +1453,55 @@ object Similarity extends QueryModule {
         .filter(col("rk") <= 8)
         .select(col("vec_id"), col("c_id").as("cluster_id"), col("rk"))
         .orderBy(col("cluster_id"), col("rk"))
+    },
+
+    // EMBEDDING COVARIANCE — the one-pass Gram/second-moment primitive
+    // every linear embedding transform (PCA, whitening, OOD scoring)
+    // starts from, as a first-class hash-oracled op. Upper-triangle
+    // (i, j, n, cov) rows; exact-decimal term sums make the values
+    // engine-identical (see [[covarianceStats]] for the map-side
+    // aggregation shape — the corpus is never self-joined or shuffled;
+    // the exchange is dim²-bounded). Population covariance (÷ n).
+    "emb_covariance" -> { (s, d) =>
+      covarianceStats(s, d)
+        // + 0.0 folds IEEE −0.0 to +0.0 (the engines disagree on the
+        // ZERO'S SIGN after rounding a tiny negative; both agree after
+        // the add — same normalization on the oracle side)
+        .select(col("i"), col("j"), col("n"),
+          (round(col("cov"), 6) + lit(0.0)).as("cov"))
+        .orderBy(col("i"), col("j"))
+    },
+
+    // PCA PROJECTION — dimensionality reduction as a serving op: every
+    // vector projected onto the top-8 principal components of the
+    // corpus covariance (centered: (x − μ)·v = x·v − μ·v, the μ·v
+    // constant trained into the model). Training is model-sized driver
+    // arithmetic over the staged covariance ([[pcaComponents]]:
+    // deterministic cyclic Jacobi, canonical eigenpair order + sign —
+    // bit-stable across runs/partitionings); serving is ONE narrow
+    // codegen projection (8 DecimalDotProduct terms against literal
+    // component vectors — the assignCentroid literal-fold shape), no
+    // join, no shuffle beyond the presentation sort. ORACLE is
+    // compositional like ann_ivf/emb_kmeans: GIVEN the exported
+    // components (content-addressed parquet), DuckDB reproduces every
+    // projection decimal-exactly — full hash match; the
+    // eigendecomposition itself is pinned in ScalaTest (orthonormality,
+    // Av = λv residual, spectrum ordering, Σλ = trace, per-component
+    // projection variance = λ).
+    "emb_pca" -> { (s, d) =>
+      val comps = pcaComponents(s, d)
+      val base = withNorm(s, d)
+      if (comps.isEmpty)
+        base.limit(0).select(
+          col("vec_id") +: (0 until PcaP).map(p => lit(0.0).as(s"pc_$p")): _*)
+      else
+        base.select(
+          col("vec_id") +: comps.map { case (p, v, muDot) =>
+            // + 0.0 folds a rounded −0.0 to +0.0 (oracle does the same)
+            (round(dotDec(col("embedding"), typedLit(v.toSeq)).cast("double")
+              - lit(muDot), 6) + lit(0.0)).as(s"pc_$p")
+          }.toSeq: _*)
+          .orderBy(col("vec_id"))
     },
 
     // Embedding near-duplicate pairs: blocked by (label, LSH band,
@@ -2308,6 +2451,50 @@ object Similarity extends QueryModule {
          |SELECT m.vec_id, m.c_id AS cluster_id, cs.cluster_size
          |FROM members m JOIN cs USING (c_id)
          |ORDER BY m.vec_id""".stripMargin,
+
+    // mirrors covarianceStats value-for-value: same DOUBLE products
+    // rounded once to DECIMAL(38,12), exact sums (order-free), same
+    // IEEE cov derivation; the vec_id self-join here is the oracle's
+    // mechanism only — the engine never joins the corpus (two chained
+    // generators + dim²-bounded hash aggregation)
+    "emb_covariance" ->
+      s"""WITH $exSql,
+         |v AS (SELECT e.vec_id, CAST(e.i - 1 AS INT) AS i, e.x
+         |      FROM ex e JOIN norms USING (vec_id)),
+         |p AS (SELECT a.i AS i, b.i AS j, count(*) AS n,
+         |             sum(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS sxy
+         |      FROM v a JOIN v b ON a.vec_id = b.vec_id AND b.i >= a.i
+         |      GROUP BY a.i, b.i),
+         |s AS (SELECT i, sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS sx
+         |      FROM v GROUP BY i)
+         |SELECT p.i, p.j, p.n,
+         |       round(CAST(p.sxy AS DOUBLE) / p.n -
+         |             (CAST(si.sx AS DOUBLE) / p.n) * (CAST(sj.sx AS DOUBLE) / p.n), 6) + 0.0 AS cov
+         |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
+         |ORDER BY p.i, p.j""".stripMargin,
+
+    // COMPOSITIONAL oracle (the ann_ivf/emb_kmeans recipe): GIVEN the
+    // exported principal components (training is deterministic —
+    // cyclic Jacobi with canonical order/sign over the exact-decimal
+    // covariance), DuckDB reproduces every centered projection
+    // decimal-exactly: same per-term DOUBLE products rounded to
+    // DECIMAL(38,12), exact sums, same μ·v subtraction
+    "emb_pca" ->
+      s"""WITH $exSql,
+         |v AS (SELECT e.vec_id, CAST(e.i - 1 AS INT) AS i, e.x
+         |      FROM ex e JOIN norms USING (vec_id)),
+         |pc AS (SELECT component, i, v AS cv, mu_dot
+         |       FROM parquet_scan('${pcaOracleComponentsPath(lastPca)}')),
+         |proj AS (SELECT v.vec_id, pc.component,
+         |                sum(CAST(CAST(v.x AS DOUBLE) * CAST(pc.cv AS DOUBLE) AS DECIMAL(38,12))) AS pr,
+         |                max(pc.mu_dot) AS mu_dot
+         |         FROM v JOIN pc ON pc.i = v.i
+         |         GROUP BY v.vec_id, pc.component)
+         |SELECT vec_id,
+         |${(0 until 8).map(p =>
+        s"       round(CAST(max(CASE WHEN component = $p THEN pr END) AS DOUBLE) - " +
+          s"max(CASE WHEN component = $p THEN mu_dot END), 6) + 0.0 AS pc_$p").mkString(",\n")}
+         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // COMPOSITIONAL oracle (round-8 verdict item 3): GIVEN the trained
     // centroids (exported by the engine to [[IvfOracleCentroidsPath]] —

@@ -494,6 +494,45 @@ class OperatorsSpec extends GraftSuite {
     assert(one == Map(1L -> 20L, 2L -> 5L))
   }
 
+  test("Eigen.jacobi: known spectrum, orthonormality, residual, canonical form") {
+    import graft.operators.Eigen
+    // hand-checkable 2×2: [[2,1],[1,2]] has eigenvalues 3 (v ∝ (1,1))
+    // and 1 (v ∝ (1,-1))
+    val (v2, e2) = Eigen.jacobi(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(v2(0) - 3.0) < 1e-12 && math.abs(v2(1) - 1.0) < 1e-12)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(e2(0).zip(Array(s, s)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // canonical sign: largest-|coord| positive (lowest index on ties)
+    assert(e2(1)(0) > 0)
+    // a larger random-but-fixed symmetric matrix: spectral invariants
+    val n = 16
+    val rng = new scala.util.Random(42)
+    val half = Array.fill(n, n)(rng.nextDouble() - 0.5)
+    val a = Array.tabulate(n, n)((i, j) => half(i)(j) + half(j)(i))
+    val (vals, vecs) = Eigen.jacobi(a)
+    // descending order
+    assert(vals.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    // sum of eigenvalues = trace
+    val trace = (0 until n).map(i => a(i)(i)).sum
+    assert(math.abs(vals.sum - trace) < 1e-9)
+    // orthonormality
+    for (p <- 0 until n; q <- p until n) {
+      val dot = (0 until n).map(i => vecs(p)(i) * vecs(q)(i)).sum
+      assert(math.abs(dot - (if (p == q) 1.0 else 0.0)) < 1e-9, s"v$p.v$q=$dot")
+    }
+    // eigen residual ‖Av − λv‖ ≤ 1e-9 per component
+    for (p <- 0 until n) {
+      val av = (0 until n).map(i => (0 until n).map(j => a(i)(j) * vecs(p)(j)).sum)
+      val res = math.sqrt((0 until n).map(i => {
+        val r = av(i) - vals(p) * vecs(p)(i); r * r
+      }).sum)
+      assert(res < 1e-9, s"component $p residual $res")
+    }
+    // determinism: a second run is bit-identical
+    val (vals2, vecs2) = Eigen.jacobi(a)
+    assert(vals.toSeq == vals2.toSeq && vecs.map(_.toSeq).toSeq == vecs2.map(_.toSeq).toSeq)
+  }
+
   test("agg_theta_sketch: under-full estimates ARE the exact set algebra") {
     // the sf0.001 fixture's per-year customer sets sit far under
     // k = 1024, so every estimate must degenerate to the exact distinct

@@ -723,6 +723,47 @@ class PlanSpec extends GraftSuite {
     assert(exchanges.size <= 2, s"unexpected exchanges:\n$sp")
   }
 
+  test("emb_covariance: serves from the staged dim²-bounded artifact, no corpus scan") {
+    val df = q("emb_covariance")
+    val sp = df.queryExecution.sparkPlan
+    // the aggregation runs ONCE inside the staging build (two chained
+    // generators folded map-side into ≤ dim² groups — the oracle's
+    // vec_id self-join never exists engine-side); the SERVING plan is a
+    // scan of the staged artifact: no join, no window, no generator, no
+    // embeddings scan (the dedup_minhash staged-artifact pin)
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"join in the covariance serving plan:\n$sp")
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window in the covariance serving plan:\n$sp")
+    assert(!sp.toString.contains("embeddings.parquet"),
+      s"raw corpus scan in the serving plan:\n$sp")
+    assert(sp.toString.contains("emb_cov"),
+      s"not serving from the staged covariance artifact:\n$sp")
+    // the artifact itself is dim-bounded: the whole upper triangle
+    val dim = 64
+    assert(df.count() == dim.toLong * (dim + 1) / 2)
+  }
+
+  test("emb_pca: projection is a narrow map over literal components — no join, one sort") {
+    val df = q("emb_pca")
+    val sp = df.queryExecution.sparkPlan
+    // serving reads the staged covariance only at TRAIN time (driver
+    // model, the collected-quantizer precedent); the projection scan
+    // itself must be join-free and window-free
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"join in the projection plan:\n$sp")
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window in the projection plan:\n$sp")
+    val exchanges = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    // presentation sort only
+    assert(exchanges.size <= 1, s"unexpected exchanges:\n$sp")
+  }
+
   test("ann_ivf_pq: broadcast-only ADC join over the staged codes into a bounded aggregate") {
     // the flat-PQ serving shape (round-13: routed through the
     // join-based ADC, closing the old NQ literal-folding bound): the

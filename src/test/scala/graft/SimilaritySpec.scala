@@ -421,4 +421,36 @@ class SimilaritySpec extends GraftSuite {
       assert(recall >= 0.5, s"$pred recall=$recall")
     }
   }
+
+  test("emb_pca: projection variance matches the covariance spectrum, components decorrelate") {
+    // rebuild the covariance from the ORACLED emb_covariance output and
+    // eigendecompose it independently — the projections the query emits
+    // must carry exactly that spectrum (projection variance onto an
+    // eigenvector vᵀCv = λ; cross-projections decorrelate). Tolerances
+    // absorb the two rounding layers (cov and projections at 1e-6).
+    val covRows = q("emb_covariance").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(3)))
+    val dim = covRows.iterator.map(_._1._2).max + 1
+    val c = Array.ofDim[Double](dim, dim)
+    covRows.foreach { case ((i, j), v) => c(i)(j) = v; c(j)(i) = v }
+    val (vals, _) = graft.operators.Eigen.jacobi(c)
+    val proj = q("emb_pca").collect()
+    val n = proj.length
+    assert(n > 0 && vals(0) > 0)
+    val pcs = (0 until 8).map(p => proj.map(_.getDouble(1 + p)))
+    for (p <- 0 until 8) {
+      val mean = pcs(p).sum / n
+      assert(math.abs(mean) < 1e-4, s"pc_$p not centered: mean=$mean")
+      val variance = pcs(p).map(x => (x - mean) * (x - mean)).sum / n
+      assert(math.abs(variance - vals(p)) <= 1e-3 + 1e-3 * vals(p),
+        s"pc_$p variance=$variance vs lambda=${vals(p)}")
+    }
+    for (p <- 0 until 8; r <- p + 1 until 8) {
+      val cross = pcs(p).zip(pcs(r)).map { case (a, b) => a * b }.sum / n
+      assert(math.abs(cross) <= 1e-3 * math.sqrt(vals(p) * vals(r)) + 1e-6,
+        s"pc_$p × pc_$r correlate: $cross")
+    }
+    // the retained 8 are the TOP of the spectrum (descending)
+    assert((0 until 7).forall(p => vals(p) >= vals(p + 1) - 1e-12))
+  }
 }
