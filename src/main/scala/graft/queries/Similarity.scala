@@ -800,12 +800,22 @@ object Similarity extends QueryModule {
     * constant) and EXPORTS the same rows for the compositional oracle
     * (the ivfCentroids recipe: content-addressed single-file parquet,
     * memoized one write per fixture per JVM). */
-  private def pcaComponents(s: SparkSession, d: String): Array[(Int, Array[Double], Double)] = {
+  /** The trained PCA model: top-[[PcaP]] (component, eigenvector, μ·v)
+    * triples, their eigenvalues, the mean vector, and the μ·μ scalar —
+    * everything the projection/whitening/OOD family serves from. All
+    * doubles; the export ships the SAME bits to the oracle, so
+    * derived constants never need cross-engine re-derivation. */
+  private[graft] case class PcaModel(
+      comps: Array[(Int, Array[Double], Double)],
+      lambda: Array[Double], mu: Array[Double], muMu: Double)
+
+  private def pcaModel(s: SparkSession, d: String): PcaModel = {
     val rows = covarianceStats(s, d)
       .select(col("i"), col("j"), col("cov"), col("mean_i")).collect()
     lastPca = d
-    val comps =
-      if (rows.isEmpty) Array.empty[(Int, Array[Double], Double)]
+    val model =
+      if (rows.isEmpty)
+        PcaModel(Array.empty, Array.empty, Array.empty, 0.0)
       else {
         val dim = rows.iterator.map(_.getInt(1)).max + 1
         val c = Array.ofDim[Double](dim, dim)
@@ -816,22 +826,31 @@ object Similarity extends QueryModule {
           c(j)(i) = cv
           if (i == j) mu(i) = r.getDouble(3)
         }
-        val (_, vecs) = graft.operators.Eigen.jacobi(c)
-        vecs.take(PcaP).zipWithIndex.map { case (v, p) =>
+        val (vals, vecs) = graft.operators.Eigen.jacobi(c)
+        val comps = vecs.take(PcaP).zipWithIndex.map { case (v, p) =>
           (p, v, (0 until dim).map(i => mu(i) * v(i)).sum)
         }
+        // μ·μ with the SAME per-term decimal-rounding discipline every
+        // cross-engine dot uses — not strictly required (the export
+        // ships the bits), but keeps the model's arithmetic uniform
+        val muMu = mu.map(x => BigDecimal(x * x)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble).sum
+        PcaModel(comps, vals.take(PcaP), mu, muMu)
       }
     pcaExported.computeIfAbsent(d, _ => {
       val p = pcaOracleComponentsPath(d)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
-      val flat = comps.flatMap { case (cmp, v, muDot) =>
-        v.zipWithIndex.map { case (x, i) => (cmp, i, x, muDot) }
+      val flat = model.comps.flatMap { case (cmp, v, muDot) =>
+        v.zipWithIndex.map { case (x, i) =>
+          (cmp, i, x, muDot, model.lambda(cmp), model.mu(i), model.muMu)
+        }
       }.toSeq
       graft.ScaleData.writeSingleFile(
-        s.createDataFrame(flat).toDF("component", "i", "v", "mu_dot"), p)
+        s.createDataFrame(flat)
+          .toDF("component", "i", "v", "mu_dot", "lambda", "mu", "mu_mu"), p)
       true
     })
-    comps
+    model
   }
 
   /** Components kept by emb_pca — a serving choice, not a training one
@@ -1489,19 +1508,62 @@ object Similarity extends QueryModule {
     // Av = λv residual, spectrum ordering, Σλ = trace, per-component
     // projection variance = λ).
     "emb_pca" -> { (s, d) =>
-      val comps = pcaComponents(s, d)
+      val model = pcaModel(s, d)
       val base = withNorm(s, d)
-      if (comps.isEmpty)
+      if (model.comps.isEmpty)
         base.limit(0).select(
           col("vec_id") +: (0 until PcaP).map(p => lit(0.0).as(s"pc_$p")): _*)
       else
         base.select(
-          col("vec_id") +: comps.map { case (p, v, muDot) =>
+          col("vec_id") +: model.comps.map { case (p, v, muDot) =>
             // + 0.0 folds a rounded −0.0 to +0.0 (oracle does the same)
             (round(dotDec(col("embedding"), typedLit(v.toSeq)).cast("double")
               - lit(muDot), 6) + lit(0.0)).as(s"pc_$p")
           }.toSeq: _*)
           .orderBy(col("vec_id"))
+    },
+
+    // EMBEDDING OOD/OUTLIER SCORING — the geometric curation op the PCA
+    // model exists for beyond projection (SemDeDup prunes duplicates;
+    // this prunes the OPPOSITE tail — corrupt/off-manifold vectors):
+    // per vector, the Mahalanobis energy in the top-8 principal
+    // subspace, m_top = Σ_p proj_p²/λ_p (χ²₈-distributed for in-
+    // distribution data — flagged past the 99th percentile 20.09), and
+    // the RESIDUAL energy outside it, ‖x−μ‖² − Σ proj_p² (mass the
+    // retained subspace can't explain — high residual = off-manifold
+    // even when the top-8 energy looks normal). Serving is the same
+    // narrow literal-fold projection as emb_pca plus two dot products
+    // (x·μ via DecimalDotProduct, x·x = the ingest-contract n2 already
+    // on every row) — no join, no shuffle beyond the presentation
+    // sort. Every constant (λ, μ, μ·μ) ships to the oracle via the
+    // SAME export, so DuckDB replays the full score bit-for-bit: the
+    // term sums are exact decimals, the combination is the same
+    // left-associated IEEE expression, and the flag compares the
+    // UNROUNDED score on both engines. Full hash match.
+    "emb_ood_score" -> { (s, d) =>
+      val model = pcaModel(s, d)
+      val base = withNorm(s, d)
+      if (model.comps.isEmpty)
+        base.limit(0).select(col("vec_id"), lit(0.0).as("m_top"),
+          lit(0.0).as("resid"), lit(false).as("is_outlier"))
+      else {
+        val projs = model.comps.map { case (p, v, muDot) =>
+          dotDec(col("embedding"), typedLit(v.toSeq)).cast("double") - lit(muDot)
+        }
+        val mTop = projs.zipWithIndex
+          .map { case (c, p) => c * c / lit(model.lambda(p)) }
+          .reduce(_ + _) // left-assoc — the oracle writes t0+t1+…+t7
+        val sumSq = projs.map(c => c * c).reduce(_ + _)
+        val xMu = dotDec(col("embedding"), typedLit(model.mu.toSeq)).cast("double")
+        val resid = col("n2").cast("double") - lit(2.0) * xMu +
+          lit(model.muMu) - sumSq
+        base.select(col("vec_id"),
+          (round(mTop, 6) + lit(0.0)).as("m_top"),
+          (round(resid, 6) + lit(0.0)).as("resid"),
+          // χ²₈ 99th percentile; compared on the UNROUNDED score
+          (mTop > lit(20.09)).as("is_outlier"))
+          .orderBy(col("vec_id"))
+      }
     },
 
     // Embedding near-duplicate pairs: blocked by (label, LSH band,
@@ -2495,6 +2557,42 @@ object Similarity extends QueryModule {
         s"       round(CAST(max(CASE WHEN component = $p THEN pr END) AS DOUBLE) - " +
           s"max(CASE WHEN component = $p THEN mu_dot END), 6) + 0.0 AS pc_$p").mkString(",\n")}
          |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // same export, same decimal term sums, same left-associated IEEE
+    // combination as the engine (see the query's contract note); the
+    // outlier flag compares the UNROUNDED score on both engines
+    "emb_ood_score" ->
+      s"""WITH $exSql,
+         |v AS (SELECT e.vec_id, CAST(e.i - 1 AS INT) AS i, e.x
+         |      FROM ex e JOIN norms USING (vec_id)),
+         |pc AS (SELECT component, i, v AS cv, mu_dot, lambda, mu, mu_mu
+         |       FROM parquet_scan('${pcaOracleComponentsPath(lastPca)}')),
+         |proj AS (SELECT v.vec_id, pc.component,
+         |                CAST(sum(CAST(CAST(v.x AS DOUBLE) * CAST(pc.cv AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         |                  - max(pc.mu_dot) AS pr,
+         |                max(pc.lambda) AS lam
+         |         FROM v JOIN pc ON pc.i = v.i
+         |         GROUP BY v.vec_id, pc.component),
+         |w AS (SELECT vec_id,
+         |${(0 until 8).map(p =>
+        s"             max(CASE WHEN component = $p THEN pr END) AS p$p," +
+          s" max(CASE WHEN component = $p THEN lam END) AS l$p").mkString(",\n")}
+         |      FROM proj GROUP BY vec_id),
+         |xm AS (SELECT v.vec_id,
+         |              CAST(sum(CAST(CAST(v.x AS DOUBLE) * CAST(m.mu AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS xmu
+         |       FROM v JOIN (SELECT DISTINCT i, mu FROM pc) m ON m.i = v.i
+         |       GROUP BY v.vec_id),
+         |scored AS (SELECT w.vec_id,
+         |                  ${(0 until 8).map(p => s"p$p * p$p / l$p").mkString(" + ")} AS m_top,
+         |                  CAST(n.n2 AS DOUBLE) - 2.0 * xm.xmu
+         |                    + (SELECT max(mu_mu) FROM pc)
+         |                    - (${(0 until 8).map(p => s"p$p * p$p").mkString(" + ")}) AS resid
+         |           FROM w JOIN xm USING (vec_id) JOIN norms n USING (vec_id))
+         |SELECT vec_id,
+         |       round(m_top, 6) + 0.0 AS m_top,
+         |       round(resid, 6) + 0.0 AS resid,
+         |       m_top > 20.09 AS is_outlier
+         |FROM scored ORDER BY vec_id""".stripMargin,
 
     // COMPOSITIONAL oracle (round-8 verdict item 3): GIVEN the trained
     // centroids (exported by the engine to [[IvfOracleCentroidsPath]] —

@@ -453,4 +453,27 @@ class SimilaritySpec extends GraftSuite {
     // the retained 8 are the TOP of the spectrum (descending)
     assert((0 until 7).forall(p => vals(p) >= vals(p + 1) - 1e-12))
   }
+
+  test("emb_ood_score: mean subspace energy = dimension (exact algebra), flag = threshold") {
+    val rows = q("emb_ood_score").collect()
+    val n = rows.length
+    assert(n > 0)
+    // per component, mean(proj²) over the corpus IS the population
+    // variance vᵀCv = λ, so mean(m_top) = 8 EXACTLY for any corpus —
+    // an algebraic identity of the model, not a distributional
+    // assumption (tolerance absorbs the two rounding layers)
+    val meanM = rows.map(_.getDouble(1)).sum / n
+    assert(math.abs(meanM - 8.0) < 1e-3, s"mean m_top=$meanM")
+    assert(rows.forall(_.getDouble(1) >= 0.0))
+    // residual energy ‖x−μ‖² − Σ proj² is the mass OUTSIDE the top-8
+    // subspace — nonnegative by Bessel's inequality (up to rounding)
+    assert(rows.forall(_.getDouble(2) >= -1e-5), "negative residual energy")
+    // flag is the unrounded score vs the χ²₈ 99th percentile; check
+    // consistency away from the rounding boundary
+    rows.foreach { r =>
+      val m = r.getDouble(1)
+      if (math.abs(m - 20.09) > 1e-5)
+        assert(r.getBoolean(3) == (m > 20.09), s"flag mismatch at m_top=$m")
+    }
+  }
 }
