@@ -31,6 +31,12 @@ object Similarity extends QueryModule {
 
   private val K = 10
   private val NQ = 8 // query vectors: vec_id < NQ
+  /** ann_refine's over-fetch multiple: the ADC stage proposes k′ = 4·K
+    * candidates for the exact rerank (FAISS IndexRefine's conventional
+    * k_factor regime — large enough that ADC rank noise inside the
+    * shortlist can't push a true top-K vector past k′ on the gated
+    * fixtures, small enough that the float fetch stays k′-sized). */
+  private val RefineFactor = 4
   private val RangeTau = 0.25 // ann_range radius (≈2σ of fixture cosines)
 
   /** Tie-aware phase-1 cutoff margin: after ranking candidates by the
@@ -1740,6 +1746,66 @@ object Similarity extends QueryModule {
       }
     },
 
+    // REFINED ANN — the two-stage serving shape every production PQ
+    // deployment ends with (FAISS IndexRefine): the compressed index
+    // proposes, the float store disposes. Stage 1 over-fetches the
+    // exact fixed-point ADC top-k′ (k′ = 4·K, the standard refine
+    // factor) from the probed IVFADC buckets — the ann_ivfpq_residual
+    // pipeline verbatim, nothing re-derived. Stage 2 fetches ONLY the
+    // ≤ NQ·k′ shortlisted vectors from the float corpus (the
+    // shortlist BROADCASTS into a column-pruned corpus scan — the
+    // random-access-by-id read a real refine stage does; the corpus
+    // never shuffles and is never scored in full) and re-ranks them by
+    // the exact decimal cosine. ADC quantization error caps the
+    // shortlist's rank noise; the refine step restores exact order
+    // within it — recall vs exact brute is gated in ScalaTest, and the
+    // whole pipeline (probe → encode → ADC → k′ → decimal rerank)
+    // replays compositionally from the two exported artifacts: full
+    // hash match. The rerank window partitions by query over ≤ k′
+    // rows — bounded, never corpus-sized.
+    "ann_refine" -> { (s, d) =>
+      val base = withNorm(s, d)
+      val iters = annKmeansIters(s)
+      val centDf = ivfCentroids(s, d, iters)
+      val centArr = collectQuantizer(centDf)
+      def empty = base.limit(0).select(col("vec_id").as("query_id"),
+        lit(1).as("rk"), col("vec_id"), lit(0.0).as("cosine"))
+      if (centArr.isEmpty) empty
+      else {
+        val cent = broadcast(centDf)
+        val cb = collectPqCodebook(pqResCodebooks(s, d, iters, centDf, centArr))
+        if (cb.isEmpty) empty
+        else {
+          val coded = residualCodedCorpus(s, d, iters, centDf, centArr, cb)
+          val adcTabs = residualAdcTabs(s, base, cent, cb)
+          val shortlist = topKLongRanks(s, adcScores(coded, adcTabs),
+            RefineFactor * K)
+          val cand = base
+            .select(col("vec_id"), col("embedding").as("c_emb"),
+              col("n2").as("c_n2"))
+            .join(broadcast(shortlist.select(col("query_id"), col("vec_id"))),
+              Seq("vec_id"))
+          val queries = base.filter(col("vec_id") < NQ)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("q_emb"), col("n2").as("q_n2"))
+          val scored = cand.join(broadcast(queries), Seq("query_id"))
+            // the pairSql cosine, term for term: exact decimal dot cast
+            // to double over the exact decimal norms — identical IEEE
+            // expression in the oracle, so ranks can't drift
+            .withColumn("cosine",
+              dotDec(col("q_emb"), col("c_emb")).cast("double") /
+                sqrt(col("q_n2").cast("double") * col("c_n2").cast("double")))
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("vec_id"))
+          scored.withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= K)
+            .select(col("query_id"), col("rk"), col("vec_id"),
+              (round(col("cosine"), 6) + lit(0.0)).as("cosine"))
+            .orderBy(col("query_id"), col("rk"))
+        }
+      }
+    },
+
     // FILTERED search over the IVFADC index — the composition of the
     // round's two serving shapes, and precisely how a production
     // vector store serves "top-k where <metadata predicate>" at scale
@@ -2716,6 +2782,37 @@ object Similarity extends QueryModule {
          |FROM (SELECT query_id, vec_id, adc_d2_fp,
          |             row_number() OVER (PARTITION BY query_id ORDER BY adc_d2_fp, vec_id) AS rk
          |      FROM adc)
+         |WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
+
+    // the residual ADC chain proposes k′ = 4·K, the pairSql decimal
+    // cosine re-ranks the shortlist — compositional from both exported
+    // artifacts like ann_ivfpq_residual itself
+    "ann_refine" ->
+      s"""WITH $exSql,
+         |$assignMembersSql,
+         |$residualAdcSql,
+         |short AS (
+         |  SELECT query_id, vec_id
+         |  FROM (SELECT query_id, vec_id,
+         |               row_number() OVER (PARTITION BY query_id ORDER BY adc_d2_fp, vec_id) AS rk
+         |        FROM adc)
+         |  WHERE rk <= ${4 * K}),
+         |resc AS (
+         |  SELECT sh.query_id, sh.vec_id,
+         |         CAST(sum(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         |           / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosine
+         |  FROM short sh
+         |  JOIN ex q ON q.vec_id = sh.query_id
+         |  JOIN ex c ON c.vec_id = sh.vec_id AND c.i = q.i
+         |  JOIN norms nq ON nq.vec_id = sh.query_id
+         |  JOIN norms nc ON nc.vec_id = sh.vec_id
+         |  GROUP BY sh.query_id, sh.vec_id, nq.n2, nc.n2)
+         |SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
+         |       round(cosine, 6) + 0.0 AS cosine
+         |FROM (SELECT query_id, vec_id, cosine,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+         |      FROM resc)
          |WHERE rk <= $K
          |ORDER BY query_id, rk""".stripMargin,
 

@@ -764,6 +764,24 @@ class PlanSpec extends GraftSuite {
     assert(exchanges.size <= 1, s"unexpected exchanges:\n$sp")
   }
 
+  test("ann_refine: broadcast shortlist fetch, query-keyed rerank window, no corpus shuffle") {
+    val df = q("ann_refine")
+    val sp = df.queryExecution.sparkPlan
+    // stage 1 is the pinned ann_ivfpq_residual pipeline; stage 2's float
+    // fetch must be the shortlist BROADCAST into the corpus scan and the
+    // rerank window must be keyed by query (bounded by k′) — a sort-merge
+    // join or an unpartitioned window would mean the corpus shuffled for
+    // a k′-sized rerank
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"corpus-shuffling join in the refine plan:\n$sp")
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned rerank window:\n$sp")
+  }
+
   test("ann_ivf_pq: broadcast-only ADC join over the staged codes into a bounded aggregate") {
     // the flat-PQ serving shape (round-13: routed through the
     // join-based ADC, closing the old NQ literal-folding bound): the

@@ -241,6 +241,36 @@ class SimilaritySpec extends GraftSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("ann_refine: exact rerank dominates raw ADC agreement with brute") {
+    val out = q("ann_refine").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).values.foreach { qs =>
+      val sorted = qs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"ranks not dense: $qs")
+      assert(sorted.forall(t => t._3 != t._1), "self-match in refined results")
+      // exact rerank ⇒ cosine non-increasing with rank (rounded output)
+      assert(sorted.map(_._4).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1) - 1e-9),
+        s"cosine not monotone: ${sorted.mkString(",")}")
+    }
+    // the point of the refine stage: within the shortlist the exact
+    // rerank can only IMPROVE agreement with the exact brute top-k —
+    // pinned as >= on this fixed fixture (both sets share the probed-
+    // bucket recall ceiling; refine fixes ADC's rank noise inside it)
+    val exact = q("ann_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val adc = q("ann_ivfpq_residual").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val refined = out.map(r => (r._1, r._3)).toSet
+    val adcHits = (exact & adc).size
+    val refinedHits = (exact & refined).size
+    assert(refinedHits >= adcHits,
+      s"refine lost ground: adc=$adcHits refined=$refinedHits")
+    assert(refinedHits.toDouble / exact.size >= 0.3,
+      s"refined recall=${refinedHits.toDouble / exact.size}")
+  }
+
   test("ann_ivfpq_residual: a planted exact copy of the query attains the rank-1 ADC distance") {
     // the residual of an exact copy (assigned to the same coarse bucket
     // — identical vector, identical argmax) equals the query's residual,
