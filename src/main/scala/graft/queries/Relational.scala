@@ -55,12 +55,13 @@ object Relational extends QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
   @volatile private var quantileExactRegime: Boolean = true
 
-  /** agg_theta_sketch's bottom-k size — the sf0.01 verify fixture
-    * (1 500 customers) sits UNDER-FULL (estimates degenerate to exact
-    * distinct counts) while the sf0.1 bench corpus (15 000) exercises
-    * the genuine estimation arithmetic; BOTH regimes stay hash-oracled
-    * because the k-min sets and the estimator are deterministic (see
-    * the query's contract note). */
+  /** agg_theta_sketch's bottom-k size — the ScalaTest fixture
+    * (sf0.001: ~150 per-year actives) sits UNDER-FULL (estimates
+    * degenerate to exact distinct counts, spec-pinned) while the
+    * driver's sf0.01 verify fixture (1 174/1 166 per-year actives)
+    * already exercises the genuine (k−1)·2⁶⁰/x_k estimation branch;
+    * BOTH regimes stay hash-oracled because the k-min sets and the
+    * estimator are deterministic (see the query's contract note). */
   private val ThetaK = 1024
 
   /** Synthesized `partsupp` — the one TPC-H table the fixture doesn't
@@ -1272,50 +1273,6 @@ object Relational extends QueryModule {
     // on both engines (DuckDB's bare 0.95 literal is DECIMAL: 0.95·n
     // would round differently from the engine's IEEE q·n at e.g.
     // n = 500, where 0.95·500 is 475.000…0006 in doubles → ceil 476)
-    // DETERMINISTIC-SKETCH oracle (the pipeline_overlap_est recipe):
-    // DuckDB mirrors the k-min sets (ORDER BY h LIMIT k over the same
-    // md5-derived 60-bit hashes) and replays the identical estimator
-    // arithmetic — a full hash match in BOTH the under-full and the
-    // estimating regime (see the query's contract note).
-    "agg_theta_sketch" ->
-      """WITH ha AS (
-        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
-        |  FROM orders
-        |  WHERE extract(year FROM o_orderdate) = 1995 AND o_custkey IS NOT NULL),
-        |hb AS (
-        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
-        |  FROM orders
-        |  WHERE extract(year FROM o_orderdate) = 1996 AND o_custkey IS NOT NULL),
-        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 1024),
-        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 1024),
-        |u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 1024),
-        |st AS (SELECT count(*) AS n_u, max(h) AS x_u,
-        |              count(*) FILTER (WHERE h IN (SELECT h FROM ka)
-        |                                 AND h IN (SELECT h FROM kb)) AS n_both,
-        |              count(*) FILTER (WHERE h IN (SELECT h FROM ka)
-        |                                 AND h NOT IN (SELECT h FROM kb)) AS n_a_only,
-        |              (SELECT count(*) FROM ka) AS n_a, (SELECT max(h) FROM ka) AS x_a,
-        |              (SELECT count(*) FROM kb) AS n_b, (SELECT max(h) FROM kb) AS x_b
-        |       FROM u),
-        |est AS (SELECT n_u, n_both, n_a_only,
-        |               CASE WHEN n_a < 1024 THEN CAST(n_a AS DOUBLE)
-        |                    ELSE 1023 * power(2.0, 60.0) / CAST(x_a AS DOUBLE) END AS ea,
-        |               CASE WHEN n_b < 1024 THEN CAST(n_b AS DOUBLE)
-        |                    ELSE 1023 * power(2.0, 60.0) / CAST(x_b AS DOUBLE) END AS eb,
-        |               CASE WHEN n_u < 1024 THEN CAST(n_u AS DOUBLE)
-        |                    ELSE 1023 * power(2.0, 60.0) / CAST(x_u AS DOUBLE) END AS ue
-        |        FROM st)
-        |SELECT CAST(1024 AS INT) AS k, CAST(n_u AS INT) AS n_u,
-        |       CAST(n_both AS INT) AS n_both, CAST(n_a_only AS INT) AS n_a_only,
-        |       round(ea, 2) AS est_1995,
-        |       round(eb, 2) AS est_1996,
-        |       round(ue, 2) AS union_est,
-        |       CASE WHEN n_u = 0 THEN 0.0
-        |            ELSE round(CAST(n_both AS DOUBLE) / n_u * ue, 2) END AS retained_est,
-        |       CASE WHEN n_u = 0 THEN 0.0
-        |            ELSE round(CAST(n_a_only AS DOUBLE) / n_u * ue, 2) END AS churned_est
-        |FROM est""".stripMargin,
-
     "agg_quantile_merge" ->
       """WITH lens AS (
         |  SELECT coalesce(lang, 'UNKNOWN') AS lang,
@@ -1337,6 +1294,51 @@ object Relational extends QueryModule {
         |FROM ranked
         |GROUP BY scope
         |ORDER BY scope""".stripMargin,
+
+    // DETERMINISTIC-SKETCH oracle (the pipeline_overlap_est recipe):
+    // DuckDB mirrors the k-min sets (ORDER BY h LIMIT k over the same
+    // md5-derived 60-bit hashes) and replays the identical estimator
+    // arithmetic — a full hash match in BOTH the under-full and the
+    // estimating regime (see the query's contract note).
+    "agg_theta_sketch" ->
+      s"""WITH ha AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+        |  FROM orders
+        |  WHERE extract(year FROM o_orderdate) = 1995 AND o_custkey IS NOT NULL),
+        |hb AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+        |  FROM orders
+        |  WHERE extract(year FROM o_orderdate) = 1996 AND o_custkey IS NOT NULL),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT $ThetaK),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT $ThetaK),
+        |u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT $ThetaK),
+        |st AS (SELECT count(*) AS n_u, max(h) AS x_u,
+        |              count(*) FILTER (WHERE h IN (SELECT h FROM ka)
+        |                                 AND h IN (SELECT h FROM kb)) AS n_both,
+        |              count(*) FILTER (WHERE h IN (SELECT h FROM ka)
+        |                                 AND h NOT IN (SELECT h FROM kb)) AS n_a_only,
+        |              (SELECT count(*) FROM ka) AS n_a, (SELECT max(h) FROM ka) AS x_a,
+        |              (SELECT count(*) FROM kb) AS n_b, (SELECT max(h) FROM kb) AS x_b
+        |       FROM u),
+        |est AS (SELECT n_u, n_both, n_a_only,
+        |               CASE WHEN n_a < $ThetaK THEN CAST(n_a AS DOUBLE)
+        |                    ELSE ${ThetaK - 1} * power(2.0, 60.0) / CAST(x_a AS DOUBLE) END AS ea,
+        |               CASE WHEN n_b < $ThetaK THEN CAST(n_b AS DOUBLE)
+        |                    ELSE ${ThetaK - 1} * power(2.0, 60.0) / CAST(x_b AS DOUBLE) END AS eb,
+        |               CASE WHEN n_u < $ThetaK THEN CAST(n_u AS DOUBLE)
+        |                    ELSE ${ThetaK - 1} * power(2.0, 60.0) / CAST(x_u AS DOUBLE) END AS ue
+        |        FROM st)
+        |SELECT CAST($ThetaK AS INT) AS k, CAST(n_u AS INT) AS n_u,
+        |       CAST(n_both AS INT) AS n_both, CAST(n_a_only AS INT) AS n_a_only,
+        |       round(ea, 2) AS est_1995,
+        |       round(eb, 2) AS est_1996,
+        |       round(ue, 2) AS union_est,
+        |       CASE WHEN n_u = 0 THEN 0.0
+        |            ELSE round(CAST(n_both AS DOUBLE) / n_u * ue, 2) END AS retained_est,
+        |       CASE WHEN n_u = 0 THEN 0.0
+        |            ELSE round(CAST(n_a_only AS DOUBLE) / n_u * ue, 2) END AS churned_est
+        |FROM est""".stripMargin,
+
 
     "filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,

@@ -695,6 +695,32 @@ object Similarity extends QueryModule {
       .toDF("query_id", "rk", "vec_id", "adc_d2_fp")
   }
 
+  /** Stage 1 of the IVFADC family, ONE copy (review finding: ann_refine
+    * had duplicated this chain verbatim): train/collect the coarse
+    * quantizer and residual sub-codebooks, then rank the residual-coded
+    * corpus by exact fixed-point ADC distance and keep the top k per
+    * query. None when the corpus is too small to train either artifact
+    * — each caller emits its own empty shape (if/else EXPRESSIONS, not
+    * early returns: the kmeansMembers lesson). Shared by
+    * ann_ivfpq_residual (k = K) and ann_refine (k = RefineFactor·K). */
+  private def residualAdcTopK(s: SparkSession, d: String, k: Int): Option[DataFrame] = {
+    val base = withNorm(s, d)
+    val iters = annKmeansIters(s)
+    val centDf = ivfCentroids(s, d, iters)
+    val centArr = collectQuantizer(centDf)
+    if (centArr.isEmpty) None
+    else {
+      val cent = broadcast(centDf)
+      val cb = collectPqCodebook(pqResCodebooks(s, d, iters, centDf, centArr))
+      if (cb.isEmpty) None
+      else {
+        val coded = residualCodedCorpus(s, d, iters, centDf, centArr, cb)
+        val adcTabs = residualAdcTabs(s, base, cent, cb)
+        Some(topKLongRanks(s, adcScores(coded, adcTabs), k))
+      }
+    }
+  }
+
   /** Keyed by (dir, COARSE iters) like the IVF centroid export:
     * residual artifacts depend on the centroids that produced the
     * residuals, so a kmeansIters override must address DIFFERENT
@@ -797,15 +823,6 @@ object Similarity extends QueryModule {
           (col("sx_i").cast("double") / col("n")).as("mean_i"))
     }
 
-  /** Principal components as a driver-side MODEL artifact (dim² →
-    * eigen is a few KB of arithmetic however large the corpus — the
-    * collected-quantizer precedent): covariance collected from the
-    * staged stats, deterministic cyclic-Jacobi eigendecomposition
-    * ([[graft.operators.Eigen]], canonical order + sign), top-[[PcaP]]
-    * components kept. Returns (component, eigenvector, μ·v centering
-    * constant) and EXPORTS the same rows for the compositional oracle
-    * (the ivfCentroids recipe: content-addressed single-file parquet,
-    * memoized one write per fixture per JVM). */
   /** The trained PCA model: top-[[PcaP]] (component, eigenvector, μ·v)
     * triples, their eigenvalues, the mean vector, and the μ·μ scalar —
     * everything the projection/whitening/OOD family serves from. All
@@ -815,6 +832,14 @@ object Similarity extends QueryModule {
       comps: Array[(Int, Array[Double], Double)],
       lambda: Array[Double], mu: Array[Double], muMu: Double)
 
+  /** Train the PCA model — a driver-side scalar over MODEL-SIZED state
+    * (dim² → eigen is a few KB of arithmetic however large the corpus,
+    * the collected-quantizer precedent): covariance collected from the
+    * staged stats, deterministic cyclic-Jacobi eigendecomposition
+    * ([[graft.operators.Eigen]], canonical order + sign), top-[[PcaP]]
+    * components kept; EXPORTS the model rows for the compositional
+    * oracle (the ivfCentroids recipe: content-addressed single-file
+    * parquet, memoized one write per fixture per JVM). */
   private def pcaModel(s: SparkSession, d: String): PcaModel = {
     val rows = covarianceStats(s, d)
       .select(col("i"), col("j"), col("cov"), col("mean_i")).collect()
@@ -1725,24 +1750,11 @@ object Similarity extends QueryModule {
     // bucket join restricts scanning to probed buckets' codes, and the
     // exact-integer topKLong aggregator keeps the top-k hierarchical.
     "ann_ivfpq_residual" -> { (s, d) =>
-      val base = withNorm(s, d)
-      val iters = annKmeansIters(s)
-      val centDf = ivfCentroids(s, d, iters)
-      val centArr = collectQuantizer(centDf)
-      // if/else EXPRESSIONS, not early returns (the kmeansMembers lesson)
-      def empty = base.limit(0).select(col("vec_id").as("query_id"),
-        lit(1).as("rk"), col("vec_id"), lit(0L).as("adc_d2_fp"))
-      if (centArr.isEmpty) empty
-      else {
-        val cent = broadcast(centDf)
-        val cb = collectPqCodebook(pqResCodebooks(s, d, iters, centDf, centArr))
-        if (cb.isEmpty) empty
-        else {
-          val coded = residualCodedCorpus(s, d, iters, centDf, centArr, cb)
-          val adcTabs = residualAdcTabs(s, base, cent, cb)
-          topKLongRanks(s, adcScores(coded, adcTabs), K)
-            .orderBy(col("query_id"), col("rk"))
-        }
+      residualAdcTopK(s, d, K) match {
+        case Some(ranked) => ranked.orderBy(col("query_id"), col("rk"))
+        case None => withNorm(s, d).limit(0).select(
+          col("vec_id").as("query_id"), lit(1).as("rk"),
+          col("vec_id"), lit(0L).as("adc_d2_fp"))
       }
     },
 
@@ -1765,21 +1777,10 @@ object Similarity extends QueryModule {
     // rows — bounded, never corpus-sized.
     "ann_refine" -> { (s, d) =>
       val base = withNorm(s, d)
-      val iters = annKmeansIters(s)
-      val centDf = ivfCentroids(s, d, iters)
-      val centArr = collectQuantizer(centDf)
-      def empty = base.limit(0).select(col("vec_id").as("query_id"),
-        lit(1).as("rk"), col("vec_id"), lit(0.0).as("cosine"))
-      if (centArr.isEmpty) empty
-      else {
-        val cent = broadcast(centDf)
-        val cb = collectPqCodebook(pqResCodebooks(s, d, iters, centDf, centArr))
-        if (cb.isEmpty) empty
-        else {
-          val coded = residualCodedCorpus(s, d, iters, centDf, centArr, cb)
-          val adcTabs = residualAdcTabs(s, base, cent, cb)
-          val shortlist = topKLongRanks(s, adcScores(coded, adcTabs),
-            RefineFactor * K)
+      residualAdcTopK(s, d, RefineFactor * K) match {
+        case None => base.limit(0).select(col("vec_id").as("query_id"),
+          lit(1).as("rk"), col("vec_id"), lit(0.0).as("cosine"))
+        case Some(shortlist) =>
           val cand = base
             .select(col("vec_id"), col("embedding").as("c_emb"),
               col("n2").as("c_n2"))
@@ -1802,7 +1803,6 @@ object Similarity extends QueryModule {
             .select(col("query_id"), col("rk"), col("vec_id"),
               (round(col("cosine"), 6) + lit(0.0)).as("cosine"))
             .orderBy(col("query_id"), col("rk"))
-        }
       }
     },
 
@@ -2619,7 +2619,7 @@ object Similarity extends QueryModule {
          |         FROM v JOIN pc ON pc.i = v.i
          |         GROUP BY v.vec_id, pc.component)
          |SELECT vec_id,
-         |${(0 until 8).map(p =>
+         |${(0 until PcaP).map(p =>
         s"       round(CAST(max(CASE WHEN component = $p THEN pr END) AS DOUBLE) - " +
           s"max(CASE WHEN component = $p THEN mu_dot END), 6) + 0.0 AS pc_$p").mkString(",\n")}
          |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
@@ -2640,7 +2640,7 @@ object Similarity extends QueryModule {
          |         FROM v JOIN pc ON pc.i = v.i
          |         GROUP BY v.vec_id, pc.component),
          |w AS (SELECT vec_id,
-         |${(0 until 8).map(p =>
+         |${(0 until PcaP).map(p =>
         s"             max(CASE WHEN component = $p THEN pr END) AS p$p," +
           s" max(CASE WHEN component = $p THEN lam END) AS l$p").mkString(",\n")}
          |      FROM proj GROUP BY vec_id),
@@ -2649,10 +2649,10 @@ object Similarity extends QueryModule {
          |       FROM v JOIN (SELECT DISTINCT i, mu FROM pc) m ON m.i = v.i
          |       GROUP BY v.vec_id),
          |scored AS (SELECT w.vec_id,
-         |                  ${(0 until 8).map(p => s"p$p * p$p / l$p").mkString(" + ")} AS m_top,
+         |                  ${(0 until PcaP).map(p => s"p$p * p$p / l$p").mkString(" + ")} AS m_top,
          |                  CAST(n.n2 AS DOUBLE) - 2.0 * xm.xmu
          |                    + (SELECT max(mu_mu) FROM pc)
-         |                    - (${(0 until 8).map(p => s"p$p * p$p").mkString(" + ")}) AS resid
+         |                    - (${(0 until PcaP).map(p => s"p$p * p$p").mkString(" + ")}) AS resid
          |           FROM w JOIN xm USING (vec_id) JOIN norms n USING (vec_id))
          |SELECT vec_id,
          |       round(m_top, 6) + 0.0 AS m_top,
@@ -2797,7 +2797,7 @@ object Similarity extends QueryModule {
          |  FROM (SELECT query_id, vec_id,
          |               row_number() OVER (PARTITION BY query_id ORDER BY adc_d2_fp, vec_id) AS rk
          |        FROM adc)
-         |  WHERE rk <= ${4 * K}),
+         |  WHERE rk <= ${RefineFactor * K}),
          |resc AS (
          |  SELECT sh.query_id, sh.vec_id,
          |         CAST(sum(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
