@@ -238,7 +238,32 @@ object ExplainDump {
     "streaming_dedup_near" -> ("near-dup on ingest, the batch verify tail of gate 14: the " +
       "candidate pairs come from (band, sig)-keyed STREAMING STATE (base batch populates, " +
       "delta batch probes — the plan here shows the candidate-sized exact shingle-Jaccard " +
-      "verify + per-new-doc argmax, every join keyed by shingle/doc, no corpus self-join)")
+      "verify + per-new-doc argmax, every join keyed by shingle/doc, no corpus self-join)"),
+    "agg_theta_sketch" -> ("KMV/theta set-operation sketches: two global typed bottom-k " +
+      "aggregates over the year-filtered fact (partial k-min merge map-side — the exchange " +
+      "carries ≤ k longs per task), combined by a 1×1 broadcast cross of the two sketch " +
+      "ROWS; all estimator arithmetic rides that single-row projection"),
+    "emb_covariance" -> ("serving scans the STAGED dim²-bounded artifact only (PlanSpec-pinned " +
+      "no join/window/corpus scan); the one-time stage is two chained generators folded " +
+      "map-side by partial hash aggregation into ≤ dim² groups — the corpus is never " +
+      "self-joined and the exchange carries O(dim² × partitions) rows at any corpus size"),
+    "emb_pca" -> ("projection is ONE narrow codegen pass: 8 DecimalDotProduct terms against " +
+      "LITERAL component vectors (the collected-model fold, trained driver-side from the " +
+      "staged covariance) — no join, no window, one presentation sort (PlanSpec-pinned)"),
+    "emb_ood_score" -> ("emb_pca's literal-fold projection + two more decimal dots (x·μ and " +
+      "the ingest-contract n2) combined in-row into the Mahalanobis energy and the " +
+      "off-manifold residual — still join-free; the χ² flag is a scan-side comparison"),
+    "ann_refine" -> ("two-stage serving: the IVFADC chain proposes the exact fixed-point " +
+      "top-k' (shared stage-1, residualAdcTopK), then the ≤ NQ·k' shortlist BROADCASTS into " +
+      "a column-pruned float-corpus fetch and a query-keyed rerank window re-orders by exact " +
+      "decimal cosine — the corpus never shuffles and is never scored in full (PlanSpec-pinned)"),
+    "events_scd2" -> ("SCD type-2 versioning: lag-flag → running-sum version → interval close " +
+      "by lead, all over ONE user_id hash partitioning (two windows + the run aggregation " +
+      "share the exchange); no joins — history materialization is window-shaped"),
+    "graph_pagerank" -> ("5 unrolled exact-integer PageRank iterations over the STAGED " +
+      "co-purchase edges: each stage one src-keyed join (ranks-edges-degree co-partitioned) " +
+      "into one dst-keyed partial-aggregated sum — bounded by |E| per iteration, no " +
+      "cartesian, no window, no raw-fact rescan (PlanSpec-pinned)")
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over a DERIVED co-purchase graph — the
+  * capability class (fixed-point iteration over an edge relation) the
+  * engine lacked: ConnectedComponents covers reachability; PageRank
+  * covers importance propagation, the shape behind link/citation/
+  * co-occurrence ranking jobs a corpus pipeline runs (domain authority
+  * for crawl prioritization, hub detection in co-occurrence graphs).
+  *
+  * Graph: parts co-ordered in the same order (lineitem ⋈ lineitem on
+  * l_orderkey, src ≠ dst, DISTINCT directed pairs — symmetric by
+  * construction, so every node has in- and out-degree ≥ 1 and the
+  * dangling-mass term vanishes).
+  *
+  * EXACT-INTEGER PageRank (the oracle contract): ranks live in ×10¹²
+  * fixed-point BIGINTs; every step is integer arithmetic both engines
+  * replay bit-for-bit — r₀ = S DIV N, contribution = r DIV deg
+  * (integral division; the truncated remainder is deterministic mass
+  * leakage, identical in both engines), update = base + (85·Σ) DIV 100
+  * with base = 15·(S DIV N) DIV 100, a FIXED 5 iterations (no
+  * convergence test — iteration count is part of the definition, the
+  * [[graft.operators.Eigen]] fixed-sweep discipline). The DuckDB
+  * oracle unrolls the 5 iterations as CTEs and recomputes N/base in
+  * SQL, so the gate is a full hash match.
+  *
+  * Scale shape: edges are STAGED once (the band-signature discipline);
+  * each iteration is one src-keyed hash join (ranks ⋈ edges ⋈ degree —
+  * all three hash-partition on the SAME key, so AQE reuses the
+  * partitioning) into one dst-keyed aggregation — the canonical
+  * distributed PageRank step, bounded by |E| per iteration with
+  * map-side partial sums. Nothing is ever collected; rank state stays
+  * a node-sized DataFrame. At production scale each iteration would
+  * checkpoint its rank table (lineage truncation) — 5 fixture
+  * iterations keep the plan well under the codegen cliff.
+  */
+object Graph extends QueryModule {
+
+  /** ×10¹² fixed-point scale for rank mass. */
+  private val Scale = 1000000000000L
+  private val Iters = 5
+
+  private def edges(s: SparkSession, d: String): DataFrame =
+    graft.Staging.stage(s, "copurchase_edges", d) {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+    }
+
+  override def queries: Map[String, Q] = Map(
+    "graph_pagerank" -> { (s, d) =>
+      val e = edges(s, d)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nodes = e.select(col("src").as("node")).distinct()
+      // N as a driver scalar (node-count-sized aggregate — the
+      // indexableCount precedent); the oracle recomputes it in SQL
+      val n = nodes.count()
+      if (n == 0L)
+        e.limit(0).select(col("src").as("part"), lit(0L).as("rank_fp"))
+      else {
+        val r0 = Scale / n
+        val base = 15L * r0 / 100L
+        val ranks = (1 to Iters).foldLeft(nodes.withColumn("r", lit(r0))) {
+          (r, _) =>
+            val contrib = e
+              .join(r.withColumnRenamed("node", "src"), Seq("src"))
+              .join(deg, Seq("src"))
+              .select(col("dst").as("node"), expr("r DIV deg").as("c"))
+              .groupBy(col("node")).agg(sum(col("c")).as("s"))
+            // symmetric edges ⇒ every node receives mass, but the left
+            // join + coalesce keeps the update total regardless (and
+            // mirrors the oracle's formulation exactly)
+            nodes.join(contrib, Seq("node"), "left")
+              .select(col("node"),
+                expr(s"${base}L + (85 * coalesce(s, 0L)) DIV 100").as("r"))
+        }
+        ranks.select(col("node").as("part"), col("r").as("rank_fp"))
+          .orderBy(col("rank_fp").desc, col("part"))
+      }
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // the 5 iterations unrolled as CTEs; N and base recomputed in SQL;
+    // every step integer arithmetic (DuckDB // = Spark DIV on the
+    // all-positive ranks), sums CAST back to BIGINT out of HUGEINT
+    "graph_pagerank" -> {
+      val header =
+        s"""WITH li AS (
+           |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+           |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+           |e AS (
+           |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |cfg AS (SELECT CAST($Scale // count(*) AS BIGINT) AS r0,
+           |               CAST(15 * ($Scale // count(*)) // 100 AS BIGINT) AS base
+           |        FROM nodes),
+           |r0 AS (SELECT node, (SELECT r0 FROM cfg) AS r FROM nodes)""".stripMargin
+      val iters = (1 to Iters).map { k =>
+        s"""r$k AS (
+           |  SELECT nodes.node,
+           |         CAST((SELECT base FROM cfg)
+           |              + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.r // d.deg) AS s
+           |    FROM e JOIN r${k - 1} r ON r.node = e.src
+           |           JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON s.node = nodes.node)""".stripMargin
+      }
+      (header +: iters).mkString(",\n") +
+        s"""
+           |SELECT node AS part, r AS rank_fp FROM r$Iters
+           |ORDER BY rank_fp DESC, part""".stripMargin
+    }
+  )
+}

@@ -228,6 +228,51 @@ object Windows extends QueryModule {
         .orderBy(col("window_start"), col("event_type"))
     },
 
+    // SCD TYPE-2 dimension materialization — the warehouse op that turns
+    // a change stream into a VERSIONED history table (delta_upsert keeps
+    // only the latest row per key; streaming_upsert the same, on ingest;
+    // this keeps EVERY version with its validity interval — the "as of
+    // any point in time" dimension every temporal join downstream needs).
+    // Tracked attribute: the user's event_type; consecutive equal values
+    // collapse into one version (the SCD2 contract), change points found
+    // by lag() and numbered by a running sum, validity intervals closed
+    // by lead() over the version sequence — the gaps-and-islands recipe
+    // on the (ts, event_id) total order every tie-safe window here uses.
+    // Scale: both windows and the run aggregation share ONE user_id
+    // hash partitioning (bounded per user), no joins. NULL user/ts/type
+    // rows carry no versionable identity and are excluded on BOTH
+    // engines (Spark and DuckDB disagree on NULL ORDER BY defaults, so
+    // keeping them would hash-drift the null fixture for no semantics).
+    "events_scd2" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val runs = ev
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(wOrd).isNull ||
+            lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(wOrd))
+        .groupBy(col("user_id"), col("version"))
+        // event_type is constant within a run — min() is just the
+        // aggregate-shaped way to carry it through the groupBy
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("ts_us")).as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+      val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      runs
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wVer))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"), col("n_events"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    },
+
     // Driver-surface streaming smoke (round-2 verdict gap: streaming was
     // ScalaTest-only): the SAME tumbling aggregation run as an actual
     // Structured Streaming job — file source micro-batches, 1-hour
@@ -1017,6 +1062,37 @@ object Windows extends QueryModule {
         |FROM grp
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // the same gaps-and-islands recipe on the same (ts_us, event_id)
+    // total order; version sums CAST to BIGINT (DuckDB sum(int) widens
+    // to HUGEINT — the events_incident_overlap type lesson)
+    "events_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, event_type, ts_us, event_id,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |v AS (
+        |  SELECT user_id, event_type, ts_us,
+        |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM m),
+        |r AS (
+        |  SELECT user_id, version, min(event_type) AS event_type,
+        |         min(ts_us) AS valid_from_us, count(*) AS n_events
+        |  FROM v GROUP BY user_id, version)
+        |SELECT user_id, version, event_type, valid_from_us,
+        |       lead(valid_from_us) OVER wv AS valid_to_us,
+        |       n_events,
+        |       lead(valid_from_us) OVER wv IS NULL AS is_current
+        |FROM r
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
 
     "events_session" ->
       """WITH brk AS (

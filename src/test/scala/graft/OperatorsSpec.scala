@@ -494,6 +494,61 @@ class OperatorsSpec extends GraftSuite {
     assert(one == Map(1L -> 20L, 2L -> 5L))
   }
 
+  test("graph_pagerank: planted star ranks the hub first; mass bounded; exact integers") {
+    import spark.implicits._
+    // orders {1,2} and {1,3}: edges 1↔2, 1↔3 — node 1 is the hub
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr").toString
+    Seq((100L, 1L), (100L, 2L), (200L, 1L), (200L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("graph_pagerank")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // hub strictly first; the two leaves tie by symmetry
+    assert(out(1L) > out(2L) && out(2L) == out(3L), s"ranks: $out")
+    // integral mass never grows (base + damped floors can only leak)
+    assert(out.values.sum <= 1000000000000L)
+    // every rank at least the teleport base 15·(S DIV N) DIV 100
+    val base = 15L * (1000000000000L / 3L) / 100L
+    assert(out.values.forall(_ >= base))
+    // fixture-scale invariants on the real corpus
+    val full = q("graph_pagerank").collect().map(_.getLong(1))
+    assert(full.nonEmpty && full.sum <= 1000000000000L && full.forall(_ > 0))
+  }
+
+  test("events_scd2: versions partition each user's timeline, SCD2 invariants hold") {
+    val rows = q("events_scd2").collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.values.foreach { vs =>
+      val sorted = vs.sortBy(_._2)
+      // versions are dense from 1
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length))
+      // exactly one open (current) version per user — the last
+      assert(vs.count(_._7) == 1 && sorted.last._7)
+      // each closed version's valid_to is EXACTLY the next valid_from
+      // (the timeline partitions with no gaps or overlaps)
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(a._5.contains(b._4), s"gap/overlap: $a -> $b")
+        // consecutive versions must differ in the tracked attribute
+        // (SCD2 collapses runs)
+        assert(a._3 != b._3, s"uncollapsed run: $a -> $b")
+      }
+    }
+    // version event counts conserve the user's event total
+    val evCounts = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byUser.foreach { case (u, vs) =>
+      assert(vs.map(_._6).sum == evCounts(u), s"user $u event count not conserved")
+    }
+  }
+
   test("Eigen.jacobi: known spectrum, orthonormality, residual, canonical form") {
     import graft.operators.Eigen
     // hand-checkable 2×2: [[2,1],[1,2]] has eigenvalues 3 (v ∝ (1,1))

@@ -764,6 +764,25 @@ class PlanSpec extends GraftSuite {
     assert(exchanges.size <= 1, s"unexpected exchanges:\n$sp")
   }
 
+  test("graph_pagerank: staged edges, no cartesian/window, 5 bounded join-agg stages") {
+    val df = q("graph_pagerank")
+    val sp = df.queryExecution.sparkPlan
+    // every iteration is a keyed join into a keyed aggregate over the
+    // STAGED edge table — never a cartesian, never a window, and the
+    // raw fact is not rescanned (edges build once per fixture per JVM)
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"unbounded join in the pagerank plan:\n$sp")
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window in the pagerank plan:\n$sp")
+    assert(sp.toString.contains("copurchase_edges"),
+      s"not serving from the staged edge table:\n$sp")
+    assert(!sp.toString.contains("lineitem.parquet"),
+      s"raw fact rescan in the iteration plan:\n$sp")
+  }
+
   test("ann_refine: broadcast shortlist fetch, query-keyed rerank window, no corpus shuffle") {
     val df = q("ann_refine")
     val sp = df.queryExecution.sparkPlan
