@@ -96,11 +96,11 @@ object Graph extends QueryModule {
         s"""WITH li AS (
            |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
            |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-           |e AS (
+           |e AS MATERIALIZED (
            |  SELECT DISTINCT a.pk AS src, b.pk AS dst
            |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
-           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+           |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
            |cfg AS (SELECT CAST($Scale // count(*) AS BIGINT) AS r0,
            |               CAST(15 * ($Scale // count(*)) // 100 AS BIGINT) AS base
            |        FROM nodes),
