@@ -251,12 +251,17 @@ object Windows extends QueryModule {
           unix_micros(col("ts")).as("ts_us"), col("event_id"))
       val wOrd = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("event_id"))
+      // ROWS frame pinned explicitly (the file's convention): Spark's
+      // default RANGE frame would sum a peer row's chg into both rows
+      // on an exact (ts_us, event_id) ordering tie where DuckDB's ROWS
+      // frame would not — a latent hash divergence (review finding)
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val runs = ev
         .withColumn("chg",
           when(lag(col("event_type"), 1).over(wOrd).isNull ||
             lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
             .otherwise(0L))
-        .withColumn("version", sum(col("chg")).over(wOrd))
+        .withColumn("version", sum(col("chg")).over(wRun))
         .groupBy(col("user_id"), col("version"))
         // event_type is constant within a run — min() is just the
         // aggregate-shaped way to carry it through the groupBy

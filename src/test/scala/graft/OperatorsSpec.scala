@@ -506,14 +506,13 @@ class OperatorsSpec extends GraftSuite {
     assert(out.keySet == Set(1L, 2L, 3L))
     // hub strictly first; the two leaves tie by symmetry
     assert(out(1L) > out(2L) && out(2L) == out(3L), s"ranks: $out")
-    // integral mass never grows (base + damped floors can only leak)
-    assert(out.values.sum <= 1000000000000L)
-    // every rank at least the teleport base 15·(S DIV N) DIV 100
-    val base = 15L * (1000000000000L / 3L) / 100L
-    assert(out.values.forall(_ >= base))
+    // integral mass never grows (base + damped floors can only leak);
+    // constants read from the engine (review finding: no stale copies)
+    assert(out.values.sum <= graft.queries.Graph.Scale)
+    assert(out.values.forall(_ >= graft.queries.Graph.teleportBase(3L)))
     // fixture-scale invariants on the real corpus
     val full = q("graph_pagerank").collect().map(_.getLong(1))
-    assert(full.nonEmpty && full.sum <= 1000000000000L && full.forall(_ > 0))
+    assert(full.nonEmpty && full.sum <= graft.queries.Graph.Scale && full.forall(_ > 0))
   }
 
   test("events_scd2: versions partition each user's timeline, SCD2 invariants hold") {

@@ -764,6 +764,26 @@ class PlanSpec extends GraftSuite {
     assert(exchanges.size <= 1, s"unexpected exchanges:\n$sp")
   }
 
+  test("events_scd2: one user_id hash partitioning, windows keyed, no joins") {
+    val df = q("events_scd2")
+    val sp = df.queryExecution.sparkPlan
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"join in the SCD2 plan:\n$sp")
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in the SCD2 plan:\n$sp")
+    // the documented scale contract: lag/version windows and the run
+    // aggregation share ONE user_id hash partitioning; the only other
+    // exchange is the presentation sort's range partitioning
+    val hashEx = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e }
+    assert(hashEx.size <= 1, s"re-shuffle between SCD2 stages:\n$sp")
+  }
+
   test("graph_pagerank: staged edges, no cartesian/window, 5 bounded join-agg stages") {
     val df = q("graph_pagerank")
     val sp = df.queryExecution.sparkPlan
