@@ -48,10 +48,15 @@ object Eigen {
           val apq = m(p)(q)
           if (apq != 0.0) {
             // Jacobi rotation angle: the numerically stable t = s/c
-            // formulation (Golub & Van Loan alg. 8.4.1)
+            // formulation (Golub & Van Loan alg. 8.4.1). For extreme
+            // theta (denormal apq vs a large diagonal gap) theta² would
+            // overflow to Inf and yield t = 0 — a no-op rotation that
+            // never zeroes the entry; the standard large-theta limit
+            // t = 1/(2θ) (Numerical Recipes §11.1) covers that branch.
             val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
             val t =
-              if (theta >= 0) 1.0 / (theta + math.sqrt(1.0 + theta * theta))
+              if (math.abs(theta) > 1.0e153) 1.0 / (2.0 * theta)
+              else if (theta >= 0) 1.0 / (theta + math.sqrt(1.0 + theta * theta))
               else 1.0 / (theta - math.sqrt(1.0 + theta * theta))
             val c = 1.0 / math.sqrt(1.0 + t * t)
             val s = t * c

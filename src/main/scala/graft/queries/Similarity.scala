@@ -849,6 +849,14 @@ object Similarity extends QueryModule {
         PcaModel(Array.empty, Array.empty, Array.empty, 0.0)
       else {
         val dim = rows.iterator.map(_.getInt(1)).max + 1
+        // the oracle SQL (and the serving projections) emit a FIXED
+        // PcaP-wide schema (pc_0..pc_7 / p0..p7); a corpus with
+        // dim < PcaP would make vecs.take(PcaP) silently emit fewer
+        // columns and hash-mismatch on schema — fail loudly instead
+        // (advice finding; only ≥8-dim fixtures are supported)
+        require(dim >= PcaP,
+          s"pcaModel needs embedding dim >= $PcaP (got $dim): the " +
+            "exported model and oracle schema are fixed at PcaP columns")
         val c = Array.ofDim[Double](dim, dim)
         val mu = new Array[Double](dim)
         rows.foreach { r =>

@@ -992,7 +992,7 @@ object Streaming {
     * dirs are per-run short-lived — so the sweep can only collect dirs
     * whose owner has been idle past the cutoff, and even that owner
     * self-heals on its next access. */
-  private def sweepStaleGateDirs(): Unit = {
+  private[graft] def sweepStaleGateDirs(): Unit = {
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     val roots = Seq(
       java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),

@@ -30,4 +30,25 @@ object GraftColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     session.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Release the storage blocks behind a `localCheckpoint`ed frame.
+    *
+    * `Dataset.localCheckpoint` persists the INTERNAL row RDD (wrapped
+    * in a LogicalRDD) — `Dataset.unpersist` only talks to the
+    * CacheManager and never touches it, so an iterative operator that
+    * checkpoints every step would otherwise accumulate one node-sized
+    * storage RDD per iteration until the ContextCleaner happens to GC
+    * them. No-op for frames that are not checkpoint scans. */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _                        => ()
+    }
+
+  /** True iff the frame's analyzed plan is a bare checkpoint scan —
+    * the plan-shape pin for checkpointed iteration (iteration N's plan
+    * must not contain iteration N−1's join subtree). */
+  def isCheckpointScan(df: Dataset[_]): Boolean =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+      .isInstanceOf[execution.LogicalRDD]
 }

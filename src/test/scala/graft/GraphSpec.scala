@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Iterative-graph pins: the checkpointed fixpoint operator, the
+  * 20-iteration production shape, and the planted-hub salted edge
+  * derivation (round-13 verdict items 2/6/8). */
+class GraphSpec extends GraftSuite {
+
+  test("Iterate.fixpoint: values equal plain foldLeft; 0 iters returns init") {
+    import spark.implicits._
+    val init = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    def step(df: org.apache.spark.sql.DataFrame, i: Int) =
+      df.select(col("k"), (col("v") + lit(i.toLong)).as("v"))
+    val got = graft.operators.Iterate.fixpoint(init, 4)(step)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (1 to 4).foldLeft(init)(step)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want) // v + (1+2+3+4) = v + 10
+    assert(got == Set((1L, 20L), (2L, 30L)))
+    // 0 iterations: the exact init frame back, untouched
+    assert(graft.operators.Iterate.fixpoint(init, 0)(step) eq init)
+    // step receives 1-based iteration indexes in order
+    val seen = scala.collection.mutable.ListBuffer.empty[Int]
+    graft.operators.Iterate.fixpoint(init, 3) { (df, i) => seen += i; df }
+    assert(seen.toList == List(1, 2, 3))
+  }
+
+  test("Iterate.fixpoint: every iteration truncates lineage to a checkpoint scan") {
+    import spark.implicits._
+    val init = Seq((1L, 1L)).toDF("k", "v")
+    val out = graft.operators.Iterate.fixpoint(init, 5) { (df, _) =>
+      // the step SEES a checkpoint scan from iteration 2 on — lineage
+      // never accumulates across iterations
+      df.select(col("k"), (col("v") * 2).as("v"))
+    }
+    assert(org.apache.spark.sql.GraftColumnBridge.isCheckpointScan(out))
+    assert(out.collect().map(_.getLong(1)).toSeq == Seq(32L))
+  }
+
+  test("pagerank at 20 iterations (production shape): flat plan, mass invariants hold") {
+    val ranks = graft.queries.Graph.pagerankRanks(spark, sf, 20)
+    assert(org.apache.spark.sql.GraftColumnBridge.isCheckpointScan(ranks),
+      "20-iteration state must be a bare checkpoint scan")
+    val vals = ranks.collect().map(_.getLong(1))
+    val (_, deg, _) = graft.queries.Graph.stagedGraph(spark, sf)
+    val n = deg.count()
+    assert(vals.length == n, "one rank row per node after 20 iterations")
+    // integral mass never grows; every rank keeps the teleport floor
+    assert(vals.sum <= graft.queries.Graph.Scale)
+    assert(vals.forall(_ >= graft.queries.Graph.teleportBase(n)))
+  }
+
+  test("planted hub: salted edge derivation equals the plain self-join") {
+    import spark.implicits._
+    // one hub order with 40 parts (40·39 = 1560 directed pairs — the
+    // unbounded-group shape TPC-H never produces) plus normal orders,
+    // including a part shared across orders (distinct must collapse it)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hub").toString
+    val hub = (1L to 40L).map(p => (999L, p))
+    val rows = hub ++ Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = norm(graft.queries.Graph.edgesSalted(spark, dir, 1))
+    val salted = norm(graft.queries.Graph.edgesSalted(spark, dir, 8))
+    assert(plain == salted, "salting must not change the edge set")
+    // the small orders' pairs are all hub-internal (parts 1,2,3 ∈ hub)
+    // so DISTINCT collapses them into the 40·39 hub pairs
+    assert(salted.size == 40 * 39, s"expected hub pairs, got ${salted.size}")
+    // and the full query still runs over a hub-shaped fixture
+    val out = SparkEntry.queries("graph_pagerank")(spark, dir)
+    assert(out.count() == 40) // every planted part is a hub part (1..40)
+  }
+}

@@ -784,23 +784,38 @@ class PlanSpec extends GraftSuite {
     assert(hashEx.size <= 1, s"re-shuffle between SCD2 stages:\n$sp")
   }
 
-  test("graph_pagerank: staged edges, no cartesian/window, 5 bounded join-agg stages") {
-    val df = q("graph_pagerank")
-    val sp = df.queryExecution.sparkPlan
-    // every iteration is a keyed join into a keyed aggregate over the
-    // STAGED edge table — never a cartesian, never a window, and the
-    // raw fact is not rescanned (edges build once per fixture per JVM)
+  test("graph_pagerank: checkpointed iterations — step plan bounded, state plan flat") {
+    // The ITERATION plan (what every fixpoint step actually runs): a
+    // keyed join into a keyed aggregate over the STAGED edge table —
+    // never a cartesian, never a window, and the raw fact is not
+    // rescanned (edges build once per fixture per JVM). Built over a
+    // checkpointed state frame, exactly as iteration N≥2 sees it.
+    val (e, deg, nodes) = graft.queries.Graph.stagedGraph(spark, sf)
+    val state = nodes.withColumn("r",
+        org.apache.spark.sql.functions.lit(graft.queries.Graph.Scale))
+      .localCheckpoint(true)
+    val step = graft.queries.Graph.pagerankStep(e, deg, nodes, 1L)(state)
+    val sp = step.queryExecution.sparkPlan
     assert(sp.collect {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
-    }.isEmpty, s"unbounded join in the pagerank plan:\n$sp")
+    }.isEmpty, s"unbounded join in the pagerank step plan:\n$sp")
     assert(sp.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }.isEmpty, s"window in the pagerank plan:\n$sp")
+    }.isEmpty, s"window in the pagerank step plan:\n$sp")
     assert(sp.toString.contains("copurchase_edges"),
       s"not serving from the staged edge table:\n$sp")
     assert(!sp.toString.contains("lineitem.parquet"),
       s"raw fact rescan in the iteration plan:\n$sp")
+    // The STATE plan after N iterations is a bare checkpoint scan —
+    // iteration N's plan is FREE of iteration N−1's subtree (the
+    // round-13 lineage-growth item): no joins at all, constant size.
+    val ranks = graft.queries.Graph.pagerankRanks(spark, sf, 2)
+    assert(org.apache.spark.sql.GraftColumnBridge.isCheckpointScan(ranks),
+      s"iterated state is not a checkpoint scan:\n${ranks.queryExecution.analyzed}")
+    assert(ranks.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "iterated state plan still contains join subtrees")
   }
 
   test("ann_refine: broadcast shortlist fetch, query-keyed rerank window, no corpus shuffle") {

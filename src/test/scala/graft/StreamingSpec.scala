@@ -413,4 +413,50 @@ class StreamingSpec extends GraftSuite {
         s"bucket $c verdict $retrain, rules say del=$del drift=$drift")
     }
   }
+
+  test("stale sweep never deletes this JVM's live staged source dirs (age-immune)") {
+    // The round-13 hazard class: sweepStaleGateDirs age-gates
+    // graft-stream-* dirs at 6 h, and the memoized staged source dirs
+    // live for the JVM's lifetime — a >6 h session must NOT sweep its
+    // own sources. Build a source, back-date it PAST the cutoff, sweep,
+    // and prove (a) the owned dir survives on ownership alone, (b) a
+    // foreign stale dir IS collected, (c) a foreign fresh dir is not,
+    // (d) the source still serves a gate end-to-end afterwards.
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    Streaming.eventsStream(spark, sf) // builds + registers the staged dir
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+    val pid = ProcessHandle.current().pid()
+    // reconstruct THIS fixture's staged-source dir name (the
+    // stagingKey recipe: pid + sanitized fixture path, tail-60)
+    val sane = sf.replaceAll("[^A-Za-z0-9._-]", "-").replaceAll("-+", "-")
+    val tail = if (sane.length > 60) sane.substring(sane.length - 60) else sane
+    val owned = tmp.resolve(s"graft-stream-1x-$pid-$tail")
+    assert(Files.isDirectory(owned), s"expected staged source dir at $owned")
+    val staleAge = FileTime.fromMillis(System.currentTimeMillis() - 7L * 3600 * 1000)
+    Files.setLastModifiedTime(owned, staleAge)
+    val foreignStale = tmp.resolve("graft-stream-spec-foreign-stale")
+    val foreignFresh = tmp.resolve("graft-stream-spec-foreign-fresh")
+    Files.createDirectories(foreignStale)
+    Files.createDirectories(foreignFresh)
+    Files.setLastModifiedTime(foreignStale, staleAge)
+    try {
+      Streaming.sweepStaleGateDirs()
+      assert(Files.isDirectory(owned),
+        "sweep deleted this JVM's own live staged source dir")
+      assert(!Files.exists(foreignStale), "stale foreign dir must be collected")
+      assert(Files.isDirectory(foreignFresh), "fresh foreign dir must survive")
+      // the back-dated source still serves a full gate: memoSource
+      // refreshes mtime on access, so the dir is re-aged below cutoff
+      val got = Streaming.runToCompletion(
+        Streaming.tumblingCounts(Streaming.eventsStream(spark, sf)),
+        "sweep_survival", OutputMode.Complete())
+      assert(got.count() > 0)
+      assert(Files.getLastModifiedTime(owned).toMillis > staleAge.toMillis,
+        "memo hit must refresh the source dir mtime")
+    } finally {
+      Files.deleteIfExists(foreignStale)
+      Files.deleteIfExists(foreignFresh)
+    }
+  }
 }
