@@ -36,6 +36,16 @@ import org.apache.spark.sql.SparkSession
   *    drift isolates environment load from engine change (BENCH_r05 ran
   *    uniformly ~25% above r04 on untouched queries). Normalize
   *    cross-round totals as value/calibration before reading trends.
+  *  - "dispersion" (round 14): max/min of the 6 interleaved calibration
+  *    samples — ~1 on an idle box; > 1.5 means the machine's speed moved
+  *    across the suite's window and some per-query numbers are
+  *    load-inflated (BENCH_r13 shipped a 6×-inflated slowest-list this
+  *    way). When dispersion > 1.5 the run ACTS on it: the 10 slowest
+  *    queries re-run once and the WARM series takes min(old, re-run) —
+  *    load only ever inflates, so the min is the least-load estimate;
+  *    "remeasured" counts how many improved. Raw medians ("queries",
+  *    "value") stay untouched protocol numbers; read "queries_warm"/
+  *    "total_warm"/"slowest" for cross-round comparison.
   *  - The stdout line is kept COMPACT (fixed 2-decimal timings, 1 if the
   *    line outgrows ~1850 chars) and printed LAST, after spark.stop(),
   *    because the driver parses the JSON out of only the final 2000
@@ -188,13 +198,48 @@ object Bench {
     // cross-round normalization. -1 marks the datum invalid.
     calibProbe(warmups = 0, keep = 2)
     val calibration = if (calibFailed) -1.0 else median(calibSamples.toSeq)
+    // DISPERSION of the interleaved probes (round-13 verdict item 3: the
+    // hardened calibration MEASURED a loaded machine but nothing ACTED
+    // on it — BENCH_r13 shipped 6×-inflated per-query numbers). max/min
+    // of the 6 samples ≈ how much the machine's speed moved across the
+    // suite's window; ~1 on an idle box, >1.5 means some queries ran
+    // under load others didn't.
+    val dispersion =
+      if (calibFailed || calibSamples.isEmpty) -1.0
+      else calibSamples.max / calibSamples.min
+    // ACT on bad calibration: when the window was turbulent, re-run the
+    // slowest queries once on the (now end-of-suite) machine and let the
+    // warm series take the MINIMUM — a load spike can only inflate a
+    // timing, never deflate it, so min(old, re-run) is the least-load
+    // estimate. Only the warm series is touched ("queries"/"value" stay
+    // the raw protocol numbers); `remeasured` records how many.
+    val warmAdjusted = scala.collection.mutable.Map.empty[String, Double]
+    if (dispersion > 1.5) {
+      val slowestWarm = results.collect { case (k, (_, _, w)) if w >= 0 => k -> w }
+        .sortBy(-_._2).take(10)
+      slowestWarm.foreach { case (name, oldWarm) =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9 - Staging.drainBuildTimes().values.sum
+          if (t < oldWarm) warmAdjusted(name) = t
+        } catch { case _: Throwable => () }
+      }
+    }
+    val warmResults = results.map { case (k, (_, _, w)) =>
+      k -> warmAdjusted.getOrElse(k, w)
+    }
 
     val stagingTotal = stagingOk.values.sum
     // -1 sentinels mark failures; only successful timings enter the total
     val total = results.collect { case (_, (_, med, _)) if med >= 0 => med }.sum + stagingTotal
     // warm total EXCLUDES staging (one-time build cost, its own line):
-    // the cross-round engine-drift signal, not a wall-clock figure
-    val totalWarm = results.collect { case (_, (_, _, w)) if w >= 0 => w }.sum
+    // the cross-round engine-drift signal, not a wall-clock figure —
+    // served from the load-adjusted warm series (see dispersion above)
+    val totalWarm = warmResults.collect { case (_, w) if w >= 0 => w }.sum
     val nFailed = results.count(_._2._2 < 0)
     // container-drift-normalized total (round-6 advice: stop hand-
     // adjusting cross-round comparisons): totals in units of this
@@ -211,6 +256,7 @@ object Bench {
     def compactLine(dec: Int): String =
       s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec",""" +
         s""""failed":$nFailed,"calibration":${fmt(calibration, dec)},""" +
+        s""""dispersion":${fmt(dispersion, dec)},""" +
         s""""total_calibrated":${fmt(totalCalibrated, dec)},""" +
         s""""staging_total":${fmt(stagingTotal, dec)},""" +
         s""""queries":${jmap(results.map { case (k, (_, med, _)) => k -> med }, dec)},""" +
@@ -221,13 +267,14 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"reps":$reps,""" +
         s""""calibration":$calibration,"total_calibrated":$totalCalibrated,""" +
+        s""""dispersion":$dispersion,"remeasured":${warmAdjusted.size},""" +
         s""""total_warm":$totalWarm,""" +
         s""""staging_total":$stagingTotal,""" +
         s""""staging":${jmap(stagingOk.toSeq.sortBy(_._1))},""" +
         s""""staging_failed":${jmap(stagingFailed.toSeq.sortBy(_._1))},""" +
         s""""queries":${jmap(results.map { case (k, (_, m, _)) => k -> m })},""" +
         s""""queries_first":${jmap(results.map { case (k, (f, _, _)) => k -> f })},""" +
-        s""""queries_warm":${jmap(results.map { case (k, (_, _, w)) => k -> w })},""" +
+        s""""queries_warm":${jmap(warmResults)},""" +
         s""""sf":"$sfDir"}"""
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -258,11 +305,14 @@ object Bench {
     // driver records parsed=null. A parser scanning the tail from the
     // end finds this complete object; per-query detail stays in the
     // long line above and in bench_out.json.
-    val slowest = results.collect { case (k, (_, m, _)) if m >= 0 => k -> m }
+    // slowest-list from the load-adjusted WARM series (the reproducible
+    // one — raw medians carry cold-rep and load contamination)
+    val slowest = warmResults.collect { case (k, w) if w >= 0 => k -> w }
       .sortBy(-_._2).take(15)
     println(
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
         s""""failed":$nFailed,"calibration":${fmt(calibration, 2)},""" +
+        s""""dispersion":${fmt(dispersion, 2)},"remeasured":${warmAdjusted.size},""" +
         s""""total_calibrated":${fmt(totalCalibrated, 2)},""" +
         s""""total_warm":${fmt(totalWarm, 2)},""" +
         s""""staging_total":${fmt(stagingTotal, 2)},"nqueries":${results.length},""" +

@@ -20,7 +20,8 @@ object SparkEntry {
     _root_.graft.queries.Dedup,
     _root_.graft.queries.Similarity,
     _root_.graft.queries.Multimodal,
-    _root_.graft.queries.Graph
+    _root_.graft.queries.Graph,
+    _root_.graft.queries.Bpe
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

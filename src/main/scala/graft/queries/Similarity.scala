@@ -365,15 +365,8 @@ object Similarity extends QueryModule {
     * never drift (review finding). Pure path computation — the parent
     * dir is created at the write sites, so callers that merely BUILD
     * oracle SQL strings (dumps, tests) never touch the filesystem. */
-  private def oracleExportPath(salt: String, prefix: String): String = {
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir", "/tmp"),
-      "graft-oracle-" + System.getProperty("user.name", "u")
-        .replaceAll("[^A-Za-z0-9._-]", "-"))
-    val dig = java.security.MessageDigest.getInstance("MD5")
-      .digest(salt.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    base.resolve(s"$prefix-$dig.parquet").toString
-  }
+  private def oracleExportPath(salt: String, prefix: String): String =
+    graft.OracleExport.path(salt, prefix)
 
   private[graft] def ivfOracleCentroidsPath(dir: String, iters: Int): String =
     oracleExportPath(s"$dir|i$iters", "ivf-centroids")

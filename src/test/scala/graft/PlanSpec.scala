@@ -1041,4 +1041,37 @@ class PlanSpec extends GraftSuite {
     assert(exchanges == 1, s"expected only the presentation sort exchange:\n$p")
     assert(finalPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
+
+  test("text_bpe_tokens: one codegen projection, merges ride the expression — no joins") {
+    val df = q("text_bpe_tokens")
+    val sp = df.queryExecution.sparkPlan
+    // encoding is per-row scalar work: the merges table is part of the
+    // expression (serialized with the task), so the corpus never joins
+    // or shuffles — only the presentation sort's range exchange remains
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"join in the bpe plan:\n$sp")
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window in the bpe plan:\n$sp")
+    assert(sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"shuffle below the presentation sort in the bpe plan:\n$sp")
+    assert(sp.toString.toLowerCase.contains("bpesubwordcount"),
+      s"BPE expression missing from the plan:\n$sp")
+  }
+
+  test("pipeline_bpe_budget: bin-granular fill — windows only over the histogram") {
+    val df = q("pipeline_bpe_budget")
+    val sp = df.queryExecution.sparkPlan
+    // the only window runs over the BIN histogram (bounded cardinality),
+    // never the corpus; the fill line attaches by broadcast
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, s"expected the histogram cum-sum window:\n$sp")
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, s"corpus-shuffling join in the budget plan (fill must broadcast):\n$sp")
+  }
 }
