@@ -27,2893 +27,12 @@ import org.apache.spark.sql.functions._
   * (associative) and convert once to double at the end. Every comparison
   * and rank therefore sees bit-identical doubles in both engines.
   */
-object Similarity extends QueryModule {
+object Similarity extends QueryModule
+    with SimilarityServing with SimilarityStats with SimilarityLifecycle {
 
-  private val K = 10
-  private val NQ = 8 // query vectors: vec_id < NQ
-  /** ann_refine's over-fetch multiple: the ADC stage proposes k′ = 4·K
-    * candidates for the exact rerank (FAISS IndexRefine's conventional
-    * k_factor regime — large enough that ADC rank noise inside the
-    * shortlist can't push a true top-K vector past k′ on the gated
-    * fixtures, small enough that the float fetch stays k′-sized). */
-  private val RefineFactor = 4
-  private val RangeTau = 0.25 // ann_range radius (≈2σ of fixture cosines)
+  val queries: Map[String, Q] =
+    servingQueries ++ statsQueries ++ lifecycleQueries
 
-  /** Tie-aware phase-1 cutoff margin: after ranking candidates by the
-    * fast double cosine, keep every candidate within this epsilon of the
-    * K-th fast score (not a fixed K+n buffer). Phase-1 can only misorder
-    * pairs whose cosines differ by ≲1e-12 (double vs decimal
-    * accumulation), so 1e-9 ≫ that drift guarantees the true top-K is
-    * inside the kept set — while a fixed buffer could evict a true
-    * top-K pair if >n near-identical candidates crowd the cutoff. */
-  private val RescoreEps = 1e-9
-
-  /** Keep phase-1 survivors: the top-K by fast rank plus everything
-    * tied (within [[RescoreEps]]) with the K-th fast score. Expects
-    * columns query_id/cos_fast/rk_fast ranked by (cos_fast desc, vec_id)
-    * — the K-th score is read through a RUNNING frame over that same
-    * ordering, so CollapseWindow merges it into the rank's WindowExec
-    * (one sort, one pass) instead of adding a second unordered
-    * whole-partition window over the corpus-sized candidate set. Rows
-    * ranked below K always have the rank-K row earlier in the frame;
-    * rows at rank < K see null and pass via the rank predicate. */
-  private def tieAwareCut(df: DataFrame): DataFrame = tieAwareCutK(K)(df)
-
-  /** [[tieAwareCut]] at an arbitrary boundary `k` — ann_filtered's
-    * post-filter arm over-fetches k′ > K exact candidates before the
-    * predicate prunes them, so the safe phase-1 cut must track ITS
-    * boundary, not the output K. */
-  private def tieAwareCutK(k: Int)(df: DataFrame): DataFrame = {
-    val wRun = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_fast").desc, col("vec_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("kth_fast", max(when(col("rk_fast") === k, col("cos_fast"))).over(wRun))
-      .filter(col("rk_fast") <= k || col("cos_fast") >= col("kth_fast") - RescoreEps)
-  }
-
-  /** Exact decimal dot product of two float-array columns — the codegen
-    * [[graft.functions.DecimalDotProduct]], value-identical to the HOF
-    * `aggregate(zip_with(...))` formulation it replaced (per-term double
-    * product → HALF_UP cast to (20,12) → exact same-scale accumulation,
-    * so the sum is order-independent and oracle-stable). Native because
-    * HOF lambdas evaluate interpreted and expel their operator from
-    * whole-stage codegen — ruinous when the rescore predicate rides a
-    * corpus-pair-sized join (see dedup_embedding's shape note). */
-  private def dotDec(a: Column, b: Column): Column =
-    graft.functions.DecimalDotProduct.decimal_dot(a, b)
-
-  private def normDec(a: Column): Column = dotDec(a, a)
-
-  /** Fast in-order double dot product (codegen'd fused loop — see
-    * [[graft.functions.FloatDotProduct]]) — NOT oracle-stable on its own
-    * (accumulation order differs from the oracle's exact decimal sum by
-    * ulps), so it is only ever used as a pre-filter with a safety margin
-    * well above that error (~1e-12), never for output values or ranking. */
-  private def dotDbl(a: Column, b: Column): Column =
-    graft.functions.FloatDotProduct.float_dot(a, b)
-
-  /** (vec_id, label, embedding, n2dec) with the squared norm precomputed. */
-  /** Sentinel for a NULL label at [[topkPairs]]'s typed-tuple boundary
-    * (the one place a label must fit a primitive Int): outside the
-    * fixture's non-negative label space, and the knn vote filters it
-    * explicitly. Deliberately NOT applied at [[withNorm]]: the sentinel
-    * would otherwise flow into every similarity consumer — and a
-    * corpus that legitimately used −1 would silently merge with
-    * unlabeled rows in anything that groups or joins on label. */
-  private val UnlabeledSentinel = -1
-
-  private def withNorm(s: SparkSession, d: String): DataFrame =
-    indexable(Tables.embeddings(s, d))
-
-  /** The vector-ingest contract applied to ANY (vec_id, label,
-    * embedding) frame — the whole corpus (withNorm) or one arriving
-    * micro-batch (streaming_index_maintain); per-row, so the two can
-    * never disagree on what is indexable. */
-  private def indexable(df: DataFrame): DataFrame =
-    df
-      // a NULL embedding cannot be indexed or scored — excluded at the
-      // load boundary (the ingest contract of any vector store). Without
-      // this, a null cosine reaches the bounded top-k aggregator's
-      // primitive Double field and fails the job (null-injection sweep).
-      // A NULL label, by contrast, stays RETRIEVABLE — it is preserved
-      // as NULL here and folded to [[UnlabeledSentinel]] only at
-      // topkPairs' typed-tuple boundary (see the sentinel's scaladoc).
-      // A zero-LENGTH embedding is the same contract as NULL (nothing
-      // to index: n2 = 0 makes every cosine 0/0 = NaN, and emb_kmeans'
-      // literal-array argmax would assign it arbitrarily while the
-      // oracle's unnest drops it — a session-2 review finding); the
-      // SQL oracles drop such rows naturally, so filtering here keeps
-      // the two engines identical.
-      // The third conjunct drops ALL-ZERO vectors (positive length,
-      // n2 = 0): without it an all-zero embedding gets a NULL
-      // try_divide cosine whose ordering differs across engines
-      // (round-10 advice). Checked with the CODEGEN float self-dot —
-      // sum of squares is 0 iff every element is 0 — not the
-      // interpreted normDec HOF, so the pushed-down filter stays
-      // inside whole-stage codegen (the lshBucketedNoNorm lesson).
-      .filter(col("embedding").isNotNull && size(col("embedding")) > 0 &&
-        graft.functions.FloatDotProduct.float_dot(
-          col("embedding"), col("embedding")) > lit(0d))
-      .select(col("vec_id"), col("label"), col("embedding"),
-        normDec(col("embedding")).as("n2"))
-
-  /** Exact top-k per query, two-phase and HIERARCHICAL:
-    *
-    * Phase 1 scores every (query, corpus) pair with the cheap codegen
-    * double cosine map-side (the query side is broadcast — no shuffle)
-    * and reduces each input partition to its tie-aware top-K per query
-    * via the bounded [[graft.operators.TopK.topKTies]] Aggregator.
-    * Spark plans the typed Aggregator as ObjectHashAggregate with
-    * partial merge, so the exchange carries O(tasks × NQ) bounded
-    * buffers — never a corpus-sized candidate set hash-partitioned into
-    * NQ window partitions (with NQ=8 that earlier shape degenerated to
-    * 8 single-task corpus sorts at scale). Candidates carry their
-    * payload (label, embedding) through the buffer so phase 2 never
-    * re-scans the corpus to fetch it back.
-    *
-    * Phase 2 decimal-rescores only the O(NQ×K) survivors and re-ranks
-    * exactly (decimal accumulation is order-independent, so ranks are
-    * bit-stable vs the oracle). The eps tie band (see [[RescoreEps]])
-    * guarantees the true top-K survives phase 1 even where the double
-    * cosine misorders pairs within its ~1e-12 drift. */
-  private def topkPairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val base = withNorm(s, d)
-    val q = broadcast(base.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2")))
-    val survivors = base.join(q, col("vec_id") =!= col("query_id"))
-      .withColumn("cos_fast",
-        dotDbl(col("qe"), col("embedding")) /
-          sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-      .select(col("query_id"), col("cos_fast"), col("vec_id"),
-        // primitive Int slot: NULL labels fold to the sentinel HERE,
-        // not corpus-wide (see UnlabeledSentinel)
-        coalesce(col("label"), lit(UnlabeledSentinel)).as("label"),
-        col("embedding"))
-      .as[(Long, Double, Long, Int, Seq[Float])]
-      .groupByKey(_._1)
-      .mapValues(t => graft.operators.TopK.Cand(t._2, t._3, t._4, t._5))
-      .agg(graft.operators.TopK.topKTies(K, RescoreEps).toColumn.name("cands"))
-      .flatMap { case (qid, cands) => cands.map(c => (qid, c.id, c.label, c.emb)) }
-      .toDF("query_id", "vec_id", "label", "embedding")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    survivors
-      .join(q, Seq("query_id"))
-      // same decimal expression over the same floats ⇒ bit-identical to
-      // the n2 the corpus pass computed (cheap: survivor set only)
-      .withColumn("n2", normDec(col("embedding")))
-      .withColumn("cosine",
-        dotDec(col("qe"), col("embedding")).cast("double") /
-          sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= K)
-  }
-
-  /** Random-hyperplane LSH bucketing: one row per (vector, band) with a
-    * sign-pattern bucket — (vec_id, label, embedding, n2, band, bucket).
-    *
-    * bitsPerBand is the scale lever: buckets/band = 2^bits, and bits
-    * tracks log2(corpus / target bucket size) — DERIVED from the corpus
-    * count by default (see [[annBitsPerBand]]/[[bitsFor]]): 4 bits (16
-    * buckets) at fixture scale, 10 at the 100× corpus, ~16 for a
-    * 1B-vector corpus (~15k-row buckets). `spark.graft.ann.bitsPerBand`
-    * overrides; the SQL oracle recomputes the same derivation from
-    * `count(*)`, so oracle parity holds at any scale (explicit overrides
-    * are covered by the recall spec instead). Hyperplane
-    * coefficients are md5-derived so engines and reruns agree exactly.
-    */
-  // Bucketing runs through the codegen HyperplaneBuckets expression —
-  // one fused pass per vector computing every band's sign-pattern bucket
-  // (the HOF formulation it replaces was interpreted per element and was
-  // the measured hot spot of this stage). Coefficients are the same
-  // md5-derived doubles the SQL oracle computes, so buckets are
-  // bit-identical across engines.
-  private def lshBucketed(s: SparkSession, d: String, nBands: Int, bitsPerBand: Int): DataFrame =
-    withNorm(s, d)
-      .withColumn("buckets",
-        graft.functions.HyperplaneBuckets.buckets(col("embedding"), nBands, bitsPerBand))
-      .select(col("vec_id"), col("label"), col("embedding"), col("n2"),
-        posexplode(col("buckets")).as(Seq("band", "bucket")))
-
-  /** [[lshBucketed]] without the decimal `n2` norm column. For passes
-    * whose candidate volume is corpus-sized (the dedup self-join), the
-    * norm column is poison: `normDec` is an interpreted higher-order
-    * lambda (no codegen), so any Filter/Join it touches falls out of
-    * whole-stage codegen — measured at 100× as the difference between a
-    * ~10 s and a ~120+ s pass over the same 10.3 M candidate pairs.
-    * Bucket-bounded passes (ann_lsh) keep the norm: their candidate set
-    * is small, and phase-2 needs the oracle-exact decimal norm anyway. */
-  private def lshBucketedNoNorm(s: SparkSession, d: String, nBands: Int, bitsPerBand: Int): DataFrame =
-    Tables.embeddings(s, d)
-      .withColumn("buckets",
-        graft.functions.HyperplaneBuckets.buckets(col("embedding"), nBands, bitsPerBand))
-      .select(col("vec_id"), col("label"), col("embedding"),
-        posexplode(col("buckets")).as(Seq("band", "bucket")))
-
-  /** Target LSH bucket occupancy (corpus rows / 2^bits per band). 200
-    * reproduces the measured hand-tuned settings exactly: 2 000 vectors
-    * → 4 bits (fixture default), 200 000 → 10 bits (the documented-
-    * correct 100× setting, docs/SCALING.md "Embeddings at 100×"). */
-  private val TargetBucket = 200L
-
-  /** Memoized corpus row count per fixture dir — one O(1) scalar per JVM
-    * (parquet footer-count scan), shared by every LSH consumer. Same
-    * immutable-input contract as [[graft.Staging]]. */
-  private val corpusCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-  private def corpusCount(s: SparkSession, d: String): Long =
-    corpusCounts.computeIfAbsent(d, _ => Tables.embeddings(s, d).count())
-
-  /** Memoized INDEXABLE corpus count (withNorm's ingest filter applied)
-    * and per-predicate match counts — ann_filtered's selectivity
-    * estimate. Two model-sized count scalars per predicate, the table
-    * statistics any planner's filter-strategy choice reads; the SQL
-    * oracle recomputes both from its `norms` CTE, so the policy
-    * decision is reproduced exactly at any corpus size. Same
-    * immutable-fixture memo contract as [[corpusCount]]. */
-  private val indexableCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-  private def indexableCount(s: SparkSession, d: String): Long =
-    indexableCounts.computeIfAbsent(d, _ => withNorm(s, d).count())
-
-  private val matchCounts = new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
-  private def matchCount(d: String, pred: String, df: => DataFrame): Long =
-    matchCounts.computeIfAbsent((d, pred), _ => df.count())
-
-  /** The metadata-filter predicate set shared by ann_filtered and
-    * ann_filtered_pq — ONE copy of the predicate definitions (review
-    * finding: the policy machinery had drifted into per-query copies).
-    * Each transform applies to ANY frame carrying (vec_id, label): the
-    * float corpus, the coded index, or a survivor set with its index
-    * metadata attached. lang_zh is the DIMENSION-join predicate (the
-    * filtered dim broadcasts); label_even is vector-table metadata
-    * (pushes into the scan as a plain filter). */
-  private def filterPreds(s: SparkSession, d: String): Seq[(String, DataFrame => DataFrame)] = {
-    val zhIds = broadcast(Tables.documents(s, d)
-      .filter(col("lang") === "zh").select(col("doc_id").as("vec_id")))
-    Seq(
-      "lang_zh" -> ((df: DataFrame) => df.join(zhIds, Seq("vec_id"), "left_semi")),
-      "label_even" -> ((df: DataFrame) =>
-        df.filter(col("label").isNotNull && col("label") % 2 === 0)))
-  }
-
-  /** Filter-strategy policy + over-fetch, as exact integer rules the
-    * oracles recompute: pre-filter iff sel ≤ 0.2 ⇔ 5·nm ≤ nc; post
-    * arms over-fetch k′ = ⌈K·nc/nm⌉ clamped to [2K, 10K]. */
-  private def preFilterChosen(nm: Long, nc: Long): Boolean = 5 * nm <= nc
-  private def overfetchK(nc: Long, nm: Long): Int =
-    math.min(10L * K, math.max(2L * K, (K * nc + nm - 1) / nm)).toInt
-
-  /** Smallest b ≥ 4 with 2^b · [[TargetBucket]] ≥ n — the integer form of
-    * bits ≈ log2(corpus / target bucket), exact-arithmetic so any SQL
-    * oracle computes the identical value (a floating log2 could round
-    * differently across engines at power-of-two boundaries). */
-  private[graft] def bitsFor(n: Long): Int =
-    (4 to 30).find(b => (1L << b) * TargetBucket >= n).getOrElse(30)
-
-  /** bitsPerBand — THE corpus-size lever. Round-7 verdict: a config
-    * default of 4 silently went quadratic at 100× (~570 M candidate
-    * pairs, 31.6 s vs 7.8 s at the right setting), so when
-    * `spark.graft.ann.bitsPerBand` is unset the value is now DERIVED
-    * from the corpus count at plan-build time via [[bitsFor]]; the conf
-    * stays as an explicit override. The SQL oracles compute the same
-    * rule from `count(*)`, so correctness holds at every scale. */
-  private def annBitsPerBand(s: SparkSession, d: String): Int =
-    s.conf.getOption("spark.graft.ann.bitsPerBand").map(_.toInt)
-      .getOrElse(bitsFor(corpusCount(s, d)))
-
-  private def annKmeansIters(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.ann.kmeansIters").map(_.toInt).getOrElse(2)
-
-  /** All bit masks of width `bits` with popcount ≤ `radius`, built by
-    * choosing flip positions (Σ_{r≤radius} C(bits,r) results) rather than
-    * filtering the full 0 until 2^bits range — the probe list must stay
-    * cheap to build as bits grows with corpus size. Ascending-position
-    * recursion yields each mask exactly once. */
-  private[queries] def flipMasks(bits: Int, radius: Int): Seq[Int] = {
-    def choose(start: Int, left: Int): Seq[Int] =
-      if (left == 0) Seq(0)
-      else (start to bits - left).flatMap(i =>
-        choose(i + 1, left - 1).map(m => m | (1 << i)))
-    (0 to math.min(radius, bits)).flatMap(r => choose(0, r))
-  }
-
-  /** Buckets probed per IVF query — THE recall/cost lever: recall tracks
-    * the probed corpus mass (on near-uniform vectors almost linearly:
-    * measured 0.36 at nprobe=2 of 10, 0.7+ at 4), cost is the probed
-    * buckets' member count. Default 4 of 10 suits the fixtures' weakly
-    * clustered embeddings; a corpus with real modes gets away with 1–2
-    * of a much larger centroid count. */
-  private def annNprobe(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.ann.nprobe").map(_.toInt).getOrElse(4)
-
-  /** Trained IVF coarse quantizer: seed centroids (10 lowest non-query
-    * vec_ids) refined by `iters` deterministic k-means (Lloyd) rounds —
-    * assign every vector to its nearest centroid, recenter each cluster
-    * at the member mean. Per-dimension means accumulate in DECIMAL
-    * (order-independent), so the trained centroids are bit-stable across
-    * runs and partitionings. Staged to parquet once per (dir, iters):
-    * a production IVF trains its quantizer once and persists it, and the
-    * probe/assign consumers below would otherwise each re-run the whole
-    * training DAG (lazy plans re-expand per consumer). Empty clusters
-    * drop out of the assignment group-by, exactly as in Lloyd. */
-  /** Single-file export of the trained centroids for the DuckDB oracle
-    * (round-8 verdict item 3: oracle ann_ivf compositionally — the
-    * oracle reproduces assignment → probe → rescore GIVEN the trained
-    * centroids, the dedup_embedding compositional recipe). The path is
-    * keyed by a DIGEST OF THE FIXTURE DIR under a per-user tmp subdir
-    * (round-9 advice: the previous world-shared fixed /tmp name let two
-    * concurrent JVMs on different fixtures clobber each other's export,
-    * and a revisit of fixture A after running B within one JVM served
-    * A's memoized export while the file held B's quantizer). Keying by
-    * fixture makes interleaved fixtures write DISJOINT files, so each
-    * file always holds the centroids of ITS fixture — revisiting
-    * fixture A after running B reads A's own export, never B's (the
-    * one-write-per-(dir, iters) memo below stays, re-justified by the
-    * next paragraph). Two concurrent JVMs on the SAME fixture write identical
-    * bytes (training is deterministic), and the write goes through
-    * [[graft.ScaleData.writeSingleFile]]'s write-then-rename, so a
-    * concurrent reader never sees a half-written file.
-    *
-    * The (dir, iters) pair fully determines the file's CONTENT (training
-    * is deterministic over immutable fixtures), and both are folded into
-    * the NAME — so the export is content-addressed and memoizing one
-    * write per (dir, iters) per JVM is sound again (the round-9 hazard
-    * was the fixed name serving one fixture's bytes for another's). */
-  /** Content-addressed oracle-export path under the per-user tmpdir
-    * base — ONE copy of the base-dir / sanitization / digest rules,
-    * shared by the IVF-centroid and PQ-codebook exports so the two can
-    * never drift (review finding). Pure path computation — the parent
-    * dir is created at the write sites, so callers that merely BUILD
-    * oracle SQL strings (dumps, tests) never touch the filesystem. */
-  private def oracleExportPath(salt: String, prefix: String): String =
-    graft.OracleExport.path(salt, prefix)
-
-  private[graft] def ivfOracleCentroidsPath(dir: String, iters: Int): String =
-    oracleExportPath(s"$dir|i$iters", "ivf-centroids")
-
-  /** (fixture dir, iters) of the most recent ann_ivf plan build in this
-    * JVM — read by [[oracles]] so the dumped oracle SQL names the export
-    * file of the run Verify actually made (Verify dumps oracle SQL AFTER
-    * running the queries; one fixture per Verify run). Defaults to the
-    * driver's verify fixture so the SQL is well-formed even if ann_ivf
-    * never ran in this JVM (the driver only checks oracles for queries
-    * with a dumped result, so the default is never READ in that case). */
-  @volatile private var lastIvf: (String, Int) = ("/root/testdata/sf0.01", 2)
-
-  /** Pin the oracle-dump default to the fixture Verify is actually
-    * running (round-10 advice): without this, a Verify subset run that
-    * skips ann_ivf dumps SQL naming the hardcoded sf0.01 export path,
-    * which on another machine/layout can never exist. Called by Verify
-    * before the query loop; an actual ann_ivf/emb_kmeans build
-    * overwrites it with the same fixture (and its true iters). */
-  def pinOracleFixture(dir: String): Unit = {
-    lastIvf = (dir, lastIvf._2)
-    lastPq = dir
-    lastPqRes = (dir, lastPqRes._2)
-    lastPca = dir
-  }
-
-  private val ivfExported = new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
-
-  private def ivfCentroids(s: SparkSession, d: String, iters: Int): DataFrame = {
-    val staged = ivfCentroidsStaged(s, d, iters)
-    lastIvf = (d, iters)
-    ivfExported.computeIfAbsent((d, iters), _ => {
-      val p = ivfOracleCentroidsPath(d, iters)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
-      graft.ScaleData.writeSingleFile(staged, p)
-      true
-    })
-    staged
-  }
-
-  private def ivfCentroidsStaged(s: SparkSession, d: String, iters: Int): DataFrame =
-    graft.Staging.stage(s, s"ivf_centroids_i$iters", d) {
-      val base = withNorm(s, d)
-      val seeds = base.filter(col("vec_id") >= NQ)
-        .orderBy(col("vec_id")).limit(10)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("n2").as("c_n2"))
-      val wSeed = Window.partitionBy(col("vec_id"))
-        .orderBy(col("s_cos").desc, col("c_id"))
-      (1 to iters).foldLeft(seeds) { (cent, _) =>
-        base.join(broadcast(cent))
-          .withColumn("s_cos",
-            dotDbl(col("embedding"), col("c_emb")) /
-              sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
-          .withColumn("s_rank", row_number().over(wSeed))
-          .filter(col("s_rank") === 1)
-          .select(col("c_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-          .groupBy(col("c_id"), col("i"))
-          .agg((sum(col("x").cast("decimal(20,12)")) / count(lit(1)))
-            .cast("double").as("m"))
-          .groupBy(col("c_id"))
-          .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
-          .select(col("c_id"),
-            expr("transform(ms, e -> CAST(e.m AS FLOAT))").as("c_emb"))
-          .withColumn("c_n2", normDec(col("c_emb")))
-          .filter(col("c_n2") > 0)
-      }
-    }
-
-  // ---- Product quantization (ann_ivf_pq) ------------------------------
-
-  /** PQ geometry: 64-dim vectors as M=4 contiguous 16-dim subspaces,
-    * 16 codes per sub-codebook ⇒ a 4-byte code per vector — the
-    * memory-bounded ANN shape for corpora where even float16 vectors
-    * can't be RAM-resident (1 B × 64 dims = 256 GB raw vs 4 GB coded;
-    * Jégou et al., PAPERS.md). Square L2 distances are computed through
-    * the decimal identity ‖x−c‖² = x·x − 2·x·c + c·c over the SAME
-    * codegen DecimalDotProduct the cosine family uses, so decimal
-    * addition keeps every distance EXACT and cross-engine stable; the
-    * fixed-point (×10¹²) rendering makes scores exact BIGINTs end to
-    * end (the BM25 discipline — no double ever ranks). */
-  private val PqM = 4
-  private val PqSubDim = 16
-  private val PqKsub = 16
-  private val PqFp = 1000000000000L // 10^12: DECIMAL(…,12) → exact long
-
-  private def subVec(e: Column, m: Int): Column =
-    slice(e, m * PqSubDim + 1, PqSubDim)
-
-  /** Decimal-exact squared L2 between a subvector column and a literal
-    * sub-centroid (both 16 floats). Each dot is cast down to
-    * DECIMAL(20,12) FIRST (values are ≤ ~10³, so the narrowing is
-    * value-exact) and the 2· is written as two subtractions: on the raw
-    * DECIMAL(38,12) dots, Spark's precision-overflow rule would REDUCE
-    * SCALE on `2 * dot` (p = 38+10+1 > 38 ⇒ scale drops toward 6) and
-    * silently round the distance — caught as an oracle fp mismatch in
-    * the 12th digit. Result stays exact at scale 12. */
-  private def d2Dec(sv: Column, c: Seq[Float]): Column = {
-    val cl = typedLit(c)
-    def dd(a: Column, b: Column): Column = dotDec(a, b).cast("decimal(20,12)")
-    dd(sv, sv) - dd(sv, cl) - dd(sv, cl) + dd(cl, cl)
-  }
-
-  /** ×10¹² fixed-point rendering of an exact small decimal as a LONG —
-    * the narrowing casts keep the multiply inside precision 38 (a
-    * direct DECIMAL(38,12) × long literal overflows p = 38+20+1 and
-    * triggers the same silent scale reduction). */
-  private def d2Fp(d2: Column): Column =
-    (d2.cast("decimal(24,12)") * lit(PqFp).cast("decimal(13,0)")).cast("long")
-
-  private def d2Dbl(sv: Column, c: Seq[Float]): Column = {
-    val cl = typedLit(c)
-    dotDbl(sv, sv) - lit(2.0) * dotDbl(sv, cl) + dotDbl(cl, cl)
-  }
-
-  /** Deterministically trained sub-codebooks: per subspace, Lloyd on
-    * subvectors (seeds = the 16 lowest vec_ids ≥ NQ, 2 iterations,
-    * decimal means — the ivfCentroidsStaged recipe on (m, code) keys
-    * with double-L2 assignment and a (d2, code) total order). Staged
-    * once per fixture under `tag`; exported for the compositional
-    * oracle like the IVF centroids. Rows: (m, code, c_sub). Shared by
-    * the flat-PQ variant (over raw vectors) and the IVF-PQ residual
-    * variant (over x − centroid residuals) — `vecs` supplies the
-    * (vec_id, embedding) training frame. */
-  private def trainPqCodebooks(s: SparkSession, tag: String, d: String)(
-      vecs: => DataFrame): DataFrame =
-    graft.Staging.stage(s, tag, d) {
-      val v = vecs
-      val subs = v.select(col("vec_id"),
-        posexplode(array((0 until PqM).map(m => subVec(col("embedding"), m)): _*))
-          .as(Seq("m", "sv")))
-      val seedIds = v.filter(col("vec_id") >= NQ)
-        .select(col("vec_id")).orderBy(col("vec_id")).limit(PqKsub)
-        .withColumn("code", row_number().over(Window.orderBy(col("vec_id"))) - 1)
-      val seeds = subs.join(seedIds, Seq("vec_id"))
-        .select(col("m"), col("code"), col("sv").as("c_sub"))
-      val wAssign = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("d2"), col("code"))
-      (1 to 2).foldLeft(seeds) { (cent, _) =>
-        subs.join(cent, Seq("m"))
-          .withColumn("d2",
-            dotDbl(col("sv"), col("sv")) -
-              lit(2.0) * dotDbl(col("sv"), col("c_sub")) +
-              dotDbl(col("c_sub"), col("c_sub")))
-          .withColumn("rk", row_number().over(wAssign))
-          .filter(col("rk") === 1)
-          .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
-          .groupBy(col("m"), col("code"), col("i"))
-          .agg((sum(col("x").cast("decimal(20,12)")) / count(lit(1)))
-            .cast("double").as("mx"))
-          .groupBy(col("m"), col("code"))
-          .agg(array_sort(collect_list(struct(col("i"), col("mx")))).as("ms"))
-          .select(col("m"), col("code"),
-            expr("transform(ms, e -> CAST(e.mx AS FLOAT))").as("c_sub"))
-      }
-    }
-
-  private def pqCodebooksStaged(s: SparkSession, d: String): DataFrame =
-    trainPqCodebooks(s, "pq_codebooks_i2", d)(withNorm(s, d))
-
-  private[graft] def pqOracleCodebookPath(dir: String): String =
-    oracleExportPath(s"$dir|pq2", "pq-codebooks")
-
-  @volatile private var lastPq: String = "/root/testdata/sf0.01"
-
-  private val pqExported = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
-
-  private def pqCodebooks(s: SparkSession, d: String): DataFrame = {
-    val staged = pqCodebooksStaged(s, d)
-    lastPq = d
-    pqExported.computeIfAbsent(d, _ => {
-      val p = pqOracleCodebookPath(d)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
-      graft.ScaleData.writeSingleFile(staged, p)
-      true
-    })
-    staged
-  }
-
-  /** Collected codebook, model-sized (≤ M·Ksub = 64 rows). */
-  private def collectPqCodebook(cb: DataFrame): Array[(Int, Int, Seq[Float])] =
-    cb.collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
-      .sortBy(t => (t._1, t._2))
-
-  /** Margin-gated per-subspace encoder — assignCentroid's two-phase
-    * argmax transposed to an L2 argmin: the fast double identity
-    * decides unless the top-1/top-2 gap is within [[RescoreEps]]
-    * (double L2 drift is ~1e-12 absolute at these magnitudes, three
-    * orders inside the gate), in which case the decimal argmin
-    * re-decides. Adds code_0..code_{M−1} columns; one narrow
-    * projection, no join/shuffle. */
-  private def pqEncode(df: DataFrame,
-      cb: Array[(Int, Int, Seq[Float])]): DataFrame =
-    (0 until PqM).foldLeft(df) { (acc, m) =>
-      val cands = cb.filter(_._1 == m)
-      val sv = subVec(col("embedding"), m)
-      val fastArr = array(cands.map { case (_, code, c) =>
-        struct(d2Dbl(sv, c).as("d2"), lit(code).as("code")) }: _*)
-      val decArr = array(cands.map { case (_, code, c) =>
-        struct(d2Dec(sv, c).as("d2"), lit(code).as("code")) }: _*)
-      acc.withColumn("sf", array_sort(fastArr))
-        .withColumn("gap",
-          when(lit(cands.length >= 2),
-            element_at(col("sf"), 2).getField("d2") -
-              element_at(col("sf"), 1).getField("d2")))
-        .withColumn("ambig", coalesce(col("gap") <= RescoreEps, lit(false)))
-        .withColumn(s"code_$m",
-          when(col("ambig"), element_at(array_sort(decArr), 1).getField("code"))
-            .otherwise(element_at(col("sf"), 1).getField("code")))
-        .drop("sf", "gap", "ambig")
-    }
-
-  /** x − centroid RESIDUALS of the assigned corpus, as float arrays in
-    * the `embedding` column so every PQ helper (subVec, d2Dec,
-    * pqEncode, the codebook trainer) applies unchanged. The rounding
-    * protocol is pinned for cross-engine exactness: float→double
-    * conversions are exact, the DOUBLE subtraction rounds identically
-    * under IEEE in both engines, and the single cast back to FLOAT
-    * rounds identically — whereas a native float−float would rest on
-    * both engines implementing the same single-rounding, and DuckDB's
-    * REAL arithmetic isn't contractually pinned. The SQL twin is
-    * CAST(CAST(x AS DOUBLE) − CAST(cx AS DOUBLE) AS REAL). */
-  /** ONE copy of the pinned residual rounding protocol (see
-    * [[residuals]]'s scaladoc), shared by the corpus-residual and
-    * query-residual branches so the two can never drift (review
-    * finding — the FeatureClasses/incrementalOracle discipline). */
-  private def residualOf(vec: Column, cent: Column): Column =
-    zip_with(vec, cent,
-      (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
-
-  private def residuals(centDf: DataFrame,
-      centArr: Array[(Long, Seq[Float], Double)])(base: DataFrame): DataFrame =
-    assignCentroid(base, centArr)
-      .join(broadcast(centDf.select(col("c_id"), col("c_emb"))), Seq("c_id"))
-      // label rides along into the coded index: a PQ store keeps its
-      // filterable metadata NEXT TO the codes (ann_filtered_pq's pre
-      // arm filters the index scan on it) — one skinny int per row
-      .select(col("vec_id"), col("label"), col("c_id"),
-        residualOf(col("embedding"), col("c_emb")).as("embedding"))
-
-  /** The staged residual-coded corpus — THE persisted IVFADC index:
-    * (vec_id, label, c_id, code_0..code_{M-1}). Shared by
-    * ann_ivfpq_residual and ann_filtered_pq. */
-  private def residualCodedCorpus(s: SparkSession, d: String, iters: Int,
-      centDf: DataFrame, centArr: Array[(Long, Seq[Float], Double)],
-      cb: Array[(Int, Int, Seq[Float])]): DataFrame =
-    graft.Staging.stage(s, s"pqres_codes_c${iters}_i2", d) {
-      pqEncode(residuals(centDf, centArr)(withNorm(s, d)), cb)
-        .select(col("vec_id") +: col("label") +: col("c_id") +:
-          (0 until PqM).map(m => col(s"code_$m")): _*)
-    }
-
-  /** Adds a_0..a_{M-1} dense ADC lookup arrays over `cb` to a query
-    * frame, indexing by code against the subvectors of `vecCol` —
-    * ONE copy of the in-engine ADC-table builder, shared by the
-    * residual path (over query residuals) and the flat-PQ path (over
-    * raw query vectors). Codes a Lloyd round emptied never appear in
-    * the coded corpus, so their slots are inert fill. */
-  private def adcLookupArrays(df: DataFrame, vecCol: String,
-      cb: Array[(Int, Int, Seq[Float])]): DataFrame = {
-    val maxCode = cb.map(_._2).max
-    (0 until PqM).foldLeft(df) { (acc, m) =>
-      val cands = cb.filter(_._1 == m)
-      acc.withColumn(s"a_$m", array((0 to maxCode).map { code =>
-        cands.find(_._2 == code) match {
-          case Some((_, _, c)) => d2Fp(d2Dec(subVec(col(vecCol), m), c))
-          case None            => lit(Long.MaxValue)
-        }
-      }: _*))
-    }.drop(vecCol)
-  }
-
-  /** (query_id, c_id, a_0..a_{M-1}) — per-(query, probed bucket) dense
-    * ADC lookup arrays over the residual sub-codebooks, computed
-    * IN-ENGINE on the probe frame (NQ × nprobe rows) and BROADCAST by
-    * consumers: the join-based ADC, plan size O(M·Ksub) expressions
-    * regardless of the query-batch size. */
-  private def residualAdcTabs(s: SparkSession, base: DataFrame,
-      cent: DataFrame, cb: Array[(Int, Int, Seq[Float])]): DataFrame =
-    adcLookupArrays(
-      rankCentroids(base.filter(col("vec_id") < NQ), cent, annNprobe(s))
-        .filter(col("c_rank") <= annNprobe(s))
-        .select(col("vec_id").as("query_id"), col("c_id"),
-          residualOf(col("embedding"), col("c_emb")).as("qres")),
-      "qres", cb)
-
-  /** Exact fixed-point ADC score per (query, candidate): one broadcast
-    * join of the coded corpus against the ADC arrays — on the bucket id
-    * when the index is bucketed (IVFADC; restricts the scan to probed
-    * buckets), or a broadcast nested-loop over the NQ-sized table for a
-    * flat-PQ index (every query scans all codes by construction) — then
-    * an element_at sum per subspace; no unpivot, no intermediate
-    * aggregation. */
-  private def adcScores(coded: DataFrame, adcTabs: DataFrame,
-      onBucket: Boolean = true): DataFrame = {
-    val joined =
-      if (onBucket) coded.join(broadcast(adcTabs), Seq("c_id"))
-      else coded.crossJoin(broadcast(adcTabs))
-    joined.filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (0 until PqM).map(m =>
-          element_at(col(s"a_$m"), col(s"code_$m") + 1)).reduce(_ + _)
-          .as("dfp"))
-  }
-
-  /** Hierarchical exact-integer top-k ranks over (query_id, vec_id,
-    * dfp) — ascending dfp, vec_id tiebreak — through the bounded
-    * topKLong aggregator. Output (query_id, rk, vec_id, adc_d2_fp). */
-  private def topKLongRanks(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
-    import s.implicits._
-    scored.select(col("query_id"), col("vec_id"), col("dfp"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (-t._3, t._2))
-      .agg(graft.operators.TopK.topKLong(k).toColumn.name("top"))
-      .flatMap { case (qid, top) =>
-        top.zipWithIndex.map { case ((v, id), i) => (qid, i + 1, id, -v) } }
-      .toDF("query_id", "rk", "vec_id", "adc_d2_fp")
-  }
-
-  /** Stage 1 of the IVFADC family, ONE copy (review finding: ann_refine
-    * had duplicated this chain verbatim): train/collect the coarse
-    * quantizer and residual sub-codebooks, then rank the residual-coded
-    * corpus by exact fixed-point ADC distance and keep the top k per
-    * query. None when the corpus is too small to train either artifact
-    * — each caller emits its own empty shape (if/else EXPRESSIONS, not
-    * early returns: the kmeansMembers lesson). Shared by
-    * ann_ivfpq_residual (k = K) and ann_refine (k = RefineFactor·K). */
-  private def residualAdcTopK(s: SparkSession, d: String, k: Int): Option[DataFrame] = {
-    val base = withNorm(s, d)
-    val iters = annKmeansIters(s)
-    val centDf = ivfCentroids(s, d, iters)
-    val centArr = collectQuantizer(centDf)
-    if (centArr.isEmpty) None
-    else {
-      val cent = broadcast(centDf)
-      val cb = collectPqCodebook(pqResCodebooks(s, d, iters, centDf, centArr))
-      if (cb.isEmpty) None
-      else {
-        val coded = residualCodedCorpus(s, d, iters, centDf, centArr, cb)
-        val adcTabs = residualAdcTabs(s, base, cent, cb)
-        Some(topKLongRanks(s, adcScores(coded, adcTabs), k))
-      }
-    }
-  }
-
-  /** Keyed by (dir, COARSE iters) like the IVF centroid export:
-    * residual artifacts depend on the centroids that produced the
-    * residuals, so a kmeansIters override must address DIFFERENT
-    * staged/exported files — otherwise a same-JVM iters change would
-    * serve residual codes bucketed under the OLD quantizer against
-    * probes ranked by the NEW one (review finding; the content-
-    * addressing contract of ivfOracleCentroidsPath). The trailing
-    * `pqres2` is the sub-codebooks' OWN Lloyd iteration count. */
-  private[graft] def pqResOracleCodebookPath(dir: String, iters: Int): String =
-    oracleExportPath(s"$dir|c$iters|pqres2", "pqres-codebooks")
-
-  @volatile private var lastPqRes: (String, Int) = ("/root/testdata/sf0.01", 2)
-
-  private val pqResExported =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
-
-  /** Residual sub-codebooks (trained on x − centroid, staged, exported
-    * for the compositional oracle — the pqCodebooks recipe on the
-    * residual frame). */
-  private def pqResCodebooks(s: SparkSession, d: String, iters: Int,
-      centDf: DataFrame,
-      centArr: Array[(Long, Seq[Float], Double)]): DataFrame = {
-    val staged = trainPqCodebooks(s, s"pqres_codebooks_c${iters}_i2", d)(
-      residuals(centDf, centArr)(withNorm(s, d)))
-    lastPqRes = (d, iters)
-    pqResExported.computeIfAbsent((d, iters), _ => {
-      val p = pqResOracleCodebookPath(d, iters)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
-      graft.ScaleData.writeSingleFile(staged, p)
-      true
-    })
-    staged
-  }
-
-  /** The trained-quantizer path of ann_ivf (nonempty corpus):
-    * literal-array margin-gated assignment, probe ranking, bucket join,
-    * tie-aware decimal rescore. Split out so the empty-corpus guard in
-    * the query lambda stays an expression (no non-local return). */
-  /** The PERSISTED cluster-assignment table (vec_id, c_id) — the
-    * artifact a production clustering run writes once and every
-    * consumer reads (here: emb_kmeans's size aggregate AND size-attach
-    * join, plus data_sample_cluster_balanced's per-cluster window —
-    * three lazy consumers that would each re-expand the margin-gated
-    * argmax subtree, the dominant cost; a round-10 bench showed
-    * emb_kmeans as the slowest query purely from that re-expansion).
-    * Skinny columns only: staging the rescore-bearing embedding/n2
-    * payload would duplicate the corpus on disk, so ann_ivf keeps its
-    * own in-plan assignment. Stage key folds the Lloyd iteration count
-    * (different quantizer ⇒ different assignment). Empty corpus:
-    * nothing to train on ⇒ the typed empty frame, never a staged
-    * write of an untypeable literal array. */
-  private def kmeansMembers(s: SparkSession, d: String): DataFrame = {
-    val iters = annKmeansIters(s)
-    val base = withNorm(s, d)
-    val centArr = collectQuantizer(ivfCentroids(s, d, iters))
-    if (centArr.isEmpty)
-      base.limit(0).select(col("vec_id"), lit(0L).as("c_id"))
-    else graft.Staging.stage(s, s"kmeans_members_i$iters", d) {
-      assignCentroid(base, centArr).select(col("vec_id"), col("c_id"))
-    }
-  }
-
-  /** One-pass POPULATION-COVARIANCE stats over the indexable corpus —
-    * the Gram-matrix primitive PCA/whitening builds on. Shape: two
-    * chained generators turn each vector into its dim·(dim+1)/2
-    * upper-triangle term pairs MAP-SIDE (no self-join, no shuffle of
-    * the corpus), which partial hash aggregation folds into ≤ dim²
-    * groups per task — the exchange carries O(dim²·partitions) rows
-    * whatever the corpus size, the exact aggregation shape a 100 TB
-    * covariance pass must have. Per-term products are computed in
-    * DOUBLE (float×float is exact in double) then rounded once to
-    * DECIMAL(38,12) and summed exactly — order-independent, so the
-    * DuckDB oracle (a vec_id self-join over the same rounded terms)
-    * reproduces every sum bit-for-bit; the cov/mean derivation is the
-    * same IEEE expression on both engines. Staged: dim²-sized, the
-    * centroid-table discipline. */
-  private def covarianceStats(s: SparkSession, d: String): DataFrame =
-    graft.Staging.stage(s, "emb_cov", d) {
-      val ex = withNorm(s, d)
-        .select(col("embedding").as("e"),
-          posexplode(col("embedding")).as(Seq("i", "xi")))
-      val pairs = ex
-        .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
-        .filter(col("j") >= col("i"))
-        .groupBy(col("i"), col("j"))
-        .agg(count(lit(1)).as("n"),
-          sum((col("xi").cast("double") * col("xj").cast("double"))
-            .cast("decimal(38,12)")).as("sxy"))
-      val sums = ex.groupBy(col("i"))
-        .agg(sum(col("xi").cast("double").cast("decimal(38,12)")).as("sx"))
-      pairs
-        .join(broadcast(sums.select(col("i"), col("sx").as("sx_i"))), Seq("i"))
-        .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
-        .select(col("i"), col("j"), col("n"),
-          (col("sxy").cast("double") / col("n") -
-            (col("sx_i").cast("double") / col("n")) *
-              (col("sx_j").cast("double") / col("n"))).as("cov"),
-          // per-dim mean rides along for the PCA centering constants
-          // (exact decimal sum / n — same IEEE division both engines)
-          (col("sx_i").cast("double") / col("n")).as("mean_i"))
-    }
-
-  /** The trained PCA model: top-[[PcaP]] (component, eigenvector, μ·v)
-    * triples, their eigenvalues, the mean vector, and the μ·μ scalar —
-    * everything the projection/whitening/OOD family serves from. All
-    * doubles; the export ships the SAME bits to the oracle, so
-    * derived constants never need cross-engine re-derivation. */
-  private[graft] case class PcaModel(
-      comps: Array[(Int, Array[Double], Double)],
-      lambda: Array[Double], mu: Array[Double], muMu: Double)
-
-  /** Train the PCA model — a driver-side scalar over MODEL-SIZED state
-    * (dim² → eigen is a few KB of arithmetic however large the corpus,
-    * the collected-quantizer precedent): covariance collected from the
-    * staged stats, deterministic cyclic-Jacobi eigendecomposition
-    * ([[graft.operators.Eigen]], canonical order + sign), top-[[PcaP]]
-    * components kept; EXPORTS the model rows for the compositional
-    * oracle (the ivfCentroids recipe: content-addressed single-file
-    * parquet, memoized one write per fixture per JVM). */
-  private def pcaModel(s: SparkSession, d: String): PcaModel = {
-    val rows = covarianceStats(s, d)
-      .select(col("i"), col("j"), col("cov"), col("mean_i")).collect()
-    lastPca = d
-    val model =
-      if (rows.isEmpty)
-        PcaModel(Array.empty, Array.empty, Array.empty, 0.0)
-      else {
-        val dim = rows.iterator.map(_.getInt(1)).max + 1
-        // the oracle SQL (and the serving projections) emit a FIXED
-        // PcaP-wide schema (pc_0..pc_7 / p0..p7); a corpus with
-        // dim < PcaP would make vecs.take(PcaP) silently emit fewer
-        // columns and hash-mismatch on schema — fail loudly instead
-        // (advice finding; only ≥8-dim fixtures are supported)
-        require(dim >= PcaP,
-          s"pcaModel needs embedding dim >= $PcaP (got $dim): the " +
-            "exported model and oracle schema are fixed at PcaP columns")
-        val c = Array.ofDim[Double](dim, dim)
-        val mu = new Array[Double](dim)
-        rows.foreach { r =>
-          val (i, j, cv) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-          c(i)(j) = cv
-          c(j)(i) = cv
-          if (i == j) mu(i) = r.getDouble(3)
-        }
-        val (vals, vecs) = graft.operators.Eigen.jacobi(c)
-        val comps = vecs.take(PcaP).zipWithIndex.map { case (v, p) =>
-          (p, v, (0 until dim).map(i => mu(i) * v(i)).sum)
-        }
-        // μ·μ with the SAME per-term decimal-rounding discipline every
-        // cross-engine dot uses — not strictly required (the export
-        // ships the bits), but keeps the model's arithmetic uniform
-        val muMu = mu.map(x => BigDecimal(x * x)
-          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble).sum
-        PcaModel(comps, vals.take(PcaP), mu, muMu)
-      }
-    pcaExported.computeIfAbsent(d, _ => {
-      val p = pcaOracleComponentsPath(d)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
-      val flat = model.comps.flatMap { case (cmp, v, muDot) =>
-        v.zipWithIndex.map { case (x, i) =>
-          (cmp, i, x, muDot, model.lambda(cmp), model.mu(i), model.muMu)
-        }
-      }.toSeq
-      graft.ScaleData.writeSingleFile(
-        s.createDataFrame(flat)
-          .toDF("component", "i", "v", "mu_dot", "lambda", "mu", "mu_mu"), p)
-      true
-    })
-    model
-  }
-
-  /** Components kept by emb_pca — a serving choice, not a training one
-    * (all dim eigenpairs exist; 8 of 64 retains the fixture's dominant
-    * variance and keeps the projection row narrow). */
-  private val PcaP = 8
-
-  @volatile private var lastPca: String = "/root/testdata/sf0.01"
-  private[graft] def pcaOracleComponentsPath(dir: String): String =
-    oracleExportPath(s"$dir|pca$PcaP", "pca-components")
-  private val pcaExported = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
-
-  /** The trained quantizer as a driver-side model artifact (bounded by
-    * nlist, never by the data — see ann_ivf's scaladoc). */
-  private def collectQuantizer(
-      centDf: DataFrame): Array[(Long, Seq[Float], Double)] =
-    centDf
-      .select(col("c_id"), col("c_emb"), col("c_n2").cast("double").as("c_n2d"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
-      .sortBy(_._1)
-
-  /** Margin-gated nearest-centroid assignment as ONE narrow projection
-    * over the collected (model-sized) quantizer — adds `c_id` to `df`.
-    * Decimal-exact in effect: the fast-double argmax decides unless the
-    * top-1/top-2 boundary gap is within RescoreEps, in which case the
-    * decimal argmax re-decides (CaseWhen evaluates the decimal branch
-    * only on ambiguous rows). Shared by ann_ivf (bucket membership) and
-    * emb_kmeans (cluster assignment). */
-  private def assignCentroid(df: DataFrame,
-      centArr: Array[(Long, Seq[Float], Double)]): DataFrame = {
-    // try_divide, NOT `/`: withNorm guarantees n2 > 0 upstream, but a
-    // consumer's join-key isnotnull pushdown inlines this whole
-    // expression into the scan-side Filter, where codegen SUBEXPRESSION
-    // ELIMINATION hoists it ABOVE the short-circuiting size-guard
-    // conjunct — an ANSI `/` then throws DIVIDE_BY_ZERO on the very
-    // zero-norm rows the guard exists to drop (measured in
-    // NullFixtureSpec's zero-length gate; the levenshtein CASE WHEN
-    // lesson again: a guard must live INSIDE the expression tree).
-    // try_divide yields NULL there instead, and those rows are
-    // filtered before any consumer reads the assignment.
-    def negFast(ce: Seq[Float], cn2: Double): Column =
-      -call_function("try_divide", dotDbl(col("embedding"), typedLit(ce)),
-        sqrt(col("n2").cast("double") * lit(cn2)))
-    def negDec(ce: Seq[Float], cn2: Double): Column =
-      -call_function("try_divide",
-        dotDec(col("embedding"), typedLit(ce)).cast("double"),
-        sqrt(col("n2").cast("double") * lit(cn2)))
-    val fastArr = array(centArr.map { case (cid, ce, cn2) =>
-      struct(negFast(ce, cn2).as("ns"), lit(cid).as("c_id")) }: _*)
-    val decArr = array(centArr.map { case (cid, ce, cn2) =>
-      struct(negDec(ce, cn2).as("ns"), lit(cid).as("c_id")) }: _*)
-    df.withColumn("sf", array_sort(fastArr))
-      .withColumn("gap",
-        when(lit(centArr.length >= 2),
-          element_at(col("sf"), 2).getField("ns") -
-            element_at(col("sf"), 1).getField("ns")))
-      .withColumn("ambig", coalesce(col("gap") <= RescoreEps, lit(false)))
-      .withColumn("c_id",
-        when(col("ambig"), element_at(array_sort(decArr), 1).getField("c_id"))
-          .otherwise(element_at(col("sf"), 1).getField("c_id")))
-      .drop("sf", "gap", "ambig")
-  }
-
-  /** Per-vector ranking against the broadcast centroid table, margin-
-    * gated at `boundary` (the same fast-vs-decimal two-phase as
-    * [[assignCentroid]], but windowed — only ever run on the QUERY set,
-    * which is bounded). Shared by ann_ivf and ann_filtered's probe
-    * branches. */
-  private def rankCentroids(df: DataFrame, cent: DataFrame, boundary: Int): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val wFastA = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_fast").desc, col("c_id"))
-    val wVec = Window.partitionBy(col("vec_id"))
-    df.join(cent)
-      .withColumn("c_fast",
-        dotDbl(col("embedding"), col("c_emb")) /
-          sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
-      .withColumn("fr", row_number().over(wFastA))
-      .withColumn("gap",
-        max(when(col("fr") === boundary, col("c_fast"))).over(wVec) -
-          max(when(col("fr") === boundary + 1, col("c_fast"))).over(wVec))
-      .withColumn("ambig", coalesce(col("gap") <= RescoreEps, lit(false)))
-      .withColumn("c_cos",
-        when(col("ambig"),
-          dotDec(col("embedding"), col("c_emb")).cast("double") /
-            sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
-          .otherwise(col("c_fast")))
-      .withColumn("c_rank", row_number().over(wAssign))
-  }
-
-  /** The queries' nprobe nearest-centroid probe set:
-    * (query_id, qe, qn2, c_id) — query-set × nprobe rows, broadcast by
-    * every consumer. */
-  private def ivfProbes(s: SparkSession, base: DataFrame, cent: DataFrame): DataFrame =
-    rankCentroids(base.filter(col("vec_id") < NQ), cent, annNprobe(s))
-      .filter(col("c_rank") <= annNprobe(s))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("n2").as("qn2"), col("c_id"))
-
-  /** Probed-bucket candidate pairs: `corpus` (already centroid-assigned)
-    * joined to the broadcast probe set on the bucket id. No dedup
-    * needed: each member lives in exactly one bucket and a query's
-    * probes are distinct buckets. */
-  private def ivfCandidates(corpus: DataFrame, probes: DataFrame): DataFrame =
-    corpus.join(broadcast(probes), Seq("c_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      // label rides along (skinny int) so a post-filter predicate on
-      // vector-table metadata stays a narrow filter on the survivors
-      .select(col("query_id"), col("vec_id"), col("label"), col("qe"),
-        col("embedding"), col("qn2"), col("n2"))
-
-  /** Exact decimal top-`k` per query over a candidate frame — the
-    * two-phase rescoring of topkPairs/ann_lsh as a reusable tail:
-    * double-rank the candidates, decimal-rescore only the tie-aware
-    * top-k prefix, exact-rank the survivors. Candidate volume is
-    * bucket-bounded for every caller, so the windows never see the
-    * corpus (the bounded-aggregator shape of ann_brute is for
-    * corpus-sized candidate sets). */
-  private def exactTopK(cands: DataFrame, k: Int): DataFrame = {
-    val wFast = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_fast").desc, col("vec_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    cands
-      .withColumn("cos_fast",
-        dotDbl(col("qe"), col("embedding")) /
-          sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-      .withColumn("rk_fast", row_number().over(wFast))
-      .transform(tieAwareCutK(k))
-      .withColumn("cosine",
-        dotDec(col("qe"), col("embedding")).cast("double") /
-          sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-  }
-
-  private def annIvfBody(s: SparkSession, base: DataFrame, cent: DataFrame,
-      centArr: Array[(Long, Seq[Float], Double)]): DataFrame = {
-    val members = assignCentroid(base, centArr)
-      .select(col("vec_id"), col("label"), col("embedding"), col("n2"), col("c_id"))
-    // probe branch: |queries| rows need their top-nprobe centroids —
-    // a per-vector window is fine at query-set size, with the same
-    // margin gate at the nprobe boundary
-    val probes = ivfProbes(s, base, cent)
-    exactTopK(ivfCandidates(members, probes), K)
-      .select(col("query_id"), col("rk"), col("vec_id"),
-        round(col("cosine"), 9).as("cosine"))
-      .orderBy(col("query_id"), col("rk"))
-  }
-
-  val queries: Map[String, Q] = Map(
-
-    // Exact top-k neighbors per query vector (ties broken by vec_id).
-    "ann_brute" -> { (s, d) =>
-      topkPairs(s, d)
-        .select(col("query_id"), col("rk"), col("vec_id"),
-          round(col("cosine"), 9).as("cosine"))
-        .orderBy(col("query_id"), col("rk"))
-    },
-
-    // Range (radius) similarity search — the API twin of top-k: every
-    // corpus vector within a cosine threshold of each query. Same
-    // two-phase discipline as topkPairs: one narrow corpus pass scored
-    // by the codegen double dot with an epsilon guard band at the
-    // threshold, decimal-exact rescore of the (output-sized) survivor
-    // set only — the boundary can't misclassify because phase-1 drift
-    // (~1e-12) ≪ the guard band.
-    "ann_range" -> { (s, d) =>
-      val base = withNorm(s, d)
-      val q = broadcast(base.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("n2").as("qn2")))
-      base.join(q, col("vec_id") =!= col("query_id"))
-        .withColumn("cos_fast",
-          dotDbl(col("qe"), col("embedding")) /
-            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-        .filter(col("cos_fast") >= RangeTau - RescoreEps)
-        .withColumn("cosine",
-          dotDec(col("qe"), col("embedding")).cast("double") /
-            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-        .filter(col("cosine") >= RangeTau)
-        .select(col("query_id"), col("vec_id"), round(col("cosine"), 9).as("cosine"))
-        .orderBy(col("query_id"), col("vec_id"))
-    },
-
-    // k-NN classification: majority label among the exact top-k
-    // (tie-break: higher count, then smaller label). The candidate label
-    // rides along from the base projection — no second embeddings scan.
-    "emb_knn_class" -> { (s, d) =>
-      val votes = topkPairs(s, d)
-        // unlabeled neighbors are retrieved but cannot vote
-        .filter(col("label") =!= UnlabeledSentinel)
-        .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("n_votes"))
-      val wv = Window.partitionBy(col("query_id"))
-        .orderBy(col("n_votes").desc, col("label"))
-      votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
-        .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
-        .orderBy(col("query_id"))
-    },
-
-    // HYBRID retrieval with Reciprocal-Rank Fusion (Cormack et al.,
-    // SIGIR'09 — the industry-standard way to combine a lexical and a
-    // vector ranker without score calibration): for each query document
-    // (the NQ convention — ids < 8 exist in BOTH documents and
-    // embeddings), fuse
-    //   - the VECTOR arm: the exact decimal top-K of [[topkPairs]]
-    //     (ann_brute's hierarchical two-phase pipeline, reused as-is),
-    //   - the LEXICAL arm: distinct-shared-token overlap scores,
-    //     hierarchically top-K'd through the bounded [[TopK.topK]]
-    //     aggregator (partial map-side reduction — never a corpus-wide
-    //     per-query window sort),
-    // by rrf = Σ_arms 1/(60 + rank), candidates ranked in at least one
-    // arm. This is standard top-N RRF SEMANTICS — fusion is DEFINED
-    // over the arms' retrieved top-K lists, as every production fusion
-    // runs it — not full-corpus RRF: a doc ranked K+1 in BOTH arms
-    // would score 2/(60+K+1) > 1/61 and is nonetheless excluded, by
-    // definition (and identically in the oracle, which computes the
-    // same truncation). Scale shape: the query token set is dim-sized and
-    // BROADCASTS; the corpus token stream joins it map-side and
-    // partial-aggregates (query_id, doc_id) counts before the shuffle;
-    // the fusion full-outer runs on 2·NQ·K rows. Determinism: ranks
-    // are exact (decimal cosine / integer overlap, doc_id tie-breaks),
-    // and 1/(60+rank) on small ints is the same IEEE double in both
-    // engines. (On this fixture's 31-word vocabulary the overlap
-    // signal saturates — many docs tie at a query's full token count —
-    // which exercises exactly the tie discipline; real corpora spread
-    // the scores.)
-    "hybrid_search" -> { (s, d) =>
-      import s.implicits._
-      val vec = topkPairs(s, d)
-        .select(col("query_id"), col("vec_id").as("doc_id"),
-          col("rk").cast("int").as("rv"))
-      val qTok = broadcast(Tables.documents(s, d).filter(col("doc_id") < NQ)
-        .select(col("doc_id").as("query_id"),
-          explode(array_distinct(split(col("text"), " "))).as("w"))
-        .filter(col("w") =!= ""))
-      val shared = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-        .filter(col("w") =!= "")
-        .join(qTok, Seq("w"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(count(lit(1)).as("n_shared"))
-      val lex = shared
-        .select(col("query_id"), col("n_shared").cast("double"), col("doc_id"))
-        .as[(Long, Double, Long)]
-        .groupByKey(_._1)
-        .mapValues(t => (t._2, t._3))
-        .agg(graft.operators.TopK.topK(K).toColumn.name("top"))
-        .flatMap { case (qid, top) =>
-          top.zipWithIndex.map { case ((_, did), i) => (qid, did, i + 1) } }
-        .toDF("query_id", "doc_id", "rl")
-      val wf = Window.partitionBy(col("query_id"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-      vec.join(lex, Seq("query_id", "doc_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)))
-        .withColumn("rk", row_number().over(wf)) // ≤ 2K fused rows/query
-        .filter(col("rk") <= K)
-        .select(col("query_id"), col("rk"), col("doc_id"),
-          round(col("rrf"), 9).as("rrf"), col("rv"), col("rl"))
-        .orderBy(col("query_id"), col("rk"))
-    },
-
-    // HYBRID retrieval with a BM25-WEIGHTED lexical arm (round-9
-    // verdict item 2): hybrid_search's raw distinct-overlap count
-    // SATURATES — on a small shared vocabulary many docs tie at a
-    // query's full token count, and at web scale stopword-heavy docs
-    // tie the same way — so the lexical arm here scores
-    //   Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
-    // with k1 = 1.2, b = 0.75 (the textbook BM25 shape). Two deliberate
-    // transformations make it EXACT across engines (no float sum order,
-    // no cross-engine ln()):
-    //  - idf is the RATIONAL Robertson core (N − df + ½)/(df + ½) =
-    //    (2N − 2df + 1)/(2df + 1) without the ln — a per-term monotone
-    //    reweighting (rarer terms dominate harder than ln-idf, which
-    //    only helps the saturation this arm exists to fix);
-    //  - with avgdl = L/N (L = corpus tokens), each term score is the
-    //    INTEGER ratio [(2N−2df+1) · 22·tf·L · 10⁶] /
-    //    [(2df+1) · (10·L·tf + 3·L + 9·dl·N)] — k1, b cleared to
-    //    integers by ×10L — floored at fixed-point 10⁻⁶ via integral
-    //    division in DECIMAL(38,0) (HUGEINT in the oracle), summed as
-    //    BIGINT. Exact, order-independent, identical in both engines.
-    //    Bounds: per-term ≤ 2.2·10⁶·(2N+1) ⇒ the BIGINT sum holds to
-    //    ~10⁹ docs; beyond that drop the 10⁶ fixed-point a decade.
-    // Scale shape: tf/dl are per-doc narrow aggregates; df is a
-    // vocab-sized aggregate joined onto the (tiny) query-term set, and
-    // that enriched set BROADCASTS; candidate scoring partial-aggregates
-    // (query, doc) sums map-side; both arms stay hierarchical — the
-    // lexical top-K rides the bounded integer-score [[graft.operators
-    // .TopK.topKLong]] aggregator (Double buffers round above 2^53 and
-    // could diverge from the exact-integer oracle), the vector arm is
-    // ann_brute's two-phase pipeline. RRF fusion as in hybrid_search.
-    "hybrid_search_bm25" -> { (s, d) =>
-      import s.implicits._
-      val vec = topkPairs(s, d)
-        .select(col("query_id"), col("vec_id").as("doc_id"),
-          col("rk").cast("int").as("rv"))
-      // the (doc, term, tf, dl) index is STAGED once per fixture (the
-      // Staging two-job discipline): four consumers below — candidate
-      // scoring, document frequencies, query-term slice, corpus token
-      // total — would each re-expand the tokenize+groupBy subtree
-      // otherwise (plan audit: 3 corpus token shuffles for one query).
-      // Building a term-frequency index once and serving every ranker
-      // from it is exactly what a production lexical index does — and
-      // the per-doc length `dl` is a COLUMN OF THAT INDEX (round-11
-      // verdict item 3): it is a property of the corpus, not of any
-      // query, so computing it at query time was a corpus-scale window
-      // shuffle per run for stage-time data (the suite's slowest query;
-      // BenchOne A/B in docs/SCALING.md). The stage-time window is
-      // per-doc bounded and paid once per fixture.
-      val tf = graft.Staging.stage(s, "bm25_index", d) {
-        val t = Tables.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .filter(col("w") =!= "")
-          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-        t.withColumn("dl",
-          sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-      }
-      val totals = Tables.documents(s, d).agg(count(lit(1)).as("N"))
-        .crossJoin(tf.agg(sum(col("tf")).as("L")))
-      val dfTab = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val qref = dfTab.join(
-        broadcast(tf.filter(col("doc_id") < NQ)
-          .select(col("doc_id").as("query_id"), col("w"))), Seq("w"))
-      val score6 = expr(
-        """CAST((CAST(2*N - 2*df + 1 AS DECIMAL(38,0)) * CAST(22 AS DECIMAL(38,0)) *
-          |       CAST(tf AS DECIMAL(38,0)) * CAST(L AS DECIMAL(38,0)) *
-          |       CAST(1000000 AS DECIMAL(38,0)))
-          |  div (CAST(2*df + 1 AS DECIMAL(38,0)) *
-          |       (CAST(10 AS DECIMAL(38,0)) * CAST(L AS DECIMAL(38,0)) * CAST(tf AS DECIMAL(38,0)) +
-          |        CAST(3 AS DECIMAL(38,0)) * CAST(L AS DECIMAL(38,0)) +
-          |        CAST(9 AS DECIMAL(38,0)) * CAST(dl AS DECIMAL(38,0)) * CAST(N AS DECIMAL(38,0))))
-          |AS BIGINT)""".stripMargin)
-      val lexScores = tf.join(broadcast(qref), Seq("w"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .crossJoin(broadcast(totals))
-        .withColumn("s6", score6)
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("s6")).as("lex"))
-      val lex = lexScores
-        .select(col("query_id"), col("lex"), col("doc_id"))
-        .as[(Long, Long, Long)]
-        .groupByKey(_._1)
-        .mapValues(t => (t._2, t._3))
-        .agg(graft.operators.TopK.topKLong(K).toColumn.name("top"))
-        .flatMap { case (qid, top) =>
-          top.zipWithIndex.map { case ((_, did), i) => (qid, did, i + 1) } }
-        .toDF("query_id", "doc_id", "rl")
-      val wf = Window.partitionBy(col("query_id"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-      vec.join(lex, Seq("query_id", "doc_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)))
-        .withColumn("rk", row_number().over(wf)) // ≤ 2K fused rows/query
-        .filter(col("rk") <= K)
-        .select(col("query_id"), col("rk"), col("doc_id"),
-          round(col("rrf"), 9).as("rrf"), col("rv"), col("rl"))
-        .orderBy(col("query_id"), col("rk"))
-    },
-
-    // LSH-bucketed ANN, multi-table: 4 bands × bitsPerBand md5-derived
-    // hyperplanes (bits derived from corpus size; see lshBucketed for
-    // the corpus-size scaling rule). Candidates = vectors sharing
-    // (band, bucket) with the query, union over bands, then exact
-    // rescoring. Multi-table is the standard recall lever —
-    // P[close pair shares ≥1 band] = 1-(1-p^b)^4 with p = 1-θ/π — and at
-    // 100 TB (band, bucket) is the shuffle key, each bucket a small
-    // local problem (a single wide table over-partitions instead).
-    "ann_lsh" -> { (s, d) =>
-      val bits = annBitsPerBand(s, d)
-      val bucketed = lshBucketed(s, d, 4, bits)
-      val q = broadcast(bucketed.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("n2").as("qn2"), col("band").as("qband"), col("bucket").as("qbucket")))
-      val wFast = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_fast").desc, col("vec_id"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      // multi-probe: a query searches its own bucket plus every bucket
-      // within `spark.graft.ann.probeHamming` sign flips per band — the
-      // standard way to buy recall without more tables. Radius 1
-      // (default) probes bits+1 buckets; the radius should GROW with
-      // bits to keep probed corpus mass roughly constant (2^bits buckets
-      // but only ~bits·radius probed): 8-bit corpora want radius 2
-      // (1+8+28 = 37 of 256 buckets). Candidate volume stays bounded by
-      // (probes × bucket size).
-      val radius = s.conf.getOption("spark.graft.ann.probeHamming")
-        .map(_.toInt).getOrElse(1)
-      // flip masks generated combinatorially (choose ≤radius positions of
-      // `bits`): Σ C(bits,r) masks of driver work, not O(2^bits) — the
-      // docstring tells operators to GROW bits with corpus size, and at
-      // bits=24 enumerate-and-filter would walk 16M ints per query build
-      val probeList = flipMasks(bits, radius).map(m => s"qbucket ^ $m").mkString(", ")
-      bucketed
-        .join(q, col("band") === col("qband") &&
-          expr(s"bucket IN ($probeList)") &&
-          col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), col("qe"), col("embedding"),
-          col("qn2"), col("n2"))
-        .distinct() // union over bands/probes: a pair may collide in several
-        .withColumn("cos_fast",
-          dotDbl(col("qe"), col("embedding")) /
-            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-        .withColumn("rk_fast", row_number().over(wFast))
-        // two-phase rescoring (same argument as topkPairs): rank all
-        // candidates by the codegen double cosine, decimal-rescore only
-        // the tie-aware top-K prefix
-        .transform(tieAwareCut)
-        .withColumn("cosine",
-          dotDec(col("qe"), col("embedding")).cast("double") /
-            sqrt(col("qn2").cast("double") * col("n2").cast("double")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= K)
-        .select(col("query_id"), col("rk"), col("vec_id"),
-          round(col("cosine"), 9).as("cosine"))
-        .orderBy(col("query_id"), col("rk"))
-    },
-
-    // IVF (inverted-file) ANN with a TRAINED coarse quantizer (see
-    // [[ivfCentroids]]: seeds refined by `spark.graft.ann.kmeansIters`
-    // Lloyd rounds, default 2, staged to parquet) — centroids move
-    // toward the data's actual modes so buckets balance. Queries probe
-    // their `spark.graft.ann.nprobe` nearest centroid buckets (default
-    // 4; see annNprobe for the recall/cost trade) and rescore only those
-    // buckets' members. At 100 TB the centroid id is the shuffle/bucket key and
-    // nprobe trades recall for bucket reads — same physics as a
-    // production IVF index; more Lloyd rounds are the same dataflow
-    // iterated. ORACLED compositionally (round-8 verdict item 3): the
-    // trained centroids are exported to [[IvfOracleCentroidsPath]] and
-    // the DuckDB oracle reproduces assignment → probe → rescore GIVEN
-    // them; recall vs ann_brute stays asserted in ScalaTest.
-    "ann_ivf" -> { (s, d) =>
-      val base = withNorm(s, d)
-      val centDf = ivfCentroids(s, d, annKmeansIters(s))
-      val cent = broadcast(centDf)
-      // The trained quantizer is a MODEL ARTIFACT, bounded by nlist (10
-      // here; √corpus in a production IVF — 2^16 centroids × 64 dims is
-      // ~16 MB), not by the data — so it is collected once and folded
-      // into the assignment projection as literal arrays, exactly how
-      // production IVF serves: the quantizer ships to every worker and
-      // assignment is a per-row argmax, NO join, NO shuffle, NO window.
-      // (Round-9 verdict item 3: the previous corpus×centroids
-      // row_number window shuffled corpus×nlist rows WITH their
-      // embedding payloads just to keep rank 1 of each group.)
-      val centArr = collectQuantizer(centDf)
-      // Assignment must be DECIMAL-exact in effect (bucket MEMBERSHIP —
-      // not just ranking — depends on it, so the tie-aware-rescore trick
-      // can't absorb a fast-dot misrank), but paying the decimal dot for
-      // every (vector, centroid) pair is the dominant cost of the whole
-      // query (Decimal.apply(double) string-formats per term; measured
-      // 2.4 s vs 1.1 s at sf0.1). MARGIN-GATED two-phase instead, now
-      // entirely within one projection: sort the per-row array of
-      // (−fast_cos, c_id) structs (negation is exact, so ascending
-      // builtin array_sort = fast_cos desc with c_id tie-break), read
-      // the boundary gap between the top-1 and top-2 fast scores, and
-      // only when the gap is within RescoreEps re-run the argmax with
-      // the decimal cosine (CaseWhen evaluates the decimal branch only
-      // on ambiguous rows). gap > eps ≫ the ~1e-12 fast-dot drift
-      // proves no centroid can cross the boundary under decimal
-      // rescoring, so the fast argmin IS the decimal argmin; a missing
-      // second centroid means no boundary — trivially exact, fast path.
-      // empty corpus → nothing to train on, nothing to probe: the
-      // literal-array assignment below would otherwise build an
-      // untyped empty array (getField on a NullType element fails) —
-      // the result is trivially the empty top-k frame. (An if/else
-      // expression, NOT `return`: a non-local return from a lambda
-      // stored in the queries map would throw NonLocalReturnControl
-      // when invoked after the enclosing initializer has exited.)
-      if (centArr.isEmpty)
-        base.limit(0)
-          .select(col("vec_id").as("query_id"), lit(1).as("rk"),
-            col("vec_id"), lit(0.0).as("cosine"))
-      else annIvfBody(s, base, cent, centArr)
-    },
-
-    // METADATA-FILTERED vector search (round-11 verdict item 1) — the
-    // compositional query every production vector store serves: top-K
-    // among corpus vectors satisfying a metadata predicate. Two filter
-    // strategies exist and neither dominates (the pre/post-filter trade
-    // every vector DB documents):
-    //  - PRE-filter: the predicate sits BELOW assignment and candidate
-    //    generation (pushed into the corpus scan for a vector-table
-    //    column; a broadcast semi join against the filtered dimension
-    //    for a join predicate), and the IVF probe runs among survivors.
-    //    Right when the predicate is SELECTIVE — candidates are scarce
-    //    and an unfiltered over-fetch would need k′ ≈ K/sel to survive.
-    //  - POST-filter: probe unfiltered buckets, take the exact decimal
-    //    top-k′ (k′ = ⌈K/sel⌉ clamped to [2K, 10K]), THEN filter and
-    //    re-rank. Right when the predicate is BROAD — most candidates
-    //    survive, so a small over-fetch avoids pushing the predicate
-    //    into the whole corpus path.
-    // The POLICY is selectivity-driven (the heuristic every serving
-    // stack applies): sel = |match ∩ indexable| / |indexable| from two
-    // model-sized count scalars (planner statistics), pre-filter iff
-    // sel ≤ 0.2 — an EXACT integer rule (5·nm ≤ nc) the oracle
-    // reproduces at any corpus size, as it does the integer k′. Two
-    // fixture predicates exercise both arms: lang_zh (documents
-    // dimension join, sel ≈ 0.15 → pre) and label_even (vector-table
-    // metadata column, sel ≈ 0.49 → post). Both arms are IVF-probed,
-    // bucket-bounded, two-phase rescored; the oracle replays
-    // probe → filter → rescore compositionally from the exported
-    // centroids (the ann_ivf precedent), and ScalaTest asserts recall
-    // vs the filtered-brute ground truth plus predicate satisfaction.
-    "ann_filtered" -> { (s, d) =>
-      val base = withNorm(s, d)
-      val centDf = ivfCentroids(s, d, annKmeansIters(s))
-      val centArr = collectQuantizer(centDf)
-      if (centArr.isEmpty)
-        base.limit(0).select(lit("").as("pred"), lit("").as("policy"),
-          col("vec_id").as("query_id"), lit(1).as("rk"), col("vec_id"),
-          lit(0.0).as("cosine"))
-      else {
-        val cent = broadcast(centDf)
-        val probes = ivfProbes(s, base, cent)
-        val nc = indexableCount(s, d)
-        // Bucket membership comes from the PERSISTED assignment table
-        // (kmeansMembers — the same staged artifact emb_kmeans and the
-        // cluster-sampling consumers read), never from re-running the
-        // margin-gated argmax in-plan: the float arms previously
-        // re-derived assignment TWICE per run (once for the shared
-        // post-arm candidates, once per pre arm) and the argmax
-        // projection was the dominant 100× cost (round-13 verdict
-        // item 4; the emb_kmeans staging precedent measured the same
-        // subtree at 13.6 s → 0.87 s). The skinny (vec_id, c_id) table
-        // broadcasts only while it genuinely fits (size-gated on the
-        // indexable count — review finding: an unconditional hint
-        // would collect one row per corpus vector to the driver and
-        // hit the 8 GB broadcast wall near ~5·10⁸ vectors); past the
-        // gate it degrades to the plain join, which at production
-        // scale co-partitions with the corpus on vec_id (both
-        // bucketed), so the attach stays co-located — the corpus never
-        // shuffles on vec_id either way. This is exactly how a
-        // production IVF serves: membership is INDEX STATE, computed
-        // at ingest (gate 15), not re-derived per query.
-        val membersDf = kmeansMembers(s, d)
-        val members =
-          if (indexableCount(s, d) <= 10000000L) broadcast(membersDf)
-          else membersDf
-        def assigned(df: DataFrame): DataFrame =
-          df.join(members, Seq("vec_id"))
-            .select(col("vec_id"), col("label"), col("embedding"),
-              col("n2"), col("c_id"))
-        // (name, predicate-as-transform) — ONE shared definition (see
-        // filterPreds); applied to the corpus BELOW candidates (pre
-        // arm) or to the k′ survivors, which carry label (post arm) —
-        // both shapes stay narrow/broadcast either way
-        // predicate-INDEPENDENT probed candidates, built once and
-        // shared by every post arm (review finding: two broad
-        // predicates would otherwise each re-construct the corpus-scale
-        // assignment + bucket-join subtree; sharing the frame also
-        // lets AQE's exchange reuse fire across the union's branches,
-        // as it already does for the broadcast probe set)
-        lazy val candsAll = ivfCandidates(assigned(base), probes)
-        val arms = filterPreds(s, d).map { case (name, pf) =>
-          val nm = matchCount(d, name, pf(base))
-          if (preFilterChosen(nm, nc)) {
-            exactTopK(ivfCandidates(assigned(pf(base)), probes), K)
-              .select(lit(name).as("pred"), lit("pre").as("policy"),
-                col("query_id"), col("rk"), col("vec_id"), col("cosine"))
-          } else {
-            val kPrime = overfetchK(nc, nm)
-            val w2 = Window.partitionBy(col("query_id"))
-              .orderBy(col("cosine").desc, col("vec_id"))
-            pf(exactTopK(candsAll, kPrime))
-              .withColumn("rk2", row_number().over(w2))
-              .filter(col("rk2") <= K)
-              .select(lit(name).as("pred"), lit("post").as("policy"),
-                col("query_id"), col("rk2").as("rk"), col("vec_id"), col("cosine"))
-          }
-        }
-        arms.reduce(_.unionByName(_))
-          .select(col("pred"), col("policy"), col("query_id"), col("rk"),
-            col("vec_id"), round(col("cosine"), 9).as("cosine"))
-          .orderBy(col("pred"), col("query_id"), col("rk"))
-      }
-    },
-
-    // K-MEANS CLUSTERING as a first-class op — the grouping step
-    // semantic curation recipes build on (SemDeDup prunes within
-    // embedding clusters; domain discovery and cluster-balanced
-    // sampling read the same assignment). Exposes the IVF coarse
-    // quantizer's artifacts directly: the deterministically TRAINED
-    // centroids ([[ivfCentroids]] — decimal-mean Lloyd, bit-stable)
-    // and the margin-gated exact assignment ([[assignCentroid]] — the
-    // per-row argmax over the collected model, NO join/shuffle/window;
-    // at 100 TB assignment stays a narrow map over the corpus and only
-    // the dim-sized cluster-size aggregate exchanges). ORACLED
-    // compositionally like ann_ivf: GIVEN the exported centroids,
-    // DuckDB reproduces the decimal-exact assignment and sizes.
-    "emb_kmeans" -> { (s, d) =>
-      val m = kmeansMembers(s, d)
-      val sizes = m.groupBy(col("c_id")).agg(count(lit(1)).as("cluster_size"))
-      m.join(broadcast(sizes), Seq("c_id"))
-        .select(col("vec_id"), col("c_id").as("cluster_id"), col("cluster_size"))
-        .orderBy(col("vec_id"))
-    },
-
-    // CLUSTER-BALANCED diversity sampling — the consumer the clustering
-    // exists for in curation recipes (cluster-and-sample: cap each
-    // embedding cluster's contribution so the selected set spans modes
-    // instead of mirroring the corpus's density skew). Keep the
-    // md5-min-8 vectors per emb_kmeans cluster: the keep decision is
-    // the repo's content-stable md5 rule (reruns and engines agree
-    // row-by-row), the per-cluster rank is a window PARTITIONED BY
-    // cluster (bounded by cluster size — at a production nlist ~√n,
-    // clusters are corpus/√n-sized and the window spills, never
-    // driver-buffers). Oracled compositionally on the same exported
-    // centroids as emb_kmeans.
-    "data_sample_cluster_balanced" -> { (s, d) =>
-      val m = kmeansMembers(s, d)
-      val w = Window.partitionBy(col("c_id"))
-        .orderBy(md5(concat(lit("cbal|"), col("vec_id").cast("string"))), col("vec_id"))
-      m.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 8)
-        .select(col("vec_id"), col("c_id").as("cluster_id"), col("rk"))
-        .orderBy(col("cluster_id"), col("rk"))
-    },
-
-    // EMBEDDING COVARIANCE — the one-pass Gram/second-moment primitive
-    // every linear embedding transform (PCA, whitening, OOD scoring)
-    // starts from, as a first-class hash-oracled op. Upper-triangle
-    // (i, j, n, cov) rows; exact-decimal term sums make the values
-    // engine-identical (see [[covarianceStats]] for the map-side
-    // aggregation shape — the corpus is never self-joined or shuffled;
-    // the exchange is dim²-bounded). Population covariance (÷ n).
-    "emb_covariance" -> { (s, d) =>
-      covarianceStats(s, d)
-        // + 0.0 folds IEEE −0.0 to +0.0 (the engines disagree on the
-        // ZERO'S SIGN after rounding a tiny negative; both agree after
-        // the add — same normalization on the oracle side)
-        .select(col("i"), col("j"), col("n"),
-          (round(col("cov"), 6) + lit(0.0)).as("cov"))
-        .orderBy(col("i"), col("j"))
-    },
-
-    // PCA PROJECTION — dimensionality reduction as a serving op: every
-    // vector projected onto the top-8 principal components of the
-    // corpus covariance (centered: (x − μ)·v = x·v − μ·v, the μ·v
-    // constant trained into the model). Training is model-sized driver
-    // arithmetic over the staged covariance ([[pcaComponents]]:
-    // deterministic cyclic Jacobi, canonical eigenpair order + sign —
-    // bit-stable across runs/partitionings); serving is ONE narrow
-    // codegen projection (8 DecimalDotProduct terms against literal
-    // component vectors — the assignCentroid literal-fold shape), no
-    // join, no shuffle beyond the presentation sort. ORACLE is
-    // compositional like ann_ivf/emb_kmeans: GIVEN the exported
-    // components (content-addressed parquet), DuckDB reproduces every
-    // projection decimal-exactly — full hash match; the
-    // eigendecomposition itself is pinned in ScalaTest (orthonormality,
-    // Av = λv residual, spectrum ordering, Σλ = trace, per-component
-    // projection variance = λ).
-    "emb_pca" -> { (s, d) =>
-      val model = pcaModel(s, d)
-      val base = withNorm(s, d)
-      if (model.comps.isEmpty)
-        base.limit(0).select(
-          col("vec_id") +: (0 until PcaP).map(p => lit(0.0).as(s"pc_$p")): _*)
-      else
-        base.select(
-          col("vec_id") +: model.comps.map { case (p, v, muDot) =>
-            // + 0.0 folds a rounded −0.0 to +0.0 (oracle does the same)
-            (round(dotDec(col("embedding"), typedLit(v.toSeq)).cast("double")
-              - lit(muDot), 6) + lit(0.0)).as(s"pc_$p")
-          }.toSeq: _*)
-          .orderBy(col("vec_id"))
-    },
-
-    // EMBEDDING OOD/OUTLIER SCORING — the geometric curation op the PCA
-    // model exists for beyond projection (SemDeDup prunes duplicates;
-    // this prunes the OPPOSITE tail — corrupt/off-manifold vectors):
-    // per vector, the Mahalanobis energy in the top-8 principal
-    // subspace, m_top = Σ_p proj_p²/λ_p (χ²₈-distributed for in-
-    // distribution data — flagged past the 99th percentile 20.09), and
-    // the RESIDUAL energy outside it, ‖x−μ‖² − Σ proj_p² (mass the
-    // retained subspace can't explain — high residual = off-manifold
-    // even when the top-8 energy looks normal). Serving is the same
-    // narrow literal-fold projection as emb_pca plus two dot products
-    // (x·μ via DecimalDotProduct, x·x = the ingest-contract n2 already
-    // on every row) — no join, no shuffle beyond the presentation
-    // sort. Every constant (λ, μ, μ·μ) ships to the oracle via the
-    // SAME export, so DuckDB replays the full score bit-for-bit: the
-    // term sums are exact decimals, the combination is the same
-    // left-associated IEEE expression, and the flag compares the
-    // UNROUNDED score on both engines. Full hash match.
-    "emb_ood_score" -> { (s, d) =>
-      val model = pcaModel(s, d)
-      val base = withNorm(s, d)
-      if (model.comps.isEmpty)
-        base.limit(0).select(col("vec_id"), lit(0.0).as("m_top"),
-          lit(0.0).as("resid"), lit(false).as("is_outlier"))
-      else {
-        val projs = model.comps.map { case (p, v, muDot) =>
-          dotDec(col("embedding"), typedLit(v.toSeq)).cast("double") - lit(muDot)
-        }
-        val mTop = projs.zipWithIndex
-          .map { case (c, p) => c * c / lit(model.lambda(p)) }
-          .reduce(_ + _) // left-assoc — the oracle writes t0+t1+…+t7
-        val sumSq = projs.map(c => c * c).reduce(_ + _)
-        val xMu = dotDec(col("embedding"), typedLit(model.mu.toSeq)).cast("double")
-        val resid = col("n2").cast("double") - lit(2.0) * xMu +
-          lit(model.muMu) - sumSq
-        base.select(col("vec_id"),
-          (round(mTop, 6) + lit(0.0)).as("m_top"),
-          (round(resid, 6) + lit(0.0)).as("resid"),
-          // χ²₈ 99th percentile; compared on the UNROUNDED score
-          (mTop > lit(20.09)).as("is_outlier"))
-          .orderBy(col("vec_id"))
-      }
-    },
-
-    // Embedding near-duplicate pairs: blocked by (label, LSH band,
-    // hyperplane bucket) — never the full n² cross, and never a full
-    // label² cross either: a hot label at corpus scale is sub-divided
-    // into 2^bits sign-pattern buckets per band, so within-block work is
-    // bounded by bucket size, not label size. Multi-band union keeps
-    // recall: a cosine≥0.99 pair is split by one 4-plane band with
-    // P≈0.17, by all 4 independent bands with P≈0.001 — and because the
-    // md5-derived planes are identical in the DuckDB oracle, even a
-    // dropped pair is dropped identically on both sides (hash-exact).
-    // Two-phase scoring: a cheap double-accumulated prefilter at 0.985
-    // discards ~all of the block pairs, then the oracle-exact decimal
-    // dot re-scores only survivors (double-vs-decimal drift is ~1e-12,
-    // five orders of magnitude inside the 0.005 margin).
-    "dedup_embedding" -> { (s, d) =>
-      // bitsPerBand is THE corpus-size lever (see lshBucketed), derived
-      // from the corpus count by default (round-7 verdict: the fixed
-      // default of 4 silently went quadratic at 100×); the SQL oracle
-      // derives the identical value from count(*).
-      //
-      // The near-dup cosine threshold is an operator parameter
-      // (`spark.graft.dedup.embTau`, default 0.99 — the value the
-      // driver's SQL oracle pins); the float prefilter tracks it at
-      // tau − 0.005, preserving the drift argument below (float-vs-
-      // decimal drift ~1e-7 ≪ 0.005). Non-default taus are covered by
-      // the 100× per-label slice check (docs/SCALING.md round 8):
-      // label-blocked pairs never cross labels, so per-label DuckDB
-      // oracles compose EXACTLY to the full corpus answer.
-      //
-      // Shape (reworked in round 7 after a 100× phase decomposition):
-      // the self-join output is consumed IN-STAGE by an all-float codegen
-      // prefilter, and everything downstream of it is candidate-sized.
-      // The previous shape distinct-ed the skinny (d1, d2) pairs and
-      // joined the corpus back twice to re-fetch embeddings + decimal
-      // norms — but the distinct removed only 0.3% of pairs (multi-band
-      // collisions are rare by construction: independent bands), so it
-      // bought two extra corpus-pair-sized shuffles and, worse, put the
-      // interpreted decimal-norm lambda on the join path, knocking the
-      // 10 M-row join out of whole-stage codegen (measured at 100×:
-      // 194 s → the same pass with a float-only tail runs in ~10 s).
-      // The prefilter here uses FLOAT norms (codegen float_dot of e·e):
-      // relative drift vs the decimal norm is ~1e-7, three orders of
-      // magnitude inside the 0.985-vs-0.99 margin, so the survivor SET
-      // is identical; survivors (tiny) then get the oracle-exact decimal
-      // dot AND decimal norms, and band-duplicate survivors collapse in
-      // a final candidate-sized distinct — output is bit-identical to
-      // the oracle's formulation.
-      val tau = s.conf.getOption("spark.graft.dedup.embTau")
-        .map(_.toDouble).getOrElse(0.99)
-      val bucketed = lshBucketedNoNorm(s, d, 4, annBitsPerBand(s, d))
-      bucketed.as("a")
-        .join(bucketed.as("b"),
-          col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-          col("a.label").as("label"), col("a.embedding").as("e1"),
-          col("b.embedding").as("e2"))
-        .withColumn("cos_fast",
-          dotDbl(col("e1"), col("e2")) /
-            sqrt(dotDbl(col("e1"), col("e1")) * dotDbl(col("e2"), col("e2"))))
-        .filter(col("cos_fast") >= tau - 0.005)
-        .withColumn("cosine",
-          dotDec(col("e1"), col("e2")).cast("double") /
-            sqrt(normDec(col("e1")).cast("double") * normDec(col("e2")).cast("double")))
-        .filter(col("cosine") >= tau)
-        .select(col("d1"), col("d2"), col("label"), round(col("cosine"), 9).as("cosine"))
-        .distinct()
-        .orderBy(col("d1"), col("d2"))
-    },
-
-    // IVF-PQ-style product-quantized ANN (Jégou et al., PAPERS.md) —
-    // the memory-bounded serving shape: the corpus is ENCODED once into
-    // 4 sub-codebook codes (4 bytes/vector — a 1 B-vector index fits in
-    // 4 GB where raw floats need 256 GB), and each query scans codes
-    // with an ADC table (its precomputed exact distance to every
-    // sub-centroid) — no vector arithmetic per candidate at query time.
-    //
-    // Exactness: every distance is the decimal identity x·x − 2·x·c +
-    // c·c over codegen DecimalDotProduct, rendered as ×10¹² fixed-point
-    // BIGINTs (the BM25 exact-integer discipline) — encoding, ADC
-    // tables, and the summed scores are bit-identical across engines,
-    // so the gate is a full hash match (compositional from the exported
-    // codebooks, the ann_ivf precedent). Scale shape: encoding is a
-    // narrow margin-gated projection (model-sized codebook folded in as
-    // literals, no join/shuffle); the ADC tables are NQ·M·Ksub = 512
-    // longs folded in as literal arrays; scoring is one narrow pass
-    // over the coded corpus into the bounded exact-integer topKLong
-    // aggregator — the hierarchical ann_brute shape, never a
-    // corpus-wide window (PlanSpec-pinned).
-    //
-    // JOIN-BASED ADC (round-12 verdict item 7, closing the round-11
-    // NQ bound for good): the per-query dense lookup arrays are
-    // computed IN-ENGINE on the query frame ([[adcLookupArrays]] — the
-    // same builder the residual path uses) and BROADCAST against the
-    // staged coded corpus, so the plan stays O(M·Ksub) expressions and
-    // nothing query-batch-sized is ever collected to the driver — the
-    // last non-model-sized-looking collect in the codebase is gone. A
-    // flat-PQ index has no buckets, so every query scans all codes BY
-    // CONSTRUCTION: the broadcast nested-loop over the NQ-sized ADC
-    // table is that exact semantics (the bucketed variant that probes
-    // is ann_ivfpq_residual).
-    "ann_ivf_pq" -> { (s, d) =>
-      val cb = collectPqCodebook(pqCodebooks(s, d))
-      val base = withNorm(s, d)
-      if (cb.isEmpty)
-        base.limit(0).select(col("vec_id").as("query_id"), lit(1).as("rk"),
-          col("vec_id"), lit(0L).as("adc_d2_fp"))
-      else {
-        // the coded corpus IS the PQ index — a production system writes
-        // it once and every query scans codes, never vectors (the
-        // kmeans_members staging precedent; measured at 100×: the
-        // re-encode was ~9 s of an 11 s query). Skinny columns only:
-        // vec_id + M bytes of codes.
-        val coded = graft.Staging.stage(s, "pq_codes_i2", d) {
-          pqEncode(base.select(col("vec_id"), col("embedding")), cb)
-            .select(col("vec_id") +: (0 until PqM).map(m => col(s"code_$m")): _*)
-        }
-        val adcTabs = adcLookupArrays(
-          base.filter(col("vec_id") < NQ)
-            .select(col("vec_id").as("query_id"), col("embedding")),
-          "embedding", cb)
-        topKLongRanks(s, adcScores(coded, adcTabs, onBucket = false), K)
-          .orderBy(col("query_id"), col("rk"))
-      }
-    },
-
-    // IVF+PQ RESIDUAL fusion (round-11 verdict item 2) — the FAISS
-    // IVFADC serving shape (Jégou et al., PAPERS.md): the coarse IVF
-    // quantizer routes each vector to a bucket, PQ encodes the RESIDUAL
-    // x − centroid inside that bucket (residuals cluster far tighter
-    // than raw vectors, so the same 4-byte code carries more precision),
-    // and a query probes its nprobe nearest buckets, scanning only
-    // their codes with a per-(query, bucket) ADC table over the QUERY'S
-    // residual vs that bucket's centroid. This fuses the two existing
-    // halves (ann_ivf's trained coarse quantizer + ann_ivf_pq's
-    // sub-codebooks) into the shape a production server runs.
-    //
-    // Exactness: residuals are pinned to double-subtract-then-float
-    // rounding (see [[residuals]] — identical IEEE steps in both
-    // engines); distances are the same decimal identity / ×10¹²
-    // fixed-point BIGINT discipline as ann_ivf_pq, so the gate is a
-    // full hash match, compositional from BOTH exported artifacts
-    // (coarse centroids + residual sub-codebooks).
-    //
-    // Scale shape: the coded corpus (vec_id, c_id, 4 codes) is STAGED —
-    // the persisted index a server memory-maps; the ADC tables are
-    // computed IN-ENGINE on the probe frame (NQ × nprobe rows) as
-    // dense lookup arrays and BROADCAST-JOINED to the coded corpus on
-    // the bucket id — the join-based ADC variant, so plan size stays
-    // O(M·Ksub) expressions regardless of the query-batch size (the
-    // documented NQ bound of ann_ivf_pq's literal folding); the
-    // bucket join restricts scanning to probed buckets' codes, and the
-    // exact-integer topKLong aggregator keeps the top-k hierarchical.
-    "ann_ivfpq_residual" -> { (s, d) =>
-      residualAdcTopK(s, d, K) match {
-        case Some(ranked) => ranked.orderBy(col("query_id"), col("rk"))
-        case None => withNorm(s, d).limit(0).select(
-          col("vec_id").as("query_id"), lit(1).as("rk"),
-          col("vec_id"), lit(0L).as("adc_d2_fp"))
-      }
-    },
-
-    // REFINED ANN — the two-stage serving shape every production PQ
-    // deployment ends with (FAISS IndexRefine): the compressed index
-    // proposes, the float store disposes. Stage 1 over-fetches the
-    // exact fixed-point ADC top-k′ (k′ = 4·K, the standard refine
-    // factor) from the probed IVFADC buckets — the ann_ivfpq_residual
-    // pipeline verbatim, nothing re-derived. Stage 2 fetches ONLY the
-    // ≤ NQ·k′ shortlisted vectors from the float corpus (the
-    // shortlist BROADCASTS into a column-pruned corpus scan — the
-    // random-access-by-id read a real refine stage does; the corpus
-    // never shuffles and is never scored in full) and re-ranks them by
-    // the exact decimal cosine. ADC quantization error caps the
-    // shortlist's rank noise; the refine step restores exact order
-    // within it — recall vs exact brute is gated in ScalaTest, and the
-    // whole pipeline (probe → encode → ADC → k′ → decimal rerank)
-    // replays compositionally from the two exported artifacts: full
-    // hash match. The rerank window partitions by query over ≤ k′
-    // rows — bounded, never corpus-sized.
-    "ann_refine" -> { (s, d) =>
-      val base = withNorm(s, d)
-      residualAdcTopK(s, d, RefineFactor * K) match {
-        case None => base.limit(0).select(col("vec_id").as("query_id"),
-          lit(1).as("rk"), col("vec_id"), lit(0.0).as("cosine"))
-        case Some(shortlist) =>
-          val cand = base
-            .select(col("vec_id"), col("embedding").as("c_emb"),
-              col("n2").as("c_n2"))
-            .join(broadcast(shortlist.select(col("query_id"), col("vec_id"))),
-              Seq("vec_id"))
-          val queries = base.filter(col("vec_id") < NQ)
-            .select(col("vec_id").as("query_id"),
-              col("embedding").as("q_emb"), col("n2").as("q_n2"))
-          val scored = cand.join(broadcast(queries), Seq("query_id"))
-            // the pairSql cosine, term for term: exact decimal dot cast
-            // to double over the exact decimal norms — identical IEEE
-            // expression in the oracle, so ranks can't drift
-            .withColumn("cosine",
-              dotDec(col("q_emb"), col("c_emb")).cast("double") /
-                sqrt(col("q_n2").cast("double") * col("c_n2").cast("double")))
-          val w = Window.partitionBy(col("query_id"))
-            .orderBy(col("cosine").desc, col("vec_id"))
-          scored.withColumn("rk", row_number().over(w))
-            .filter(col("rk") <= K)
-            .select(col("query_id"), col("rk"), col("vec_id"),
-              (round(col("cosine"), 6) + lit(0.0)).as("cosine"))
-            .orderBy(col("query_id"), col("rk"))
-      }
-    },
-
-    // FILTERED search over the IVFADC index — the composition of the
-    // round's two serving shapes, and precisely how a production
-    // vector store serves "top-k where <metadata predicate>" at scale
-    // (FAISS IVFPQ + an IDSelector / payload filter): the SAME
-    // selectivity-driven pre/post-filter policy as ann_filtered, but
-    // the candidate scan is the residual-coded index, not the float
-    // vectors. The pre arm filters the INDEX SCAN itself (the coded
-    // corpus carries its filterable metadata next to the codes —
-    // label directly, dimension predicates via a broadcast semi join)
-    // below the ADC join; the post arm over-fetches the exact
-    // fixed-point top-k′ from the unfiltered probed buckets, then
-    // filters the k′ survivors and re-ranks. Every score is the exact
-    // ×10¹² BIGINT ADC distance, so the oracle replays the whole
-    // pipeline — probe, encode, ADC, policy, k′ — compositionally from
-    // the two exported artifacts, and the gate is a full hash match.
-    "ann_filtered_pq" -> { (s, d) =>
-      val base = withNorm(s, d)
-      val iters = annKmeansIters(s)
-      val centDf = ivfCentroids(s, d, iters)
-      val centArr = collectQuantizer(centDf)
-      def empty = base.limit(0).select(lit("").as("pred"), lit("").as("policy"),
-        col("vec_id").as("query_id"), lit(1).as("rk"), col("vec_id"),
-        lit(0L).as("adc_d2_fp"))
-      if (centArr.isEmpty) empty
-      else {
-        val cent = broadcast(centDf)
-        val cb = collectPqCodebook(pqResCodebooks(s, d, iters, centDf, centArr))
-        if (cb.isEmpty) empty
-        else {
-          val coded = residualCodedCorpus(s, d, iters, centDf, centArr, cb)
-          val adcTabs = residualAdcTabs(s, base, cent, cb)
-          val nc = indexableCount(s, d)
-          // the unfiltered ADC ranking, shared by every post arm
-          lazy val scoredAll = adcScores(coded, adcTabs)
-          val arms = filterPreds(s, d).map { case (name, pf) =>
-            val nm = matchCount(d, name, pf(base))
-            if (preFilterChosen(nm, nc)) {
-              // PRE: the predicate filters the coded-INDEX scan, below
-              // the ADC broadcast join
-              topKLongRanks(s, adcScores(pf(coded), adcTabs), K)
-                .select(lit(name).as("pred"), lit("pre").as("policy"),
-                  col("query_id"), col("rk"), col("vec_id"), col("adc_d2_fp"))
-            } else {
-              val kPrime = overfetchK(nc, nm)
-              val w2 = Window.partitionBy(col("query_id"))
-                .orderBy(col("adc_d2_fp"), col("vec_id"))
-              // POST: exact top-k′ over the unfiltered probed codes;
-              // the predicate evaluates on the survivors' INDEX-
-              // RESIDENT metadata — the ≤ NQ·k′ survivor set BROADCASTS
-              // into a column-pruned (vec_id, label) scan of the coded
-              // index, and pf filters the result. The float corpus is
-              // never touched (review finding: a semi join against the
-              // filtered EMBEDDINGS re-scanned the vectors and could
-              // shuffle at exactly the broad selectivities this arm
-              // fires at).
-              val withMeta = coded.select(col("vec_id"), col("label"))
-                .join(broadcast(topKLongRanks(s, scoredAll, kPrime)), Seq("vec_id"))
-              pf(withMeta)
-                .withColumn("rk2", row_number().over(w2))
-                .filter(col("rk2") <= K)
-                .select(lit(name).as("pred"), lit("post").as("policy"),
-                  col("query_id"), col("rk2").as("rk"), col("vec_id"),
-                  col("adc_d2_fp"))
-            }
-          }
-          arms.reduce(_.unionByName(_))
-            .orderBy(col("pred"), col("query_id"), col("rk"))
-        }
-      }
-    },
-
-    // STREAMING INDEX MAINTENANCE (gate 15) — the job that keeps the
-    // IVFADC index CURRENT as embeddings arrive: vectors replay as
-    // chunked micro-batches, each batch passes the same per-row ingest
-    // contract ([[indexable]]), is assigned + residual-encoded with
-    // the FROZEN serving artifacts (the trained coarse centroids and
-    // residual sub-codebooks — a production updater trains once /
-    // periodically and freezes between retrains), and APPENDS to the
-    // versioned index table (foreachBatch, append-only — the
-    // upsertLatestPerUser plumbing without the merge, since vec_ids
-    // are immutable). Because encoding is per-row under frozen
-    // artifacts, the stream-built index equals the batch encode
-    // row-for-row WHATEVER the batch boundaries — so the oracle is the
-    // batch derivation (members + codes from the two exported
-    // artifacts), a full hash gate, and gate 14 + gate 15 together
-    // cover the two ingest jobs a continuously-crawled corpus runs
-    // (dedup the arrivals; index the survivors). Scale shape: each
-    // micro-batch is one narrow assign+encode projection (model
-    // artifacts broadcast as literals) and one append — no state
-    // store, no shuffle; the index IS the state.
-    "streaming_index_maintain" -> { (s, d) =>
-      // the PARENT session, not stateSizedSession: there is no stateful
-      // operator here (foreachBatch append-only — no state store to
-      // size), and the state-partition derivation reads events.parquet,
-      // which has nothing to do with the embeddings being indexed
-      // (review finding)
-      val iters = annKmeansIters(s)
-      val centDf = ivfCentroids(s, d, iters)
-      val centArr = collectQuantizer(centDf)
-      def empty = withNorm(s, d).limit(0)
-        .select(col("vec_id") +: lit(0L).as("c_id") +:
-          (0 until PqM).map(m => lit(0).as(s"code_$m")): _*)
-      if (centArr.isEmpty) empty
-      else {
-        val cb = collectPqCodebook(pqResCodebooks(s, d, iters, centDf, centArr))
-        if (cb.isEmpty) empty
-        else {
-          def encodeBatch(raw: DataFrame): DataFrame =
-            pqEncode(residuals(centDf, centArr)(indexable(raw)), cb)
-              .select(col("vec_id") +: col("c_id") +:
-                (0 until PqM).map(m => col(s"code_$m")): _*)
-          // 2 chunks, not 4 (round-13 diet): the boundary-independence
-          // proof above holds for ANY split, so two micro-batches carry
-          // the full multi-batch demonstration at half the per-batch
-          // commit/planning fixed cost (measured ~0.9 s/batch at sf0.1)
-          graft.streaming.Streaming.appendThroughGate(
-            graft.streaming.Streaming.embeddingsStreamChunked(s, d, 2),
-            encodeBatch, empty)
-            .orderBy(col("vec_id"))
-        }
-      }
-    },
-
-    // INDEX LIFECYCLE (gate 16, round-13 verdict item 1) — the two
-    // maintenance jobs gates 14/15 left uncovered: DELETES from the
-    // serving index (takedowns + dedup-driven removals arrive as a
-    // tombstone CDC feed; each micro-batch MERGE-deletes its ids from
-    // the versioned index table through the same [[graft.operators
-    // .Merge]] op='D' path the batch CDC operator uses) and DRIFT
-    // DETECTION (has the corpus the index now serves moved far enough
-    // from the frozen training snapshot that the quantizer/codebooks
-    // need retraining?). Deletes of distinct keys commute, so the
-    // stream-maintained live index equals the batch anti-join WHATEVER
-    // the batch boundaries — the gate-15 argument — and the whole
-    // verdict is a batch derivation the DuckDB oracle replays exactly.
-    //
-    // The drift statistic is computed FROM THE INDEX ITSELF, never the
-    // float corpus: each vector's quantized-residual energy is the sum
-    // of its assigned sub-codebook entries' self-distances — a per-(m,
-    // code) MODEL table (≤ M·Ksub rows) folded into literal lookup
-    // arrays, so the per-vector qfp is one narrow codegen projection
-    // over the coded index (the production property: lifecycle jobs
-    // run on the compact index, not on 100 TB of floats). Per bucket,
-    // RETRAIN fires on either exact integer rule: the bucket lost
-    // ≥ 1/6 of its training members, or the live members' mean
-    // quantized-residual energy drifted > 1/50 relative from the
-    // training snapshot (cross-multiplied BIGINT/decimal comparisons —
-    // no division, no floats, bit-replayable by the oracle).
-    //
-    // Scale shape: the tombstone feed is takedown-sized; each MERGE is
-    // one key-partitioned join of a tombstone-sized delta against the
-    // skinny coded index (a lakehouse deployment would use delete
-    // vectors instead of table rewrites — same semantics); the stats
-    // are two hash aggregations of the coded index down to nlist rows,
-    // joined broadcast. The 38-digit decimal cross products hold to
-    // ~10^14 indexed vectors per shard; beyond that the statistic
-    // shards per bucket range first.
-    "ann_index_lifecycle" -> { (s, d) =>
-      val iters = annKmeansIters(s)
-      val centDf = ivfCentroids(s, d, iters)
-      val centArr = collectQuantizer(centDf)
-      def empty = withNorm(s, d).limit(0).select(
-        lit(0L).as("c_id"), lit(0L).as("n_train"), lit(0L).as("n_live"),
-        lit(0L).as("n_deleted"), lit(0L).as("norm_train_fp"),
-        lit(0L).as("norm_live_fp"), lit(false).as("retrain"))
-      if (centArr.isEmpty) empty
-      else {
-        val cbDf = pqResCodebooks(s, d, iters, centDf, centArr)
-        val cb = collectPqCodebook(cbDf)
-        if (cb.isEmpty) empty
-        else {
-          val coded = residualCodedCorpus(s, d, iters, centDf, centArr, cb)
-          // per-(m, code) quantized-residual self-energy, fixed point —
-          // computed through the same decimal protocol as every ranking
-          // distance (dotDec → d2Fp), collected model-sized (≤ 64 rows)
-          val nfp = cbDf.select(col("m"), col("code"),
-              d2Fp(dotDec(col("c_sub"), col("c_sub")).cast("decimal(20,12)"))
-                .as("nfp"))
-            .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
-          val maxCode = cb.map(_._2).max
-          def qfpCol: Column = (0 until PqM).map { m =>
-            element_at(array((0 to maxCode).map(code =>
-              lit(nfp.getOrElse((m, code), 0L))): _*), col(s"code_$m") + 1)
-          }.reduce(_ + _)
-          // live index: the tombstone feed replayed as 2 micro-batches
-          // (deletes commute — any split carries the multi-batch
-          // demonstration), each MERGE-deleted from the versioned table
-          val live = graft.streaming.Streaming.maintainThroughGate(
-            graft.streaming.Streaming.idsStreamChunked(
-              s, d, "tomb", tombstoneIds(s, d), 2),
-            "graft-gate-lifecycle-", initial = Some(coded),
-            step = (cur, batch) => deleteStep(cur.get, batch),
-            emptyResult = coded)
-          def stats(df: DataFrame, n: String, sm: String): DataFrame =
-            df.withColumn("qfp", qfpCol).groupBy(col("c_id"))
-              // decimal-summed: a BIGINT sum would wrap silently at
-              // scales a 100 TB shard reaches; decimal(38,0) is exact
-              .agg(count(lit(1)).as(n),
-                sum(col("qfp").cast("decimal(28,0)")).as(sm))
-          val j = stats(coded, "n_train", "s_train")
-            .join(broadcast(stats(live, "n_live", "s_live")), Seq("c_id"), "left")
-            .withColumn("n_live", coalesce(col("n_live"), lit(0L)))
-            .withColumn("s_live", coalesce(col("s_live"), lit(0).cast("decimal(38,0)")))
-          // exact integer cross products: cast to the narrowest widths
-          // that hold the magnitudes so no product exceeds precision 38
-          def xmul(sc: Column, nc: Column): Column =
-            sc.cast("decimal(24,0)") * nc.cast("decimal(10,0)")
-          val del = lit(LifecycleDelDen) * (col("n_train") - col("n_live")) >=
-            col("n_train")
-          val drift = lit(LifecycleDriftDen).cast("decimal(3,0)") *
-            abs(xmul(col("s_live"), col("n_train")) - xmul(col("s_train"), col("n_live"))) >
-            xmul(col("s_train"), col("n_live"))
-          j.select(col("c_id"), col("n_train"), col("n_live"),
-              (col("n_train") - col("n_live")).as("n_deleted"),
-              col("s_train").cast("long").as("norm_train_fp"),
-              col("s_live").cast("long").as("norm_live_fp"),
-              (del || drift).as("retrain"))
-            .orderBy(col("c_id"))
-        }
-      }
-    },
-
-    // SemDeDup-style semantic prune (Abbas et al. 2023, PAPERS.md; the
-    // consumer emb_kmeans' clustering exists for): inside each k-means
-    // cluster, DROP every vector whose cosine to a LOWER-id cluster-mate
-    // is ≥ tau — the min-id member of each duplicate neighborhood is the
-    // kept representative. Output is the per-vector verdict table
-    // (vec_id, cluster_id, kept), the artifact a curation pipeline joins
-    // against its corpus.
-    //
-    // Scale shape: cluster sizes are UNBOUNDED (production nlist ~√n
-    // still leaves √n-sized clusters), so clusters are never pairwised
-    // whole — candidates block on (cluster, hyperplane band, bucket),
-    // the dedup_embedding sub-blocking with c_id replacing label, and
-    // bitsPerBand growing with the corpus keeps buckets ~200 rows at
-    // any n. Near-identical vectors agree on every sign bucket, so
-    // recall at SemDeDup's high-tau regime ≈ 1, and because the oracle
-    // replicates the identical md5-derived planes, even a band-split
-    // borderline pair is dropped IDENTICALLY on both sides. The members
-    // join carries the embedding payload once per vector (bucketing
-    // explodes AFTER the join); everything past the float prefilter is
-    // survivor-sized. tau is `spark.graft.dedup.semTau` (default 0.99,
-    // pinned by the oracle; registered in Verify's pinned-knob list).
-    "dedup_semantic" -> { (s, d) =>
-      val tau = s.conf.getOption("spark.graft.dedup.semTau")
-        .map(_.toDouble).getOrElse(0.99)
-      val m = kmeansMembers(s, d)
-      val bucketed = Tables.embeddings(s, d)
-        .join(m, Seq("vec_id"))
-        .withColumn("buckets",
-          graft.functions.HyperplaneBuckets.buckets(
-            col("embedding"), 4, annBitsPerBand(s, d)))
-        .select(col("vec_id"), col("c_id"), col("embedding"),
-          posexplode(col("buckets")).as(Seq("band", "bucket")))
-      val drops = bucketed.as("a")
-        .join(bucketed.as("b"),
-          col("a.c_id") === col("b.c_id") && col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
-          col("a.embedding").as("e1"), col("b.embedding").as("e2"))
-        // same two-phase scoring as dedup_embedding: all-float codegen
-        // prefilter in-stage (margin 0.005 ≫ float-vs-decimal drift),
-        // oracle-exact decimal dot on the tiny survivor set
-        .filter(dotDbl(col("e1"), col("e2")) /
-          sqrt(dotDbl(col("e1"), col("e1")) * dotDbl(col("e2"), col("e2")))
-          >= tau - 0.005)
-        // pair-dedup BETWEEN the phases (round-11 advice): a pair
-        // colliding in k of the 4 bands would otherwise pay the decimal
-        // verify k× — and multi-band collisions concentrate on exactly
-        // the near-identical pairs this query targets (they agree on
-        // every sign bucket). Placed AFTER the float gate, not before
-        // it: the prefilter is cheap per candidate, so deduping the raw
-        // blocked join would shuffle all ~13 M candidate pairs (100×
-        // figure) WITH their embedding payloads to save re-running a
-        // codegen float dot, while here the exchange carries only the
-        // float survivors (near-dup-sized) into the expensive verify.
-        .distinct()
-        .filter(dotDec(col("e1"), col("e2")).cast("double") /
-          sqrt(normDec(col("e1")).cast("double") * normDec(col("e2")).cast("double"))
-          >= tau)
-        .select(col("drop_id")).distinct()
-      m.join(drops, col("vec_id") === col("drop_id"), "left")
-        .select(col("vec_id"), col("c_id").as("cluster_id"),
-          col("drop_id").isNull.as("kept"))
-        .orderBy(col("vec_id"))
-    }
-  )
-
-  /** Lifecycle thresholds (gate 16): a bucket RETRAINS when it lost at
-    * least 1/LifecycleDelDen of its training members (takedown mass
-    * invalidates the local geometry the codebooks were trained on) OR
-    * when the live members' mean quantized-residual energy drifts more
-    * than 1/LifecycleDriftDen relative from the frozen training
-    * snapshot. Both rules are exact integer comparisons
-    * (cross-multiplied — no division, no floats), so the oracle
-    * replays them bit-for-bit at any corpus size. */
-  private val LifecycleDelDen = 6L
-  private val LifecycleDriftDen = 50L
-
-  /** The takedown feed: one full source takedown (label = 1) plus
-    * scattered per-item requests (vec_id % 13 = 5) — the two shapes a
-    * production tombstone list mixes. Deterministic and data-derived,
-    * so the DuckDB oracle regenerates the identical list. */
-  private def tombstoneIds(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .filter(col("label") === 1 || col("vec_id") % 13 === 5)
-      .select(col("vec_id"))
-
-  /** One tombstone-application step of the gate-16 maintenance stream:
-    * the batch's ids become op='D' delta rows (payload columns NULL —
-    * a delete only needs the key) applied through the shared MERGE
-    * operator; a tombstone for an id the index doesn't hold is a no-op,
-    * per SQL MERGE. */
-  private def deleteStep(cur: DataFrame, batch: DataFrame): DataFrame = {
-    val delta = cur.columns.filterNot(_ == "vec_id").foldLeft(
-      batch.select(col("vec_id"))) { (acc, c) =>
-        acc.withColumn(c, lit(null).cast(cur.schema(c).dataType)) }
-      .withColumn("op", lit("D"))
-    graft.operators.Merge.merge(cur, delta, "vec_id").drop("action")
-  }
-
-  /** Shared oracle CTEs: per-element exploded view + decimal norms.
-    * The HAVING mirrors [[withNorm]]'s ingest filter EXACTLY: an
-    * all-zero vector is not indexable (round-10 advice), and the
-    * double sum of squares is 0 iff every element is 0 (float32
-    * squares cannot underflow a double), the same predicate the
-    * engine's codegen float self-dot evaluates — NOT `n2 > 0`, whose
-    * per-term DECIMAL(…,12) rounding would also drop tiny-but-nonzero
-    * vectors the engine keeps. NaN elements: Spark's `NaN > 0` is
-    * false (vector dropped) while DuckDB orders NaN above every
-    * number, so the HAVING carries an explicit NOT isnan to keep the
-    * predicates identical. Accepted residual (review-noted, adversarial
-    * only): a vector whose EVERY |element| < ~7e-7 passes both filters
-    * yet rounds to decimal n2 = 0, so its cosines are NULL with
-    * engine-specific ordering — a real ingest normalizes vectors, and
-    * excluding the class would need a magnitude threshold whose
-    * boundary ulps differ across engines. Every oracle consumer
-    * reaches vectors through `norms` (or through `members`, which
-    * joins it), so the filter applies corpus-wide. */
-  private val exSql =
-    """ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
-      |       FROM embeddings),
-      |norms AS (
-      |  SELECT vec_id,
-      |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
-      |  FROM ex GROUP BY vec_id
-      |  HAVING sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0
-      |     AND NOT isnan(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
-
-  private def pairSql(nq: Int): String =
-    s"""pairs AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-       |         CAST(sum(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
-       |           / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosine
-       |  FROM ex q
-       |  JOIN ex c ON q.i = c.i AND q.vec_id < $nq AND c.vec_id <> q.vec_id
-       |  JOIN norms nq ON nq.vec_id = q.vec_id
-       |  JOIN norms nc ON nc.vec_id = c.vec_id
-       |  GROUP BY q.vec_id, c.vec_id, nq.n2, nc.n2)""".stripMargin
-
-  /** Hyperplane LSH bucketing CTEs (planes → projections → buckets) —
-    * mirrors lshBucketed at 4 bands × the DERIVED bitsPerBand: `bcfg`
-    * recomputes [[bitsFor]]'s integer rule (smallest b ≥ 4 with
-    * 2^b · 200 ≥ count) from the same table, so the oracle tracks the
-    * engine at ANY corpus size — exact integer comparisons, no
-    * cross-engine log2 rounding hazard. Shared by the ann_lsh and
-    * dedup_embedding oracles. */
-  private val lshBucketsSql =
-    s"""bcfg AS (
-       |  SELECT min(b) AS bits
-       |  FROM (SELECT unnest(generate_series(4, 30)) AS b),
-       |       (SELECT count(*) AS n FROM embeddings)
-       |  WHERE (CAST(1 AS BIGINT) << b) * $TargetBucket >= n),
-       |planes AS (
-       |  SELECT p, i,
-       |         ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 6))::INTEGER
-       |           / 8388608.0 - 1.0 AS c
-       |  FROM (SELECT unnest(generate_series(0, 119)) AS p),
-       |       (SELECT unnest(generate_series(0, 63)) AS i)
-       |  WHERE p < 4 * (SELECT bits FROM bcfg)),
-       |projections AS (
-       |  SELECT e.vec_id, pl.p, sum(pl.c * CAST(e.x AS DOUBLE) ORDER BY pl.i) AS proj
-       |  FROM ex e JOIN planes pl ON pl.i = e.i - 1
-       |  GROUP BY e.vec_id, pl.p),
-       |buckets AS (
-       |  SELECT vec_id, p // (SELECT bits FROM bcfg) AS band,
-       |         CAST(sum(CASE WHEN proj >= 0
-       |                       THEN (CAST(1 AS BIGINT) << ((SELECT bits FROM bcfg) - 1 - p % (SELECT bits FROM bcfg)))
-       |                       ELSE 0 END) AS INTEGER) AS bucket
-       |  FROM projections GROUP BY vec_id, p // (SELECT bits FROM bcfg))""".stripMargin
-
-  // a def, not a val: the ann_ivf oracle embeds the fixture-keyed
-  // centroid-export path of the LAST ann_ivf build (Verify dumps oracle
-  // SQL after running the queries, so the path matches the run it checks)
-  /** Exported-centroid assignment CTE chain (cex → cnorms → assign →
-    * ranked → members) — the SQL twin of [[assignCentroid]], shared by
-    * the ann_ivf / emb_kmeans / data_sample_cluster_balanced oracles so
-    * a tiebreak or decimal-scale change cannot silently diverge one of
-    * them (the engine side shares assignCentroid for the same reason).
-    * A DEF: it reads [[lastIvf]] at oracle-dump time, like the entries
-    * that embed it (`oracles` itself is a def). Expects `ex`/`norms`
-    * from $exSql in scope. */
-  private def assignMembersSql: String =
-    s"""cex AS (SELECT c_id, generate_subscripts(c_emb, 1) AS i, unnest(c_emb) AS x
-       |        FROM parquet_scan('${ivfOracleCentroidsPath(lastIvf._1, lastIvf._2)}')),
-       |cnorms AS (
-       |  SELECT c_id,
-       |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
-       |  FROM cex GROUP BY c_id),
-       |assign AS (
-       |  SELECT e.vec_id, c.c_id,
-       |         CAST(sum(CAST(CAST(e.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
-       |           / sqrt(CAST(n.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS c_cos
-       |  FROM ex e
-       |  JOIN cex c ON c.i = e.i
-       |  JOIN norms n ON n.vec_id = e.vec_id
-       |  JOIN cnorms cn ON cn.c_id = c.c_id
-       |  GROUP BY e.vec_id, c.c_id, n.n2, cn.n2),
-       |ranked AS (
-       |  SELECT vec_id, c_id,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rank
-       |  FROM assign),
-       |members AS (SELECT vec_id, c_id FROM ranked WHERE c_rank = 1)""".stripMargin
-
-  /** The residual ENCODING CTE chain (residual sub-codebooks →
-    * per-vector residual encoding → winning codes) — the coded-index
-    * derivation alone, shared by [[residualAdcSql]] (which adds the
-    * query-side ADC tail) and the oracles that only need the index
-    * itself (streaming_index_maintain, ann_index_lifecycle). A DEF:
-    * embeds the fixture-keyed codebook export path of the last build,
-    * like [[assignMembersSql]]. Expects ex/norms/cex/members in scope;
-    * yields `rcb(m, code, j, x)` and `codes(vec_id, m, code)`. */
-  private def residualCodesSql: String =
-    s"""rcb AS (SELECT m, code, generate_subscripts(c_sub, 1) AS j, unnest(c_sub) AS x
-       |        FROM parquet_scan('${pqResOracleCodebookPath(lastPqRes._1, lastPqRes._2)}')),
-       |res AS (
-       |  SELECT e.vec_id, mm.c_id,
-       |         CAST((e.i - 1) // $PqSubDim AS INT) AS m,
-       |         CAST((e.i - 1) % $PqSubDim + 1 AS INT) AS j,
-       |         CAST(CAST(e.x AS DOUBLE) - CAST(c.x AS DOUBLE) AS REAL) AS r
-       |  FROM ex e
-       |  JOIN members mm ON mm.vec_id = e.vec_id
-       |  JOIN cex c ON c.c_id = mm.c_id AND c.i = e.i),
-       |d2r AS (
-       |  SELECT r.vec_id, r.m, b.code,
-       |         sum(CAST(CAST(r.r AS DOUBLE) * CAST(r.r AS DOUBLE) AS DECIMAL(38,12)))
-       |       - 2 * sum(CAST(CAST(r.r AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12)))
-       |       + sum(CAST(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS d2dec
-       |  FROM res r JOIN rcb b ON b.m = r.m AND b.j = r.j
-       |  GROUP BY r.vec_id, r.m, b.code),
-       |codes AS (
-       |  SELECT vec_id, m, code FROM (
-       |    SELECT vec_id, m, code,
-       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2dec, code) AS rn
-       |    FROM d2r) WHERE rn = 1)""".stripMargin
-
-  /** The full IVFADC CTE chain ([[residualCodesSql]] + probe residual
-    * ADC tables → summed BIGINT scores over probed buckets), ONE copy
-    * shared by the ann_ivfpq_residual and ann_filtered_pq oracles (the
-    * incrementalOracle discipline). Expects ex/norms/cex/members/ranked
-    * in scope; yields `adc(query_id, vec_id, adc_d2_fp)`. */
-  private def residualAdcSql: String =
-    s"""$residualCodesSql,
-       |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
-       |           WHERE vec_id < $NQ AND c_rank <= 4),
-       |qres AS (
-       |  SELECT p.query_id, p.c_id,
-       |         CAST((e.i - 1) // $PqSubDim AS INT) AS m,
-       |         CAST((e.i - 1) % $PqSubDim + 1 AS INT) AS j,
-       |         CAST(CAST(e.x AS DOUBLE) - CAST(c.x AS DOUBLE) AS REAL) AS r
-       |  FROM probes p
-       |  JOIN ex e ON e.vec_id = p.query_id
-       |  JOIN cex c ON c.c_id = p.c_id AND c.i = e.i),
-       |qd2 AS (
-       |  SELECT q.query_id, q.c_id, q.m, b.code,
-       |         sum(CAST(CAST(q.r AS DOUBLE) * CAST(q.r AS DOUBLE) AS DECIMAL(38,12)))
-       |       - 2 * sum(CAST(CAST(q.r AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12)))
-       |       + sum(CAST(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS d2dec
-       |  FROM qres q JOIN rcb b ON b.m = q.m AND b.j = q.j
-       |  GROUP BY q.query_id, q.c_id, q.m, b.code),
-       |qtab AS (SELECT query_id, c_id, m, code,
-       |                CAST(CAST(d2dec AS DECIMAL(24,12)) *
-       |                     CAST($PqFp AS DECIMAL(13,0)) AS BIGINT) AS dfp
-       |         FROM qd2),
-       |adc AS (
-       |  SELECT q.query_id, mm.vec_id, CAST(sum(q.dfp) AS BIGINT) AS adc_d2_fp
-       |  FROM members mm
-       |  JOIN codes cd ON cd.vec_id = mm.vec_id
-       |  JOIN qtab q ON q.c_id = mm.c_id AND q.m = cd.m AND q.code = cd.code
-       |  WHERE mm.vec_id <> q.query_id
-       |  GROUP BY q.query_id, mm.vec_id)""".stripMargin
-
-  /** The selectivity-policy CTE chain + final SELECT shared by the
-    * ann_filtered and ann_filtered_pq oracles — ONE copy of the match
-    * sets, the integer policy rule (5·nm ≤ nc), the k′ clamp, and the
-    * four gated arms (review finding: the block had drifted into two
-    * near-verbatim copies). `src` must expose (query_id, vec_id,
-    * `valCol`); `desc` picks the ranking direction; `outScore` renders
-    * the score column in the output row. Expects `norms` in scope.
-    * greatest(nm, 1) only guards the k′ division: nm = 0 implies the
-    * pre arm (5·0 ≤ nc), so the guard never alters an emitted row.
-    * Built without margin chars — it is interpolated into stripMargin
-    * templates. */
-  private def policyArmsSql(src: String, valCol: String, desc: Boolean,
-      outScore: String): String = {
-    val dir = if (desc) " DESC" else ""
-    def inner(from: String, mset: String, extra: String): String =
-      s"SELECT t.query_id, t.vec_id, t.$valCol,\n" +
-        s"               row_number() OVER (PARTITION BY t.query_id ORDER BY t.$valCol$dir, t.vec_id) AS rk\n" +
-        s"        FROM $from t JOIN $mset ms ON ms.vec_id = t.vec_id$extra"
-    def kPrime(nmCte: String): String =
-      s"least(${10 * K}, greatest(${2 * K}, " +
-        s"($K * (SELECT n FROM ntot) + (SELECT n FROM $nmCte) - 1) " +
-        s"// greatest((SELECT n FROM $nmCte), 1)))"
-    def arms(tag: String, pred: String, mset: String, nmCte: String): String =
-      s"pre_$tag AS (\n" +
-        s"  SELECT '$pred' AS pred, 'pre' AS policy, query_id, rk, vec_id, $valCol\n" +
-        s"  FROM (${inner(src, mset, "")})\n" +
-        s"  WHERE rk <= $K AND 5 * (SELECT n FROM $nmCte) <= (SELECT n FROM ntot)),\n" +
-        s"post_$tag AS (\n" +
-        s"  SELECT '$pred' AS pred, 'post' AS policy, query_id, rk, vec_id, $valCol\n" +
-        s"  FROM (${inner("ranked_all", mset, s"\n        WHERE t.rk1 <= ${kPrime(nmCte)}")})\n" +
-        s"  WHERE rk <= $K AND 5 * (SELECT n FROM $nmCte) > (SELECT n FROM ntot))"
-    s"ranked_all AS (\n" +
-      s"  SELECT query_id, vec_id, $valCol,\n" +
-      s"         row_number() OVER (PARTITION BY query_id ORDER BY $valCol$dir, vec_id) AS rk1\n" +
-      s"  FROM $src),\n" +
-      "ntot AS (SELECT count(*) AS n FROM norms),\n" +
-      "mz AS (SELECT n.vec_id FROM norms n JOIN documents dd ON dd.doc_id = n.vec_id\n" +
-      "       WHERE dd.lang = 'zh'),\n" +
-      "me AS (SELECT n.vec_id FROM norms n JOIN embeddings e ON e.vec_id = n.vec_id\n" +
-      "       WHERE e.label IS NOT NULL AND e.label % 2 = 0),\n" +
-      "nmz AS (SELECT count(*) AS n FROM mz),\n" +
-      "nme AS (SELECT count(*) AS n FROM me),\n" +
-      s"${arms("z", "lang_zh", "mz", "nmz")},\n" +
-      s"${arms("e", "label_even", "me", "nme")}\n" +
-      s"SELECT pred, policy, query_id, CAST(rk AS INT) AS rk, vec_id, $outScore\n" +
-      "FROM (SELECT * FROM pre_z UNION ALL SELECT * FROM post_z\n" +
-      "      UNION ALL SELECT * FROM pre_e UNION ALL SELECT * FROM post_e)\n" +
-      "ORDER BY pred, query_id, rk"
-  }
-
-  def oracles: Map[String, String] = Map(
-
-    "ann_brute" ->
-      s"""WITH $exSql,
-         |${pairSql(NQ)}
-         |SELECT query_id, rk, vec_id, round(cosine, 9) AS cosine
-         |FROM (SELECT query_id, vec_id, cosine,
-         |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-         |      FROM pairs)
-         |WHERE rk <= $K
-         |ORDER BY query_id, rk""".stripMargin,
-
-    "ann_range" ->
-      s"""WITH $exSql,
-         |${pairSql(NQ)}
-         |SELECT query_id, vec_id, round(cosine, 9) AS cosine
-         |FROM pairs
-         |WHERE cosine >= $RangeTau
-         |ORDER BY query_id, vec_id""".stripMargin,
-
-    "emb_knn_class" ->
-      s"""WITH $exSql,
-         |${pairSql(NQ)},
-         |topk AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-         |    FROM pairs)
-         |  WHERE rk <= $K),
-         |votes AS (
-         |  SELECT t.query_id, e.label, count(*) AS n_votes
-         |  FROM topk t JOIN embeddings e ON e.vec_id = t.vec_id
-         |  WHERE e.label IS NOT NULL
-         |  GROUP BY t.query_id, e.label)
-         |SELECT query_id, label AS pred_label, n_votes
-         |FROM (SELECT query_id, label, n_votes,
-         |             row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS vr
-         |      FROM votes)
-         |WHERE vr = 1
-         |ORDER BY query_id""".stripMargin,
-
-    // RRF fusion mirrored end to end: the vector arm is the ann_brute
-    // rank pipeline, the lexical arm the distinct-shared-token rank,
-    // rrf terms computed as DOUBLE division of exact small ints
-    // (DuckDB's bare `1.0` literal is DECIMAL — cast explicitly or the
-    // engines diverge in type, not value)
-    "hybrid_search" ->
-      s"""WITH $exSql,
-         |${pairSql(NQ)},
-         |vecr AS (
-         |  SELECT query_id, doc_id, CAST(rk AS INT) AS rv
-         |  FROM (SELECT query_id, vec_id AS doc_id,
-         |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-         |        FROM pairs)
-         |  WHERE rk <= $K),
-         |qt AS (
-         |  SELECT doc_id AS query_id, w
-         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-         |        FROM documents WHERE doc_id < $NQ)
-         |  WHERE w <> ''),
-         |ct AS (
-         |  SELECT doc_id, w
-         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
-         |  WHERE w <> ''),
-         |shared AS (
-         |  SELECT qt.query_id, ct.doc_id, count(*) AS n_shared
-         |  FROM ct JOIN qt USING (w)
-         |  WHERE ct.doc_id <> qt.query_id
-         |  GROUP BY qt.query_id, ct.doc_id),
-         |lexr AS (
-         |  SELECT query_id, doc_id, CAST(rk AS INT) AS rl
-         |  FROM (SELECT query_id, doc_id,
-         |               row_number() OVER (PARTITION BY query_id ORDER BY n_shared DESC, doc_id) AS rk
-         |        FROM shared)
-         |  WHERE rk <= $K),
-         |fused AS (
-         |  SELECT coalesce(v.query_id, l.query_id) AS query_id,
-         |         coalesce(v.doc_id, l.doc_id) AS doc_id,
-         |         coalesce(CAST(1 AS DOUBLE) / (60 + v.rv), CAST(0 AS DOUBLE)) +
-         |           coalesce(CAST(1 AS DOUBLE) / (60 + l.rl), CAST(0 AS DOUBLE)) AS rrf,
-         |         v.rv, l.rl
-         |  FROM vecr v FULL OUTER JOIN lexr l
-         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
-         |SELECT query_id, rk, doc_id, round(rrf0, 9) AS rrf, rv, rl
-         |FROM (SELECT query_id,
-         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rk,
-         |             doc_id, rrf AS rrf0, rv, rl
-         |      FROM fused)
-         |WHERE rk <= $K
-         |ORDER BY query_id, rk""".stripMargin,
-
-    // BM25 arm mirrored exactly: same rational-idf fixed-point integer
-    // term score (HUGEINT ×/ // here = DECIMAL(38,0) ×/div there — both
-    // floor positive quotients), same BIGINT sum, same RRF fusion
-    "hybrid_search_bm25" ->
-      s"""WITH $exSql,
-         |${pairSql(NQ)},
-         |vecr AS (
-         |  SELECT query_id, doc_id, CAST(rk AS INT) AS rv
-         |  FROM (SELECT query_id, vec_id AS doc_id,
-         |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-         |        FROM pairs)
-         |  WHERE rk <= $K),
-         |toks AS (
-         |  SELECT doc_id, w
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-         |  WHERE w <> ''),
-         |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
-         |dlt AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-         |tot AS (SELECT (SELECT count(*) FROM documents) AS N,
-         |               (SELECT count(*) FROM toks) AS L),
-         |dft AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
-         |qt AS (SELECT doc_id AS query_id, w FROM tf WHERE doc_id < $NQ),
-         |cand AS (
-         |  SELECT q.query_id, t.doc_id,
-         |         CAST(sum(
-         |           (CAST(2*tot.N - 2*f.df + 1 AS HUGEINT) * 22 * t.tf * tot.L * 1000000)
-         |           // (CAST(2*f.df + 1 AS HUGEINT) *
-         |               (10 * CAST(tot.L AS HUGEINT) * t.tf + 3 * tot.L +
-         |                9 * CAST(d.dl AS HUGEINT) * tot.N))
-         |         ) AS BIGINT) AS lex
-         |  FROM tf t
-         |  JOIN qt q USING (w)
-         |  JOIN dft f USING (w)
-         |  JOIN dlt d ON d.doc_id = t.doc_id
-         |  CROSS JOIN tot
-         |  WHERE t.doc_id <> q.query_id
-         |  GROUP BY q.query_id, t.doc_id),
-         |lexr AS (
-         |  SELECT query_id, doc_id, CAST(rk AS INT) AS rl
-         |  FROM (SELECT query_id, doc_id,
-         |               row_number() OVER (PARTITION BY query_id ORDER BY lex DESC, doc_id) AS rk
-         |        FROM cand)
-         |  WHERE rk <= $K),
-         |fused AS (
-         |  SELECT coalesce(v.query_id, l.query_id) AS query_id,
-         |         coalesce(v.doc_id, l.doc_id) AS doc_id,
-         |         coalesce(CAST(1 AS DOUBLE) / (60 + v.rv), CAST(0 AS DOUBLE)) +
-         |           coalesce(CAST(1 AS DOUBLE) / (60 + l.rl), CAST(0 AS DOUBLE)) AS rrf,
-         |         v.rv, l.rl
-         |  FROM vecr v FULL OUTER JOIN lexr l
-         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
-         |SELECT query_id, rk, doc_id, round(rrf0, 9) AS rrf, rv, rl
-         |FROM (SELECT query_id,
-         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rk,
-         |             doc_id, rrf AS rrf0, rv, rl
-         |      FROM fused)
-         |WHERE rk <= $K
-         |ORDER BY query_id, rk""".stripMargin,
-
-    "ann_lsh" ->
-      s"""WITH $exSql,
-         |$lshBucketsSql,
-         |flips AS (
-         |  SELECT 0 AS m
-         |  UNION ALL
-         |  SELECT CAST(CAST(1 AS BIGINT) << f AS INTEGER) AS m
-         |  FROM (SELECT unnest(generate_series(0, 29)) AS f)
-         |  WHERE f < (SELECT bits FROM bcfg)),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
-         |  FROM buckets q
-         |  CROSS JOIN flips fl
-         |  JOIN buckets c ON c.band = q.band
-         |   AND c.bucket = xor(q.bucket, fl.m)
-         |   AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $NQ),
-         |scored AS (
-         |  SELECT cd.query_id, cd.vec_id,
-         |         CAST(sum(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
-         |           / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosine
-         |  FROM cand cd
-         |  JOIN ex q ON q.vec_id = cd.query_id
-         |  JOIN ex c ON c.vec_id = cd.vec_id AND c.i = q.i
-         |  JOIN norms nq ON nq.vec_id = cd.query_id
-         |  JOIN norms nc ON nc.vec_id = cd.vec_id
-         |  GROUP BY cd.query_id, cd.vec_id, nq.n2, nc.n2)
-         |SELECT query_id, rk, vec_id, round(cosine, 9) AS cosine
-         |FROM (SELECT query_id, vec_id, cosine,
-         |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-         |      FROM scored)
-         |WHERE rk <= $K
-         |ORDER BY query_id, rk""".stripMargin,
-
-    "dedup_embedding" ->
-      s"""WITH $exSql,
-         |$lshBucketsSql,
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2, ea.label
-         |  FROM buckets a
-         |  JOIN buckets b ON b.band = a.band AND b.bucket = a.bucket AND a.vec_id < b.vec_id
-         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-         |  JOIN embeddings eb ON eb.vec_id = b.vec_id AND eb.label = ea.label),
-         |pairs AS (
-         |  SELECT c.d1, c.d2, c.label,
-         |         CAST(sum(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
-         |           / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
-         |  FROM cand c
-         |  JOIN ex a ON a.vec_id = c.d1
-         |  JOIN ex b ON b.vec_id = c.d2 AND b.i = a.i
-         |  JOIN norms na ON na.vec_id = c.d1
-         |  JOIN norms nb ON nb.vec_id = c.d2
-         |  GROUP BY c.d1, c.d2, c.label, na.n2, nb.n2)
-         |SELECT d1, d2, label, round(cosine, 9) AS cosine
-         |FROM pairs
-         |WHERE cosine >= 0.99
-         |ORDER BY d1, d2""".stripMargin,
-
-    // same exported-centroid assignment CTEs, md5-min-8 window per
-    // cluster (the vec_id tiebreak matters only for md5 collisions)
-    "data_sample_cluster_balanced" ->
-      s"""WITH $exSql,
-         |$assignMembersSql,
-         |rk AS (
-         |  SELECT vec_id, c_id AS cluster_id,
-         |         row_number() OVER (PARTITION BY c_id
-         |           ORDER BY md5('cbal|' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
-         |  FROM members)
-         |SELECT vec_id, cluster_id, CAST(rk AS INT) AS rk
-         |FROM rk WHERE rk <= 8
-         |ORDER BY cluster_id, rk""".stripMargin,
-
-    // same exported-centroid assignment CTEs as ann_ivf, stopped at
-    // `members` and joined to the per-cluster counts
-    "emb_kmeans" ->
-      s"""WITH $exSql,
-         |$assignMembersSql,
-         |cs AS (SELECT c_id, count(*) AS cluster_size FROM members GROUP BY c_id)
-         |SELECT m.vec_id, m.c_id AS cluster_id, cs.cluster_size
-         |FROM members m JOIN cs USING (c_id)
-         |ORDER BY m.vec_id""".stripMargin,
-
-    // mirrors covarianceStats value-for-value: same DOUBLE products
-    // rounded once to DECIMAL(38,12), exact sums (order-free), same
-    // IEEE cov derivation; the vec_id self-join here is the oracle's
-    // mechanism only — the engine never joins the corpus (two chained
-    // generators + dim²-bounded hash aggregation)
-    "emb_covariance" ->
-      s"""WITH $exSql,
-         |v AS (SELECT e.vec_id, CAST(e.i - 1 AS INT) AS i, e.x
-         |      FROM ex e JOIN norms USING (vec_id)),
-         |p AS (SELECT a.i AS i, b.i AS j, count(*) AS n,
-         |             sum(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS sxy
-         |      FROM v a JOIN v b ON a.vec_id = b.vec_id AND b.i >= a.i
-         |      GROUP BY a.i, b.i),
-         |s AS (SELECT i, sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS sx
-         |      FROM v GROUP BY i)
-         |SELECT p.i, p.j, p.n,
-         |       round(CAST(p.sxy AS DOUBLE) / p.n -
-         |             (CAST(si.sx AS DOUBLE) / p.n) * (CAST(sj.sx AS DOUBLE) / p.n), 6) + 0.0 AS cov
-         |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
-         |ORDER BY p.i, p.j""".stripMargin,
-
-    // COMPOSITIONAL oracle (the ann_ivf/emb_kmeans recipe): GIVEN the
-    // exported principal components (training is deterministic —
-    // cyclic Jacobi with canonical order/sign over the exact-decimal
-    // covariance), DuckDB reproduces every centered projection
-    // decimal-exactly: same per-term DOUBLE products rounded to
-    // DECIMAL(38,12), exact sums, same μ·v subtraction
-    "emb_pca" ->
-      s"""WITH $exSql,
-         |v AS (SELECT e.vec_id, CAST(e.i - 1 AS INT) AS i, e.x
-         |      FROM ex e JOIN norms USING (vec_id)),
-         |pc AS (SELECT component, i, v AS cv, mu_dot
-         |       FROM parquet_scan('${pcaOracleComponentsPath(lastPca)}')),
-         |proj AS (SELECT v.vec_id, pc.component,
-         |                sum(CAST(CAST(v.x AS DOUBLE) * CAST(pc.cv AS DOUBLE) AS DECIMAL(38,12))) AS pr,
-         |                max(pc.mu_dot) AS mu_dot
-         |         FROM v JOIN pc ON pc.i = v.i
-         |         GROUP BY v.vec_id, pc.component)
-         |SELECT vec_id,
-         |${(0 until PcaP).map(p =>
-        s"       round(CAST(max(CASE WHEN component = $p THEN pr END) AS DOUBLE) - " +
-          s"max(CASE WHEN component = $p THEN mu_dot END), 6) + 0.0 AS pc_$p").mkString(",\n")}
-         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
-
-    // same export, same decimal term sums, same left-associated IEEE
-    // combination as the engine (see the query's contract note); the
-    // outlier flag compares the UNROUNDED score on both engines
-    "emb_ood_score" ->
-      s"""WITH $exSql,
-         |v AS (SELECT e.vec_id, CAST(e.i - 1 AS INT) AS i, e.x
-         |      FROM ex e JOIN norms USING (vec_id)),
-         |pc AS (SELECT component, i, v AS cv, mu_dot, lambda, mu, mu_mu
-         |       FROM parquet_scan('${pcaOracleComponentsPath(lastPca)}')),
-         |proj AS (SELECT v.vec_id, pc.component,
-         |                CAST(sum(CAST(CAST(v.x AS DOUBLE) * CAST(pc.cv AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
-         |                  - max(pc.mu_dot) AS pr,
-         |                max(pc.lambda) AS lam
-         |         FROM v JOIN pc ON pc.i = v.i
-         |         GROUP BY v.vec_id, pc.component),
-         |w AS (SELECT vec_id,
-         |${(0 until PcaP).map(p =>
-        s"             max(CASE WHEN component = $p THEN pr END) AS p$p," +
-          s" max(CASE WHEN component = $p THEN lam END) AS l$p").mkString(",\n")}
-         |      FROM proj GROUP BY vec_id),
-         |xm AS (SELECT v.vec_id,
-         |              CAST(sum(CAST(CAST(v.x AS DOUBLE) * CAST(m.mu AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS xmu
-         |       FROM v JOIN (SELECT DISTINCT i, mu FROM pc) m ON m.i = v.i
-         |       GROUP BY v.vec_id),
-         |scored AS (SELECT w.vec_id,
-         |                  ${(0 until PcaP).map(p => s"p$p * p$p / l$p").mkString(" + ")} AS m_top,
-         |                  CAST(n.n2 AS DOUBLE) - 2.0 * xm.xmu
-         |                    + (SELECT max(mu_mu) FROM pc)
-         |                    - (${(0 until PcaP).map(p => s"p$p * p$p").mkString(" + ")}) AS resid
-         |           FROM w JOIN xm USING (vec_id) JOIN norms n USING (vec_id))
-         |SELECT vec_id,
-         |       round(m_top, 6) + 0.0 AS m_top,
-         |       round(resid, 6) + 0.0 AS resid,
-         |       m_top > 20.09 AS is_outlier
-         |FROM scored ORDER BY vec_id""".stripMargin,
-
-    // COMPOSITIONAL oracle (round-8 verdict item 3): GIVEN the trained
-    // centroids (exported by the engine to [[IvfOracleCentroidsPath]] —
-    // training itself is deterministic: decimal-mean Lloyd over staged
-    // parquet, bit-stable across runs/partitionings), DuckDB reproduces
-    // the ENTIRE serving pipeline independently: decimal-exact
-    // assignment of every vector to its nearest centroid, the default
-    // nprobe=4 probe set per query, and the decimal rescore + top-K of
-    // the probed buckets' members. Only the two sketch ops (agg_approx,
-    // agg_sketch_merge) remain rows-only by nature.
-    "ann_ivf" ->
-      s"""WITH $exSql,
-         |$assignMembersSql,
-         |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
-         |           WHERE vec_id < $NQ AND c_rank <= 4),
-         |cand AS (
-         |  SELECT p.query_id, m.vec_id
-         |  FROM probes p JOIN members m ON m.c_id = p.c_id AND m.vec_id <> p.query_id),
-         |scored AS (
-         |  SELECT cd.query_id, cd.vec_id,
-         |         CAST(sum(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
-         |           / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosine
-         |  FROM cand cd
-         |  JOIN ex q ON q.vec_id = cd.query_id
-         |  JOIN ex c ON c.vec_id = cd.vec_id AND c.i = q.i
-         |  JOIN norms nq ON nq.vec_id = cd.query_id
-         |  JOIN norms nc ON nc.vec_id = cd.vec_id
-         |  GROUP BY cd.query_id, cd.vec_id, nq.n2, nc.n2)
-         |SELECT query_id, rk, vec_id, round(cosine, 9) AS cosine
-         |FROM (SELECT query_id, vec_id, cosine,
-         |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-         |      FROM scored)
-         |WHERE rk <= $K
-         |ORDER BY query_id, rk""".stripMargin,
-
-    // Compositional like ann_ivf, PLUS the filter-strategy policy
-    // replayed exactly: selectivity counts come from the same `norms`
-    // ingest-filtered view the engine counts, the pre/post decision is
-    // the integer rule 5·nm ≤ nc (θ = 0.2 as an exact rational), and
-    // the post arm's over-fetch k′ is the same integer ⌈K·nc/nm⌉
-    // clamped to [2K, 10K] — each arm's SELECT is gated by the policy
-    // predicate, so exactly one arm per predicate emits rows at any
-    // corpus size. greatest(nm, 1) only guards the k′ division: nm = 0
-    // implies the pre arm (5·0 ≤ nc), so the guard never alters an
-    // emitted row.
-    "ann_filtered" ->
-      s"""WITH $exSql,
-         |$assignMembersSql,
-         |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
-         |           WHERE vec_id < $NQ AND c_rank <= 4),
-         |cand AS (
-         |  SELECT p.query_id, m.vec_id
-         |  FROM probes p JOIN members m ON m.c_id = p.c_id AND m.vec_id <> p.query_id),
-         |scored AS (
-         |  SELECT cd.query_id, cd.vec_id,
-         |         CAST(sum(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
-         |           / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nv.n2 AS DOUBLE)) AS cosine
-         |  FROM cand cd
-         |  JOIN ex q ON q.vec_id = cd.query_id
-         |  JOIN ex c ON c.vec_id = cd.vec_id AND c.i = q.i
-         |  JOIN norms nq ON nq.vec_id = cd.query_id
-         |  JOIN norms nv ON nv.vec_id = cd.vec_id
-         |  GROUP BY cd.query_id, cd.vec_id, nq.n2, nv.n2),
-         |${policyArmsSql("scored", "cosine", desc = true, "round(cosine, 9) AS cosine")}""".stripMargin,
-
-    // compositional from the exported sub-codebooks (the ann_ivf
-    // precedent): DuckDB re-derives the decimal-exact encoding, the
-    // fixed-point ADC tables, and the summed BIGINT scores. The fp
-    // rendering mirrors the engine's d2Fp NARROWING exactly: a direct
-    // d2dec * 10^12 on DECIMAL(38,12) needs width 38+13 > DuckDB's max,
-    // and DuckDB silently falls back to DOUBLE arithmetic there —
-    // agreement would then rest on |d2|·10^12 < 2^53 (round-11 advice);
-    // DECIMAL(24,12) × DECIMAL(13,0) stays width 37, decimal-exact.
-    "ann_ivf_pq" ->
-      s"""WITH $exSql,
-         |cb AS (SELECT m, code, generate_subscripts(c_sub, 1) AS j, unnest(c_sub) AS x
-         |       FROM parquet_scan('${pqOracleCodebookPath(lastPq)}')),
-         |exm AS (SELECT e.vec_id, CAST((e.i - 1) // $PqSubDim AS INT) AS m,
-         |               CAST((e.i - 1) % $PqSubDim + 1 AS INT) AS j, e.x
-         |        FROM ex e JOIN norms USING (vec_id)),
-         |d2 AS (
-         |  SELECT e.vec_id, e.m, c.code,
-         |         sum(CAST(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE) AS DECIMAL(38,12)))
-         |       - 2 * sum(CAST(CAST(e.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12)))
-         |       + sum(CAST(CAST(c.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS d2dec
-         |  FROM exm e JOIN cb c ON c.m = e.m AND c.j = e.j
-         |  GROUP BY e.vec_id, e.m, c.code),
-         |codes AS (
-         |  SELECT vec_id, m, code FROM (
-         |    SELECT vec_id, m, code,
-         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2dec, code) AS rn
-         |    FROM d2) WHERE rn = 1),
-         |qtab AS (SELECT vec_id AS query_id, m, code,
-         |                CAST(CAST(d2dec AS DECIMAL(24,12)) *
-         |                     CAST($PqFp AS DECIMAL(13,0)) AS BIGINT) AS dfp
-         |         FROM d2 WHERE vec_id < $NQ),
-         |adc AS (
-         |  SELECT q.query_id, c.vec_id, CAST(sum(q.dfp) AS BIGINT) AS adc_d2_fp
-         |  FROM codes c JOIN qtab q ON q.m = c.m AND q.code = c.code
-         |  WHERE c.vec_id <> q.query_id
-         |  GROUP BY q.query_id, c.vec_id)
-         |SELECT query_id, CAST(rk AS INT) AS rk, vec_id, adc_d2_fp
-         |FROM (SELECT query_id, vec_id, adc_d2_fp,
-         |             row_number() OVER (PARTITION BY query_id ORDER BY adc_d2_fp, vec_id) AS rk
-         |      FROM adc)
-         |WHERE rk <= $K
-         |ORDER BY query_id, rk""".stripMargin,
-
-    // compositional from BOTH exported artifacts: the coarse centroids
-    // (assignMembersSql — members + the probe ranking) and the residual
-    // sub-codebooks. DuckDB re-derives residuals under the pinned
-    // double-subtract-then-float rounding (CAST(x_d − c_d AS REAL)),
-    // the decimal-exact residual encoding, the per-(query, probed
-    // bucket) fixed-point ADC tables (the engine's d2Fp narrowing), and
-    // the summed BIGINT scores over probed buckets only
-    "ann_ivfpq_residual" ->
-      s"""WITH $exSql,
-         |$assignMembersSql,
-         |$residualAdcSql
-         |SELECT query_id, CAST(rk AS INT) AS rk, vec_id, adc_d2_fp
-         |FROM (SELECT query_id, vec_id, adc_d2_fp,
-         |             row_number() OVER (PARTITION BY query_id ORDER BY adc_d2_fp, vec_id) AS rk
-         |      FROM adc)
-         |WHERE rk <= $K
-         |ORDER BY query_id, rk""".stripMargin,
-
-    // the residual ADC chain proposes k′ = 4·K, the pairSql decimal
-    // cosine re-ranks the shortlist — compositional from both exported
-    // artifacts like ann_ivfpq_residual itself
-    "ann_refine" ->
-      s"""WITH $exSql,
-         |$assignMembersSql,
-         |$residualAdcSql,
-         |short AS (
-         |  SELECT query_id, vec_id
-         |  FROM (SELECT query_id, vec_id,
-         |               row_number() OVER (PARTITION BY query_id ORDER BY adc_d2_fp, vec_id) AS rk
-         |        FROM adc)
-         |  WHERE rk <= ${RefineFactor * K}),
-         |resc AS (
-         |  SELECT sh.query_id, sh.vec_id,
-         |         CAST(sum(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
-         |           / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosine
-         |  FROM short sh
-         |  JOIN ex q ON q.vec_id = sh.query_id
-         |  JOIN ex c ON c.vec_id = sh.vec_id AND c.i = q.i
-         |  JOIN norms nq ON nq.vec_id = sh.query_id
-         |  JOIN norms nc ON nc.vec_id = sh.vec_id
-         |  GROUP BY sh.query_id, sh.vec_id, nq.n2, nc.n2)
-         |SELECT query_id, CAST(rk AS INT) AS rk, vec_id,
-         |       round(cosine, 6) + 0.0 AS cosine
-         |FROM (SELECT query_id, vec_id, cosine,
-         |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-         |      FROM resc)
-         |WHERE rk <= $K
-         |ORDER BY query_id, rk""".stripMargin,
-
-    // the stream-built index must equal the BATCH derivation row for
-    // row (per-row encoding under frozen artifacts is independent of
-    // batch boundaries): members + codes from the shared residual CTE
-    // chain, codes pivoted to the index's column layout
-    "streaming_index_maintain" ->
-      s"""WITH $exSql,
-         |$assignMembersSql,
-         |$residualCodesSql,
-         |codesp AS (
-         |  SELECT vec_id,
-         |         ${(0 until PqM).map(m =>
-        s"CAST(max(CASE WHEN m = $m THEN code END) AS INT) AS code_$m")
-        .mkString(",\n         |         ")}
-         |  FROM codes GROUP BY vec_id)
-         |SELECT mm.vec_id, mm.c_id, ${(0 until PqM).map(m => s"cp.code_$m").mkString(", ")}
-         |FROM members mm JOIN codesp cp ON cp.vec_id = mm.vec_id
-         |ORDER BY mm.vec_id""".stripMargin,
-
-    // gate 16: the live index is the batch anti-join of the coded index
-    // against the tombstone list (deletes of distinct keys commute, so
-    // the stream-maintained table equals it under any batch split); the
-    // per-vector quantized-residual energy re-derives from the exported
-    // sub-codebooks through the engine's exact d2Fp narrowing, and both
-    // retrain rules replay as integer comparisons (HUGEINT cross
-    // products — DuckDB BIGINT×BIGINT errors on overflow rather than
-    // widening, and the DECIMAL route would silently fall to DOUBLE
-    // past width 38)
-    "ann_index_lifecycle" ->
-      s"""WITH $exSql,
-         |$assignMembersSql,
-         |$residualCodesSql,
-         |ncb AS (
-         |  SELECT m, code,
-         |         CAST(CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DECIMAL(24,12)) *
-         |              CAST($PqFp AS DECIMAL(13,0)) AS BIGINT) AS nfp
-         |  FROM rcb GROUP BY m, code),
-         |qn AS (SELECT c.vec_id, CAST(sum(n.nfp) AS BIGINT) AS qfp
-         |       FROM codes c JOIN ncb n ON n.m = c.m AND n.code = c.code
-         |       GROUP BY c.vec_id),
-         |idx AS (SELECT mm.vec_id, mm.c_id, q.qfp
-         |        FROM members mm JOIN qn q ON q.vec_id = mm.vec_id),
-         |tomb AS (SELECT vec_id FROM embeddings WHERE label = 1 OR vec_id % 13 = 5),
-         |lv AS (SELECT i.* FROM idx i LEFT JOIN tomb t ON t.vec_id = i.vec_id
-         |       WHERE t.vec_id IS NULL),
-         |ts AS (SELECT c_id, count(*) AS n_train, CAST(sum(qfp) AS BIGINT) AS s_train
-         |       FROM idx GROUP BY c_id),
-         |ls AS (SELECT c_id, count(*) AS n_live, CAST(sum(qfp) AS BIGINT) AS s_live
-         |       FROM lv GROUP BY c_id)
-         |SELECT t.c_id, t.n_train,
-         |       CAST(coalesce(l.n_live, 0) AS BIGINT) AS n_live,
-         |       CAST(t.n_train - coalesce(l.n_live, 0) AS BIGINT) AS n_deleted,
-         |       t.s_train AS norm_train_fp,
-         |       CAST(coalesce(l.s_live, 0) AS BIGINT) AS norm_live_fp,
-         |       ($LifecycleDelDen * (t.n_train - coalesce(l.n_live, 0)) >= t.n_train
-         |        OR $LifecycleDriftDen * abs(CAST(coalesce(l.s_live, 0) AS HUGEINT) * t.n_train
-         |             - CAST(t.s_train AS HUGEINT) * coalesce(l.n_live, 0))
-         |           > CAST(t.s_train AS HUGEINT) * coalesce(l.n_live, 0)) AS retrain
-         |FROM ts t LEFT JOIN ls l ON l.c_id = t.c_id
-         |ORDER BY t.c_id""".stripMargin,
-
-    // the IVFADC ranking (shared $residualAdcSql CTEs) gated by
-    // ann_filtered's policy machinery — same integer selectivity rule,
-    // same k′, same arm gating; scores stay exact BIGINT ADC distances
-    "ann_filtered_pq" ->
-      s"""WITH $exSql,
-         |$assignMembersSql,
-         |$residualAdcSql,
-         |${policyArmsSql("adc", "adc_d2_fp", desc = false, "adc_d2_fp")}""".stripMargin,
-
-    // exported-centroid assignment (members) + the same md5-derived
-    // hyperplane blocking as dedup_embedding, block key (c_id, band,
-    // bucket); decimal-exact verify at the pinned tau; dropped = the
-    // higher id of every confirmed pair
-    "dedup_semantic" ->
-      s"""WITH $exSql,
-         |$assignMembersSql,
-         |$lshBucketsSql,
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
-         |  FROM buckets a
-         |  JOIN buckets b ON b.band = a.band AND b.bucket = a.bucket
-         |                AND a.vec_id < b.vec_id
-         |  JOIN members ma ON ma.vec_id = a.vec_id
-         |  JOIN members mb ON mb.vec_id = b.vec_id AND mb.c_id = ma.c_id),
-         |pairs AS (
-         |  SELECT c.d1, c.d2,
-         |         CAST(sum(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
-         |           / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
-         |  FROM cand c
-         |  JOIN ex a ON a.vec_id = c.d1
-         |  JOIN ex b ON b.vec_id = c.d2 AND b.i = a.i
-         |  JOIN norms na ON na.vec_id = c.d1
-         |  JOIN norms nb ON nb.vec_id = c.d2
-         |  GROUP BY c.d1, c.d2, na.n2, nb.n2),
-         |drops AS (SELECT DISTINCT d2 FROM pairs WHERE cosine >= 0.99)
-         |SELECT m.vec_id, m.c_id AS cluster_id, (dr.d2 IS NULL) AS kept
-         |FROM members m LEFT JOIN drops dr ON dr.d2 = m.vec_id
-         |ORDER BY m.vec_id""".stripMargin
-  )
+  def oracles: Map[String, String] =
+    servingOracles ++ statsOracles ++ lifecycleOracles
 }
