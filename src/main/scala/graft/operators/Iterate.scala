@@ -31,6 +31,15 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
   * Determinism: checkpointing changes WHERE rows are recomputed from,
   * never their values — the exact-integer oracle contract of the
   * callers is untouched.
+  *
+  * Relation to [[ConnectedComponents]]: CC applies the SAME
+  * lineage-truncation discipline but materializes each round through
+  * [[graft.Staging]] (parquet) instead — it needs what fixpoint
+  * deliberately doesn't provide: a data-dependent convergence gate
+  * between rounds and cross-JVM memoized replay of the staged rounds
+  * (bench reps re-read, never recompute). Use fixpoint for
+  * FIXED-iteration algorithms where the state is transient; use the
+  * staged-rounds form when rounds are convergence-gated or reread.
   */
 object Iterate {
 
