@@ -36,8 +36,10 @@ import org.apache.spark.sql.SparkSession
   *    drift isolates environment load from engine change (BENCH_r05 ran
   *    uniformly ~25% above r04 on untouched queries). Normalize
   *    cross-round totals as value/calibration before reading trends.
-  *  - "dispersion" (round 14): max/min of the 6 interleaved calibration
-  *    samples — ~1 on an idle box; > 1.5 means the machine's speed moved
+  *  - "dispersion" (round 14): max/min of the three probe-POINT medians
+  *    (start/middle/end of the suite; raw 6-sample max/min was
+  *    jitter-dominated at the probe's ~0.3 s cost — 2.6× on an idle
+  *    box) — ~1 on an idle box; > 1.5 means the machine's speed moved
   *    across the suite's window and some per-query numbers are
   *    load-inflated (BENCH_r13 shipped a 6×-inflated slowest-list this
   *    way). When dispersion > 1.5 the run ACTS on it: the 10 slowest
@@ -117,6 +119,12 @@ object Bench {
     // i.e. the machine's central speed OVER the window the suite
     // actually ran in, not whichever instant the run started at.
     val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // per-probe-POINT medians (start/middle/end) for the dispersion
+    // signal: raw 6-sample max/min is jitter-dominated at the probe's
+    // ~0.3 s cost (measured 2.6× on an idle box — load-avg 0.06), while
+    // the three point-medians only move when the MACHINE's speed moves
+    // across the suite's window, which is the thing the signal is for
+    val calibPoints = scala.collection.mutable.ArrayBuffer.empty[Double]
     var calibFailed = false
     def calibProbe(warmups: Int, keep: Int): Unit = {
       // every probe samples from the same clean state the per-query
@@ -126,6 +134,7 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       val fn = SparkEntry.queries("wordcount")
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Double]
       (1 to warmups + keep).foreach { i =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -134,8 +143,10 @@ object Bench {
           System.err.println(s"[bench] calibration rep$i failed: ${e.getMessage}")
         }
         val t = (System.nanoTime() - t0) / 1e9
-        if (i > warmups) calibSamples += t
+        if (i > warmups) kept += t
       }
+      calibSamples ++= kept
+      if (kept.nonEmpty) calibPoints += median(kept.toSeq)
       spark.catalog.clearCache()
     }
     calibProbe(warmups = 1, keep = 2)
@@ -201,12 +212,12 @@ object Bench {
     // DISPERSION of the interleaved probes (round-13 verdict item 3: the
     // hardened calibration MEASURED a loaded machine but nothing ACTED
     // on it — BENCH_r13 shipped 6×-inflated per-query numbers). max/min
-    // of the 6 samples ≈ how much the machine's speed moved across the
-    // suite's window; ~1 on an idle box, >1.5 means some queries ran
-    // under load others didn't.
+    // of the three PROBE-POINT medians ≈ how much the machine's speed
+    // moved across the suite's window; ~1 on an idle box, >1.5 means
+    // some queries ran under load others didn't.
     val dispersion =
-      if (calibFailed || calibSamples.isEmpty) -1.0
-      else calibSamples.max / calibSamples.min
+      if (calibFailed || calibPoints.isEmpty) -1.0
+      else calibPoints.max / calibPoints.min
     // ACT on bad calibration: when the window was turbulent, re-run the
     // slowest queries once on the (now end-of-suite) machine and let the
     // warm series take the MINIMUM — a load spike can only inflate a

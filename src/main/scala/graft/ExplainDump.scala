@@ -260,10 +260,18 @@ object ExplainDump {
     "events_scd2" -> ("SCD type-2 versioning: lag-flag → running-sum version → interval close " +
       "by lead, all over ONE user_id hash partitioning (two windows + the run aggregation " +
       "share the exchange); no joins — history materialization is window-shaped"),
-    "graph_pagerank" -> ("5 unrolled exact-integer PageRank iterations over the STAGED " +
-      "co-purchase edges: each stage one src-keyed join (ranks-edges-degree co-partitioned) " +
-      "into one dst-keyed partial-aggregated sum — bounded by |E| per iteration, no " +
-      "cartesian, no window, no raw-fact rescan (PlanSpec-pinned)")
+    "graph_pagerank" -> ("checkpointed fixpoint (operators/Iterate): the dumped plan is the " +
+      "POINT of the round-14 rework — a bare checkpoint scan + presentation sort, because " +
+      "every iteration ran eagerly as ONE src-keyed join (ranks-edges-degree co-partitioned " +
+      "over the STAGED edges) into one dst-keyed partial-aggregated sum and truncated its " +
+      "lineage; plan size is flat in the iteration count (the step plan itself is " +
+      "PlanSpec-pinned: no cartesian, no window, no raw-fact rescan)"),
+    "text_bpe_tokens" -> ("merges-table BPE as ONE codegen projection: the trained merges " +
+      "ride the BpeSubwordCount expression to every task — no join, no shuffle below the " +
+      "presentation sort; ReadSchema prunes to (doc_id, text)"),
+    "pipeline_bpe_budget" -> ("bin-granular subword-budget fill: the only window cum-sums " +
+      "the tokens-per-100-chars HISTOGRAM (bounded cardinality), the budget scalar and the " +
+      "fill line attach by broadcast — no corpus-wide sort, no shuffling join")
   )
 
   def main(args: Array[String]): Unit = {
