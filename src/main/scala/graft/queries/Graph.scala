@@ -162,11 +162,56 @@ object Graph extends QueryModule {
       .distinct()
   }
 
+  /** Degree-ORIENTED edge list, staged: every undirected edge kept once,
+    * pointing from its (degree, id)-smaller endpoint to the larger —
+    * the classic triangle-counting orientation (Suri & Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    * after orientation a node's OUT-degree is bounded by O(√E) whatever
+    * its raw degree, so the wedge self-join's per-node cost (outdeg²)
+    * can never pin one reducer under a hub — the skew fix is in the
+    * ALGEBRA, no salting needed. */
+  private def orientedEdges(s: SparkSession, d: String): DataFrame =
+    graft.Staging.stage(s, "copurchase_oriented", d) {
+      val deg = degrees(s, d)
+      edges(s, d)
+        .join(deg.select(col("src"), col("deg").as("dsrc")), Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("deg").as("ddst")), Seq("dst"))
+        .filter(col("dsrc") < col("ddst") ||
+          (col("dsrc") === col("ddst") && col("src") < col("dst")))
+        .select(col("src").as("u"), col("dst").as("v"))
+    }
+
   override def queries: Map[String, Q] = Map(
     "graph_pagerank" -> { (s, d) =>
       pagerankRanks(s, d, Iters)
         .select(col("node").as("part"), col("r").as("rank_fp"))
         .orderBy(col("rank_fp").desc, col("part"))
+    },
+
+    // Per-node triangle census over the co-purchase graph — the local
+    // clustering signal (community cohesion, link-spam and bot-ring
+    // detection in real co-occurrence graphs). Exact integers, no
+    // iteration: wedges (u→v, u→w) from the ORIENTED edge list close
+    // with the oriented edge v→w; in the orientation's total order
+    // each triangle has exactly one outdeg-2 apex, so it is counted
+    // ONCE — then exploded to its three corners for per-node counts.
+    // Scale: three hash joins over the staged oriented table (u-keyed
+    // wedge build, (v,w)-keyed close), wedge volume Σ outdeg² bounded
+    // by the orientation — never a cartesian, never a window.
+    "graph_triangles" -> { (s, d) =>
+      val o = orientedEdges(s, d)
+      val tri = o.as("e1")
+        .join(o.select(col("u"), col("v").as("w")).as("e2"), Seq("u"))
+        .filter(col("v") =!= col("w"))
+        .join(o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+        .select(col("u"), col("v"), col("w"))
+      val perNode = tri
+        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n"))
+      degrees(s, d).select(col("src").as("part"))
+        .join(perNode.withColumnRenamed("node", "part"), Seq("part"), "left")
+        .select(col("part"), coalesce(col("n"), lit(0L)).as("n_triangles"))
+        .orderBy(col("part"))
     }
   )
 
@@ -203,6 +248,37 @@ object Graph extends QueryModule {
         s"""
            |SELECT node AS part, r AS rank_fp FROM r$Iters
            |ORDER BY rank_fp DESC, part""".stripMargin
-    }
+    },
+
+    // identical orientation algebra (degree from the symmetric edge
+    // set, (deg, id)-lexicographic direction), wedge + close joins,
+    // corners exploded via UNION ALL — exact integers end to end
+    "graph_triangles" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |o AS MATERIALIZED (
+        |  SELECT e.src AS u, e.dst AS v
+        |  FROM e JOIN deg ds ON ds.src = e.src
+        |         JOIN deg dd ON dd.src = e.dst
+        |  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)),
+        |tri AS (
+        |  SELECT e1.u, e1.v, e2.w
+        |  FROM o e1
+        |  JOIN (SELECT u, v AS w FROM o) e2 ON e2.u = e1.u AND e2.w <> e1.v
+        |  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.w),
+        |pn AS (
+        |  SELECT node, count(*) AS n
+        |  FROM (SELECT u AS node FROM tri
+        |        UNION ALL SELECT v FROM tri
+        |        UNION ALL SELECT w FROM tri)
+        |  GROUP BY node)
+        |SELECT d.src AS part, CAST(coalesce(pn.n, 0) AS BIGINT) AS n_triangles
+        |FROM deg d LEFT JOIN pn ON pn.node = d.src
+        |ORDER BY part""".stripMargin
   )
 }

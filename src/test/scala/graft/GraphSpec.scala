@@ -73,4 +73,23 @@ class GraphSpec extends GraftSuite {
     val out = SparkEntry.queries("graph_pagerank")(spark, dir)
     assert(out.count() == 40) // every planted part is a hub part (1..40)
   }
+
+  test("graph_triangles: planted triangle, path, and K4 count exactly") {
+    import spark.implicits._
+    // order 1 = triangle {1,2,3}; orders 2,3 = path 4-5-6 (no triangle);
+    // order 4 = K4 {10,11,12,13} (4 triangles, 3 per corner)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    val rows = Seq((1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 4L), (2L, 5L), (3L, 5L), (3L, 6L)) ++
+      Seq(10L, 11L, 12L, 13L).map(p => (4L, p))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("graph_triangles")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L, 6L -> 0L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L)
+    assert(got == want, s"per-node triangle counts: $got")
+    // every node appears (zero-triangle nodes included via the left join)
+    assert(got.keySet == want.keySet)
+  }
 }

@@ -1042,6 +1042,25 @@ class PlanSpec extends GraftSuite {
     assert(finalPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("graph_triangles: staged oriented edges, bounded joins, no cartesian/window") {
+    val df = q("graph_triangles")
+    val sp = df.queryExecution.sparkPlan
+    // wedge + close are keyed hash joins over the STAGED oriented table;
+    // the degree orientation bounds wedge volume — never a cartesian,
+    // never a window, no raw-fact rescan
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"unbounded join in the triangle plan:\n$sp")
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window in the triangle plan:\n$sp")
+    assert(sp.toString.contains("copurchase_oriented"),
+      s"not serving from the staged oriented table:\n$sp")
+    assert(!sp.toString.contains("lineitem.parquet"),
+      s"raw fact rescan in the triangle plan:\n$sp")
+  }
+
   test("text_bpe_tokens: one codegen projection, merges ride the expression — no joins") {
     val df = q("text_bpe_tokens")
     val sp = df.queryExecution.sparkPlan
