@@ -181,11 +181,56 @@ object Graph extends QueryModule {
         .select(col("src").as("u"), col("dst").as("v"))
     }
 
+  /** Label-propagation iteration count — like [[Iters]], part of the
+    * operator's definition (the oracle unrolls exactly this many). */
+  private val LpIters = 4
+
   override def queries: Map[String, Q] = Map(
     "graph_pagerank" -> { (s, d) =>
       pagerankRanks(s, d, Iters)
         .select(col("node").as("part"), col("r").as("rank_fp"))
         .orderBy(col("rank_fp").desc, col("part"))
+    },
+
+    // Semi-supervised label propagation — the second consumer of the
+    // checkpointed fixpoint ([[graft.operators.Iterate]]): class seeds
+    // on a trusted subset (every 5th part, 3 classes — arithmetic so
+    // the oracle re-derives them without side tables; in production:
+    // human-labeled domains) spread over the co-purchase graph. The
+    // FROZEN-SEED variant: once a node is labeled it never changes —
+    // each iteration, an unlabeled node takes the MAJORITY label of
+    // its labeled neighbors (exact counts; ties broken by smallest
+    // label) — monotone, deterministic, and exactly replayable as
+    // unrolled CTEs (the pagerank oracle recipe). A fixed
+    // [[LpIters]] iterations is the definition, not a convergence
+    // heuristic. Scale: per iteration one src-keyed join into a
+    // (node, label)-keyed count and a node-keyed argmax — all bounded
+    // by |E|; state is node-sized and checkpointed, so plan cost is
+    // flat in the iteration count.
+    "graph_label_prop" -> { (s, d) =>
+      val e = edges(s, d)
+      val nodes = degrees(s, d).select(col("src").as("node"))
+      val seeds = nodes.withColumn("label",
+        when(col("node") % 5 === 0, col("node") % 3))
+      val out = graft.operators.Iterate.fixpoint(seeds, LpIters) { (prev, _) =>
+        val votes = e
+          .join(prev.filter(col("label").isNotNull)
+            .withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        // deterministic majority: max over (cnt, -label) — largest
+        // count, then smallest label; the struct's last field carries
+        // the winning label out
+        val maj = votes.groupBy(col("node"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"),
+            col("label"))).as("m"))
+          .select(col("node"), col("m.label").as("maj"))
+        prev.join(maj, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("label"), col("maj")).as("label"))
+      }
+      out.select(col("node").as("part"), col("label"))
+        .orderBy(col("part"))
     },
 
     // Per-node triangle census over the co-purchase graph — the local
@@ -248,6 +293,43 @@ object Graph extends QueryModule {
         s"""
            |SELECT node AS part, r AS rank_fp FROM r$Iters
            |ORDER BY rank_fp DESC, part""".stripMargin
+    },
+
+    // frozen-seed majority propagation, LpIters iterations unrolled:
+    // per step, votes = labeled-neighbor counts, winner by
+    // (cnt DESC, label ASC) row_number — the engine's struct-max twin
+    "graph_label_prop" -> {
+      val header =
+        """WITH li AS (
+          |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+          |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+          |e AS MATERIALIZED (
+          |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+          |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+          |l0 AS (SELECT node,
+          |         CASE WHEN node % 5 = 0 THEN node % 3 END AS label
+          |       FROM nodes)""".stripMargin
+      val iters = (1 to LpIters).map { k =>
+        s"""v$k AS (
+           |  SELECT e.dst AS node, l.label, count(*) AS cnt
+           |  FROM e JOIN l${k - 1} l ON l.node = e.src
+           |  WHERE l.label IS NOT NULL
+           |  GROUP BY e.dst, l.label),
+           |m$k AS (
+           |  SELECT node, label FROM (
+           |    SELECT node, label,
+           |           row_number() OVER (PARTITION BY node
+           |             ORDER BY cnt DESC, label ASC) AS rn
+           |    FROM v$k) WHERE rn = 1),
+           |l$k AS (
+           |  SELECT p.node, coalesce(p.label, m.label) AS label
+           |  FROM l${k - 1} p LEFT JOIN m$k m ON m.node = p.node)""".stripMargin
+      }
+      (header +: iters).mkString(",\n") +
+        s"""
+           |SELECT node AS part, label FROM l$LpIters
+           |ORDER BY part""".stripMargin
     },
 
     // identical orientation algebra (degree from the symmetric edge

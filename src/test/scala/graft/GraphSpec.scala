@@ -74,6 +74,33 @@ class GraphSpec extends GraftSuite {
     assert(out.count() == 40) // every planted part is a hub part (1..40)
   }
 
+  test("graph_label_prop: planted majority, tie-break, frontier depth, isolation") {
+    import spark.implicits._
+    // seeds are node % 5 == 0 with label node % 3:
+    //   5→2, 10→1, 15→0, 25→1, 30→0, 35→2, 40→1
+    // path 5-1-2-3: label 2 spreads one hop per iteration (depth 3 ≤ 4)
+    // node 7 ~ {10, 15}: tie (1 vote each) → smallest label 0 wins
+    // node 21 ~ {25, 30, 35, 40}: majority label 1 (two votes); 21 is
+    //   NOT a seed (21 % 5 ≠ 0 — the first cut planted 20, which IS)
+    // pair {8, 9}: no labeled neighbor ever → stays null
+    val dir = java.nio.file.Files.createTempDirectory("graft-lp").toString
+    val orders = Seq((1L, 5L), (1L, 1L), (2L, 1L), (2L, 2L), (3L, 2L), (3L, 3L),
+      (4L, 10L), (4L, 7L), (5L, 15L), (5L, 7L), (6L, 8L), (6L, 9L),
+      (7L, 25L), (7L, 21L), (8L, 30L), (8L, 21L), (9L, 35L), (9L, 21L),
+      (10L, 40L), (10L, 21L))
+    orders.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("graph_label_prop")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val want = Map(
+      5L -> Some(2L), 1L -> Some(2L), 2L -> Some(2L), 3L -> Some(2L),
+      10L -> Some(1L), 15L -> Some(0L), 7L -> Some(0L),
+      25L -> Some(1L), 30L -> Some(0L), 35L -> Some(2L), 40L -> Some(1L),
+      21L -> Some(1L), 8L -> None, 9L -> None)
+    assert(got == want, s"propagated labels: $got")
+  }
+
   test("graph_triangles: planted triangle, path, and K4 count exactly") {
     import spark.implicits._
     // order 1 = triangle {1,2,3}; orders 2,3 = path 4-5-6 (no triangle);
