@@ -29,6 +29,7 @@ object Verify {
     // path; pin the dump default to THIS run's fixture so a subset run
     // that skips ann_ivf never dumps SQL naming another machine's path
     graft.queries.Similarity.pinOracleFixture(sfDir)
+    graft.queries.Bpe.pinOracleFixture(sfDir)
     // Oracle-pinned knobs (round-9 advice): some operator knobs are
     // recomputed by their DuckDB oracle from the DATA (derived rules),
     // but an explicit runtime override changes the ENGINE result while

@@ -58,6 +58,12 @@ object Bpe extends QueryModule {
     * one fixture per Verify run — the lastIvf/lastPca pattern). */
   @volatile private var lastBpe: String = "/root/testdata/sf0.01"
 
+  /** Pin the oracle-dump default to the fixture Verify is running
+    * (the Similarity.pinOracleFixture twin): a subset Verify that
+    * skips the bpe queries must not dump SQL keyed to another
+    * fixture's merges cache. */
+  def pinOracleFixture(dir: String): Unit = lastBpe = dir
+
   private[graft] def mergesOracleArtifactPath(dir: String): String =
     graft.OracleExport.path(s"$dir|bpe$NumMerges|v$VocabCap", "bpe-merges")
 
