@@ -266,6 +266,14 @@ object ExplainDump {
       "over the STAGED edges) into one dst-keyed partial-aggregated sum and truncated its " +
       "lineage; plan size is flat in the iteration count (the step plan itself is " +
       "PlanSpec-pinned: no cartesian, no window, no raw-fact rescan)"),
+    "graph_triangles" -> ("degree-oriented edge iterator: per-node adjacency lists attach " +
+      "to each oriented edge (broadcast at this scale) and a codegen array_intersect finds " +
+      "the third corners — no wedge set ever materializes; the per-node count is the only " +
+      "corpus-sized exchange"),
+    "graph_label_prop" -> ("checkpointed fixpoint, second consumer: the dumped plan is a " +
+      "bare checkpoint scan + presentation sort — each of the 4 majority-vote iterations " +
+      "ran eagerly as one src-keyed join into a (node,label) count and a node-keyed " +
+      "struct-max argmax, then truncated its lineage"),
     "text_bpe_tokens" -> ("merges-table BPE as ONE codegen projection: the trained merges " +
       "ride the BpeSubwordCount expression to every task — no join, no shuffle below the " +
       "presentation sort; ReadSchema prunes to (doc_id, text)"),
