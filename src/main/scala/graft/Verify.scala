@@ -25,11 +25,11 @@ object Verify {
     // (e.g. a non-default dedup tau for the 100x slice checks)
     Tuning.applyEnvConf(spark)
     new java.io.File(outDir).mkdirs()
-    // the ann_ivf-family oracles embed a fixture-keyed centroid-export
-    // path; pin the dump default to THIS run's fixture so a subset run
-    // that skips ann_ivf never dumps SQL naming another machine's path
-    graft.queries.Similarity.pinOracleFixture(sfDir)
-    graft.queries.Bpe.pinOracleFixture(sfDir)
+    // the ann_ivf/bpe-family oracles embed fixture-keyed export paths;
+    // pin every dump default to THIS run's fixture so a subset run that
+    // skips those queries never dumps SQL naming another machine's path
+    // (one pin point — new fixture-keyed families register there)
+    graft.queries.OracleFixturePin.pin(sfDir)
     // Oracle-pinned knobs (round-9 advice): some operator knobs are
     // recomputed by their DuckDB oracle from the DATA (derived rules),
     // but an explicit runtime override changes the ENGINE result while

@@ -1,15 +1,17 @@
 package graft
 
-import graft.functions.BpeCoder
+import graft.functions.{BpeCoder, BpeUnitCount}
 import org.apache.spark.sql.functions._
 
-/** Pins for the BPE family: hand-derived training, a hand-tokenized
-  * sentence, the sequential-apply ≡ min-rank-loop equivalence the
-  * oracle's nested-replace form relies on, and the end-to-end budget
-  * invariants. */
+/** Pins for the BPE family: hand-derived training, hand-tokenized
+  * sentences over the alphabet-complete pre-tokenizer (punctuation and
+  * digit-adjacent cases against hand-derived tables — round-14 verdict
+  * item 1), the sequential-apply ≡ min-rank-loop equivalence both
+  * oracle replay forms rely on, the two-regime contract, and the
+  * end-to-end budget invariants. */
 class BpeSpec extends GraftSuite {
 
-  test("train: hand-derived merges on a tiny word-frequency table") {
+  test("train: hand-derived merges on a tiny token-frequency table") {
     // pairs: (a,b) 2·10+5 = 25, (b,a) 10 → merge (a,b);
     // then (ab,ab) 10 → merge; then nothing — early exhaustion
     val got = graft.queries.Bpe.train(
@@ -18,21 +20,69 @@ class BpeSpec extends GraftSuite {
     // tie on count breaks lexicographically on (left, right)
     val tie = graft.queries.Bpe.train(Seq(("ba", 1L), ("cb", 1L)), numMerges = 1)
     assert(tie == Seq(("b", "a")))
+    // digit and punctuation runs are first-class training units now:
+    // (1,2) at count 3 beats every letter pair
+    val mixed = graft.queries.Bpe.train(
+      Seq(("12", 3L), ("ab", 2L)), numMerges = 2)
+    assert(mixed == Seq(("1", "2"), ("a", "b")))
   }
 
-  test("countText: hand-tokenized sentence against a hand-derived merges table") {
+  private def countText(coder: BpeCoder, s: String): Int =
+    coder.countText(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+  test("countText: hand-tokenized sentences, alphabet-complete classes") {
     val coder = new BpeCoder(Seq(("a", "b"), ("ab", "ab")))
-    // "abab"→[abab]=1, "ab"→[ab]=1, "7"→1 digit run, "!"→1 other,
-    // "ba"→[b,a]=2 (no rule matches)
-    assert(coder.countText(
-      org.apache.spark.unsafe.types.UTF8String.fromString("abab ab7 ba!")) == 6)
-    // class walk edge cases: digit runs broken by letters, multi-space
-    assert(coder.countText(
-      org.apache.spark.unsafe.types.UTF8String.fromString("12ab34  ab")) == 4)
-    assert(coder.countText(
-      org.apache.spark.unsafe.types.UTF8String.fromString("")) == 0)
+    // "abab"→[abab]=1, "ab"→[ab]=1, "7"→[7]=1 (digit runs encode now),
+    // "!"→[!]=1, "ba"→[b,a]=2 (no rule matches)
+    assert(countText(coder, "abab ab7 ba!") == 6)
+    // class walk edge cases: digit runs broken by letters, multi-space;
+    // un-merged digit runs count their code points ("12"→2, "34"→2)
+    assert(countText(coder, "12ab34  ab") == 6)
+    assert(countText(coder, "") == 0)
     // memo hit returns the same value
     assert(coder.countWord("abab") == 1 && coder.countWord("abab") == 1)
+  }
+
+  test("countText: punctuation/digit-adjacent table with digit+punct merges") {
+    // merges over all three classes — letters, digits, punctuation
+    val coder = new BpeCoder(Seq(("a", "b"), ("1", "2"), ("-", "-")))
+    val table = Seq(
+      // pre-tokens: [ab][12][!?] → 1 + 1 + 2
+      "ab12!?" -> 4,
+      // [ab] [ab][--][12] → 1 + (1+1+1)
+      "ab ab--12" -> 4,
+      // digit run adjacent to letters on both sides: [12][ab][12]
+      "12ab12" -> 3,
+      // "---" → one exhaustive pass merges the FIRST pair: [--][-] = 2
+      "---" -> 2,
+      // apostrophes are ordinary punctuation symbols: [don]['][t] shape
+      // is [don]=3 (no letter rules), [']=1, [t]=1
+      "don't" -> 5,
+      // multibyte "other" code points are single symbols: [é][!] in one
+      // run [é!]=2 (no rules), then [ab]=1
+      "é! ab" -> 3,
+      // space-only and leading/trailing separators
+      "  ab  " -> 1)
+    table.foreach { case (s, want) =>
+      assert(countText(coder, s) == want, s"countText('$s')")
+    }
+  }
+
+  test("BpeUnitCount equals the pre-token regex count on corpus + adversarial text") {
+    import graft.functions.BpeUnitCount.bpe_unit_count
+    import spark.implicits._
+    val adversarial = Seq("", " ", "a1!a1!", "ab--12", "..a..", "é¿?1",
+      "don't stop 123 now!!", "  x  9  ", "Ab", "a\nb\t c")
+      .toDF("text")
+    val corpus = Tables.documents(spark, sf).select("text").limit(200)
+    Seq(adversarial, corpus).foreach { df =>
+      val bad = df.filter(col("text").isNotNull).select(
+        bpe_unit_count(col("text")).as("native"),
+        expr(s"size(regexp_extract_all(text, '${graft.queries.Bpe.PretokClasses}', 0))")
+          .as("re"))
+        .filter(col("native") =!= col("re")).count()
+      assert(bad == 0, "BpeUnitCount diverges from the class regex")
+    }
   }
 
   /** Reference encoder: the classic min-rank-pair loop (Sennrich §3.2). */
@@ -62,19 +112,50 @@ class BpeSpec extends GraftSuite {
 
   test("sequential rank-order application equals the min-rank greedy loop") {
     // adversarial repeat-heavy corpus: overlapping pairs, l==r rules,
-    // rules whose output is a later rule's constituent
+    // rules whose output is a later rule's constituent — now with a
+    // digit/punct type in the mix
     val corpus = Seq(("aaaa", 9L), ("aaab", 7L), ("abab", 6L), ("bbaa", 5L),
-      ("baaa", 4L), ("abba", 3L), ("bbbb", 2L))
-    val merges = graft.queries.Bpe.train(corpus, numMerges = 8)
+      ("baaa", 4L), ("abba", 3L), ("bbbb", 2L), ("1111", 2L), ("!!!!", 1L))
+    val merges = graft.queries.Bpe.train(corpus, numMerges = 12)
     assert(merges.nonEmpty)
     val coder = new BpeCoder(merges)
     val words = Seq("aaaa", "aaab", "abab", "bbaa", "baaa", "abba", "bbbb",
       "aaaaaaa", "ababab", "aabbaabb", "baba", "a", "b", "ab", "ba",
-      "aabaabaa", "bbaabbaa")
+      "aabaabaa", "bbaabbaa", "1111", "11111", "!!!!", "!!!!!!")
     words.foreach { w =>
       assert(coder.countWord(w) == minRankCount(w, merges),
         s"sequential vs min-rank diverge on '$w' with merges $merges")
     }
+  }
+
+  test("two regimes: prod exhausts the fixture vocabulary, base is its prefix") {
+    q("text_bpe_tokens").collect()      // builds + exports prod merges
+    q("text_bpe_tokens_base").collect() // builds + exports base merges
+    val prod = spark.read.parquet(
+        graft.queries.Bpe.mergesOracleArtifactPath(sf, graft.queries.Bpe.Prod))
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val base = spark.read.parquet(
+        graft.queries.Bpe.mergesOracleArtifactPath(sf, graft.queries.Bpe.Base))
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // base (24 merges) must be a strict prefix of prod (same trainer,
+    // same data, bigger budget) — the two-regime contract
+    assert(base.size == graft.queries.Bpe.Base.numMerges)
+    assert(prod.size > base.size, "prod regime should learn past base")
+    assert(prod.take(base.size) == base, "base must be a prefix of prod")
+    // prod trains to EXHAUSTION on this fixture (31-type vocabulary ≪
+    // the 512 cap): every distinct corpus pre-token encodes to ONE
+    // token under the prod merges — the data decides the spend
+    assert(prod.size < graft.queries.Bpe.Prod.numMerges,
+      "fixture vocabulary should exhaust below the prod cap")
+    val coder = new BpeCoder(prod)
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(expr(
+        s"regexp_extract_all(text, '${graft.queries.Bpe.PretokClasses}', 0)")).as("w"))
+      .distinct().collect().map(_.getString(0))
+    vocab.foreach(w => assert(coder.countWord(w) == 1,
+      s"prod merges should fully merge vocab token '$w'"))
   }
 
   test("text_bpe_tokens: engine counts equal a recount from the EXPORTED artifact") {
@@ -86,21 +167,24 @@ class BpeSpec extends GraftSuite {
         graft.queries.Bpe.mergesOracleArtifactPath(sf))
       .orderBy(col("rank")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    assert(ms.size == graft.queries.Bpe.NumMerges,
-      s"fixture vocabulary should support all ${graft.queries.Bpe.NumMerges} merges")
     val coder = new BpeCoder(ms)
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     out.take(50).foreach { r =>
       val (id, n) = (r.getLong(0), r.getInt(1))
-      assert(n == coder.countText(
-        org.apache.spark.unsafe.types.UTF8String.fromString(texts(id))),
+      assert(n == countText(coder, texts(id)),
         s"doc $id count differs from artifact recount")
     }
-    // BPE refines pre-tokens INTO subwords: every letter word is ≥ 1
-    // subword where it was exactly 1 pre-token, so subwords ≥ pretokens
+    // BPE refines pre-tokens INTO subwords: every pre-token is ≥ 1
+    // subword, so subwords ≥ pretokens
     out.foreach(r => assert(r.getInt(1) >= r.getInt(2),
       s"doc ${r.getLong(0)}: subwords ${r.getInt(1)} < pretokens ${r.getInt(2)}"))
+    // and the base regime, with fewer merges, can never count FEWER
+    // subwords than prod on any document
+    val baseByDoc = q("text_bpe_tokens_base").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach(r => assert(baseByDoc(r.getLong(0)) >= r.getInt(1),
+      s"doc ${r.getLong(0)}: base counted below prod"))
   }
 
   test("pipeline_bpe_budget: bin-granular fill under the subword budget") {
