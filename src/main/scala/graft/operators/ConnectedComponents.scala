@@ -67,31 +67,34 @@ object ConnectedComponents {
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     }
-    var labels = Staging.stage(s, s"${stageKeyFp}_l0", dir) {
+    val l0 = Staging.stage(s, s"${stageKeyFp}_l0", dir) {
       und.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
     }
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val next = Staging.stage(s, s"${stageKeyFp}_l${round + 1}", dir) {
-        val nbrMin = und.join(labels, und("src") === labels("id"))
-          .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
-        val stepped = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        // pointer jump: label(v) ← label(label(v)). Every label is some
-        // node's id, so the self-join matches (coalesce is defensive);
-        // this halves the label-tree depth → O(log n) total rounds.
-        val parents = stepped.select(col("id").as("pid"), col("label").as("plabel"))
-        stepped.join(parents, stepped("label") === parents("pid"), "left")
-          .select(stepped("id"),
-            least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
-      }
-      converged = next.as("n").join(labels.as("p"), Seq("id"))
+    // the shared convergence-gated round loop (operators/Iterate),
+    // materializing each round through Staging instead of a local
+    // checkpoint: CC's rounds are re-read across JVMs (bench reps
+    // replay from parquet), which a checkpoint cannot provide. Stages
+    // are never released — they ARE the replay artifact.
+    val (labels, _, converged) = Iterate.loop(
+      l0, maxRounds,
+      materialize = (df, r) => Staging.stage(s, s"${stageKeyFp}_l$r", dir)(df),
+      releasePrev = _ => ()) { (labels, _) =>
+      val nbrMin = und.join(labels, und("src") === labels("id"))
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // pointer jump: label(v) ← label(label(v)). Every label is some
+      // node's id, so the self-join matches (coalesce is defensive);
+      // this halves the label-tree depth → O(log n) total rounds.
+      val parents = stepped.select(col("id").as("pid"), col("label").as("plabel"))
+      stepped.join(parents, stepped("label") === parents("pid"), "left")
+        .select(stepped("id"),
+          least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
+    } { (prev, next) =>
+      !next.as("n").join(prev.as("p"), Seq("id"))
         .filter(col("n.label") =!= col("p.label")).isEmpty
-      labels = next
-      round += 1
     }
     require(converged,
       s"connected components did not converge within $maxRounds rounds " +

@@ -52,10 +52,14 @@ object Eigen {
             // theta (denormal apq vs a large diagonal gap) theta² would
             // overflow to Inf and yield t = 0 — a no-op rotation that
             // never zeroes the entry; the standard large-theta limit
-            // t = 1/(2θ) (Numerical Recipes §11.1) covers that branch.
+            // t = 1/(2θ) covers that branch, computed as apq/(dq−dp)
+            // WITHOUT the theta intermediate (round-14 advice: when
+            // theta itself overflows to ±Inf — huge diagonal gap over a
+            // denormal apq — 1/(2θ) is again exactly 0, reproducing the
+            // no-op; the re-associated quotient stays finite there).
             val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
             val t =
-              if (math.abs(theta) > 1.0e153) 1.0 / (2.0 * theta)
+              if (math.abs(theta) > 1.0e153) apq / (m(q)(q) - m(p)(p))
               else if (theta >= 0) 1.0 / (theta + math.sqrt(1.0 + theta * theta))
               else 1.0 / (theta - math.sqrt(1.0 + theta * theta))
             val c = 1.0 / math.sqrt(1.0 + t * t)

@@ -2,9 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
 
-/** Checkpointed fixed-point iteration — the reusable discipline behind
-  * every iterative relational algorithm (PageRank, large-diameter
-  * connected components, label propagation, iterative closure).
+/** Checkpointed iteration — the reusable discipline behind every
+  * iterative relational algorithm (PageRank, label propagation,
+  * BFS/SSSP frontiers, connected components, iterative closure).
   *
   * Why not plain `foldLeft` unrolling: each iteration's plan CONTAINS
   * every earlier iteration's subtree, so plan size, analysis time, and
@@ -14,32 +14,49 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
   * 17-iteration lineage. The fix is the standard one (GraphX and every
   * production Pregel loop do exactly this): materialize each
   * iteration's state and TRUNCATE the lineage, so iteration N's plan
-  * is one step over a checkpoint scan of iteration N−1.
+  * is one step over a scan of iteration N−1's materialization.
   *
-  * `localCheckpoint(eager = true)` is the right materialization here:
-  * the iterated state is NODE-sized (ranks, component labels), orders
-  * of magnitude smaller than the edge relation the step joins it
-  * against, so it fits executor storage at any corpus scale; eager
-  * evaluation bounds failure-recovery to one iteration. On a real
-  * cluster with unreliable executors, reliable `checkpoint()` to
-  * distributed storage is the drop-in upgrade (same call shape); the
-  * single-JVM driver contract makes local the correct default. The
-  * previous iteration's storage blocks are freed as soon as the next
-  * state is materialized — the loop holds at most two node-sized RDDs
-  * at any moment, regardless of iteration count.
+  * `localCheckpoint(eager = true)` is the right materialization for
+  * the FIXED-count and convergence-gated forms here: the iterated
+  * state is NODE-sized (ranks, labels, distances), orders of magnitude
+  * smaller than the edge relation the step joins it against, so it
+  * fits executor storage at any corpus scale; eager evaluation bounds
+  * failure-recovery to one iteration. On a real cluster with
+  * unreliable executors, reliable `checkpoint()` to distributed
+  * storage is the drop-in upgrade (same call shape); the single-JVM
+  * driver contract makes local the correct default. The previous
+  * iteration's storage blocks are freed as soon as the next state is
+  * materialized — the loop holds at most two node-sized RDDs at any
+  * moment, regardless of iteration count. The FINAL iteration's blocks
+  * are CALLER-OWNED: the returned frame serves from them, so the loop
+  * cannot free them; they are released by the ContextCleaner when the
+  * frame becomes unreachable, or eagerly via
+  * [[GraftColumnBridge.unpersistCheckpoint]] by callers that re-run
+  * the loop in a tight measurement loop (bench reps, scale sweeps).
   *
   * Determinism: checkpointing changes WHERE rows are recomputed from,
   * never their values — the exact-integer oracle contract of the
   * callers is untouched.
   *
-  * Relation to [[ConnectedComponents]]: CC applies the SAME
-  * lineage-truncation discipline but materializes each round through
-  * [[graft.Staging]] (parquet) instead — it needs what fixpoint
-  * deliberately doesn't provide: a data-dependent convergence gate
-  * between rounds and cross-JVM memoized replay of the staged rounds
-  * (bench reps re-read, never recompute). Use fixpoint for
-  * FIXED-iteration algorithms where the state is transient; use the
-  * staged-rounds form when rounds are convergence-gated or reread.
+  * Three public forms over ONE shared loop (round-14 verdict item 3
+  * unified them; ConnectedComponents routes through the same loop with
+  * parquet materialization via [[graft.Staging]] — it needs what the
+  * checkpointed forms deliberately don't provide: cross-JVM memoized
+  * replay of the staged rounds, so bench reps re-read instead of
+  * recompute):
+  *  - [[fixpoint]]: a FIXED iteration count is part of the operator's
+  *    definition (PageRank's 5 damped steps, label-prop's 4 votes) —
+  *    no data-dependent gate, so the DuckDB oracle unrolls exactly
+  *    that many CTEs.
+  *  - [[converge]]: iterate until a data-dependent STOP (frontier
+  *    empty, labels stable), bounded by `maxRounds`. The oracle recipe
+  *    for convergence-gated consumers is the bounded-hop unroll: the
+  *    SQL unrolls `maxRounds` steps, and early engine convergence at
+  *    round r < maxRounds is sound because a step that changes nothing
+  *    changes nothing forever (the step is a pure function of the
+  *    state relation), so rounds r+1..maxRounds are no-ops.
+  *  - [[loop]]: the shared core with pluggable materialization —
+  *    ConnectedComponents' staged-rounds form.
   */
 object Iterate {
 
@@ -55,17 +72,65 @@ object Iterate {
   def fixpoint(init: DataFrame, iters: Int)(
       step: (DataFrame, Int) => DataFrame): DataFrame = {
     require(iters >= 0, s"iteration count must be >= 0 (got $iters)")
+    loop(init, iters, localCheckpointed, releaseCheckpoint)(step)(neverStop)._1
+  }
+
+  /** Iterate `step` from `init` until `changed(prev, next)` is false
+    * (the data-dependent convergence gate — one bounded action per
+    * round, the same exception class as the streaming flush sentinel's
+    * scalar) or `maxRounds` is reached; checkpointed like [[fixpoint]].
+    *
+    * Returns the final state. Early convergence is indistinguishable
+    * from running all `maxRounds` rounds (see the object scaladoc), so
+    * bounded-unroll oracles stay exact.
+    */
+  def converge(init: DataFrame, maxRounds: Int)(
+      step: (DataFrame, Int) => DataFrame)(
+      changed: (DataFrame, DataFrame) => Boolean): DataFrame =
+    loop(init, maxRounds, localCheckpointed, releaseCheckpoint)(step)(changed)._1
+
+  /** The shared round loop: materialize each step's output, evaluate
+    * the gate, release the previous round's materialization (never
+    * `init` — the caller owns it).
+    *
+    * @param materialize (frame, round index 1..maxRounds) → the frame
+    *                    to carry forward (checkpoint, staged parquet …)
+    * @param releasePrev frees a superseded round's materialization
+    *                    (no-op for staged parquet — the stage IS the
+    *                    cross-JVM replay artifact)
+    * @param changed     (prev, next) → keep iterating? Evaluated after
+    *                    every round; `false` stops the loop.
+    * @return (final state, rounds actually run, converged before the
+    *         bound — i.e. the gate returned false at some round)
+    */
+  private[graft] def loop(
+      init: DataFrame, maxRounds: Int,
+      materialize: (DataFrame, Int) => DataFrame,
+      releasePrev: DataFrame => Unit)(
+      step: (DataFrame, Int) => DataFrame)(
+      changed: (DataFrame, DataFrame) => Boolean): (DataFrame, Int, Boolean) = {
+    require(maxRounds >= 0, s"round bound must be >= 0 (got $maxRounds)")
     var state = init
     var i = 1
-    while (i <= iters) {
-      val next = step(state, i).localCheckpoint(eager = true)
-      // `next` is materialized — the previous checkpoint's blocks are
-      // dead weight now. Only frames THIS loop created are released;
-      // the caller's `init` is never touched (i == 1 skips).
-      if (i > 1) GraftColumnBridge.unpersistCheckpoint(state)
+    var converged = false
+    while (i <= maxRounds && !converged) {
+      val next = materialize(step(state, i), i)
+      converged = !changed(state, next)
+      // `next` is materialized — the previous round's blocks are dead
+      // weight now. Only frames THIS loop created are released; the
+      // caller's `init` is never touched (i == 1 skips).
+      if (i > 1) releasePrev(state)
       state = next
       i += 1
     }
-    state
+    (state, i - 1, converged)
   }
+
+  private val localCheckpointed: (DataFrame, Int) => DataFrame =
+    (df, _) => df.localCheckpoint(eager = true)
+
+  private val releaseCheckpoint: DataFrame => Unit =
+    GraftColumnBridge.unpersistCheckpoint(_)
+
+  private val neverStop: (DataFrame, DataFrame) => Boolean = (_, _) => true
 }

@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * embedding near-dup/SemDeDup consumers. */
 private[queries] trait SimilarityServing extends SimilaritySql {
 
+  /** ann_recall_eval's nprobe grid — part of the query's DEFINITION
+    * (constants in both engines, not the ann.nprobe serving knob). The
+    * last point is nlist (ivfCentroidsStaged's seed cap): probing every
+    * bucket makes the arm exhaustive, so its recall is 1.0 by
+    * construction — the eval's built-in self-check. */
+  private[graft] val RecallNprobes = Seq(1, 2, 4, 10)
+
   private[queries] def servingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact top-k neighbors per query vector (ties broken by vec_id).
@@ -337,6 +344,61 @@ private[queries] trait SimilarityServing extends SimilaritySql {
           .select(col("vec_id").as("query_id"), lit(1).as("rk"),
             col("vec_id"), lit(0.0).as("cosine"))
       else annIvfBody(s, base, cent, centArr)
+    },
+
+    // RECALL@K EVALUATION of the served IVF index against the exact
+    // brute-force ground truth (round-14 verdict item 4) — the serving-
+    // quality metric every ANN deployment monitors, promoted from a
+    // ScalaTest bound into the driver's hash gate: for each nprobe on
+    // the eval grid, serve the probed-bucket exact top-K (the ann_ivf
+    // pipeline at that nprobe) and count overlap with ann_brute's
+    // top-K. Both sides are fully deterministic (decimal-exact ranks,
+    // vec_id tie-breaks; membership is the persisted assignment table),
+    // so the DuckDB oracle replays the whole evaluation compositionally
+    // from the exported centroids. nprobe = nlist (10 — the
+    // ivfCentroids seed cap) probes every bucket, so its recall row is
+    // exactly 1.0 by construction — a built-in self-check; the spec
+    // pins recall monotone in nprobe. Scale shape: ground truth and
+    // each arm are query-set-bounded (NQ·K rows); candidates are
+    // bucket-bounded; the final frame is |grid| rows. At 100 TB an eval
+    // like this runs on a query SAMPLE against the persisted index —
+    // the same dataflow with a sampled query side.
+    "ann_recall_eval" -> { (s, d) =>
+      val base = withNorm(s, d)
+      val centDf = ivfCentroids(s, d, annKmeansIters(s))
+      val centArr = collectQuantizer(centDf)
+      if (centArr.isEmpty)
+        base.limit(0).select(lit(0).as("nprobe"), lit(0L).as("n_hits"),
+          lit(0L).as("n_topk"), lit(0.0).as("recall"))
+      else {
+        val cent = broadcast(centDf)
+        val brute = topkPairs(s, d).select(col("query_id"), col("vec_id"))
+        // membership from the persisted assignment table (index state,
+        // the ann_filtered precedent), size-gated broadcast
+        val membersDf = kmeansMembers(s, d)
+        val members =
+          if (indexableCount(s, d) <= 10000000L) broadcast(membersDf)
+          else membersDf
+        val corpus = base.join(members, Seq("vec_id"))
+          .select(col("vec_id"), col("label"), col("embedding"),
+            col("n2"), col("c_id"))
+        val perNp = RecallNprobes.map { np =>
+          val probes = rankCentroids(base.filter(col("vec_id") < NQ), cent, np)
+            .filter(col("c_rank") <= np)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              col("n2").as("qn2"), col("c_id"))
+          exactTopK(ivfCandidates(corpus, probes), K)
+            .select(col("query_id"), col("vec_id"))
+            .join(brute, Seq("query_id", "vec_id"))
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(np).as("nprobe"), col("n_hits"))
+        }
+        perNp.reduce(_.union(_))
+          .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_topk"))))
+          .select(col("nprobe"), col("n_hits"), col("n_topk"),
+            round(col("n_hits") / col("n_topk"), 9).as("recall"))
+          .orderBy(col("nprobe"))
+      }
     },
 
     // METADATA-FILTERED vector search (round-11 verdict item 1) — the
@@ -1028,6 +1090,50 @@ private[queries] trait SimilarityServing extends SimilaritySql {
          |      FROM scored)
          |WHERE rk <= $K
          |ORDER BY query_id, rk""".stripMargin,
+
+    // The whole evaluation replayed compositionally from the exported
+    // centroids: ground truth = the ann_brute rank pipeline; each grid
+    // arm = assignment (`ranked`/`members` — the ann_ivf CTEs) → probe
+    // at that nprobe → decimal rescore over `pairs` → top-K → overlap
+    // count. Small-int division renders recall identically in both
+    // engines.
+    "ann_recall_eval" -> {
+      val arms = RecallNprobes.map { np =>
+        s"""probes_$np AS (SELECT vec_id AS query_id, c_id FROM ranked
+           |               WHERE vec_id < $NQ AND c_rank <= $np),
+           |top_$np AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT pr.query_id, pr.vec_id,
+           |           row_number() OVER (PARTITION BY pr.query_id
+           |             ORDER BY pr.cosine DESC, pr.vec_id) AS rk
+           |    FROM pairs pr
+           |    JOIN members m ON m.vec_id = pr.vec_id
+           |    JOIN probes_$np p ON p.query_id = pr.query_id AND p.c_id = m.c_id)
+           |  WHERE rk <= $K),
+           |hit_$np AS (
+           |  SELECT $np AS nprobe, count(*) AS n_hits
+           |  FROM top_$np t JOIN btop b
+           |    ON b.query_id = t.query_id AND b.vec_id = t.vec_id)""".stripMargin
+      }
+      s"""WITH $exSql,
+         |${pairSql(NQ)},
+         |$assignMembersSql,
+         |btop AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cosine DESC, vec_id) AS rk
+         |    FROM pairs) WHERE rk <= $K),
+         |ntk AS (SELECT count(*) AS n FROM btop),
+         |${arms.mkString(",\n")}
+         |SELECT CAST(nprobe AS INT) AS nprobe,
+         |       CAST(n_hits AS BIGINT) AS n_hits,
+         |       CAST((SELECT n FROM ntk) AS BIGINT) AS n_topk,
+         |       round(CAST(n_hits AS DOUBLE) / (SELECT n FROM ntk), 9) AS recall
+         |FROM (${RecallNprobes.map(np => s"SELECT * FROM hit_$np")
+              .mkString(" UNION ALL ")})
+         |ORDER BY nprobe""".stripMargin
+    },
 
     // Compositional like ann_ivf, PLUS the filter-strategy policy
     // replayed exactly: selectivity counts come from the same `norms`

@@ -38,6 +38,70 @@ class GraphSpec extends GraftSuite {
     assert(out.collect().map(_.getLong(1)).toSeq == Seq(32L))
   }
 
+  test("Iterate.converge: stops at the gate, respects the bound, values exact") {
+    import spark.implicits._
+    val init = Seq((1L, 0L), (2L, 0L)).toDF("k", "v")
+    // step saturates v at 3 — the gate must stop the loop at round 4
+    // (the first round that changes nothing), well under the bound
+    var steps = 0
+    val got = graft.operators.Iterate.converge(init, 10) { (df, _) =>
+      steps += 1
+      df.select(col("k"), least(col("v") + 1, lit(3L)).as("v"))
+    } { (prev, next) =>
+      !next.as("n").join(prev.as("p"), Seq("k"))
+        .filter(!(col("n.v") <=> col("p.v"))).isEmpty
+    }
+    assert(steps == 4, s"expected early stop at round 4, ran $steps")
+    assert(got.collect().map(_.getLong(1)).toSet == Set(3L))
+    assert(org.apache.spark.sql.GraftColumnBridge.isCheckpointScan(got))
+    // a never-converging step runs exactly maxRounds rounds
+    var steps2 = 0
+    graft.operators.Iterate.converge(init, 5) { (df, _) =>
+      steps2 += 1
+      df.select(col("k"), (col("v") + 1).as("v"))
+    } { (_, _) => true }
+    assert(steps2 == 5)
+  }
+
+  test("graph_sssp: planted paths, seeds, unreachable nulls — hand-derived hops") {
+    import spark.implicits._
+    // seeds are node % 25 == 0: plant 25 (path 25-1-2-3-4, hops 1..4)
+    // and 50 (pair 50-7, hop 1); pair {8, 9} never reaches a seed
+    val dir = java.nio.file.Files.createTempDirectory("graft-sssp").toString
+    val orders = Seq((1L, 25L), (1L, 1L), (2L, 1L), (2L, 2L), (3L, 2L),
+      (3L, 3L), (4L, 3L), (4L, 4L), (5L, 50L), (5L, 7L), (6L, 8L), (6L, 9L))
+    orders.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("graph_sssp")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val want = Map(
+      25L -> Some(0L), 1L -> Some(1L), 2L -> Some(2L), 3L -> Some(3L),
+      4L -> Some(4L), 50L -> Some(0L), 7L -> Some(1L),
+      8L -> None, 9L -> None)
+    assert(got == want, s"hop distances: $got")
+  }
+
+  test("graph_sssp: convergence-gated run equals the full MaxHops unroll on the fixture") {
+    // the bounded-unroll oracle argument, checked in-engine: early
+    // convergence must be indistinguishable from running all 8 rounds
+    val gated = graft.queries.Graph.ssspDistances(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val (e, deg, _) = graft.queries.Graph.stagedGraph(spark, sf)
+    val nodes = deg.select(col("src").as("node"))
+    val init = nodes.withColumn("dist",
+      when(col("node") % graft.queries.Graph.SsspSeedMod === 0, lit(0L)))
+    val unrolled = graft.operators.Iterate.fixpoint(
+        init, graft.queries.Graph.SsspMaxHops) { (prev, _) =>
+        graft.queries.Graph.ssspStep(e)(prev)
+      }
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(gated == unrolled)
+    assert(gated.nonEmpty && gated.exists(_._2 == 0L), "seed set non-empty")
+  }
+
   test("pagerank at 20 iterations (production shape): flat plan, mass invariants hold") {
     val ranks = graft.queries.Graph.pagerankRanks(spark, sf, 20)
     assert(org.apache.spark.sql.GraftColumnBridge.isCheckpointScan(ranks),

@@ -585,6 +585,14 @@ class OperatorsSpec extends GraftSuite {
     // determinism: a second run is bit-identical
     val (vals2, vecs2) = Eigen.jacobi(a)
     assert(vals.toSeq == vals2.toSeq && vecs.map(_.toSeq).toSeq == vecs2.map(_.toSeq).toSeq)
+    // infinite-theta corner (round-14 advice): a denormal off-diagonal
+    // over a huge diagonal gap overflows theta itself to Inf; the
+    // large-theta limit is now computed without that intermediate —
+    // the sweep must stay finite and keep the spectrum
+    val tiny = 1e-310
+    val (vc, ec) = Eigen.jacobi(Array(Array(0.0, tiny), Array(tiny, 1e10)))
+    assert(!vc.exists(_.isNaN) && !ec.flatten.exists(_.isNaN))
+    assert(math.abs(vc(0) - 1e10) < 1e-3 && math.abs(vc(1)) < 1e-9)
   }
 
   test("agg_theta_sketch: under-full estimates ARE the exact set algebra") {

@@ -78,6 +78,31 @@ class SimilaritySpec extends GraftSuite {
     assert(approx.forall { case (a, b) => a != b })
   }
 
+  test("ann_recall_eval: recall monotone in nprobe, exact 1.0 at nlist") {
+    val rows = q("ann_recall_eval").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq ==
+      graft.queries.Similarity.RecallNprobes.sorted)
+    // more probed buckets can only ADD candidates: recall nondecreasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 >= a._4, s"recall not monotone: $a -> $b")
+    }
+    // nprobe = nlist probes every bucket — exhaustive, recall exactly 1
+    assert(rows.last._4 == 1.0 && rows.last._2 == rows.last._3)
+    // ground-truth denominator is the full brute top-K set
+    val nBrute = q("ann_brute").count()
+    rows.foreach(r => assert(r._3 == nBrute))
+    // the eval must agree with the independent set-overlap recall the
+    // ann_ivf spec computes (same index, nprobe=4 default)
+    val exact = q("ann_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = q("ann_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val atFour = rows.find(_._1 == 4).get
+    assert(atFour._2 == (exact & approx).size,
+      "ann_recall_eval at nprobe=4 must equal ann_ivf's measured overlap")
+  }
+
   test("ann_ivf Lloyd iterations and nprobe are configurable levers") {
     val exact = q("ann_brute").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
