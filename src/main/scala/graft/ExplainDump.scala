@@ -279,7 +279,16 @@ object ExplainDump {
       "presentation sort; ReadSchema prunes to (doc_id, text)"),
     "pipeline_bpe_budget" -> ("bin-granular subword-budget fill: the only window cum-sums " +
       "the tokens-per-100-chars HISTOGRAM (bounded cardinality), the budget scalar and the " +
-      "fill line attach by broadcast — no corpus-wide sort, no shuffling join")
+      "fill line attach by broadcast — no corpus-wide sort, no shuffling join"),
+    "graph_sssp" -> ("convergence-gated checkpointed iteration (operators/Iterate.converge, " +
+      "round 15): the dumped plan is a bare checkpoint scan + presentation sort — each BFS " +
+      "relaxation ran eagerly as one src-keyed join over the STAGED edges into a dst-keyed " +
+      "partial-aggregated MIN, and the loop stopped at the first round that relaxed nothing " +
+      "(the 8-hop cap is the oracle's unroll bound; step plan PlanSpec-pinned)"),
+    "ann_recall_eval" -> ("serving-quality eval: ground truth and every nprobe arm are " +
+      "query-set-bounded (NQ*K rows), candidates bucket-bounded via the broadcast probe " +
+      "set over the persisted assignment table; the output is |grid| rows — no corpus " +
+      "window, no cartesian (PlanSpec-pinned)")
   )
 
   def main(args: Array[String]): Unit = {

@@ -402,7 +402,7 @@ object Graph extends QueryModule {
            |           row_number() OVER (PARTITION BY node
            |             ORDER BY cnt DESC, label ASC) AS rn
            |    FROM v$k) WHERE rn = 1),
-           |l$k AS (
+           |l$k AS MATERIALIZED (
            |  SELECT p.node, coalesce(p.label, m.label) AS label
            |  FROM l${k - 1} p LEFT JOIN m$k m ON m.node = p.node)""".stripMargin
       }
@@ -412,41 +412,36 @@ object Graph extends QueryModule {
            |ORDER BY part""".stripMargin
     },
 
-    // the SsspMaxHops relaxations unrolled as CTEs (the bounded-unroll
-    // oracle recipe for convergence-gated iteration — early engine
-    // convergence is a no-op tail, see SsspMaxHops); seeds re-derived
-    // arithmetically; the three-way CASE is the engine's null-ignoring
-    // least() written out
-    "graph_sssp" -> {
-      val header =
-        s"""WITH li AS (
-           |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-           |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-           |e AS MATERIALIZED (
-           |  SELECT DISTINCT a.pk AS src, b.pk AS dst
-           |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
-           |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
-           |d0 AS (SELECT node,
-           |         CASE WHEN node % $SsspSeedMod = 0
-           |              THEN CAST(0 AS BIGINT) END AS dist
-           |       FROM nodes)""".stripMargin
-      val hops = (1 to SsspMaxHops).map { k =>
-        s"""d$k AS (
-           |  SELECT p.node,
-           |         CASE WHEN p.dist IS NULL THEN c.cand
-           |              WHEN c.cand IS NULL THEN p.dist
-           |              ELSE least(p.dist, c.cand) END AS dist
-           |  FROM d${k - 1} p LEFT JOIN (
-           |    SELECT e.dst AS node, CAST(min(pp.dist + 1) AS BIGINT) AS cand
-           |    FROM e JOIN d${k - 1} pp ON pp.node = e.src
-           |    WHERE pp.dist IS NOT NULL
-           |    GROUP BY e.dst) c ON c.node = p.node)""".stripMargin
-      }
-      (header +: hops).mkString(",\n") +
-        s"""
-           |SELECT node AS part, dist AS hops FROM d$SsspMaxHops
-           |ORDER BY part""".stripMargin
-    },
+    // bounded-depth RECURSIVE BFS: `reach` enumerates (node, dist)
+    // pairs where dist is the length of SOME seed-path ≤ SsspMaxHops
+    // (the UNION's set semantics dedups pairs, the dist bound
+    // terminates it on any cyclic graph); min per node is then exactly
+    // the SsspMaxHops-fold min-relaxation = the engine's converged
+    // state (early convergence is a no-op tail, see SsspMaxHops).
+    // Exact integers; seeds re-derived arithmetically. Chosen over
+    // the 8-step unrolled-CTE form after measurement: DuckDB 1.0 runs
+    // the unroll fine to 7 rounds but falls off a >40× runtime cliff
+    // at the 8th materialized round on the 100× fixture (2.39 M-edge
+    // graph; the recursive form runs it in 16.5 s).
+    "graph_sssp" ->
+      s"""WITH RECURSIVE li AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         |reach AS (
+         |  SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+         |  WHERE node % $SsspSeedMod = 0
+         |  UNION
+         |  SELECT e.dst AS node, r.dist + 1 AS dist
+         |  FROM reach r JOIN e ON e.src = r.node
+         |  WHERE r.dist < $SsspMaxHops),
+         |best AS (SELECT node, min(dist) AS dist FROM reach GROUP BY node)
+         |SELECT n.node AS part, b.dist AS hops
+         |FROM nodes n LEFT JOIN best b USING (node)
+         |ORDER BY part""".stripMargin,
 
     // identical orientation algebra (degree from the symmetric edge
     // set, (deg, id)-lexicographic direction), wedge + close joins,

@@ -818,6 +818,53 @@ class PlanSpec extends GraftSuite {
     }.isEmpty, "iterated state plan still contains join subtrees")
   }
 
+  test("graph_sssp: relaxation step plan bounded, converged state flat") {
+    // same discipline as the pagerank pin: the per-round plan is one
+    // keyed join into a keyed MIN aggregate over the STAGED edges —
+    // never a cartesian, never a window, no raw-fact rescan — and the
+    // returned state is a bare checkpoint scan whatever round the
+    // convergence gate stopped at
+    val (e, _, nodes) = graft.queries.Graph.stagedGraph(spark, sf)
+    val state = nodes.withColumn("dist",
+        org.apache.spark.sql.functions.lit(0L))
+      .localCheckpoint(true)
+    val step = graft.queries.Graph.ssspStep(e)(state)
+    val sp = step.queryExecution.sparkPlan
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"unbounded join in the sssp step plan:\n$sp")
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window in the sssp step plan:\n$sp")
+    assert(sp.toString.contains("copurchase_edges"),
+      s"not serving from the staged edge table:\n$sp")
+    assert(!sp.toString.contains("lineitem.parquet"),
+      s"raw fact rescan in the relaxation plan:\n$sp")
+    val dist = graft.queries.Graph.ssspDistances(spark, sf)
+    assert(org.apache.spark.sql.GraftColumnBridge.isCheckpointScan(dist),
+      s"converged state is not a checkpoint scan:\n${dist.queryExecution.analyzed}")
+    assert(dist.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "converged state plan still contains join subtrees")
+  }
+
+  test("ann_recall_eval: grid arms stay bucket-bounded — no corpus window, probes broadcast") {
+    val df = q("ann_recall_eval")
+    val sp = df.queryExecution.sparkPlan
+    // every window in the eval is query-keyed (probe ranks, exact
+    // top-K of bucket-bounded candidates) — an UNPARTITIONED window
+    // would mean a corpus-wide sort snuck in
+    val unpartitioned = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"unpartitioned window:\n$unpartitioned")
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"cartesian in the recall-eval plan:\n$sp")
+  }
+
   test("ann_refine: broadcast shortlist fetch, query-keyed rerank window, no corpus shuffle") {
     val df = q("ann_refine")
     val sp = df.queryExecution.sparkPlan
