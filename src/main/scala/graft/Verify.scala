@@ -64,7 +64,11 @@ object Verify {
       "spark.graft.streaming.statePartitions" -> Seq(), // parallelism only
       "spark.graft.streaming.stateStore" -> Seq(), // provider only
       "spark.graft.stage.dir" -> Seq(), // storage location only
-      "spark.graft.ann.kmeansIters" -> Seq() // oracle reads exported centroids
+      "spark.graft.ann.kmeansIters" -> Seq(), // oracle reads exported centroids
+      // oracle-transparent like kmeansIters: the centroid export is
+      // content-addressed by nlist and the recall grid is captured at
+      // run time, so the dumped SQL always replays the built index
+      "spark.graft.ann.nlist" -> Seq()
     )
     val overriddenKeys = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)

@@ -235,6 +235,98 @@ object Graph extends QueryModule {
     }
   }
 
+  /** graph_wsssp relaxation-round cap — part of the operator's
+    * DEFINITION like [[SsspMaxHops]]: the result is "minimum path cost
+    * over paths of at most this many edges", the engine's early
+    * convergence (no distance improved) is exact because relaxation is
+    * monotone, and the oracle's bounded WITH RECURSIVE enumerates
+    * exactly the ≤-cap-edge paths. Weighted paths need more rounds
+    * than hop-BFS to settle (a cheap long detour can undercut an
+    * expensive short edge), hence the larger cap. */
+  private[graft] val WssspMaxRounds = 12
+
+  /** Deterministic integer edge weight 1 + (src + dst) % 7 — symmetric
+    * (w(u,v) = w(v,u) on the symmetric edge set) and ARITHMETIC so the
+    * oracle re-derives it without a side table (the [[SsspSeedMod]]
+    * seed-rule precedent); the stand-in for a per-link cost metric
+    * (fetch latency, toll) a production crawl-cost graph carries as an
+    * edge column. Strictly positive, so Bellman–Ford relaxation is
+    * monotone and the convergence gate is sound. */
+  private def weightedEdges(s: SparkSession, d: String): DataFrame =
+    edges(s, d).withColumn("w", expr("1 + (src + dst) % 7"))
+
+  /** ONE weighted relaxation: dist'(v) = min(dist(v), min over incoming
+    * edges (u,v) of dist(u) + w(u,v)) — [[ssspStep]] with the edge
+    * weight riding the join, same |E|-bounded src-keyed join into a
+    * dst-keyed partial-aggregated min. Named for the plan spec. */
+  private[graft] def wssspStep(ew: DataFrame)(prev: DataFrame): DataFrame = {
+    val relax = ew
+      .join(prev.filter(col("dist").isNotNull)
+        .withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(min(col("dist") + col("w")).as("cand"))
+    prev.select(col("node"), col("dist"))
+      .join(relax, Seq("node"), "left")
+      .select(col("node"), least(col("dist"), col("cand")).as("dist"))
+  }
+
+  /** Weighted shortest-path costs from the seed set (round-15 verdict
+    * item 4): Bellman–Ford-style relaxation through the SAME
+    * convergence-gated checkpointed loop as [[ssspDistances]] —
+    * stops when a round improves no distance, bounded by
+    * [[WssspMaxRounds]]. Exposed for the spec. */
+  private[graft] def wssspDistances(s: SparkSession, d: String): DataFrame = {
+    val ew = weightedEdges(s, d)
+    val nodes = degrees(s, d).select(col("src").as("node"))
+    val init = nodes.withColumn("dist",
+      when(col("node") % SsspSeedMod === 0, lit(0L)))
+    graft.operators.Iterate.converge(init, WssspMaxRounds) { (prev, _) =>
+      wssspStep(ew)(prev)
+    } { (prev, next) =>
+      !next.as("n").join(prev.as("p"), Seq("node"))
+        .filter(!(col("n.dist") <=> col("p.dist"))).isEmpty
+    }
+  }
+
+  /** Personalized-PageRank iteration count — fixed, part of the
+    * definition (the [[Iters]] discipline; the oracle unrolls it). */
+  private val PprIters = 5
+
+  /** Seed count per fixture, memoized like [[nodeCounts]]. */
+  private val seedCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Personalized PageRank from the [[SsspSeedMod]] seed set (round-15
+    * verdict item 7 — crawl prioritization: importance RELATIVE to a
+    * trusted frontier, the random-walk-with-restart form): identical
+    * exact-integer dataflow to [[pagerankRanks]], except the teleport
+    * mass restarts AT THE SEEDS ONLY — r₀ = S DIV |seeds| at seeds
+    * (0 elsewhere), and the per-step base term lands only on seeds.
+    * A zero-seed corpus degenerates to all-zero ranks (base and r₀
+    * coalesce to 0), identically in the oracle. */
+  private[graft] def pprRanks(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val e = edges(s, d)
+    val deg = degrees(s, d)
+    val nodes = deg.select(col("src").as("node"))
+    val ns: Long = seedCounts.computeIfAbsent(d,
+      _ => nodes.filter(col("node") % SsspSeedMod === 0).count())
+    val r0 = if (ns > 0) Scale / ns else 0L
+    val base = if (ns > 0) 15L * (Scale / ns) / 100L else 0L
+    val init = nodes.withColumn("r",
+      when(col("node") % SsspSeedMod === 0, lit(r0)).otherwise(lit(0L)))
+    graft.operators.Iterate.fixpoint(init, iters) { (r, _) =>
+      val contrib = e
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("r DIV deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"CASE WHEN node % $SsspSeedMod = 0 THEN ${base}L ELSE 0L END" +
+            " + (85 * coalesce(s, 0L)) DIV 100").as("r"))
+    }
+  }
+
   override def queries: Map[String, Q] = Map(
     "graph_pagerank" -> { (s, d) =>
       pagerankRanks(s, d, Iters)
@@ -302,6 +394,35 @@ object Graph extends QueryModule {
       ssspDistances(s, d)
         .select(col("node").as("part"), col("dist").as("hops"))
         .orderBy(col("part"))
+    },
+
+    // WEIGHTED shortest path from the seed set (round-15 verdict item
+    // 4) — Bellman–Ford relaxation over deterministic positive integer
+    // edge weights, the crawl-cost / latency-graph analytic hop-BFS
+    // can't express (a cheap long detour must be able to beat an
+    // expensive direct edge — the planted-graph spec pins exactly
+    // that). Fourth consumer of the checkpointed iteration operator,
+    // second of its convergence-gated form: stops when a round
+    // improves nothing, capped at WssspMaxRounds; the oracle's
+    // bounded WITH RECURSIVE enumerates all ≤-cap-edge path costs
+    // (state space bounded: integer costs ≤ 7·cap) and mins per node
+    // — the graph_sssp deep-CTE-cliff recipe. Exact integers end to
+    // end; unreached nodes carry NULL.
+    "graph_wsssp" -> { (s, d) =>
+      wssspDistances(s, d)
+        .select(col("node").as("part"), col("dist").as("cost"))
+        .orderBy(col("part"))
+    },
+
+    // Personalized PageRank (random walk with restart at the trusted
+    // seed set — round-15 verdict item 7): the crawl-prioritization
+    // variant of graph_pagerank, reusing its exact-integer step with
+    // seed-restricted teleport. Fixed 5 iterations; oracle unrolls
+    // them (the graph_pagerank recipe with a seed-conditional base).
+    "graph_ppr" -> { (s, d) =>
+      pprRanks(s, d, PprIters)
+        .select(col("node").as("part"), col("r").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("part"))
     },
 
     // Per-node triangle census over the co-purchase graph — the local
@@ -442,6 +563,73 @@ object Graph extends QueryModule {
          |SELECT n.node AS part, b.dist AS hops
          |FROM nodes n LEFT JOIN best b USING (node)
          |ORDER BY part""".stripMargin,
+
+    // bounded-edge-count weighted relaxation as WITH RECURSIVE: reach
+    // enumerates (node, cost, hops) of every seed-path with ≤
+    // WssspMaxRounds edges (UNION set-dedup + the strictly positive
+    // integer weights bound the state space: cost ≤ 7·cap), min per
+    // node = the cap-round Bellman–Ford = the engine's converged
+    // state (early convergence is a no-op tail). Weight re-derived
+    // arithmetically inside the edge CTE.
+    "graph_wsssp" ->
+      s"""WITH RECURSIVE li AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS src, b.pk AS dst,
+         |         1 + (a.pk + b.pk) % 7 AS w
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         |reach AS (
+         |  SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM nodes
+         |  WHERE node % $SsspSeedMod = 0
+         |  UNION
+         |  SELECT e.dst AS node, r.dist + e.w AS dist, r.hops + 1 AS hops
+         |  FROM reach r JOIN e ON e.src = r.node
+         |  WHERE r.hops < $WssspMaxRounds),
+         |best AS (SELECT node, min(dist) AS dist FROM reach GROUP BY node)
+         |SELECT n.node AS part, b.dist AS cost
+         |FROM nodes n LEFT JOIN best b USING (node)
+         |ORDER BY part""".stripMargin,
+
+    // graph_pagerank's unrolled-iteration oracle with the teleport
+    // terms gated on the seed rule; |seeds| recomputed in SQL, the
+    // zero-seed corpus coalescing to all-zero ranks exactly as the
+    // engine does
+    "graph_ppr" -> {
+      val header =
+        s"""WITH li AS (
+           |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+           |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+           |e AS MATERIALIZED (
+           |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+           |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+           |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+           |cfg AS (SELECT CAST(coalesce($Scale // NULLIF(count(*), 0), 0) AS BIGINT) AS r0,
+           |               CAST(coalesce(15 * ($Scale // NULLIF(count(*), 0)) // 100, 0) AS BIGINT) AS base
+           |        FROM nodes WHERE node % $SsspSeedMod = 0),
+           |r0 AS (SELECT node,
+           |         CASE WHEN node % $SsspSeedMod = 0 THEN (SELECT r0 FROM cfg)
+           |              ELSE 0 END AS r
+           |       FROM nodes)""".stripMargin
+      val iters = (1 to PprIters).map { k =>
+        s"""r$k AS (
+           |  SELECT nodes.node,
+           |         CAST(CASE WHEN nodes.node % $SsspSeedMod = 0
+           |                   THEN (SELECT base FROM cfg) ELSE 0 END
+           |              + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.r // d.deg) AS s
+           |    FROM e JOIN r${k - 1} r ON r.node = e.src
+           |           JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON s.node = nodes.node)""".stripMargin
+      }
+      (header +: iters).mkString(",\n") +
+        s"""
+           |SELECT node AS part, r AS rank_fp FROM r$PprIters
+           |ORDER BY rank_fp DESC, part""".stripMargin
+    },
 
     // identical orientation algebra (degree from the symmetric edge
     // set, (deg, id)-lexicographic direction), wedge + close joins,

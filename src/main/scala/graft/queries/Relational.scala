@@ -64,6 +64,12 @@ object Relational extends QueryModule {
     * estimator are deterministic (see the query's contract note). */
   private val ThetaK = 1024
 
+  /** agg_approx's bottom-k row-sample size (median rank error
+    * O(1/√k) ≈ 3 %): under-full fixtures degenerate to the exact
+    * nearest-rank median, larger ones genuinely sample — both regimes
+    * hash-oracled (the ThetaK under-full/estimating contract). */
+  private val SampleK = 1024
+
   /** Synthesized `partsupp` — the one TPC-H table the fixture doesn't
     * ship (SURVEY §8.2), derived DETERMINISTICALLY from `part` ×
     * `supplier` count with TPC-H's own supplier-assignment formula
@@ -454,20 +460,56 @@ object Relational extends QueryModule {
         .orderBy(col("l_returnflag"))
     },
 
-    // Sketch-based aggregates — approximate by design, so no SQL oracle
-    // (rows-only driver check); accuracy vs the exact twins is asserted
-    // in RelationalSpec. At 100 TB these replace exact distinct counts
-    // wherever a ±2% answer is acceptable: no O(distinct) state, no
-    // second shuffle for the distinct expansion.
+    // APPROXIMATE aggregates, engine-replayable (round-15 verdict item
+    // 3 — the suite's last two rows-only entries retired): the previous
+    // `approx_count_distinct` + `percentile_approx` forms kept their
+    // sketch state engine-private (Spark's HLL++ registers use a
+    // private xxHash64 seed; QuantileSummaries compression is
+    // merge-order-dependent), which made a DuckDB oracle structurally
+    // impossible. Both estimators are now deterministic PUBLIC
+    // functions (the agg_theta_sketch md5 discipline):
+    //  - approx distinct parts: [[graft.operators.HllSketch]] — classic
+    //    HLL over md5-derived hashes, exact-decimal harmonic sum, one
+    //    IEEE tail step; σ ≈ 1.6 % at 4096 registers;
+    //  - approx median: nearest-rank median of a deterministic
+    //    bottom-k row sample (the k smallest md5 hashes of the line
+    //    identity — a uniform-by-hash sample, the KMV/theta sampling
+    //    argument; rank error O(1/√k) ≈ 3 % at k = 1024), hierarchical
+    //    through the bounded topKLong aggregator — never a corpus
+    //    sort.
+    // At 100 TB these replace exact distinct counts/medians wherever a
+    // few-% answer is acceptable: no O(distinct) state, no second
+    // shuffle for the distinct expansion, no corpus-wide rank. The
+    // DuckDB oracle replays hash → registers → estimate and
+    // hash → bottom-k → nearest-rank bit for bit: FULL hash gate;
+    // accuracy vs the exact twins stays asserted in ScaleSpec.
     "agg_approx" -> { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          // accuracy 1000 (the default): rank error ≤ n/1000, far inside
-          // the ±1-quantity-unit need; 10× that only inflates the
-          // per-row QuantileSummaries insertion cost
-          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median"))
+      import s.implicits._
+      import graft.operators.HllSketch
+      val li = Tables.lineitem(s, d)
+      val parts = HllSketch.estimates(
+        HllSketch.registers(li, col("l_returnflag"), col("l_partkey")))
+        .select(col("scope").as("l_returnflag"), col("est").as("approx_parts"))
+      val sampled = li
+        .select(col("l_returnflag"),
+          conv(substring(md5(concat_ws("_",
+            col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("h"),
+          col("l_quantity").cast("long").as("qty"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (-t._2, t._3)) // top-k by (−h desc, qty asc) = k-min by (h, qty)
+        .agg(graft.operators.TopK.topKLong(SampleK).toColumn.name("top"))
+        .flatMap { case (flag, top) => top.map { case (_, qty) => (flag, qty) } }
+        .toDF("l_returnflag", "qty")
+      val med = sampled.groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_list(col("qty"))).as("qs"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"),
+            greatest(lit(1), ceil(size(col("qs")) / lit(2.0)).cast("int")))
+            .cast("double").as("approx_median"))
+      parts.join(med, Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -546,16 +588,25 @@ object Relational extends QueryModule {
       emit(per).unionByName(emit(all)).orderBy(col("scope"))
     },
 
+    // Round-15 verdict item 3: Spark's DataSketches hll_* functions →
+    // [[graft.operators.HllSketch]] (register-table HLL over public
+    // md5 hashes). The per-slice REGISTER TABLE is the staged
+    // mergeable state — and because register max is associative, the
+    // union rollup is EXACTLY the one-pass whole-fact sketch (no
+    // sparse→dense promotion drift; spec-pinned equality, not the
+    // former <1% closeness), and the whole pipeline replays in DuckDB:
+    // FULL hash gate.
     "agg_sketch_merge" -> { (s, d) =>
-      val per = Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag").as("scope"))
-        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
-      val union = per
-        .agg(hll_union_agg(col("sk")).as("sk"))
-        .select(lit("ALL").as("scope"), col("sk"))
-      per.unionByName(union)
-        .select(col("scope"),
-          hll_sketch_estimate(col("sk")).as("est_distinct_orders"))
+      import graft.operators.HllSketch
+      // staged once per fixture: rollups and re-reads consume sketch
+      // STATE, never the raw fact — the incremental-analytics shape
+      val regs = graft.Staging.stage(s, "hll_regs_orders", d) {
+        HllSketch.registers(Tables.lineitem(s, d),
+          col("l_returnflag"), col("l_orderkey"))
+      }
+      HllSketch.estimates(
+        regs.unionByName(HllSketch.unionRegisters(regs, "ALL")))
+        .select(col("scope"), col("est").as("est_distinct_orders"))
         .orderBy(col("scope"))
     },
 
@@ -1294,6 +1345,53 @@ object Relational extends QueryModule {
         |FROM ranked
         |GROUP BY scope
         |ORDER BY scope""".stripMargin,
+
+    // HLL pipeline replayed end to end (round-15 verdict item 3):
+    // hash → register max → union rollup → exact-decimal harmonic
+    // estimate, from the ONE shared SQL builder the engine mirrors —
+    // a full hash match (see [[graft.operators.HllSketch]]).
+    "agg_sketch_merge" ->
+      s"""WITH ${graft.operators.HllSketch.oracleCtes(
+             "SELECT l_returnflag AS scope, l_orderkey AS key FROM lineitem",
+             "ALL")}
+         |SELECT scope, est AS est_distinct_orders
+         |FROM hest
+         |ORDER BY scope""".stripMargin,
+
+    // HLL distinct + deterministic bottom-k-sample nearest-rank median
+    // (the same md5 sampling argument as agg_theta_sketch; l_quantity
+    // is integral by fixture contract, so the BIGINT cast is exact in
+    // both engines). The hest CTE's built-in 'ALL' rollup is unused
+    // here — filtered out; per-flag rows only.
+    "agg_approx" ->
+      s"""WITH ${graft.operators.HllSketch.oracleCtes(
+             "SELECT l_returnflag AS scope, l_partkey AS key FROM lineitem",
+             "ALL")},
+         |smp AS (
+         |  SELECT l_returnflag,
+         |         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+         |                 CAST(l_linenumber AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h,
+         |         CAST(l_quantity AS BIGINT) AS qty
+         |  FROM lineitem),
+         |sk AS (
+         |  SELECT l_returnflag, qty,
+         |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h, qty) AS rn
+         |  FROM smp),
+         |samp AS (SELECT l_returnflag, qty FROM sk WHERE rn <= $SampleK),
+         |amed AS (
+         |  SELECT l_returnflag,
+         |         max(CASE WHEN rq = greatest(1, CAST(ceil(n / 2.0) AS BIGINT))
+         |             THEN qty END) AS qmed
+         |  FROM (SELECT l_returnflag, qty,
+         |               row_number() OVER (PARTITION BY l_returnflag ORDER BY qty) AS rq,
+         |               count(*) OVER (PARTITION BY l_returnflag) AS n
+         |        FROM samp)
+         |  GROUP BY l_returnflag)
+         |SELECT h.scope AS l_returnflag, h.est AS approx_parts,
+         |       CAST(m.qmed AS DOUBLE) AS approx_median
+         |FROM hest h JOIN amed m ON m.l_returnflag = h.scope
+         |WHERE h.scope <> 'ALL'
+         |ORDER BY l_returnflag""".stripMargin,
 
     // DETERMINISTIC-SKETCH oracle (the pipeline_overlap_est recipe):
     // DuckDB mirrors the k-min sets (ORDER BY h LIMIT k over the same

@@ -304,12 +304,42 @@ private[queries] trait SimilarityCore {
 
   /** Buckets probed per IVF query — THE recall/cost lever: recall tracks
     * the probed corpus mass (on near-uniform vectors almost linearly:
-    * measured 0.36 at nprobe=2 of 10, 0.7+ at 4), cost is the probed
-    * buckets' member count. Default 4 of 10 suits the fixtures' weakly
-    * clustered embeddings; a corpus with real modes gets away with 1–2
-    * of a much larger centroid count. */
+    * measured 0.36 at 20% probed mass, 0.7+ at 40%), cost is the probed
+    * buckets' member count. Default 4 suits the fixtures' weakly
+    * clustered embeddings at their derived nlist; a corpus with real
+    * modes gets away with 1–2 of a much larger centroid count. Probed
+    * MASS at the default shrinks as nlist grows with the corpus
+    * (4/√N of the data) — that is the IVF scale contract working, not a
+    * defect; ann_recall_eval's fraction-of-nlist grid is where the
+    * recall/cost trade is monitored per corpus. */
   private[queries] def annNprobe(s: SparkSession): Int =
     s.conf.getOption("spark.graft.ann.nprobe").map(_.toInt).getOrElse(4)
+
+  /** Coarse-quantizer size as a pure function of the corpus size —
+    * THE parametric scale lever of the whole IVF family (round-15
+    * verdict item 1: a fixed nlist = 10 made every bucket N/10, so a
+    * 1-probe serve still scanned ~10% of a 100 TB corpus — linear in N
+    * with a constant-factor discount). nlist = ⌈√N⌉ balances the two
+    * costs that bound any IVF serve — the quantizer scan (nlist dots
+    * per query/ingested vector) and the probed bucket scan (~N/nlist
+    * rows per probe) — so both grow as √N, the textbook IVF sizing
+    * (FAISS guidelines; Jégou et al., PAPERS.md). Clamps: 10 keeps the
+    * tiny fixtures' index non-degenerate; 4096 is the ceiling of the
+    * literal-folded margin-gated assignment projection
+    * ([[assignCentroid]] — 2·nlist struct expressions per row; past it
+    * the argmax belongs in a dedicated codegen expression looping over
+    * a referenced centroid matrix). Monotone in N by construction
+    * (√ and both clamps are monotone) — spec-pinned. */
+  private[graft] def nlistFor(n: Long): Int =
+    math.max(10, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** nlist for a fixture: `spark.graft.ann.nlist` override (oracle-
+    * transparent — the oracles consume the exported centroids, which
+    * are content-addressed by nlist) or [[nlistFor]] of the memoized
+    * indexable count. */
+  private[queries] def annNlist(s: SparkSession, d: String): Int =
+    s.conf.getOption("spark.graft.ann.nlist").map(_.toInt)
+      .getOrElse(nlistFor(indexableCount(s, d)))
 
   /** Trained IVF coarse quantizer: seed centroids (10 lowest non-query
     * vec_ids) refined by `iters` deterministic k-means (Lloyd) rounds —
@@ -353,8 +383,8 @@ private[queries] trait SimilarityCore {
   private[queries] def oracleExportPath(salt: String, prefix: String): String =
     graft.OracleExport.path(salt, prefix)
 
-  private[graft] def ivfOracleCentroidsPath(dir: String, iters: Int): String =
-    oracleExportPath(s"$dir|i$iters", "ivf-centroids")
+  private[graft] def ivfOracleCentroidsPath(dir: String, iters: Int, nlist: Int): String =
+    oracleExportPath(s"$dir|i$iters|n$nlist", "ivf-centroids")
 
   /** (fixture dir, iters) of the most recent ann_ivf plan build in this
     * JVM — read by [[oracles]] so the dumped oracle SQL names the export
@@ -363,7 +393,7 @@ private[queries] trait SimilarityCore {
     * driver's verify fixture so the SQL is well-formed even if ann_ivf
     * never ran in this JVM (the driver only checks oracles for queries
     * with a dumped result, so the default is never READ in that case). */
-  @volatile private[queries] var lastIvf: (String, Int) = ("/root/testdata/sf0.01", 2)
+  @volatile private[queries] var lastIvf: (String, Int, Int) = ("/root/testdata/sf0.01", 2, 10)
 
   /** Pin the oracle-dump default to the fixture Verify is actually
     * running (round-10 advice): without this, a Verify subset run that
@@ -372,19 +402,20 @@ private[queries] trait SimilarityCore {
     * before the query loop; an actual ann_ivf/emb_kmeans build
     * overwrites it with the same fixture (and its true iters). */
   def pinOracleFixture(dir: String): Unit = {
-    lastIvf = (dir, lastIvf._2)
+    lastIvf = (dir, lastIvf._2, lastIvf._3)
     lastPq = dir
-    lastPqRes = (dir, lastPqRes._2)
+    lastPqRes = (dir, lastPqRes._2, lastPqRes._3)
     lastPca = dir
   }
 
-  private[queries] val ivfExported = new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
+  private[queries] val ivfExported = new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Boolean]()
 
   private[queries] def ivfCentroids(s: SparkSession, d: String, iters: Int): DataFrame = {
-    val staged = ivfCentroidsStaged(s, d, iters)
-    lastIvf = (d, iters)
-    ivfExported.computeIfAbsent((d, iters), _ => {
-      val p = ivfOracleCentroidsPath(d, iters)
+    val nlist = annNlist(s, d)
+    val staged = ivfCentroidsStaged(s, d, iters, nlist)
+    lastIvf = (d, iters, nlist)
+    ivfExported.computeIfAbsent((d, iters, nlist), _ => {
+      val p = ivfOracleCentroidsPath(d, iters, nlist)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
       graft.ScaleData.writeSingleFile(staged, p)
       true
@@ -392,22 +423,35 @@ private[queries] trait SimilarityCore {
     staged
   }
 
-  private[queries] def ivfCentroidsStaged(s: SparkSession, d: String, iters: Int): DataFrame =
-    graft.Staging.stage(s, s"ivf_centroids_i$iters", d) {
+  /** Lloyd training at corpus-derived nlist. Each round COLLECTS the
+    * current centroids (model-sized: ≤ nlist × dim floats) and assigns
+    * every vector via [[assignCentroid]]'s margin-gated literal-folded
+    * argmax — ONE narrow projection per round, no join, no shuffle of
+    * the corpus (the previous broadcast-join + per-vector row_number
+    * window shuffled corpus × nlist rows WITH their embedding payloads
+    * per round; harmless at nlist = 10, ~90 M wide rows per round at
+    * the 100× fixture's nlist ≈ 448 — the round-9 serving lesson
+    * applied to training). The per-round collect also pins each
+    * round's assignment input to MATERIALIZED driver-side arrays, so
+    * round k never re-expands round k−1's DAG (the lazy-fold
+    * re-expansion Staging exists to prevent). Recentering is the same
+    * decimal-mean discipline: per-dimension sums in DECIMAL(20,12)
+    * (order-independent ⇒ bit-stable across runs and partitionings),
+    * one cast to float. Empty clusters drop out of the assignment
+    * group-by, exactly as in Lloyd; an emptied corpus short-circuits
+    * to the typed empty frame (the kmeansMembers lesson). */
+  private[queries] def ivfCentroidsStaged(s: SparkSession, d: String, iters: Int,
+      nlist: Int): DataFrame =
+    graft.Staging.stage(s, s"ivf_centroids_i${iters}_n$nlist", d) {
       val base = withNorm(s, d)
       val seeds = base.filter(col("vec_id") >= NQ)
-        .orderBy(col("vec_id")).limit(10)
+        .orderBy(col("vec_id")).limit(nlist)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           col("n2").as("c_n2"))
-      val wSeed = Window.partitionBy(col("vec_id"))
-        .orderBy(col("s_cos").desc, col("c_id"))
       (1 to iters).foldLeft(seeds) { (cent, _) =>
-        base.join(broadcast(cent))
-          .withColumn("s_cos",
-            dotDbl(col("embedding"), col("c_emb")) /
-              sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
-          .withColumn("s_rank", row_number().over(wSeed))
-          .filter(col("s_rank") === 1)
+        val centArr = collectQuantizer(cent)
+        if (centArr.isEmpty) cent.limit(0)
+        else assignCentroid(base, centArr)
           .select(col("c_id"), posexplode(col("embedding")).as(Seq("i", "x")))
           .groupBy(col("c_id"), col("i"))
           .agg((sum(col("x").cast("decimal(20,12)")) / count(lit(1)))
@@ -599,7 +643,7 @@ private[queries] trait SimilarityCore {
   private[queries] def residualCodedCorpus(s: SparkSession, d: String, iters: Int,
       centDf: DataFrame, centArr: Array[(Long, Seq[Float], Double)],
       cb: Array[(Int, Int, Seq[Float])]): DataFrame =
-    graft.Staging.stage(s, s"pqres_codes_c${iters}_i2", d) {
+    graft.Staging.stage(s, s"pqres_codes_c${iters}_n${annNlist(s, d)}_i2", d) {
       pqEncode(residuals(centDf, centArr)(withNorm(s, d)), cb)
         .select(col("vec_id") +: col("label") +: col("c_id") +:
           (0 until PqM).map(m => col(s"code_$m")): _*)
@@ -707,25 +751,27 @@ private[queries] trait SimilarityCore {
     * probes ranked by the NEW one (review finding; the content-
     * addressing contract of ivfOracleCentroidsPath). The trailing
     * `pqres2` is the sub-codebooks' OWN Lloyd iteration count. */
-  private[graft] def pqResOracleCodebookPath(dir: String, iters: Int): String =
-    oracleExportPath(s"$dir|c$iters|pqres2", "pqres-codebooks")
+  private[graft] def pqResOracleCodebookPath(dir: String, iters: Int, nlist: Int): String =
+    oracleExportPath(s"$dir|c$iters|n$nlist|pqres2", "pqres-codebooks")
 
-  @volatile private[queries] var lastPqRes: (String, Int) = ("/root/testdata/sf0.01", 2)
+  @volatile private[queries] var lastPqRes: (String, Int, Int) = ("/root/testdata/sf0.01", 2, 10)
 
   private[queries] val pqResExported =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Boolean]()
 
   /** Residual sub-codebooks (trained on x − centroid, staged, exported
     * for the compositional oracle — the pqCodebooks recipe on the
-    * residual frame). */
+    * residual frame). Keyed by (dir, iters, nlist): the residuals
+    * depend on the coarse quantizer, which depends on both knobs. */
   private[queries] def pqResCodebooks(s: SparkSession, d: String, iters: Int,
       centDf: DataFrame,
       centArr: Array[(Long, Seq[Float], Double)]): DataFrame = {
-    val staged = trainPqCodebooks(s, s"pqres_codebooks_c${iters}_i2", d)(
+    val nlist = annNlist(s, d)
+    val staged = trainPqCodebooks(s, s"pqres_codebooks_c${iters}_n${nlist}_i2", d)(
       residuals(centDf, centArr)(withNorm(s, d)))
-    lastPqRes = (d, iters)
-    pqResExported.computeIfAbsent((d, iters), _ => {
-      val p = pqResOracleCodebookPath(d, iters)
+    lastPqRes = (d, iters, nlist)
+    pqResExported.computeIfAbsent((d, iters, nlist), _ => {
+      val p = pqResOracleCodebookPath(d, iters, nlist)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
       graft.ScaleData.writeSingleFile(staged, p)
       true
@@ -752,11 +798,12 @@ private[queries] trait SimilarityCore {
     * write of an untypeable literal array. */
   private[queries] def kmeansMembers(s: SparkSession, d: String): DataFrame = {
     val iters = annKmeansIters(s)
+    val nlist = annNlist(s, d)
     val base = withNorm(s, d)
     val centArr = collectQuantizer(ivfCentroids(s, d, iters))
     if (centArr.isEmpty)
       base.limit(0).select(col("vec_id"), lit(0L).as("c_id"))
-    else graft.Staging.stage(s, s"kmeans_members_i$iters", d) {
+    else graft.Staging.stage(s, s"kmeans_members_i${iters}_n$nlist", d) {
       assignCentroid(base, centArr).select(col("vec_id"), col("c_id"))
     }
   }

@@ -11,12 +11,25 @@ import org.apache.spark.sql.functions._
   * embedding near-dup/SemDeDup consumers. */
 private[queries] trait SimilarityServing extends SimilaritySql {
 
-  /** ann_recall_eval's nprobe grid — part of the query's DEFINITION
-    * (constants in both engines, not the ann.nprobe serving knob). The
-    * last point is nlist (ivfCentroidsStaged's seed cap): probing every
-    * bucket makes the arm exhaustive, so its recall is 1.0 by
-    * construction — the eval's built-in self-check. */
-  private[graft] val RecallNprobes = Seq(1, 2, 4, 10)
+  /** ann_recall_eval's nprobe grid, expressed as FRACTIONS of the
+    * corpus-derived nlist (round-15 verdict item 1) — part of the
+    * query's DEFINITION (derived from the same corpus count in both
+    * engines' artifacts, not the ann.nprobe serving knob): the
+    * single-probe floor, the serving default 4, nlist/8 and nlist/4
+    * (probing 12.5% / 25% of the buckets ⇒ ~that fraction of the
+    * corpus mass at balanced buckets, whatever N is), and nlist
+    * itself — probing every bucket makes the last arm exhaustive, so
+    * its recall is 1.0 by construction, the eval's built-in
+    * self-check. At the clamp floor nlist = 10 this reproduces the
+    * historical grid (1, 2, 4, 10) exactly. */
+  private[graft] def recallGridFor(nlist: Int): Seq[Int] =
+    (Seq(1, 4, nlist / 8, nlist / 4).map(math.max(1, _)) :+ nlist)
+      .distinct.filter(_ <= nlist).sorted
+
+  /** The grid of the most recent ann_recall_eval build in this JVM —
+    * read by the oracle dump so the SQL replays the arms the engine
+    * actually served (the [[lastIvf]] dump-after-run pattern). */
+  @volatile private[graft] var lastRecallGrid: Seq[Int] = recallGridFor(10)
 
   private[queries] def servingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -306,9 +319,10 @@ private[queries] trait SimilarityServing extends SimilaritySql {
       val base = withNorm(s, d)
       val centDf = ivfCentroids(s, d, annKmeansIters(s))
       val cent = broadcast(centDf)
-      // The trained quantizer is a MODEL ARTIFACT, bounded by nlist (10
-      // here; √corpus in a production IVF — 2^16 centroids × 64 dims is
-      // ~16 MB), not by the data — so it is collected once and folded
+      // The trained quantizer is a MODEL ARTIFACT, bounded by nlist
+      // (⌈√corpus⌉, the production IVF sizing — see [[nlistFor]]; even
+      // the 4096 clamp × 64 dims is ~1 MB), not by the data — so it is
+      // collected once and folded
       // into the assignment projection as literal arrays, exactly how
       // production IVF serves: the quantizer ships to every worker and
       // assignment is a per-row argmax, NO join, NO shuffle, NO window.
@@ -355,8 +369,9 @@ private[queries] trait SimilarityServing extends SimilaritySql {
     // top-K. Both sides are fully deterministic (decimal-exact ranks,
     // vec_id tie-breaks; membership is the persisted assignment table),
     // so the DuckDB oracle replays the whole evaluation compositionally
-    // from the exported centroids. nprobe = nlist (10 — the
-    // ivfCentroids seed cap) probes every bucket, so its recall row is
+    // from the exported centroids. The grid is fractions of the
+    // corpus-derived nlist (see [[recallGridFor]]); its last point
+    // nprobe = nlist probes every bucket, so that recall row is
     // exactly 1.0 by construction — a built-in self-check; the spec
     // pins recall monotone in nprobe. Scale shape: ground truth and
     // each arm are query-set-bounded (NQ·K rows); candidates are
@@ -382,7 +397,9 @@ private[queries] trait SimilarityServing extends SimilaritySql {
         val corpus = base.join(members, Seq("vec_id"))
           .select(col("vec_id"), col("label"), col("embedding"),
             col("n2"), col("c_id"))
-        val perNp = RecallNprobes.map { np =>
+        val grid = recallGridFor(annNlist(s, d))
+        lastRecallGrid = grid
+        val perNp = grid.map { np =>
           val probes = rankCentroids(base.filter(col("vec_id") < NQ), cent, np)
             .filter(col("c_rank") <= np)
             .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -1098,7 +1115,7 @@ private[queries] trait SimilarityServing extends SimilaritySql {
     // count. Small-int division renders recall identically in both
     // engines.
     "ann_recall_eval" -> {
-      val arms = RecallNprobes.map { np =>
+      val arms = lastRecallGrid.map { np =>
         s"""probes_$np AS (SELECT vec_id AS query_id, c_id FROM ranked
            |               WHERE vec_id < $NQ AND c_rank <= $np),
            |top_$np AS (
@@ -1130,7 +1147,7 @@ private[queries] trait SimilarityServing extends SimilaritySql {
          |       CAST(n_hits AS BIGINT) AS n_hits,
          |       CAST((SELECT n FROM ntk) AS BIGINT) AS n_topk,
          |       round(CAST(n_hits AS DOUBLE) / (SELECT n FROM ntk), 9) AS recall
-         |FROM (${RecallNprobes.map(np => s"SELECT * FROM hit_$np")
+         |FROM (${lastRecallGrid.map(np => s"SELECT * FROM hit_$np")
               .mkString(" UNION ALL ")})
          |ORDER BY nprobe""".stripMargin
     },

@@ -89,7 +89,7 @@ private[queries] trait SimilaritySql extends SimilarityCore {
     * from $exSql in scope. */
   private[queries] def assignMembersSql: String =
     s"""cex AS (SELECT c_id, generate_subscripts(c_emb, 1) AS i, unnest(c_emb) AS x
-       |        FROM parquet_scan('${ivfOracleCentroidsPath(lastIvf._1, lastIvf._2)}')),
+       |        FROM parquet_scan('${ivfOracleCentroidsPath(lastIvf._1, lastIvf._2, lastIvf._3)}')),
        |cnorms AS (
        |  SELECT c_id,
        |         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS n2
@@ -119,7 +119,7 @@ private[queries] trait SimilaritySql extends SimilarityCore {
     * yields `rcb(m, code, j, x)` and `codes(vec_id, m, code)`. */
   private[queries] def residualCodesSql: String =
     s"""rcb AS (SELECT m, code, generate_subscripts(c_sub, 1) AS j, unnest(c_sub) AS x
-       |        FROM parquet_scan('${pqResOracleCodebookPath(lastPqRes._1, lastPqRes._2)}')),
+       |        FROM parquet_scan('${pqResOracleCodebookPath(lastPqRes._1, lastPqRes._2, lastPqRes._3)}')),
        |res AS (
        |  SELECT e.vec_id, mm.c_id,
        |         CAST((e.i - 1) // $PqSubDim AS INT) AS m,

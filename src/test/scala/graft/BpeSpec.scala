@@ -128,6 +128,36 @@ class BpeSpec extends GraftSuite {
     }
   }
 
+  test("encoder is merge-count-independent: a 1000+-rule table encodes correctly " +
+      "and the plan argument stays O(1)") {
+    // synthetic rich vocabulary: every 3-letter word over 12 letters
+    // (1728 types) — training exhausts it in ~1.8k merges, well past
+    // anything the sf fixtures can spend (the ≥8k-merge production
+    // regime is evidenced on the 100× fixture in docs/SCALING.md; this
+    // pins the same property at unit scale against the independent
+    // min-rank reference)
+    val letters = "abcdefghijkl"
+    val vocab = for (a <- letters; b <- letters; c <- letters)
+      yield s"$a$b$c"
+    val counts = vocab.zipWithIndex.map { case (w, i) => (w, (i % 7 + 1).toLong) }
+    val merges = graft.queries.Bpe.train(counts, numMerges = 16384)
+    assert(merges.size > 1000, s"expected >1000 merges, got ${merges.size}")
+    val coder = new BpeCoder(merges)
+    // every trained type fully merges; the reference encoder agrees on
+    // a sample (including words sharing only prefixes with the vocab)
+    vocab.take(200).foreach(w => assert(coder.countWord(w) == 1))
+    Seq("abcz", "zabc", "aab", "abcabc", "a", "zz").foreach { w =>
+      assert(coder.countWord(w) == minRankCount(w, merges),
+        s"rank-map vs reference diverge on '$w'")
+    }
+    // the expression argument is content-addressed: plan-facing
+    // rendering is digest+size, not the table
+    val m = new graft.functions.BpeMerges(merges)
+    assert(m.toString.length < 64, s"plan rendering not O(1): ${m.toString}")
+    assert(m == new graft.functions.BpeMerges(merges))
+    assert(m != new graft.functions.BpeMerges(merges.drop(1)))
+  }
+
   test("two regimes: prod exhausts the fixture vocabulary, base is its prefix") {
     q("text_bpe_tokens").collect()      // builds + exports prod merges
     q("text_bpe_tokens_base").collect() // builds + exports base merges
@@ -139,14 +169,27 @@ class BpeSpec extends GraftSuite {
         graft.queries.Bpe.mergesOracleArtifactPath(sf, graft.queries.Bpe.Base))
       .orderBy(col("rank")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
+    // the prefix contract below is CAP-CONDITIONAL (round-15 advice):
+    // the two regimes train on the same frequency table only while the
+    // distinct pre-token count fits under Base's vocabCap — assert the
+    // precondition explicitly so a richer fixture fails HERE, not in
+    // the prefix check
+    val nTypes = Tables.documents(spark, sf)
+      .select(explode(expr(
+        s"regexp_extract_all(text, '${graft.queries.Bpe.PretokClasses}', 0)")).as("w"))
+      .distinct().count()
+    assert(nTypes <= graft.queries.Bpe.Base.vocabCap,
+      s"fixture vocabulary ($nTypes types) exceeds Base.vocabCap — " +
+        "the base-prefix-of-prod contract no longer applies")
     // base (24 merges) must be a strict prefix of prod (same trainer,
-    // same data, bigger budget) — the two-regime contract
+    // same data under the cap precondition, bigger budget) — the
+    // two-regime contract
     assert(base.size == graft.queries.Bpe.Base.numMerges)
     assert(prod.size > base.size, "prod regime should learn past base")
     assert(prod.take(base.size) == base, "base must be a prefix of prod")
     // prod trains to EXHAUSTION on this fixture (31-type vocabulary ≪
-    // the 512 cap): every distinct corpus pre-token encodes to ONE
-    // token under the prod merges — the data decides the spend
+    // the cap): every distinct corpus pre-token encodes to ONE token
+    // under the prod merges — the data decides the spend
     assert(prod.size < graft.queries.Bpe.Prod.numMerges,
       "fixture vocabulary should exhaust below the prod cap")
     val coder = new BpeCoder(prod)

@@ -102,6 +102,71 @@ class GraphSpec extends GraftSuite {
     assert(gated.nonEmpty && gated.exists(_._2 == 0L), "seed set non-empty")
   }
 
+  test("graph_wsssp: planted detour — a cheap 2-edge path beats the expensive direct edge") {
+    import spark.implicits._
+    // w(u,v) = 1 + (u+v) % 7. Seed 50. Direct 50–3 costs 5; the detour
+    // 50–13 (w=1) + 13–3 (w=3) costs 4 — the weighted answer hop-BFS
+    // cannot produce (it would stop at the 1-hop edge). Pair {8, 9}
+    // never reaches a seed → NULL.
+    val dir = java.nio.file.Files.createTempDirectory("graft-wsssp").toString
+    val orders = Seq((1L, 50L), (1L, 3L), (2L, 50L), (2L, 13L),
+      (3L, 13L), (3L, 3L), (4L, 8L), (4L, 9L))
+    orders.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("graph_wsssp")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val want = Map(
+      50L -> Some(0L), 13L -> Some(1L), 3L -> Some(4L),
+      8L -> None, 9L -> None)
+    assert(got == want, s"weighted costs: $got")
+  }
+
+  test("graph_wsssp: convergence-gated run equals the full WssspMaxRounds unroll; cost >= hops") {
+    val gated = graft.queries.Graph.wssspDistances(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val (e, deg, _) = graft.queries.Graph.stagedGraph(spark, sf)
+    val ew = e.withColumn("w", expr("1 + (src + dst) % 7"))
+    val nodes = deg.select(col("src").as("node"))
+    val init = nodes.withColumn("dist",
+      when(col("node") % graft.queries.Graph.SsspSeedMod === 0, lit(0L)))
+    val unrolled = graft.operators.Iterate.fixpoint(
+        init, graft.queries.Graph.WssspMaxRounds) { (prev, _) =>
+        graft.queries.Graph.wssspStep(ew)(prev)
+      }
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(gated == unrolled)
+    assert(gated.nonEmpty && gated.exists(_._2 == 0L), "seed set non-empty")
+    // weights >= 1 ⇒ every reached node's cost dominates its hop count
+    val hops = graft.queries.Graph.ssspDistances(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    gated.foreach { case (n, c) =>
+      val h = hops(n)
+      assert((c == -1L) == (h == -1L), s"reachability differs at $n")
+      if (c >= 0) assert(c >= h, s"node $n: cost $c < hops $h")
+    }
+  }
+
+  test("graph_ppr: restart mass stays at the seed side — unreachable nodes rank 0") {
+    import spark.implicits._
+    // path 25–1–2 from seed 25; pair {8, 9} is seed-free and must hold
+    // exactly zero personalized mass (no global teleport floor)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppr").toString
+    val orders = Seq((1L, 25L), (1L, 1L), (2L, 1L), (2L, 2L), (3L, 8L), (3L, 9L))
+    orders.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("graph_ppr")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(8L) == 0L && got(9L) == 0L, s"seed-free component ranked: $got")
+    assert(got(25L) > 0L && got(1L) > 0L && got(2L) > 0L)
+    // the seed holds the teleport floor; total mass never exceeds S
+    assert(got(25L) >= graft.queries.Graph.teleportBase(1) * 0 + 1)
+    assert(got.values.sum <= graft.queries.Graph.Scale)
+  }
+
   test("pagerank at 20 iterations (production shape): flat plan, mass invariants hold") {
     val ranks = graft.queries.Graph.pagerankRanks(spark, sf, 20)
     assert(org.apache.spark.sql.GraftColumnBridge.isCheckpointScan(ranks),

@@ -130,25 +130,28 @@ class ScaleSpec extends GraftSuite {
     assert(n == want && n > 0)
   }
 
-  test("agg_sketch_merge: union tracks the single-pass sketch, ±2% of exact, deterministic") {
+  test("agg_sketch_merge: union EQUALS the single-pass sketch, ±2% of exact, deterministic") {
     val est = q("agg_sketch_merge").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // merge fidelity: the union of slice sketches tracks a direct
-    // one-pass sketch over the whole fact to <1% (DataSketches HLL
-    // union merges state near-losslessly; sparse→dense promotion and
-    // the union gadget's target mode can shift the estimator by a few
-    // counts — measured 1467 vs 1473 here — so exact equality is NOT
-    // the contract, closeness + determinism is)
-    val onePass = Tables.lineitem(spark, sf)
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("e"))
-      .head().getLong(0)
-    assert(math.abs(est("ALL") - onePass).toDouble / onePass < 0.01,
-      s"union rollup ${est("ALL")} drifts >1% from one-pass sketch $onePass")
-    // determinism: same data, same estimates, every run (no rand salt)
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // merge fidelity — now EXACT equality, not the former <1%
+    // closeness: register max is associative, so the union of slice
+    // register tables IS the one-pass whole-fact register table bit
+    // for bit (the DataSketches sparse→dense promotion drift is gone
+    // with the engine-replayable HllSketch)
+    val onePass = graft.operators.HllSketch.estimates(
+      graft.operators.HllSketch.registers(
+        Tables.lineitem(spark, sf), lit("ALL"), col("l_orderkey")))
+      .head().getDouble(1)
+    assert(est("ALL") == onePass,
+      s"union rollup ${est("ALL")} != one-pass sketch $onePass")
+    // determinism: same data, same estimates, every run (md5-derived
+    // hashes, no rand salt; exact-decimal harmonic sum)
     val rerun = q("agg_sketch_merge").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rerun == est)
     // accuracy: every slice and the rollup within 2% of exact distinct
+    // (σ ≈ 1.6% at 4096 registers; the fixture sits in the
+    // linear-counting regime where the estimator is far tighter)
     val exact = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("n"))
@@ -157,7 +160,7 @@ class ScaleSpec extends GraftSuite {
       .select(col("l_orderkey")).distinct().count()
     for ((scope, e) <- est) {
       val truth = if (scope == "ALL") exactAll else exact(scope)
-      assert(math.abs(e - truth).toDouble / truth < 0.02,
+      assert(math.abs(e - truth) / truth < 0.02,
         s"$scope sketch estimate $e vs exact $truth")
     }
   }
@@ -269,7 +272,7 @@ class ScaleSpec extends GraftSuite {
 
   test("approximate aggregates land within tolerance of the exact twins") {
     val approx = q("agg_approx").collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .map(r => r.getString(0) -> (math.round(r.getDouble(1)), r.getDouble(2))).toMap
     val exact = q("agg_distinct").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val median = q("agg_percentile").collect()
