@@ -42,13 +42,14 @@ import org.apache.spark.sql.SparkSession
   *    box) — ~1 on an idle box; > 1.5 means the machine's speed moved
   *    across the suite's window and some per-query numbers are
   *    load-inflated (BENCH_r13 shipped a 6×-inflated slowest-list this
-  *    way). When dispersion > 1.5 the run ACTS on it: the 10 slowest
-  *    queries re-run once and the WARM series takes min(old, re-run) —
-  *    load only ever inflates, so the min is the least-load estimate;
-  *    "remeasured" counts how many improved (the detail file also lists
-  *    WHICH under "remeasured_queries" — the warm series is best-of-2
-  *    for exactly those entries in dispersion-tripped rounds, single
-  *    warm median otherwise). Raw medians ("queries", "value") stay
+  *    way). Since round 16 the 10 slowest warm entries re-run once
+  *    UNCONDITIONALLY and the warm series takes min(old, re-run) —
+  *    load only ever inflates, so the min is the least-load estimate
+  *    (round-15 verdict item 6: gating the remeasure on dispersion
+  *    made total_warm protocol-dependent across rounds; dispersion is
+  *    now a pure disclosure signal). "remeasured" counts how many
+  *    improved; the detail file lists WHICH under
+  *    "remeasured_queries". Raw medians ("queries", "value") stay
   *    untouched protocol numbers; read "queries_warm"/"total_warm"/
   *    "slowest" for cross-round comparison.
   *  - "batch_total"/"streaming_total" (round 15): the warm series split
@@ -227,14 +228,19 @@ object Bench {
     val dispersion =
       if (calibFailed || calibPoints.isEmpty) -1.0
       else calibPoints.max / calibPoints.min
-    // ACT on bad calibration: when the window was turbulent, re-run the
-    // slowest queries once on the (now end-of-suite) machine and let the
-    // warm series take the MINIMUM — a load spike can only inflate a
-    // timing, never deflate it, so min(old, re-run) is the least-load
-    // estimate. Only the warm series is touched ("queries"/"value" stay
-    // the raw protocol numbers); `remeasured` records how many.
+    // Best-of-2 remeasure of the 10 slowest warm entries — UNCONDITIONAL
+    // since round 16 (verdict item 6: gating it on dispersion > 1.5 made
+    // total_warm protocol-dependent — a round that tripped the gate
+    // reported best-of-2 numbers for its slowest entries while a calm
+    // round reported single medians, so the warm series was only
+    // comparable after reading remeasured_queries). A load spike can
+    // only inflate a timing, never deflate it, so min(old, re-run) is
+    // the least-load estimate for exactly the entries that dominate
+    // total_warm; the ~10 extra query runs cost a few percent of the
+    // suite. Only the warm series is touched ("queries"/"value" stay
+    // the raw protocol numbers); `remeasured` records how many improved.
     val warmAdjusted = scala.collection.mutable.Map.empty[String, Double]
-    if (dispersion > 1.5) {
+    locally {
       val slowestWarm = results.collect { case (k, (_, _, w)) if w >= 0 => k -> w }
         .sortBy(-_._2).take(10)
       slowestWarm.foreach { case (name, oldWarm) =>
@@ -260,10 +266,12 @@ object Bench {
     // SCALING's back-to-back study reads batch at ±8% and the
     // micro-batch gates at ±40% — one combined number hides a real
     // batch regression inside streaming noise, and vice versa). The
-    // streaming set = the micro-batch harness gates: every "streaming_"
-    // query plus ann_index_lifecycle (gate 16 runs the same harness).
-    def isStreamingGate(name: String): Boolean =
-      name.startsWith("streaming_") || name == "ann_index_lifecycle"
+    // streaming set comes from the query REGISTRY
+    // ([[SparkEntry.microBatchGates]], declared per module next to the
+    // gates themselves — round-15 advice: the previous name-prefix rule
+    // plus a hardcoded exception would misclassify a future gate).
+    val microBatch = SparkEntry.microBatchGates
+    def isStreamingGate(name: String): Boolean = microBatch.contains(name)
     val (streamWarm, batchWarm) = warmResults.filter(_._2 >= 0)
       .partition { case (k, _) => isStreamingGate(k) }
     val batchTotal = batchWarm.map(_._2).sum

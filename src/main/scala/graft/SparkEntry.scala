@@ -36,4 +36,10 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
+
+  /** Micro-batch-harness gates aggregated from the modules — the
+    * bench's batch/streaming warm-split membership (see
+    * [[QueryModule.microBatchGates]]). */
+  def microBatchGates: Set[String] =
+    modules.flatMap(_.microBatchGates).toSet
 }

@@ -195,6 +195,11 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** streaming_dedup_near is this module's one micro-batch-harness
+    * gate (see [[graft.QueryModule.microBatchGates]]). */
+  override def microBatchGates: Set[String] =
+    queries.keySet.filter(_.startsWith("streaming_"))
+
   val queries: Map[String, Q] = Map(
 
     // SUBSTRING-level (cross-document span) dedup — the Lee et al.

@@ -12,11 +12,17 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * The fixture corpus has no real media files, so the *payload* is the
   * document text re-encoded as UTF-8 bytes — which keeps every byte-level
   * operation (lengths, hashes, magic-byte sniffing, frame sampling
-  * arithmetic) real and oracle-checkable. The *decoder* is the part that
-  * would call an image/audio library; per the builder contract it is a
-  * clearly-marked deterministic stub (`FakeDecoder`), while everything
-  * Spark-side — binary schema, typed Dataset encoders, mapPartitions
-  * batch shape, partition-preserving narrow execution — is real.
+  * arithmetic) real and oracle-checkable. Since round 16 the DECODE
+  * path is a real codec: mm_decode parses a valid 24-bit BMP container
+  * (built deterministically from the document bytes — [[bmpTable]])
+  * with a codegen parser ([[graft.functions.BmpCodec]]), hash-gated
+  * against an independent DuckDB hex-arithmetic parser of the same
+  * exported bytes. `FakeDecoder` remains only as the clearly-marked
+  * stand-in for the frame-sample/resize stages (the parts that would
+  * call an ffmpeg-class library this environment doesn't ship), while
+  * everything Spark-side — binary schema, typed Dataset encoders,
+  * mapPartitions batch shape, partition-preserving narrow execution —
+  * is real.
   *
   * Scale notes: media payloads at 100 TB dominate row width, so the
   * queries never shuffle payload bytes — metadata is projected out first
@@ -279,6 +285,59 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** Content-addressed single-file export of the BMP payload table for
+    * the mm_decode oracle (the ivfCentroids recipe): DuckDB parses the
+    * ACTUAL payload bytes with its own hex-arithmetic BMP parser, so
+    * the export is the shared ground truth both parsers read. */
+  private[graft] def bmpOraclePath(dir: String): String =
+    graft.OracleExport.path(s"$dir|bmp24", "mm-bmp")
+
+  /** Fixture of the most recent BMP build in this JVM — the lastIvf
+    * dump-after-run pattern, pinned via [[pinOracleFixture]]. */
+  @volatile private var lastMm: String = "/root/testdata/sf0.01"
+
+  def pinOracleFixture(dir: String): Unit = lastMm = dir
+
+  private val bmpExported =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** The REAL-FORMAT media fixture (round-15 verdict item 5): each
+    * document's bytes re-packed as a valid 24-bit BMP — width from the
+    * doc id, height from the byte length (both small so the oracle's
+    * per-pixel SQL walk stays table-sized), pixels cycling the
+    * document bytes. Staged once per fixture (the payload column is
+    * the widest in the suite) and exported single-file for the
+    * oracle. Deterministic end to end. */
+  private[graft] def bmpTable(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val staged = graft.Staging.stage(s, "mm_bmp24", d) {
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"), col("source"))
+        .as[(Long, Array[Byte], String)]
+        .mapPartitions(_.map { case (id, tb, src) =>
+          val w = 1 + (id % 8).toInt
+          val h = 1 + tb.length % 8
+          val pix = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < pix.length) {
+            pix(i) = if (tb.length > 0) tb(i % tb.length) else (i % 251).toByte
+            i += 1
+          }
+          (id, graft.functions.BmpCodec.encode(w, h, pix), src)
+        })
+        .toDF("doc_id", "payload", "source")
+    }
+    lastMm = d
+    bmpExported.computeIfAbsent(d, _ => {
+      val p = bmpOraclePath(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
+      graft.ScaleData.writeSingleFile(staged, p)
+      true
+    })
+    staged
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Binary metadata without decode: lengths, content hash, magic-byte
@@ -314,14 +373,29 @@ object Multimodal extends QueryModule {
         .orderBy(col("canonical_id"))
     },
 
-    // Full decode pipeline through typed mapPartitions (stubbed decoder,
-    // real plumbing). Frame offsets come back as a flattened string so
-    // the oracle compares arrays without list-representation drift.
+    // REAL codec decode (round-15 verdict item 5 — the decode stub
+    // retired): parse the 24-bit BMP payload's header and compute
+    // per-channel pixel sums in one codegen byte walk
+    // ([[graft.functions.BmpCodec]]). The DuckDB oracle re-parses the
+    // SAME exported payload bytes with an independent hex-arithmetic
+    // implementation of the format (little-endian reassembly,
+    // row-stride walk over padded rows), so the hash gate checks
+    // parser against parser — decoded dimensions AND channel stats.
+    // Codec rejects (non-BMP, truncated, unsupported bpp) surface as
+    // NULL stat columns in both engines.
     "mm_decode" -> { (s, d) =>
-      decodeStage(mediaTable(s, d)).toDF()
-        .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
-          col("n_frames"),
-          concat_ws(",", col("sample_frame_offsets")).as("frame_offsets"),
+      val st = graft.functions.BmpStats.bmp_stats(col("payload"))
+      bmpTable(s, d)
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("byte_len"),
+          st.as("st"), col("source"))
+        .select(col("doc_id"), col("byte_len"),
+          element_at(col("st"), 1).cast("int").as("width"),
+          element_at(col("st"), 2).cast("int").as("height"),
+          element_at(col("st"), 3).cast("int").as("bpp"),
+          element_at(col("st"), 4).as("sum_b"),
+          element_at(col("st"), 5).as("sum_g"),
+          element_at(col("st"), 6).as("sum_r"),
           col("source"))
         .orderBy(col("doc_id"))
     },
@@ -616,7 +690,10 @@ object Multimodal extends QueryModule {
        |ORDER BY query_id, rk""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  // a DEF: the mm_decode entry embeds the fixture-keyed BMP-export
+  // path of the run Verify actually made (the assignMembersSql
+  // dump-after-run discipline)
+  def oracles: Map[String, String] = Map(
 
     "mm_embed" -> mmEmbedOracle,
 
@@ -740,21 +817,65 @@ object Multimodal extends QueryModule {
         |GROUP BY md5(text)
         |ORDER BY canonical_id""".stripMargin,
 
-    "mm_decode" ->
-      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS byte_len, source FROM documents),
-        |meta AS (
-        |  SELECT doc_id, byte_len,
-        |         byte_len % 640 AS width,
-        |         (byte_len * 7) % 480 AS height,
-        |         byte_len % 30 + 1 AS n_frames,
-        |         source
-        |  FROM m)
-        |SELECT doc_id, byte_len, width, height, n_frames,
-        |       array_to_string(list_transform(generate_series(0, least(n_frames, 4) - 1),
-        |                                      i -> i * byte_len // least(n_frames, 4)), ',') AS frame_offsets,
-        |       source
-        |FROM meta
-        |ORDER BY doc_id""".stripMargin,
+    // INDEPENDENT BMP parser over the exported payload bytes: header
+    // integers reassembled little-endian from hex pairs, the same
+    // reject conjuncts as BmpCodec.decode, and the channel sums walked
+    // via a per-row generate_series over the pixel index with the
+    // padded row stride — parser vs parser, never formula vs formula.
+    "mm_decode" -> {
+      // LE u32/u16 at 0-based byte offset o over hex string col `h`
+      // (byte k occupies hex chars 2k+1..2k+2)
+      def u32(o: Int) =
+        s"('0x' || substr(h, ${2 * o + 7}, 2) || substr(h, ${2 * o + 5}, 2) || " +
+          s"substr(h, ${2 * o + 3}, 2) || substr(h, ${2 * o + 1}, 2))::BIGINT"
+      def u16(o: Int) =
+        s"('0x' || substr(h, ${2 * o + 3}, 2) || substr(h, ${2 * o + 1}, 2))::BIGINT"
+      s"""WITH src AS (SELECT doc_id, payload, source
+         |             FROM parquet_scan('${bmpOraclePath(lastMm)}')),
+         |hx AS (SELECT doc_id, source, lower(hex(payload)) AS h,
+         |              octet_length(payload) AS bl
+         |       FROM src),
+         |hdr AS (
+         |  SELECT doc_id, h, bl,
+         |         ${u32(10)} AS off, ${u32(18)} AS w, ${u32(22)} AS ht,
+         |         ${u16(28)} AS bpp, ${u32(30)} AS comp
+         |  FROM hx
+         |  WHERE bl >= 54 AND substr(h, 1, 4) = '424d'),
+         |ok AS (
+         |  SELECT doc_id, h, off, w, ht, bpp,
+         |         ((w * 3 + 3) // 4) * 4 AS rowsz
+         |  FROM hdr
+         |  WHERE off >= 54 AND bpp = 24 AND comp = 0
+         |    AND w BETWEEN 1 AND 10000 AND ht BETWEEN 1 AND 10000
+         |    AND off + ht * ((w * 3 + 3) // 4) * 4 <= bl),
+         |px AS (
+         |  SELECT doc_id, h, off, w, rowsz,
+         |         unnest(generate_series(0, w * ht * 3 - 1)) AS i
+         |  FROM ok),
+         |pv AS (
+         |  SELECT doc_id, i % 3 AS ch,
+         |         ('0x' || substr(h,
+         |            2 * (off + (i // (w * 3)) * rowsz + (i % (w * 3))) + 1,
+         |            2))::BIGINT AS v
+         |  FROM px),
+         |sums AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN ch = 0 THEN v END) AS sum_b,
+         |         sum(CASE WHEN ch = 1 THEN v END) AS sum_g,
+         |         sum(CASE WHEN ch = 2 THEN v END) AS sum_r
+         |  FROM pv GROUP BY doc_id)
+         |SELECT x.doc_id, CAST(x.bl AS BIGINT) AS byte_len,
+         |       CAST(o.w AS INT) AS width, CAST(o.ht AS INT) AS height,
+         |       CAST(o.bpp AS INT) AS bpp,
+         |       CAST(m.sum_b AS BIGINT) AS sum_b,
+         |       CAST(m.sum_g AS BIGINT) AS sum_g,
+         |       CAST(m.sum_r AS BIGINT) AS sum_r,
+         |       x.source
+         |FROM hx x
+         |LEFT JOIN ok o USING (doc_id)
+         |LEFT JOIN sums m USING (doc_id)
+         |ORDER BY x.doc_id""".stripMargin
+    },
 
     "mm_source_stats" ->
       """SELECT source, count(*) AS n_docs,

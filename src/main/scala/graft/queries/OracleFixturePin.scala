@@ -12,5 +12,6 @@ object OracleFixturePin {
   def pin(dir: String): Unit = {
     Similarity.pinOracleFixture(dir)
     Bpe.pinOracleFixture(dir)
+    Multimodal.pinOracleFixture(dir)
   }
 }

@@ -35,4 +35,11 @@ object Similarity extends QueryModule
 
   def oracles: Map[String, String] =
     servingOracles ++ statsOracles ++ lifecycleOracles
+
+  /** The two lifecycle gates run the micro-batch harness —
+    * ann_index_lifecycle (gate 16) carries no `streaming_` prefix,
+    * which is exactly why membership is a registry tag and not a name
+    * rule (see [[graft.QueryModule.microBatchGates]]). */
+  override def microBatchGates: Set[String] =
+    Set("streaming_index_maintain", "ann_index_lifecycle")
 }

@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object Windows extends QueryModule {
 
+  /** Every `streaming_*` key in THIS module runs the micro-batch
+    * harness (gates 1–14) — registered as the bench's streaming split
+    * class at the registration site (see [[graft.QueryModule]]). */
+  override def microBatchGates: Set[String] =
+    queries.keySet.filter(_.startsWith("streaming_"))
+
   val queries: Map[String, Q] = Map(
 
     // Ranking family: row_number over a unique ordering; rank/dense_rank

@@ -29,6 +29,57 @@ class MultimodalSpec extends GraftSuite {
     assert(!plan.contains("Exchange"), s"decode stage should not shuffle:\n$plan")
   }
 
+  test("BmpCodec: hand-built byte-literal BMP decodes to spec values; rejects hold") {
+    import graft.functions.BmpCodec
+    // 2×1 24bpp BMP assembled BYTE BY BYTE from the format spec (not
+    // via encode — this pins decode against the spec, the oracle pins
+    // it against DuckDB's independent parser): 54-byte header + one
+    // row of two BGR triples + 2 pad bytes (rowSize(2) = 8)
+    val hdr = Array[Int](
+      'B', 'M', 62, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0, 2, 0, 0, 0, 1, 0, 0, 0, 1, 0, 24, 0, // info: w=2 h=1 bpp=24
+      0, 0, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, // comp=0 imgsize=8
+      0, 0, 0, 0, 0, 0, 0, 0)
+    // pad bytes deliberately nonzero — a correct parser ignores them
+    val pix = Array[Int](10, 20, 30, 40, 250, 60, 99, 98)
+    val bytes = (hdr ++ pix).map(_.toByte)
+    val dec = BmpCodec.decode(bytes)
+    assert(dec != null)
+    // 250 exercises the unsigned-byte read path
+    assert(dec.toLongArray().toSeq == Seq(2L, 1L, 24L, 50L, 270L, 90L))
+    // reject contract: bad magic, truncation, unsupported bpp
+    assert(BmpCodec.decode("XYZ not a bitmap at all".getBytes("UTF-8")) == null)
+    assert(BmpCodec.decode(bytes.take(53)) == null)
+    val badBpp = bytes.clone(); badBpp(28) = 8
+    assert(BmpCodec.decode(badBpp) == null)
+    val badDims = bytes.clone(); badDims(18) = 0
+    assert(BmpCodec.decode(badDims) == null)
+    // encode→decode roundtrip on a padded width (w=3 ⇒ rowSize 12)
+    val p2 = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 11 % 256).toByte)
+    val rt = BmpCodec.decode(BmpCodec.encode(3, 2, p2))
+    assert(rt != null && rt.toLongArray().take(3).toSeq == Seq(3L, 2L, 24L))
+    val want = p2.map(_ & 0xff).zipWithIndex.groupBy(_._2 % 3)
+    assert(rt.toLongArray().drop(3).toSeq ==
+      Seq(0, 1, 2).map(ch => want(ch).map(_._1.toLong).sum))
+  }
+
+  test("mm_decode: every fixture payload parses — dims in range, stats present") {
+    val rows = q("mm_decode").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(2), s"doc ${r.getLong(0)} rejected by the codec")
+      val (w, h, bpp) = (r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(w >= 1 && w <= 8 && h >= 1 && h <= 8 && bpp == 24)
+      // header accounts for the byte length exactly: 54 + h * rowSize(w)
+      val rowSz = ((w * 3 + 3) / 4) * 4
+      assert(r.getLong(1) == 54L + h.toLong * rowSz)
+      // channel sums bounded by the pixel area
+      Seq(5, 6, 7).foreach { i =>
+        assert(r.getLong(i) >= 0 && r.getLong(i) <= 255L * w * h)
+      }
+    }
+  }
+
   test("mm_resize keeps every stride-th byte: sizes and digests line up") {
     // ceil(len/4) resized bytes, digest recomputable from the text
     val byText = Tables.documents(spark, sf).select("doc_id", "text").collect()

@@ -28,4 +28,18 @@ class WordCountSpec extends GraftSuite {
     val deliberatelyRowsOnly = Set("agg_quantile_merge")
     assert(missing.subsetOf(deliberatelyRowsOnly), s"queries without oracle: $missing")
   }
+
+  test("micro-batch gate registry is consistent with the query surface") {
+    val gates = SparkEntry.microBatchGates
+    val keys = SparkEntry.queries.keySet
+    // every tag names a real query (no stale tags)
+    assert(gates.subsetOf(keys), s"stale gate tags: ${gates -- keys}")
+    // every streaming_-named query is tagged (a prefix-but-untagged
+    // gate would land in the bench's batch_total — the advice hole the
+    // registry closes from the other side)
+    val untaggedStreaming = keys.filter(_.startsWith("streaming_")) -- gates
+    assert(untaggedStreaming.isEmpty, s"untagged streaming gates: $untaggedStreaming")
+    // the one non-prefixed harness gate is present
+    assert(gates.contains("ann_index_lifecycle"))
+  }
 }
