@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DoubleType, FloatType, LongType}
+
+/** Margin-gated nearest-centroid assignment as ONE native codegen
+  * expression looping over a REFERENCED centroid matrix — the
+  * round-15-verdict-anticipated replacement for the literal-folded
+  * `array_sort(array(struct(...nlist structs...)))` argmax in
+  * `SimilarityCore.assignCentroid`, whose plan/codegen size grew
+  * LINEARLY with nlist (2·nlist struct expressions, each holding a
+  * dim-wide literal vector). With the corpus-derived nlist = ⌈√N⌉
+  * (round-16 build) that fold costs seconds of per-execution
+  * analysis/codegen at nlist = 45 and would be unusable at the 4096
+  * clamp ceiling; this expression is O(1) plan size at ANY nlist — the
+  * centroid matrix rides the expression as one broadcast-task-binary
+  * reference object, the loop is generated once.
+  *
+  * VALUE-IDENTICAL to the folded form it replaces, by construction:
+  *  - fast phase: per centroid, neg-cosine ns = −(FloatDotProduct dot /
+  *    sqrt(n2d · c_n2d)) — same double arithmetic, same products, same
+  *    accumulation order; winner = lexicographic min over (ns, c_id),
+  *    which is exactly `array_sort(struct(ns, c_id))[1]` (c_ids are
+  *    distinct; iteration goes in ascending c_id, strict-less keeps the
+  *    smaller id on ties);
+  *  - margin gate: gap = second-smallest ns − smallest ns (the sorted
+  *    array's [2]−[1], duplicates included); gap ≤ eps with ≥ 2
+  *    centroids routes the row to the decimal phase — same eps;
+  *  - decimal phase: per centroid, nsDec = −(DecimalDotProduct-
+  *    semantics dot → toDouble / same sqrt divisor); winner again the
+  *    (nsDec, c_id) lexicographic min.
+  *
+  * try_divide parity: a zero divisor (only reachable when a consumer's
+  * filter pushdown hoists the assignment above withNorm's n2 > 0 guard
+  * — the documented codegen-subexpression-elimination hazard) yields a
+  * NULL assignment here exactly as the folded form's try_divide yielded
+  * a NULL-ns struct ordering; either way the row carries no usable
+  * c_id and is dropped by the consumers' joins, and neither path can
+  * throw DIVIDE_BY_ZERO. A NULL embedding/n2 propagates NULL via
+  * BinaryExpression's null handling (nullIntolerant).
+  */
+case class NearestCentroid(
+    left: Expression, right: Expression,
+    ids: Array[Long], cembs: Array[Array[Float]], cn2s: Array[Double],
+    eps: Double)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "nearest_centroid requires (ARRAY<FLOAT>, DOUBLE) inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  /** Fast-phase winner: (bestIdx, gap). bestIdx = −1 marks a NULL
+    * result (zero/invalid divisor — see scaladoc). */
+  private def fastPhase(x: ArrayData, n2d: Double): (Int, Double) = {
+    var best = Double.PositiveInfinity
+    var second = Double.PositiveInfinity
+    var bestIdx = -1
+    var c = 0
+    while (c < ids.length) {
+      val ce = cembs(c)
+      val n = math.min(x.numElements(), ce.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * ce(i).toDouble; i += 1 }
+      val div = math.sqrt(n2d * cn2s(c))
+      if (!(div > 0.0)) return (-1, 0.0) // try_divide parity: no usable ns
+      val ns = -(dot / div)
+      if (ns < best) { second = best; best = ns; bestIdx = c }
+      else if (ns < second) second = ns
+      c += 1
+    }
+    (bestIdx, second - best)
+  }
+
+  /** DecimalDotProduct-semantics dot: per-term double product rounded
+    * HALF_UP to scale 12, exact same-scale accumulation; null on
+    * NaN/Inf/overflow (unreachable on contract inputs). */
+  private def decDot(x: ArrayData, ce: Array[Float]): Option[Decimal] = {
+    val n = math.min(x.numElements(), ce.length)
+    var acc = Decimal(0L, 38, 12)
+    var i = 0
+    while (i < n) {
+      val p = x.getFloat(i).toDouble * ce(i).toDouble
+      if (p.isNaN || p.isInfinite) return None
+      val v = Decimal(p)
+      if (!v.changePrecision(38, 12)) return None
+      acc = acc + v
+      if (!acc.changePrecision(38, 12)) return None
+      i += 1
+    }
+    Some(acc)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n2d = b.asInstanceOf[Double]
+    val (bestIdx, gap) = fastPhase(x, n2d)
+    if (bestIdx < 0) return null
+    if (ids.length < 2 || gap > eps) return ids(bestIdx)
+    // margin gate tripped: decimal re-decide over every centroid
+    var best = Double.PositiveInfinity
+    var bestId = -1L
+    var c = 0
+    while (c < ids.length) {
+      decDot(x, cembs(c)) match {
+        case Some(d) =>
+          val div = math.sqrt(n2d * cn2s(c))
+          if (div > 0.0) {
+            val ns = -(d.toDouble / div)
+            if (ns < best) { best = ns; bestId = ids(c) }
+          }
+        case None => () // null nsDec carries no candidate (unreachable)
+      }
+      c += 1
+    }
+    if (bestId < 0) null else bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("ncRes")
+      s"""
+         |Object $r = $self.assignOrNull($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $r).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point: the whole two-phase assignment as one JVM
+    * call (the loops live here, compiled once — not in generated Java,
+    * which only dispatches; the per-row work is identical either way
+    * and the generated method stays tiny at any nlist). */
+  def assignOrNull(a: Object, b: Double): Object = {
+    val r = nullSafeEval(a, Double.box(b))
+    if (r == null) null else java.lang.Long.valueOf(r.asInstanceOf[Long])
+  }
+
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(left = newLeft, right = newRight)
+}
+
+object NearestCentroid {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def nearest_centroid(emb: Column, n2d: Column,
+      cent: Array[(Long, Seq[Float], Double)], eps: Double): Column =
+    column(NearestCentroid(expression(emb), expression(n2d),
+      cent.map(_._1), cent.map(_._2.toArray), cent.map(_._3), eps))
+}

@@ -357,13 +357,15 @@ class PlanSpec extends GraftSuite {
     // round-9 verdict item 3: the corpus × centroids row_number window
     // shuffled corpus×nlist rows (with embedding payloads) to keep rank
     // 1 per vector. The quantizer is a bounded model artifact, so
-    // assignment is now a narrow projection (array_sort of
-    // (−fast_cos, c_id) structs over collected centroid literals) —
+    // assignment is a narrow projection — since round 16 the codegen
+    // nearest_centroid expression over a REFERENCED centroid matrix
+    // (O(1) plan size at any nlist; NearestCentroidSpec pins value
+    // identity with the literal-folded array_sort form it replaced) —
     // the ONLY vec_id-partitioned exchange left is the probe branch's
     // per-QUERY centroid ranking (vec_id < NQ, query-set-sized).
     val full = plan("ann_ivf")
     val p = full.split("== Initial Plan ==")(0)
-    assert(p.contains("array_sort"), s"per-row argmax projection missing:\n$p")
+    assert(p.contains("nearest_centroid"), s"per-row argmax projection missing:\n$p")
     val vecExchanges = "Exchange hashpartitioning\\(vec_id".r.findAllIn(p).length
     assert(vecExchanges == 1,
       s"expected exactly the probe branch's query-set exchange on vec_id, got $vecExchanges:\n$p")
