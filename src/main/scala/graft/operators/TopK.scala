@@ -147,8 +147,11 @@ object TopK {
 
   /** A scored candidate with the payload the rescore phase needs, so the
     * exact phase never re-scans the corpus to fetch it back (a second
-    * 100 TB read). */
-  case class Cand(score: Double, id: Long, label: Int, emb: Seq[Float])
+    * 100 TB read). `emb` is a primitive Array (round-16 optimization):
+    * the Seq[Float] encoder boxed every element on both sides of the
+    * typed boundary — corpus-pair volume × dim boxed floats per pass —
+    * while the Array[Float] encoder moves one primitive array. */
+  case class Cand(score: Double, id: Long, label: Int, emb: Array[Float])
 
   /** True iff `p` sorts strictly before `q` (descending score, ties by
     * ascending id — the same total order the window formulation used). */

@@ -155,7 +155,7 @@ private[queries] trait SimilarityCore {
         // not corpus-wide (see UnlabeledSentinel)
         coalesce(col("label"), lit(UnlabeledSentinel)).as("label"),
         col("embedding"))
-      .as[(Long, Double, Long, Int, Seq[Float])]
+      .as[(Long, Double, Long, Int, Array[Float])]
       .groupByKey(_._1)
       .mapValues(t => graft.operators.TopK.Cand(t._2, t._3, t._4, t._5))
       .agg(graft.operators.TopK.topKTies(K, RescoreEps).toColumn.name("cands"))

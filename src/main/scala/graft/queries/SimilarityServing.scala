@@ -387,7 +387,19 @@ private[queries] trait SimilarityServing extends SimilaritySql {
           lit(0L).as("n_topk"), lit(0.0).as("recall"))
       else {
         val cent = broadcast(centDf)
+        // Round-16 optimization: the exact ground truth is consumed SIX
+        // times below (one hits-join per grid arm + the n_topk total),
+        // and lazy plans re-expand per consumer — so topkPairs' full
+        // corpus pass (broadcast-join score + typed bounded-top-K
+        // aggregator + decimal rescore) ran 6× per execution. Its
+        // output is NQ·K rows (80 on every fixture): materialize it
+        // once via eager localCheckpoint (the Iterate discipline —
+        // node-sized state, lineage truncated) and let every consumer
+        // scan the 80-row checkpoint. Values are untouched
+        // (checkpointing changes where rows are recomputed from, never
+        // what they are); the DuckDB oracle replays its own pairs CTE.
         val brute = topkPairs(s, d).select(col("query_id"), col("vec_id"))
+          .localCheckpoint()
         // membership from the persisted assignment table (index state,
         // the ann_filtered precedent), size-gated broadcast
         val membersDf = kmeansMembers(s, d)
@@ -399,18 +411,50 @@ private[queries] trait SimilarityServing extends SimilaritySql {
             col("n2"), col("c_id"))
         val grid = recallGridFor(annNlist(s, d))
         lastRecallGrid = grid
-        val perNp = grid.map { np =>
-          val probes = rankCentroids(base.filter(col("vec_id") < NQ), cent, np)
+        // Round-16 optimization: the grid arms used to run as |grid|
+        // INDEPENDENT serve chains (each its own corpus join +
+        // two-phase rescore windows + hits aggregate — ~5 full plans
+        // per execution; the per-arm plan/codegen and corpus scans
+        // dominated the query's 4.7 s warm cost at sf0.1). The arms
+        // differ ONLY in their probe set, so they now ride ONE chain:
+        // each arm's probes (query-set × ≤np rows, its own
+        // rankCentroids margin gate at ITS boundary — per-arm
+        // membership is bit-identical to the independent form) are
+        // tagged into a composite key query_id' = np·NQ + query_id
+        // (query_ids < NQ, so arms can't collide), unioned, and ONE
+        // ivfCandidates join + ONE exactTopK pass — its windows
+        // partition by query_id', i.e. by (arm, query) — scores every
+        // arm in a single corpus scan. Per-(arm, query) candidate
+        // sets, tie-aware cuts, and decimal rescores are exactly the
+        // per-arm ones, so the top-K per arm is unchanged; n_hits
+        // folds per arm from one hits-join (a left join against the
+        // literal grid restores any zero-hit arm the groupBy would
+        // drop, matching the old global-agg-per-arm's 0 row).
+        val probesAll = grid.map { np =>
+          rankCentroids(base.filter(col("vec_id") < NQ), cent, np)
             .filter(col("c_rank") <= np)
-            .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-              col("n2").as("qn2"), col("c_id"))
-          exactTopK(ivfCandidates(corpus, probes), K)
-            .select(col("query_id"), col("vec_id"))
-            .join(brute, Seq("query_id", "vec_id"))
-            .agg(count(lit(1)).as("n_hits"))
-            .select(lit(np).as("nprobe"), col("n_hits"))
-        }
-        perNp.reduce(_.union(_))
+            .select((lit(np.toLong * NQ) + col("vec_id")).as("query_id"),
+              col("embedding").as("qe"), col("n2").as("qn2"), col("c_id"))
+        }.reduce(_.union(_))
+        // ivfCandidates' self-exclusion (vec_id =!= query_id) must
+        // compare against the REAL query id under the composite key —
+        // inlined here with the decode, otherwise the query vector
+        // would rank as its own candidate (cosine 1.0) in every arm
+        val cands = corpus.join(broadcast(probesAll), Seq("c_id"))
+          .filter(col("vec_id") =!= col("query_id") % NQ)
+          .select(col("query_id"), col("vec_id"), col("label"), col("qe"),
+            col("embedding"), col("qn2"), col("n2"))
+        val armHits = exactTopK(cands, K)
+          .select((col("query_id") % NQ).as("query_id"),
+            expr(s"query_id DIV $NQ").as("nprobe"),
+            col("vec_id"))
+          .join(brute, Seq("query_id", "vec_id"))
+          .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+        import s.implicits._
+        grid.map(_.toLong).toDF("nprobe")
+          .join(armHits, Seq("nprobe"), "left")
+          .select(col("nprobe").cast("int").as("nprobe"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
           .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_topk"))))
           .select(col("nprobe"), col("n_hits"), col("n_topk"),
             round(col("n_hits") / col("n_topk"), 9).as("recall"))
