@@ -90,37 +90,53 @@ object Graph extends QueryModule {
   private val nodeCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Edges with the source's out-degree pre-joined, STAGED (round-16
+    * optimization): pagerank/ppr's contribution step needs deg on
+    * every edge row EVERY iteration, and deg is iteration-invariant —
+    * paying the e ⋈ deg join (a per-iteration broadcast build + join
+    * over |E| rows) inside the loop was 10 redundant joins per bench
+    * pass (5 pagerank + 5 ppr iterations). The staged artifact is the
+    * edge relation plus one BIGINT column, built from the two staged
+    * tables in one cheap keyed join; the per-iteration plan drops to
+    * ranks ⋈ edeg into the dst-keyed sum. */
+  private[graft] def edgesWithDeg(s: SparkSession, d: String): DataFrame =
+    graft.Staging.stage(s, "copurchase_edeg", d) {
+      edges(s, d).join(degrees(s, d), Seq("src"))
+    }
+
   /** The iteration body shared by the query (Iters) and the
     * 20-iteration production-shape spec/scale runs: damped exact-integer
     * PageRank over the staged edge/degree tables, checkpointed per
     * iteration ([[graft.operators.Iterate]]). */
   private[graft] def pagerankRanks(
       s: SparkSession, d: String, iters: Int): DataFrame = {
-    val e = edges(s, d)
+    val edeg = edgesWithDeg(s, d)
     val deg = degrees(s, d)
     val nodes = deg.select(col("src").as("node"))
     val n: Long = nodeCounts.computeIfAbsent(d, _ => deg.count())
     if (n == 0L)
-      e.limit(0).select(col("src").as("node"), lit(0L).as("r"))
+      edeg.limit(0).select(col("src").as("node"), lit(0L).as("r"))
     else {
       val r0 = Scale / n
       val base = teleportBase(n)
       graft.operators.Iterate.fixpoint(nodes.withColumn("r", lit(r0)), iters) {
-        (r, _) => pagerankStep(e, deg, nodes, base)(r)
+        (r, _) => pagerankStep(edeg, nodes, base)(r)
       }
     }
   }
 
-  /** ONE damped update: src-keyed 3-way join (ranks ⋈ edges ⋈ degree)
-    * into a dst-keyed partial-aggregated sum — named so the plan spec
-    * pins THIS plan (what every iteration actually runs) rather than
-    * the checkpoint scan the fixpoint loop leaves behind. */
+  /** ONE damped update: src-keyed join (ranks ⋈ staged edge+degree
+    * table) into a dst-keyed partial-aggregated sum — named so the
+    * plan spec pins THIS plan (what every iteration actually runs)
+    * rather than the checkpoint scan the fixpoint loop leaves behind.
+    * Round 16: deg rides the staged [[edgesWithDeg]] table, so the
+    * iteration pays ONE keyed join, not two (deg is iteration-
+    * invariant; the values are identical — same r DIV deg terms). */
   private[graft] def pagerankStep(
-      e: DataFrame, deg: DataFrame, nodes: DataFrame, base: Long)(
+      edeg: DataFrame, nodes: DataFrame, base: Long)(
       r: DataFrame): DataFrame = {
-    val contrib = e
+    val contrib = edeg
       .join(r.withColumnRenamed("node", "src"), Seq("src"))
-      .join(deg, Seq("src"))
       .select(col("dst").as("node"), expr("r DIV deg").as("c"))
       .groupBy(col("node")).agg(sum(col("c")).as("s"))
     // symmetric edges ⇒ every node receives mass, but the left
@@ -210,10 +226,16 @@ object Graph extends QueryModule {
       .groupBy(col("dst").as("node"))
       .agg(min(col("dist") + 1).as("cand"))
     // least() ignores nulls in BOTH engines' formulation here: the
-    // oracle writes the same three-way CASE explicitly
+    // oracle writes the same three-way CASE explicitly.
+    // `chg` (round-16 optimization) rides the state so the convergence
+    // gate is a filter over the checkpoint instead of a prev ⋈ next
+    // join per round — same per-node condition (!(new <=> old)),
+    // evaluated where the new dist is computed; the queries' final
+    // projections drop it.
     prev.select(col("node"), col("dist"))
       .join(relax, Seq("node"), "left")
-      .select(col("node"), least(col("dist"), col("cand")).as("dist"))
+      .select(col("node"), least(col("dist"), col("cand")).as("dist"),
+        not(least(col("dist"), col("cand")) <=> col("dist")).as("chg"))
   }
 
   /** BFS distances from the seed set, convergence-gated (stops when a
@@ -227,11 +249,12 @@ object Graph extends QueryModule {
       when(col("node") % SsspSeedMod === 0, lit(0L)))
     graft.operators.Iterate.converge(init, SsspMaxHops) { (prev, _) =>
       ssspStep(e)(prev)
-    } { (prev, next) =>
-      // monotone state: a change is always "smaller or newly reached",
-      // so one null-safe inequality is the whole frontier test
-      !next.as("n").join(prev.as("p"), Seq("node"))
-        .filter(!(col("n.dist") <=> col("p.dist"))).isEmpty
+    } { (_, next) =>
+      // monotone state: a change is always "smaller or newly reached".
+      // The step computes the per-node change flag where it computes
+      // the new dist (see ssspStep), so the gate is one narrow filter
+      // over the already-checkpointed state — no per-round join.
+      !next.filter(col("chg")).isEmpty
     }
   }
 
@@ -265,9 +288,12 @@ object Graph extends QueryModule {
         .withColumnRenamed("node", "src"), Seq("src"))
       .groupBy(col("dst").as("node"))
       .agg(min(col("dist") + col("w")).as("cand"))
+    // `chg` rides the state for the join-free convergence gate — the
+    // ssspStep recipe (see there)
     prev.select(col("node"), col("dist"))
       .join(relax, Seq("node"), "left")
-      .select(col("node"), least(col("dist"), col("cand")).as("dist"))
+      .select(col("node"), least(col("dist"), col("cand")).as("dist"),
+        not(least(col("dist"), col("cand")) <=> col("dist")).as("chg"))
   }
 
   /** Weighted shortest-path costs from the seed set (round-15 verdict
@@ -282,9 +308,8 @@ object Graph extends QueryModule {
       when(col("node") % SsspSeedMod === 0, lit(0L)))
     graft.operators.Iterate.converge(init, WssspMaxRounds) { (prev, _) =>
       wssspStep(ew)(prev)
-    } { (prev, next) =>
-      !next.as("n").join(prev.as("p"), Seq("node"))
-        .filter(!(col("n.dist") <=> col("p.dist"))).isEmpty
+    } { (_, next) =>
+      !next.filter(col("chg")).isEmpty
     }
   }
 
@@ -305,9 +330,8 @@ object Graph extends QueryModule {
     * A zero-seed corpus degenerates to all-zero ranks (base and r₀
     * coalesce to 0), identically in the oracle. */
   private[graft] def pprRanks(s: SparkSession, d: String, iters: Int): DataFrame = {
-    val e = edges(s, d)
-    val deg = degrees(s, d)
-    val nodes = deg.select(col("src").as("node"))
+    val edeg = edgesWithDeg(s, d)
+    val nodes = degrees(s, d).select(col("src").as("node"))
     val ns: Long = seedCounts.computeIfAbsent(d,
       _ => nodes.filter(col("node") % SsspSeedMod === 0).count())
     val r0 = if (ns > 0) Scale / ns else 0L
@@ -315,9 +339,10 @@ object Graph extends QueryModule {
     val init = nodes.withColumn("r",
       when(col("node") % SsspSeedMod === 0, lit(r0)).otherwise(lit(0L)))
     graft.operators.Iterate.fixpoint(init, iters) { (r, _) =>
-      val contrib = e
+      // the pagerankStep shape over the staged edge+degree table (see
+      // edgesWithDeg) with the seed-gated teleport term
+      val contrib = edeg
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("node"), expr("r DIV deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
       nodes.join(contrib, Seq("node"), "left")

@@ -792,11 +792,12 @@ class PlanSpec extends GraftSuite {
     // never a cartesian, never a window, and the raw fact is not
     // rescanned (edges build once per fixture per JVM). Built over a
     // checkpointed state frame, exactly as iteration N≥2 sees it.
-    val (e, deg, nodes) = graft.queries.Graph.stagedGraph(spark, sf)
+    val (_, deg, nodes) = graft.queries.Graph.stagedGraph(spark, sf)
+    val edeg = graft.queries.Graph.edgesWithDeg(spark, sf)
     val state = nodes.withColumn("r",
         org.apache.spark.sql.functions.lit(graft.queries.Graph.Scale))
       .localCheckpoint(true)
-    val step = graft.queries.Graph.pagerankStep(e, deg, nodes, 1L)(state)
+    val step = graft.queries.Graph.pagerankStep(edeg, nodes, 1L)(state)
     val sp = step.queryExecution.sparkPlan
     assert(sp.collect {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
@@ -805,8 +806,8 @@ class PlanSpec extends GraftSuite {
     assert(sp.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, s"window in the pagerank step plan:\n$sp")
-    assert(sp.toString.contains("copurchase_edges"),
-      s"not serving from the staged edge table:\n$sp")
+    assert(sp.toString.contains("copurchase_edeg"),
+      s"not serving from the staged edge+degree table:\n$sp")
     assert(!sp.toString.contains("lineitem.parquet"),
       s"raw fact rescan in the iteration plan:\n$sp")
     // The STATE plan after N iterations is a bare checkpoint scan —
