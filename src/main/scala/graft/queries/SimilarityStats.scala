@@ -127,17 +127,32 @@ private[queries] trait SimilarityStats extends SimilaritySql {
         base.limit(0).select(col("vec_id"), lit(0.0).as("m_top"),
           lit(0.0).as("resid"), lit(false).as("is_outlier"))
       else {
-        val projs = model.comps.map { case (p, v, muDot) =>
-          dotDec(col("embedding"), typedLit(v.toSeq)).cast("double") - lit(muDot)
-        }
+        // Round-16 optimization: materialize each projection (and x·μ)
+        // ONCE as a named column in a first projection, then combine —
+        // the single-select form repeated every DecimalDotProduct
+        // subtree in 2–3 output expressions (m_top, resid, the
+        // unrounded flag), and codegen subexpression elimination does
+        // not reach across all of them, so each row paid ~2× the 9
+        // decimal dots (whose per-term Double→Decimal rounding is the
+        // pinned oracle cost). Two stacked projections collapse into
+        // one WholeStageCodegen projection; values and the left-assoc
+        // combination order are untouched.
+        val projected = base.select(
+          col("vec_id") +: col("n2") +:
+            model.comps.map { case (p, v, muDot) =>
+              (dotDec(col("embedding"), typedLit(v.toSeq)).cast("double")
+                - lit(muDot)).as(s"proj_$p")
+            }.toSeq :+
+            dotDec(col("embedding"), typedLit(model.mu.toSeq))
+              .cast("double").as("x_mu"): _*)
+        val projs = model.comps.map { case (p, _, _) => col(s"proj_$p") }
         val mTop = projs.zipWithIndex
           .map { case (c, p) => c * c / lit(model.lambda(p)) }
           .reduce(_ + _) // left-assoc — the oracle writes t0+t1+…+t7
         val sumSq = projs.map(c => c * c).reduce(_ + _)
-        val xMu = dotDec(col("embedding"), typedLit(model.mu.toSeq)).cast("double")
-        val resid = col("n2").cast("double") - lit(2.0) * xMu +
+        val resid = col("n2").cast("double") - lit(2.0) * col("x_mu") +
           lit(model.muMu) - sumSq
-        base.select(col("vec_id"),
+        projected.select(col("vec_id"),
           (round(mTop, 6) + lit(0.0)).as("m_top"),
           (round(resid, 6) + lit(0.0)).as("resid"),
           // χ²₈ 99th percentile; compared on the UNROUNDED score
