@@ -99,6 +99,9 @@ object Bench {
       // anchors in [[Tuning]]: clamp(cores, 8·cores, bytes/16 MiB).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         Tuning.initialShufflePartitions(sfDir, cpus.toInt).toString)
+      // size-aware scan-split floor — derivation + anchors in [[Tuning]]
+      .config("spark.sql.files.openCostInBytes",
+        Tuning.scanOpenCostInBytes(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -18,6 +18,8 @@ object BenchOne {
       // (SPARK_GRAFT_CONF below can still override it for protocols)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         Tuning.initialShufflePartitions(sfDir, cpus.toInt).toString)
+      .config("spark.sql.files.openCostInBytes",
+        Tuning.scanOpenCostInBytes(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
