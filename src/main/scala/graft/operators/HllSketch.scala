@@ -71,8 +71,8 @@ object HllSketch {
   def registers(df: DataFrame, scope: Column, key: Column): DataFrame =
     df.filter(key.isNotNull)
       .select(scope.as("scope"),
-        conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h60"))
+        graft.functions.Md5LongPrefix.md5_prefix(key.cast("string"), 15)
+          .as("h60"))
       .select(col("scope"),
         expr(s"h60 DIV $WordDiv").as("idx"),
         (col("h60") % lit(WordDiv)).as("w"))

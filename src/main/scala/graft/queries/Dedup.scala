@@ -325,8 +325,7 @@ object Dedup extends QueryModule {
     "pipeline_overlap_est" -> { (s, d) =>
       import s.implicits._
       val k = 256
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-        .cast("long") % 10
+      val bucket = graft.functions.Md5LongPrefix.md5_prefix(col("doc_id").cast("string"), 6) % 10
       // GLOBAL typed aggregate (not groupByKey(_ => true)): a global
       // aggregate emits its zero row on EMPTY input, so an empty split
       // (nothing hashed into the bucket — possible on small/custom
@@ -334,8 +333,7 @@ object Dedup extends QueryModule {
       // its one estimate row, matching the oracle's aggregate CTE
       def kmin(pred: org.apache.spark.sql.Column) =
         shingles(s, d).filter(pred)
-          .select(conv(substring(md5(col("s")), 1, 15), 16, 10)
-            .cast("long").as("h"))
+          .select(graft.functions.Md5LongPrefix.md5_prefix(col("s"), 15).as("h"))
           .as[Long]
           .select(graft.operators.TopK.kMinDistinct(k).toColumn.name("s"))
       val a = kmin(bucket < 8).select(col("s").as("sa"))
@@ -502,8 +500,8 @@ object Dedup extends QueryModule {
         .select(col("d1").as("src"), col("d2").as("dst"))
       val labels = graft.operators.ConnectedComponents.label(s, edges, "cc", d)
       val docs = Tables.documents(s, d).select(col("doc_id"))
-      val b = conv(substring(md5(concat(lit("split|"),
-        col("cluster_id").cast("string"))), 1, 6), 16, 10).cast("long") % 10
+      val b = graft.functions.Md5LongPrefix.md5_prefix(concat(lit("split|"),
+        col("cluster_id").cast("string")), 6) % 10
       docs.join(labels, docs("doc_id") === labels("id"), "left")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
         .withColumn("split",
@@ -642,8 +640,7 @@ object Dedup extends QueryModule {
         .filter(size(col("toks")) >= 20 &&
           size(array_distinct(col("toks"))).cast("double") / size(col("toks")) > 0.05)
       val losers = minhashPairs(s, d).select(col("d2").as("doc_id")).distinct()
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-        .cast("long") % 10
+      val bucket = graft.functions.Md5LongPrefix.md5_prefix(col("doc_id").cast("string"), 6) % 10
       quality
         .join(losers, Seq("doc_id"), "left_anti")
         .withColumn("split",

@@ -220,7 +220,7 @@ object Multimodal extends QueryModule {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .select(col("doc_id"),
-        (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % bins)
+        (graft.functions.Md5LongPrefix.md5_prefix(col("w"), 6) % bins)
           .cast("int").as("bin"))
       .groupBy(col("doc_id"), col("bin")).agg(count(lit(1)).as("c"))
     // per-doc L1 frequencies: the window is doc-partitioned (≤ 64 rows

@@ -492,10 +492,9 @@ object Relational extends QueryModule {
         .select(col("scope").as("l_returnflag"), col("est").as("approx_parts"))
       val sampled = li
         .select(col("l_returnflag"),
-          conv(substring(md5(concat_ws("_",
+          graft.functions.Md5LongPrefix.md5_prefix(concat_ws("_",
             col("l_orderkey").cast("string"),
-            col("l_linenumber").cast("string"))), 1, 15), 16, 10)
-            .cast("long").as("h"),
+            col("l_linenumber").cast("string")), 15).as("h"),
           col("l_quantity").cast("long").as("qty"))
         .as[(String, Long, Long)]
         .groupByKey(_._1)
@@ -650,8 +649,7 @@ object Relational extends QueryModule {
       // emits its zero row on an EMPTY slice, keeping the 1×1 shape
       def kmin(y: Int) = ord
         .filter(year(col("o_orderdate")) === y)
-        .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        .select(graft.functions.Md5LongPrefix.md5_prefix(col("o_custkey").cast("string"), 15).as("h"))
         .as[Long]
         .select(graft.operators.TopK.kMinDistinct(k).toColumn.name("s"))
       // KMV estimator over a k-min set: exact size while under-full,

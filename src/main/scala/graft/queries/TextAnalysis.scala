@@ -349,8 +349,7 @@ object TextAnalysis extends QueryModule {
     // adding documents never reshuffles existing assignments. The
     // standard discipline for 100 TB training-data pipelines.
     "data_split" -> { (s, d) =>
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-        .cast("long") % 10
+      val bucket = graft.functions.Md5LongPrefix.md5_prefix(col("doc_id").cast("string"), 6) % 10
       Tables.documents(s, d)
         .withColumn("split",
           when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
@@ -553,8 +552,7 @@ object TextAnalysis extends QueryModule {
     // the rand-seeded `sampleBy` remains in ScaleSpec as the built-in
     // comparison point.
     "data_sample_stratified" -> { (s, d) =>
-      val bucket = conv(substring(md5(concat(lit("sample|"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-        .cast("long") % 1000
+      val bucket = graft.functions.Md5LongPrefix.md5_prefix(concat(lit("sample|"), col("doc_id").cast("string")), 6) % 1000
       val threshold = when(col("lang") === "en", 500).otherwise(200)
       Tables.documents(s, d)
         .filter(bucket < threshold)
@@ -572,8 +570,7 @@ object TextAnalysis extends QueryModule {
     // Embarrassingly parallel: a narrow filter projection, no shuffle
     // but the presentation sort.
     "data_sample_weighted" -> { (s, d) =>
-      val u = conv(substring(md5(concat(lit("wsample|"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-        .cast("long") % 1000000L
+      val u = graft.functions.Md5LongPrefix.md5_prefix(concat(lit("wsample|"), col("doc_id").cast("string")), 6) % 1000000L
       Tables.documents(s, d)
         .withColumn("p_micro", least(lit(1000000L), col("n_chars").cast("long") * 500L))
         .filter(u < col("p_micro"))
@@ -740,8 +737,7 @@ object TextAnalysis extends QueryModule {
             lit(0)), lit(4)) + 1).cast("long"))
         .withColumn("n_total", sum(col("n_docs")).over(srcW))
         .withColumn("w_total", sum(col("weight")).over(srcW))
-      val bucket = conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-        .cast("long") % 1000000L
+      val bucket = graft.functions.Md5LongPrefix.md5_prefix(concat(lit("mix|"), col("doc_id").cast("string")), 6) % 1000000L
       docs.select(col("doc_id"), col("source"), col("n_chars"), bucket.as("bucket"))
         .join(broadcast(rates), Seq("source"))
         .withColumn("kept",
@@ -954,8 +950,8 @@ object TextAnalysis extends QueryModule {
         .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
         .agg(min(when(col("cum") * 3 >= col("n"), col("bin"))).as("t1"),
           min(when(col("cum") * 3 >= col("n") * 2, col("bin"))).as("t2"))
-      val midKeep = (conv(substring(md5(concat(lit("ppl|"),
-        col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long") % 100) < 50
+      val midKeep = (graft.functions.Md5LongPrefix.md5_prefix(concat(lit("ppl|"),
+        col("doc_id").cast("string")), 6) % 100) < 50
       scored.crossJoin(broadcast(edges))
         .withColumn("band",
           when(col("bin") <= col("t1"), "tail")

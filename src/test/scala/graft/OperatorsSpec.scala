@@ -415,6 +415,29 @@ class OperatorsSpec extends GraftSuite {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("topKLong: array buffer equals reference sort under duplicates and any merge split") {
+    // round-16 pin for the mutable-array buffer rewrite (the List
+    // buffer's O(k) per-insert rebuild dominated agg_approx's k = 1024
+    // sample): randomized inputs with planted exact (v, id) duplicates,
+    // driven through reduce/merge directly, must equal the reference
+    // (v desc, id asc) sort at every buffer state
+    import graft.operators.TopK
+    val rnd = new scala.util.Random(16)
+    for (k <- Seq(1, 3, 64); trial <- 1 to 20) {
+      val agg = TopK.topKLong(k)
+      val n = rnd.nextInt(300)
+      val rows = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(25).toLong))
+      val expect = rows.sortBy(p => (-p._1, p._2)).take(k)
+      val whole = agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+      assert(whole == expect, s"k=$k reduce-only: $whole vs $expect")
+      val cut = if (n == 0) 0 else rnd.nextInt(n)
+      val (l, r) = rows.splitAt(cut)
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      assert(merged == expect, s"k=$k merge at $cut: $merged vs $expect")
+    }
+  }
+
   test("kMinDistinct: duplicates collapse, merges are set k-mins, order-independent") {
     import graft.operators.TopK
     val agg = TopK.kMinDistinct(8)
