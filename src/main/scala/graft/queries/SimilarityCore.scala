@@ -590,23 +590,19 @@ private[queries] trait SimilarityCore {
     * projection, no join/shuffle. */
   private[queries] def pqEncode(df: DataFrame,
       cb: Array[(Int, Int, Seq[Float])]): DataFrame =
+    // Round-16 optimization: the literal-folded 2·Ksub struct argmin
+    // (each struct carrying THREE dot subtrees against a subdim-wide
+    // literal) becomes the ONE codegen [[graft.functions.PqNearestCode]]
+    // expression per subspace over a referenced sub-codebook — the
+    // NearestCentroid recipe for the L2 argmin (see that file's
+    // value-identity argument; PqNearestCodeSpec pins it against the
+    // folded form). O(1) plan size at any Ksub; reads the subvector
+    // window in place, no slice() allocation.
     (0 until PqM).foldLeft(df) { (acc, m) =>
-      val cands = cb.filter(_._1 == m)
-      val sv = subVec(col("embedding"), m)
-      val fastArr = array(cands.map { case (_, code, c) =>
-        struct(d2Dbl(sv, c).as("d2"), lit(code).as("code")) }: _*)
-      val decArr = array(cands.map { case (_, code, c) =>
-        struct(d2Dec(sv, c).as("d2"), lit(code).as("code")) }: _*)
-      acc.withColumn("sf", array_sort(fastArr))
-        .withColumn("gap",
-          when(lit(cands.length >= 2),
-            element_at(col("sf"), 2).getField("d2") -
-              element_at(col("sf"), 1).getField("d2")))
-        .withColumn("ambig", coalesce(col("gap") <= RescoreEps, lit(false)))
-        .withColumn(s"code_$m",
-          when(col("ambig"), element_at(array_sort(decArr), 1).getField("code"))
-            .otherwise(element_at(col("sf"), 1).getField("code")))
-        .drop("sf", "gap", "ambig")
+      val cands = cb.filter(_._1 == m).map { case (_, code, c) => (code, c) }
+      acc.withColumn(s"code_$m",
+        graft.functions.PqNearestCode.pq_nearest_code(
+          col("embedding"), m * PqSubDim, PqSubDim, cands, RescoreEps))
     }
 
   /** x − centroid RESIDUALS of the assigned corpus, as float arrays in

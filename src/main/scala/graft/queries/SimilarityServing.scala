@@ -430,9 +430,42 @@ private[queries] trait SimilarityServing extends SimilaritySql {
         // folds per arm from one hits-join (a left join against the
         // literal grid restores any zero-hit arm the groupBy would
         // drop, matching the old global-agg-per-arm's 0 row).
+        // The per-arm probe rankings used to run |grid| separate
+        // rankCentroids chains (each: centroid scan + cross join + 3
+        // query-keyed windows). They differ ONLY in the margin-gate
+        // BOUNDARY, so one pass computes them all: score each (query,
+        // centroid) row once (fast + decimal cosine — the decimal value
+        // is boundary-independent), derive each arm's boundary gap from
+        // the same fast ranking, rank per arm by its own gated score,
+        // and checkpoint the ≤ NQ·nlist-row frame so the per-arm probe
+        // filters don't re-expand the chain. Per-arm gates, gated
+        // scores and rankings are formula-identical to
+        // rankCentroids(boundary = np).
+        val wFastA = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_fast").desc, col("c_id"))
+        val wVec = Window.partitionBy(col("vec_id"))
+        val joined = base.filter(col("vec_id") < NQ).join(cent)
+          .withColumn("c_fast",
+            dotDbl(col("embedding"), col("c_emb")) /
+              sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
+          .withColumn("fr", row_number().over(wFastA))
+          .withColumn("c_dec",
+            dotDec(col("embedding"), col("c_emb")).cast("double") /
+              sqrt(col("n2").cast("double") * col("c_n2").cast("double")))
+        val ranked = grid.foldLeft(joined) { (df, np) =>
+          val gap = max(when(col("fr") === np, col("c_fast"))).over(wVec) -
+            max(when(col("fr") === np + 1, col("c_fast"))).over(wVec)
+          val ambig = coalesce(gap <= RescoreEps, lit(false))
+          df.withColumn(s"c_cos_$np",
+              when(ambig, col("c_dec")).otherwise(col("c_fast")))
+            .withColumn(s"c_rank_$np", row_number().over(
+              Window.partitionBy(col("vec_id"))
+                .orderBy(col(s"c_cos_$np").desc, col("c_id"))))
+        }.select((Seq(col("vec_id"), col("embedding"), col("n2"),
+            col("c_id")) ++ grid.map(np => col(s"c_rank_$np"))): _*)
+          .localCheckpoint()
         val probesAll = grid.map { np =>
-          rankCentroids(base.filter(col("vec_id") < NQ), cent, np)
-            .filter(col("c_rank") <= np)
+          ranked.filter(col(s"c_rank_$np") <= np)
             .select((lit(np.toLong * NQ) + col("vec_id")).as("query_id"),
               col("embedding").as("qe"), col("n2").as("qn2"), col("c_id"))
         }.reduce(_.union(_))
