@@ -406,8 +406,6 @@ object Multimodal extends QueryModule {
     // between id-adjacent payloads — the "extract features from media,
     // then run similarity" pipeline end to end.
     "mm_embed" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), featOf(col("text")).as("f"))
       // decimal-exact cosine through the CODEGEN DecimalDotProduct
       // (round-8 verdict item 6): the interpreted HOF it replaces
       // expelled the corpus-sized join tail from whole-stage codegen
@@ -416,6 +414,19 @@ object Multimodal extends QueryModule {
       // product, so values — and the oracle — are bit-identical.
       def dotDec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         graft.functions.DecimalDotProduct.decimal_dot(a, b)
+      // Round-16 optimization: the self-join re-derived featOf (the
+      // md5-token-bin descriptor — the expensive per-doc pass) on BOTH
+      // sides and re-ran each side's decimal self-norm per PAIR, so
+      // every doc paid ~2× featurization and ~2× norm. Materialize
+      // (doc_id, f, n2) once (eager localCheckpoint — exactly the
+      // feature table a production embed job persists) and join the
+      // checkpoint to itself: one featurization and one norm per doc,
+      // one decimal dot per pair. sqrt(a.n2 · b.n2) multiplies the
+      // same two cast-to-double norms as before — values identical.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), featOf(col("text")).as("f"))
+        .withColumn("n2", dotDec(col("f"), col("f")).cast("double"))
+        .localCheckpoint()
       docs.as("a")
         .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -433,8 +444,7 @@ object Multimodal extends QueryModule {
           round(
             call_function("try_divide",
               dotDec(col("a.f"), col("b.f")).cast("double"),
-              sqrt(dotDec(col("a.f"), col("a.f")).cast("double") *
-                dotDec(col("b.f"), col("b.f")).cast("double"))), 6).as("feature_cosine"))
+              sqrt(col("a.n2") * col("b.n2"))), 6).as("feature_cosine"))
         .orderBy(col("d1"))
     },
 

@@ -89,10 +89,17 @@ object Scalars extends QueryModule {
     // events.props is a JSON string column; extract + type + aggregate.
     // Spark: get_json_object (codegen'd); oracle: DuckDB JSON extension.
     "scalar_json" -> { (s, d) =>
+      // Round-16 optimization: the `.filter(k_val.isNotNull)` form let
+      // predicate pushdown substitute the alias, so get_json_object
+      // parsed every row TWICE (once in the pushed Filter, again in
+      // the Project — WSCG subexpression elimination does not reach
+      // across the two operators). The 0-or-1-row generator evaluates
+      // the parse ONCE per row and drops the nulls in the same pass —
+      // identical rows, schema and types.
       Tables.events(s, d)
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
-        .filter(col("k_val").isNotNull)
+          explode(array_compact(array(
+            get_json_object(col("props"), "$.k").cast("int")))).as("k_val"))
         .orderBy(col("event_id"))
     },
 
