@@ -216,10 +216,23 @@ private[queries] trait SimilarityServing extends SimilaritySql {
           |        CAST(3 AS DECIMAL(38,0)) * CAST(L AS DECIMAL(38,0)) +
           |        CAST(9 AS DECIMAL(38,0)) * CAST(dl AS DECIMAL(38,0)) * CAST(N AS DECIMAL(38,0))))
           |AS BIGINT)""".stripMargin)
-      val lexScores = tf.join(broadcast(qref), Seq("w"))
-        .filter(col("doc_id") =!= col("query_id"))
+      // Round-16 optimization: s6 is a function of (doc, term) — df,
+      // tf, dl, N, L — never of the query, but it used to be computed
+      // AFTER the per-query term join, i.e. once per (query, doc,
+      // term) row: |queries-sharing-w|-fold redundant 38-digit decimal
+      // work (~8× on the fixtures' saturated vocabulary). Score each
+      // (doc, term) ONCE over the distinct-query-term slice of the
+      // index (still query-bounded at any corpus size), then attach
+      // query ids by the broadcast join — the replicated rows carry
+      // the precomputed BIGINT instead of re-running the arithmetic.
+      // Same per-row expression, same groups, same sums.
+      val scored = tf.join(broadcast(qref.select(col("w"), col("df")).distinct()),
+          Seq("w"))
         .crossJoin(broadcast(totals))
         .withColumn("s6", score6)
+      val lexScores = scored
+        .join(broadcast(qref.select(col("w"), col("query_id"))), Seq("w"))
+        .filter(col("doc_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("s6")).as("lex"))
       val lex = lexScores
