@@ -524,32 +524,57 @@ private[queries] trait SimilarityCore {
       vecs: => DataFrame): DataFrame =
     graft.Staging.stage(s, tag, d) {
       val v = vecs
-      val subs = v.select(col("vec_id"),
-        posexplode(array((0 until PqM).map(m => subVec(col("embedding"), m)): _*))
-          .as(Seq("m", "sv")))
       val seedIds = v.filter(col("vec_id") >= NQ)
         .select(col("vec_id")).orderBy(col("vec_id")).limit(PqKsub)
         .withColumn("code", row_number().over(Window.orderBy(col("vec_id"))) - 1)
-      val seeds = subs.join(seedIds, Seq("vec_id"))
+      val seeds = v.select(col("vec_id"),
+          posexplode(array((0 until PqM).map(m => subVec(col("embedding"), m)): _*))
+            .as(Seq("m", "sv")))
+        .join(seedIds, Seq("vec_id"))
         .select(col("m"), col("code"), col("sv").as("c_sub"))
-      val wAssign = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("d2"), col("code"))
+      // Round-16 optimization (the round-9 ivf-serving lesson applied
+      // to TRAINING, like ivfCentroidsStaged already does for the
+      // coarse quantizer): each Lloyd round used to join corpus×M
+      // subvector rows against the candidate codebook and keep rank 1
+      // through a (vec_id, m)-partitioned row_number — a corpus-sized
+      // exchange + sort per round. The codebook is MODEL-sized
+      // (≤ M·Ksub rows), so each round now collects it and assigns via
+      // the codegen [[graft.functions.PqNearestCode]] with eps = −1
+      // (the gate can never fire: gap ≥ 0 — reproducing the trainer's
+      // pure double (d2, code) argmin exactly, PqNearestCodeSpec's
+      // folded algebra with no decimal branch); recentering explodes
+      // the full embedding once and derives (m, i) from the global
+      // position — same (m, code, i) groups, same decimal means. No
+      // corpus exchange remains in the round body.
       (1 to 2).foldLeft(seeds) { (cent, _) =>
-        subs.join(cent, Seq("m"))
-          .withColumn("d2",
-            dotDbl(col("sv"), col("sv")) -
-              lit(2.0) * dotDbl(col("sv"), col("c_sub")) +
-              dotDbl(col("c_sub"), col("c_sub")))
-          .withColumn("rk", row_number().over(wAssign))
-          .filter(col("rk") === 1)
-          .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
-          .groupBy(col("m"), col("code"), col("i"))
-          .agg((sum(col("x").cast("decimal(20,12)")) / count(lit(1)))
-            .cast("double").as("mx"))
-          .groupBy(col("m"), col("code"))
-          .agg(array_sort(collect_list(struct(col("i"), col("mx")))).as("ms"))
-          .select(col("m"), col("code"),
-            expr("transform(ms, e -> CAST(e.mx AS FLOAT))").as("c_sub"))
+        val cbArr = cent.select(col("m"), col("code"), col("c_sub"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+          .sortBy(t => (t._1, t._2))
+        if (cbArr.isEmpty) cent.limit(0)
+        else {
+          val coded = (0 until PqM).foldLeft(v) { (acc, m) =>
+            val cands = cbArr.filter(_._1 == m).map { case (_, c, e) => (c, e) }
+            acc.withColumn(s"code_$m",
+              graft.functions.PqNearestCode.pq_nearest_code(
+                col("embedding"), m * PqSubDim, PqSubDim, cands, -1.0))
+          }
+          coded
+            .select(col("vec_id"),
+              array((0 until PqM).map(m => col(s"code_$m")): _*).as("cs"),
+              posexplode(col("embedding")).as(Seq("gi", "x")))
+            .select(expr(s"CAST(gi DIV $PqSubDim AS INT)").as("m"),
+              element_at(col("cs"), (col("gi") / PqSubDim).cast("int") + 1).as("code"),
+              expr(s"CAST(gi % $PqSubDim AS INT)").as("i"), col("x"))
+            .filter(col("m") < PqM && col("code").isNotNull)
+            .groupBy(col("m"), col("code"), col("i"))
+            .agg((sum(col("x").cast("decimal(20,12)")) / count(lit(1)))
+              .cast("double").as("mx"))
+            .groupBy(col("m"), col("code"))
+            .agg(array_sort(collect_list(struct(col("i"), col("mx")))).as("ms"))
+            .select(col("m"), col("code"),
+              expr("transform(ms, e -> CAST(e.mx AS FLOAT))").as("c_sub"))
+        }
       }
     }
 
