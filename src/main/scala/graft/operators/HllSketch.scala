@@ -77,8 +77,12 @@ object HllSketch {
         expr(s"h60 DIV $WordDiv").as("idx"),
         (col("h60") % lit(WordDiv)).as("w"))
       .groupBy(col("scope"), col("idx"))
+      // rho via [[graft.functions.LongBinLength]] — value-identical to
+      // `length(bin(w))` with no per-row binary-string materialization
+      // (round-16; the oracle twin below keeps the bin() form)
       .agg(max(when(col("w") === 0, lit(RhoMax))
-        .otherwise(lit(RhoMax) - length(expr("bin(w)")))).as("r"))
+        .otherwise(lit(RhoMax) -
+          graft.functions.LongBinLength.long_bin_length(col("w")))).as("r"))
 
   /** The union rollup: max over every scope's registers — the merge
     * step of any production staged-sketch pipeline, as visible SQL. */

@@ -166,41 +166,73 @@ object TopK {
     * content), the buffer is ascending-sorted and ≤ k, and merging two
     * buffers is the k-min of their set union — associative and
     * deterministic, so the sketch value (not just its guarantee) is
-    * identical under any partial-aggregation order. */
-  def kMinDistinct(k: Int): Aggregator[Long, List[Long], Seq[Long]] =
-    new Aggregator[Long, List[Long], Seq[Long]] {
-      override def zero: List[Long] = Nil
-      override def reduce(buf: List[Long], v: Long): List[Long] = {
+    * identical under any partial-aggregation order.
+    *
+    * Round-16 optimization (the [[topKLong]] buffer treatment,
+    * residual item 4): the buffer is a MUTABLE sorted primitive array
+    * (layout: [size, v₀, v₁, …], capacity fixed at k) instead of an
+    * immutable List — at the k = 1024/256 sketch consumers every
+    * qualifying hash rebuilt an O(k) cons-list on the map side of the
+    * corpus scan. Insertion is one binary search (which also detects
+    * duplicates, O(log k) instead of the merge walk) + one in-place
+    * System.arraycopy shift; the kept SET and the finish order are
+    * IDENTICAL (the sorted array is exactly the sorted list). */
+  def kMinDistinct(k: Int): Aggregator[Long, Array[Long], Seq[Long]] =
+    new Aggregator[Long, Array[Long], Seq[Long]] {
+      // entry i occupies slot 1 + i, ascending and distinct; slot 0 is
+      // the live count
+      override def zero: Array[Long] = new Array[Long](1 + k)
+      override def reduce(buf: Array[Long], v: Long): Array[Long] = {
+        val n = buf(0).toInt
         // fast path: full buffer and v can't enter (or equals the max)
-        if (buf.lengthCompare(k) >= 0 && v >= buf.last) buf
-        else mergeAsc(k, buf, v :: Nil)
+        if (n >= k && v >= buf(n)) return buf
+        // binary search: first index whose entry is ≥ v
+        var lo = 0
+        var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (buf(1 + mid) < v) lo = mid + 1 else hi = mid
+        }
+        if (lo < n && buf(1 + lo) == v) return buf // duplicate collapses
+        val keep = math.min(n + 1, k)
+        // shift entries [lo, keep-1) right by one slot (drops the
+        // largest when the buffer is full)
+        System.arraycopy(buf, 1 + lo, buf, 2 + lo, keep - 1 - lo)
+        buf(1 + lo) = v
+        buf(0) = keep.toLong
+        buf
       }
-      override def merge(a: List[Long], b: List[Long]): List[Long] =
-        mergeAsc(k, a, b)
-      override def finish(r: List[Long]): Seq[Long] = r
-      override def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder[List[Long]]()
+      override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        val (na, nb) = (a(0).toInt, b(0).toInt)
+        if (nb == 0) return a
+        if (na == 0) return b
+        // ascending merge of two sorted distinct arrays, keep the k
+        // smallest, collapse cross-buffer duplicates (within-buffer
+        // entries are distinct by construction)
+        val out = new Array[Long](1 + k)
+        var (i, j, n) = (0, 0, 0)
+        while (n < k && (i < na || j < nb)) {
+          val takeA = j >= nb || (i < na && a(1 + i) <= b(1 + j))
+          val v = if (takeA) {
+            i += 1
+            val va = a(i)
+            if (j < nb && b(1 + j) == va) j += 1 // collapse duplicate
+            va
+          } else {
+            j += 1
+            b(j)
+          }
+          out(1 + n) = v
+          n += 1
+        }
+        out(0) = n.toLong
+        out
+      }
+      override def finish(r: Array[Long]): Seq[Long] =
+        (0 until r(0).toInt).map(i => r(1 + i))
+      override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
       override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
     }
-
-  /** O(|a|+|b|) ascending merge of two sorted distinct lists, keep the
-    * k smallest, dropping cross-list duplicates. */
-  private def mergeAsc(k: Int, a: List[Long], b: List[Long]): List[Long] = {
-    val out = List.newBuilder[Long]
-    var x = a
-    var y = b
-    var n = 0
-    while (n < k && (x.nonEmpty || y.nonEmpty)) {
-      if (y.isEmpty || (x.nonEmpty && x.head <= y.head)) {
-        val v = x.head
-        out += v; x = x.tail
-        if (y.nonEmpty && y.head == v) y = y.tail // collapse duplicate
-      } else {
-        out += y.head; y = y.tail
-      }
-      n += 1
-    }
-    out.result()
-  }
 
   /** A scored candidate with the payload the rescore phase needs, so the
     * exact phase never re-scans the corpus to fetch it back (a second

@@ -25,6 +25,30 @@ class OperatorsSpec extends GraftSuite {
     assert(viaExpr.toSeq == expected)
   }
 
+  test("LongBinLength equals length(bin(v)) on edges, random longs, both eval paths") {
+    import spark.implicits._
+    // edges: 0 (bin gives "0"), 1, powers of two ± 1 around every byte
+    // boundary, the 48-bit HLL word bound, Long extremes, negatives
+    // (bin renders 64-char two's complement)
+    val edges = Seq(0L, 1L, 2L, 3L, 255L, 256L, (1L << 48) - 1, 1L << 48,
+      Long.MaxValue, Long.MinValue, -1L, -255L)
+    val rnd = new scala.util.Random(48)
+    val vals = edges ++ Seq.fill(500)(rnd.nextLong()) ++
+      Seq.fill(200)(rnd.nextLong() >>> 16) // the HLL 48-bit word regime
+    // interpreted path
+    vals.foreach { v =>
+      val expect = java.lang.Long.toBinaryString(v).length
+      assert(graft.functions.LongBinLength.binLength(v) == expect, s"v=$v")
+    }
+    // codegen path vs the SQL form it replaces, through a real plan
+    val df = vals.toDF("v")
+    val got = df.select(
+        graft.functions.LongBinLength.long_bin_length(col("v")).as("a"),
+        length(expr("bin(v)")).as("b"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("partition_fnv buckets are the reference's nReduce=4 range") {
     val rows = q("partition_fnv").collect()
     assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 4))
@@ -444,15 +468,37 @@ class OperatorsSpec extends GraftSuite {
     def build(vs: Seq[Long]) = vs.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
     val vs = Seq(5L, 3L, 5L, 9L, 1L, 3L, 14L, 2L, 2L, 11L, 7L, 20L, 6L, 8L, 10L)
     val expect = vs.distinct.sorted.take(8)
-    assert(build(vs) == expect)
-    assert(build(vs.reverse) == expect) // insertion order irrelevant
+    assert(agg.finish(build(vs)) == expect)
+    assert(agg.finish(build(vs.reverse)) == expect) // insertion order irrelevant
     // merge = k smallest of the set union, regardless of the split
     val (l, r) = vs.splitAt(6)
-    assert(agg.merge(build(l), build(r)) == expect)
-    assert(agg.merge(build(r), build(l)) == expect)
+    assert(agg.finish(agg.merge(build(l), build(r))) == expect)
+    assert(agg.finish(agg.merge(build(r), build(l))) == expect)
     // cross-buffer duplicates collapse
-    assert(agg.merge(build(Seq(1L, 2L, 3L)), build(Seq(2L, 3L, 4L))) ==
+    assert(agg.finish(agg.merge(build(Seq(1L, 2L, 3L)), build(Seq(2L, 3L, 4L)))) ==
       List(1L, 2L, 3L, 4L))
+  }
+
+  test("kMinDistinct: array buffer equals reference distinct-sort under any merge split") {
+    // round-16 pin for the mutable-array buffer rewrite (residual item
+    // 4 — the topKLong treatment applied to the KMV buffer): randomized
+    // inputs dense in duplicates, driven through reduce/merge directly,
+    // must equal the reference distinct-sorted k-min at every state
+    import graft.operators.TopK
+    val rnd = new scala.util.Random(164)
+    for (k <- Seq(1, 3, 64); trial <- 1 to 20) {
+      val agg = TopK.kMinDistinct(k)
+      val n = rnd.nextInt(300)
+      val rows = Seq.fill(n)(rnd.nextInt(60).toLong)
+      val expect = rows.distinct.sorted.take(k)
+      val whole = agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+      assert(whole == expect, s"k=$k reduce-only: $whole vs $expect")
+      val cut = if (n == 0) 0 else rnd.nextInt(n)
+      val (l, r) = rows.splitAt(cut)
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      assert(merged == expect, s"k=$k merge at $cut: $merged vs $expect")
+    }
   }
 
   test("KMV overlap estimator: planted-overlap accuracy within sampling error") {
@@ -473,9 +519,11 @@ class OperatorsSpec extends GraftSuite {
     // true: |A|=|B|=20000, |A∩B|=8000, |A∪B|=32000, j=0.25
     val sa = onlyA.concat(shared).foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
     val sb = onlyB.concat(shared).foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
-    val u = agg.merge(sa, sb)
+    val u = agg.finish(agg.merge(sa, sb))
+    val saSet = agg.finish(sa).toSet
+    val sbSet = agg.finish(sb).toSet
     assert(u.length == k)
-    val nBoth = u.count(h => sa.contains(h) && sb.contains(h))
+    val nBoth = u.count(h => saSet.contains(h) && sbSet.contains(h))
     val jHat = nBoth.toDouble / k
     val unionHat = (k - 1).toDouble * math.pow(2, 60) / u.last.toDouble
     val sigmaJ = math.sqrt(0.25 * 0.75 / k) // ≈ 0.027
