@@ -678,15 +678,22 @@ private[queries] trait SimilarityCore {
     * the coded corpus, so their slots are inert fill. */
   private[queries] def adcLookupArrays(df: DataFrame, vecCol: String,
       cb: Array[(Int, Int, Seq[Float])]): DataFrame = {
+    // Round-16 optimization (residual item 2 — the pqEncode treatment
+    // for the ADC-table builder): the folded form materialized
+    // M·(maxCode+1) literal subtrees, each `d2Fp(d2Dec(subVec(...)))`
+    // carrying three DecimalDotProduct children — linear plan/codegen
+    // growth toward a production Ksub = 256. ONE codegen
+    // [[graft.functions.AdcLookupTable]] per subspace over a
+    // REFERENCED sub-codebook is O(1) plan size at any Ksub;
+    // AdcLookupTableSpec pins it against the verbatim folded algebra
+    // (same MaxValue fill, same overflow-null slots, same decimal
+    // arithmetic).
     val maxCode = cb.map(_._2).max
     (0 until PqM).foldLeft(df) { (acc, m) =>
-      val cands = cb.filter(_._1 == m)
-      acc.withColumn(s"a_$m", array((0 to maxCode).map { code =>
-        cands.find(_._2 == code) match {
-          case Some((_, _, c)) => d2Fp(d2Dec(subVec(col(vecCol), m), c))
-          case None            => lit(Long.MaxValue)
-        }
-      }: _*))
+      val cands = cb.filter(_._1 == m).map { case (_, code, c) => (code, c) }
+      acc.withColumn(s"a_$m",
+        graft.functions.AdcLookupTable.adc_lookup_table(
+          col(vecCol), m * PqSubDim, PqSubDim, cands, maxCode))
     }.drop(vecCol)
   }
 
