@@ -49,6 +49,27 @@ case class AdcLookupTable(child: Expression, subStart: Int, subDim: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = false
 
+  // Array fields make the synthesized case-class equals/hashCode
+  // reference-based, so semantically identical instances never compare
+  // equal — defeating Catalyst semanticEquals/subexpression elimination
+  // and giving JVM-run-dependent hashCodes for canonicalized plans
+  // (round-16 advice). Compare contents instead.
+  override def equals(other: Any): Boolean = other match {
+    case o: AdcLookupTable =>
+      child == o.child && subStart == o.subStart && subDim == o.subDim &&
+        maxCode == o.maxCode && java.util.Arrays.equals(codes, o.codes) &&
+        csubs.length == o.csubs.length &&
+        csubs.indices.forall(i => java.util.Arrays.equals(csubs(i), o.csubs(i)))
+    case _ => false
+  }
+  // cached: the model arrays can hold nlist*dim floats and planning
+  // hashes expressions repeatedly
+  @transient private lazy val cachedHash: Int =
+    java.util.Objects.hash(child, Int.box(subStart), Int.box(subDim),
+      Int.box(maxCode), Int.box(java.util.Arrays.hashCode(codes)),
+      Int.box(csubs.map(java.util.Arrays.hashCode).toSeq.hashCode))
+  override def hashCode(): Int = cachedHash
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -105,7 +126,14 @@ case class AdcLookupTable(child: Expression, subStart: Int, subDim: Int,
       if (p.isNaN || p.isInfinite) return None
       val v = new java.math.BigDecimal(java.lang.Double.toString(p))
         .setScale(12, java.math.RoundingMode.HALF_UP)
+      // mirror DecimalDotProduct's per-term and per-accumulation
+      // changePrecision(38, 12) nulls (round-16 advice: intermediate
+      // terms past 26 integer digits that CANCEL later returned
+      // Some(0) here while the folded form nulls the slot — unreachable
+      // on contract embeddings, mirrored for unconditional identity)
+      if (v.precision - v.scale > 26) return None
       acc = acc.add(v)
+      if (acc.precision - acc.scale > 26) return None
       i += 1
     }
     if (acc.precision - acc.scale > 8) None else Some(acc)
@@ -142,10 +170,13 @@ case class AdcLookupTable(child: Expression, subStart: Int, subDim: Int,
     new GenericArrayData(out)
   }
 
+  // eval deliberately bypasses UnaryExpression's null-safe path: a null
+  // child maps to the non-null fill table (see scaladoc), so the default
+  // nullSafeEval route would never run — overriding eval directly is the
+  // single evaluation path (round-16 advice: the dead nullSafeEval
+  // override invited confusion about which path handles nulls).
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
     tableOf(child.eval(input))
-
-  override protected def nullSafeEval(input: Any): Any = tableOf(input)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.{CodeBlock, FalseLiteral}

@@ -53,6 +53,29 @@ case class NearestCentroid(
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
+  // Content-based equality (round-16 advice on AdcLookupTable, same
+  // array-field hole here): the synthesized equals/hashCode compare
+  // array references, so identical instances defeat Catalyst
+  // semanticEquals/subexpression elimination and canonicalized plans
+  // hash differently across JVM runs.
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroid =>
+      left == o.left && right == o.right && eps == o.eps &&
+        java.util.Arrays.equals(ids, o.ids) &&
+        java.util.Arrays.equals(cn2s, o.cn2s) &&
+        cembs.length == o.cembs.length &&
+        cembs.indices.forall(i => java.util.Arrays.equals(cembs(i), o.cembs(i)))
+    case _ => false
+  }
+  // cached: the model arrays can hold nlist*dim floats and planning
+  // hashes expressions repeatedly
+  @transient private lazy val cachedHash: Int =
+    java.util.Objects.hash(left, right, Double.box(eps),
+      Int.box(java.util.Arrays.hashCode(ids)),
+      Int.box(java.util.Arrays.hashCode(cn2s)),
+      Int.box(cembs.map(java.util.Arrays.hashCode).toSeq.hashCode))
+  override def hashCode(): Int = cachedHash
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess

@@ -39,6 +39,26 @@ case class PqNearestCode(child: Expression, subStart: Int, subDim: Int,
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
+  // Content-based equality (round-16 advice on AdcLookupTable, same
+  // array-field hole here): reference-based equals/hashCode defeat
+  // Catalyst semanticEquals/subexpression elimination and make
+  // canonicalized plan hashes JVM-run-dependent.
+  override def equals(other: Any): Boolean = other match {
+    case o: PqNearestCode =>
+      child == o.child && subStart == o.subStart && subDim == o.subDim &&
+        eps == o.eps && java.util.Arrays.equals(codes, o.codes) &&
+        csubs.length == o.csubs.length &&
+        csubs.indices.forall(i => java.util.Arrays.equals(csubs(i), o.csubs(i)))
+    case _ => false
+  }
+  // cached: the model arrays can hold nlist*dim floats and planning
+  // hashes expressions repeatedly
+  @transient private lazy val cachedHash: Int =
+    java.util.Objects.hash(child, Int.box(subStart), Int.box(subDim),
+      Double.box(eps), Int.box(java.util.Arrays.hashCode(codes)),
+      Int.box(csubs.map(java.util.Arrays.hashCode).toSeq.hashCode))
+  override def hashCode(): Int = cachedHash
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(

@@ -177,7 +177,10 @@ object TopK {
     * duplicates, O(log k) instead of the merge walk) + one in-place
     * System.arraycopy shift; the kept SET and the finish order are
     * IDENTICAL (the sorted array is exactly the sorted list). */
-  def kMinDistinct(k: Int): Aggregator[Long, Array[Long], Seq[Long]] =
+  def kMinDistinct(k: Int): Aggregator[Long, Array[Long], Seq[Long]] = {
+    // k = 0 would make reduce's arraycopy length negative on inputs that
+    // dodge the fast path (round-16 advice) — fail loudly at build time
+    require(k >= 1, s"kMinDistinct needs k >= 1 (got $k)")
     new Aggregator[Long, Array[Long], Seq[Long]] {
       // entry i occupies slot 1 + i, ascending and distinct; slot 0 is
       // the live count
@@ -233,6 +236,7 @@ object TopK {
       override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
       override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
     }
+  }
 
   /** A scored candidate with the payload the rescore phase needs, so the
     * exact phase never re-scans the corpus to fetch it back (a second

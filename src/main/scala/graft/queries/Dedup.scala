@@ -419,9 +419,23 @@ object Dedup extends QueryModule {
       // build over the RAW base postings: bloom insertion is
       // idempotent, so the build pays NO distinct exchange (the only
       // shuffle is one partial bit-array per partition) — the exact
-      // verify join below is the only consumer that needs distinct
+      // verify join below is the only consumer that needs distinct.
+      // Round-17 (guide §2.2/§5 — the round-16 scaling anomaly): each
+      // scan task emits a FULL m/8-byte partial bit array and every
+      // partial funnels through the ONE final-merge task, so the merge
+      // volume is tasks × m/8 — at 32 cores the split-floored scan
+      // planned ~10× more partials than at 8, which is exactly the
+      // measured inverse scaling. Bound the partial count by the merge
+      // volume (≤ ~16 MiB of partials), never below 2 (parallel build)
+      // nor above the cores: a narrow coalesce, no extra shuffle, and
+      // bit-OR idempotence makes the value partition-invariant.
+      // Production at ≥2.7e8 keys shards the hash space instead (see
+      // [[graft.operators.Bloom]] scaladoc).
+      val buildParts = math.max(2L, math.min(
+        s.sparkContext.defaultParallelism.toLong,
+        (16L * 1024 * 1024) / math.max(1L, mBits / 8))).toInt
       val bloom = p.filter(col("doc_id") % 10 =!= 0)
-        .select(col("h")).as[String]
+        .select(col("h")).coalesce(buildParts).as[String]
         .select(graft.operators.Bloom.agg(mBits).toColumn.name("bloom"))
         .toDF("bloom")
       val baseH = p.filter(col("doc_id") % 10 =!= 0).select(col("h")).distinct()

@@ -201,6 +201,49 @@ object Graph extends QueryModule {
     * operator's definition (the oracle unrolls exactly this many). */
   private val LpIters = 4
 
+  /** ONE frozen-seed majority-propagation step (round-17 optimization,
+    * guide §2.4 — the pagerankStep naming discipline so the plan spec
+    * pins what every iteration actually runs). The label ALPHABET is
+    * part of the operator's definition ({0, 1, 2} = node % 3 from the
+    * seed rule, closed under propagation: maj only ever re-emits seed
+    * labels), so the per-iteration two-level aggregation the round-16
+    * bench measured — groupBy(dst, label).count into a second
+    * node-keyed exchange for the struct-max argmax — collapses to ONE
+    * dst-keyed aggregate of three conditional counts plus a pure
+    * majority PROJECTION. Winner rule is identical to the struct-max
+    * (largest count, ties to the smallest label): c0 wins its ties,
+    * c1 wins over c2's tie, and a zero count can never win (the inner
+    * join guarantees ≥1 labeled neighbor, so some count ≥ 1 and the
+    * zero loses every >=). Per iteration this removes one |V|·labels
+    * exchange and one whole aggregate stage; the oracle keeps the
+    * two-level row_number formulation and the hash gate pins equality.
+    *
+    * `chg` (the ssspStep recipe) rides the state so the convergence
+    * gate is one narrow filter over the checkpoint: frozen labels only
+    * ever go null → non-null, so a round that labels nobody new leaves
+    * the state bit-identical — and an identical state produces
+    * identical votes forever, which is exactly [[Iterate.converge]]'s
+    * soundness condition against the oracle's fixed [[LpIters]]
+    * unroll (converged rounds are no-ops there). The queries' final
+    * projections drop the flag. */
+  private[graft] def labelPropStep(e: DataFrame)(prev: DataFrame): DataFrame = {
+    val votes = e
+      .join(prev.filter(col("label").isNotNull)
+        .select(col("node").as("src"), col("label")), Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(count(when(col("label") === 0, 1)).as("c0"),
+        count(when(col("label") === 1, 1)).as("c1"),
+        count(when(col("label") === 2, 1)).as("c2"))
+    val maj = votes.select(col("node"),
+      when(col("c0") >= col("c1") && col("c0") >= col("c2"), lit(0L))
+        .when(col("c1") >= col("c2"), lit(1L))
+        .otherwise(lit(2L)).as("maj"))
+    prev.select(col("node"), col("label"))
+      .join(maj, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("maj")).as("label"),
+        (col("label").isNull && col("maj").isNotNull).as("chg"))
+  }
+
   /** graph_sssp hop cap — the crawl-depth bound, part of the operator's
     * DEFINITION: the oracle unrolls exactly this many relaxation CTEs,
     * and the engine's early convergence at round r < MaxHops is exact
@@ -379,22 +422,21 @@ object Graph extends QueryModule {
       val nodes = degrees(s, d).select(col("src").as("node"))
       val seeds = nodes.withColumn("label",
         when(col("node") % 5 === 0, col("node") % 3))
-      val out = graft.operators.Iterate.fixpoint(seeds, LpIters) { (prev, _) =>
-        val votes = e
-          .join(prev.filter(col("label").isNotNull)
-            .withColumnRenamed("node", "src"), Seq("src"))
-          .groupBy(col("dst").as("node"), col("label"))
-          .agg(count(lit(1)).as("cnt"))
-        // deterministic majority: max over (cnt, -label) — largest
-        // count, then smallest label; the struct's last field carries
-        // the winning label out
-        val maj = votes.groupBy(col("node"))
-          .agg(max(struct(col("cnt"), (-col("label")).as("nl"),
-            col("label"))).as("m"))
-          .select(col("node"), col("m.label").as("maj"))
-        prev.join(maj, Seq("node"), "left")
-          .select(col("node"),
-            coalesce(col("label"), col("maj")).as("label"))
+      // convergence-gated (round-17): labels freeze once set, so a
+      // round that labels nobody new is a fixpoint (see labelPropStep),
+      // and a state with NO unlabeled node left is one too (coalesce
+      // never overwrites a label, so every later round is the identity
+      // — this stops one round earlier than change-detection alone: the
+      // fixture's dense co-purchase graph labels every node in round 1,
+      // measured 16000 → 0 unlabeled). One bounded 1-row agg per round
+      // evaluates both conditions; the oracle's fixed LpIters unroll
+      // stays exact (converged rounds are no-ops there) — the
+      // ssspDistances discipline.
+      val out = graft.operators.Iterate.converge(seeds, LpIters) { (prev, _) =>
+        labelPropStep(e)(prev)
+      } { (_, next) =>
+        val r = next.agg(max(col("chg")), max(col("label").isNull)).head
+        !r.isNullAt(0) && r.getBoolean(0) && !r.isNullAt(1) && r.getBoolean(1)
       }
       out.select(col("node").as("part"), col("label"))
         .orderBy(col("part"))

@@ -639,15 +639,27 @@ object Windows extends QueryModule {
     // orders of magnitude below event volume; one exchange on user_id
     // serves the grid join and the ffill window.
     "events_resample" -> { (s, d) =>
+      // Round-17 optimization (guide §2.3/§8): `hourly` is consumed
+      // twice (the per-user grid horizon AND the join's right side) and
+      // lazy plans re-expand per consumer — the grid used to re-derive
+      // its min/max from a SECOND raw-events aggregate. Materialize the
+      // hour-grained aggregate once (eager localCheckpoint, inside the
+      // timed query — the mm_embed precedent) and derive both consumers
+      // from it: events are scanned and partially aggregated ONCE, the
+      // only events-sized exchange carries map-side-aggregated
+      // (user, hour) rows, and the checkpoint is bounded by
+      // users × horizon hours, never event volume. The grid's horizon
+      // from `hourly` is value-identical (min over group minima =
+      // global min); the join side broadcasts at fixture scale.
       val ev = Tables.events(s, d)
       val hourly = ev
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-      val grid = ev
+        .localCheckpoint()
+      val grid = hourly
         .groupBy(col("user_id"))
-        .agg(min(date_trunc("hour", col("ts"))).as("h0"),
-          max(date_trunc("hour", col("ts"))).as("h1"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
         .select(col("user_id"),
           explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("h"))

@@ -230,6 +230,42 @@ class GraphSpec extends GraftSuite {
     assert(got == want, s"propagated labels: $got")
   }
 
+  test("labelPropStep: conditional-count majority == two-level struct-max (randomized)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // round-17 optimization pinned here: the single dst-keyed aggregate
+    // of three conditional counts + majority projection must reproduce
+    // the round-16 groupBy(dst, label).count → struct-max argmax exactly
+    // (largest count, ties to the smallest label) on random graphs and
+    // random partial labelings
+    val rnd = new scala.util.Random(17)
+    val edges = (0 until 500).map { _ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)
+    }.filter(p => p._1 != p._2).distinct
+    val e = edges.toDF("src", "dst")
+    val prev = (0L until 50L).map { n =>
+      (n, if (rnd.nextInt(3) == 0) Some(n % 3) else None)
+    }.toDF("node", "label")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("node"), col("label")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val got = asMap(graft.queries.Graph.labelPropStep(e)(prev))
+    // the round-16 formulation, verbatim
+    val votes = e
+      .join(prev.filter(col("label").isNotNull)
+        .withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy(col("dst").as("node"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val maj = votes.groupBy(col("node"))
+      .agg(max(struct(col("cnt"), (-col("label")).as("nl"),
+        col("label"))).as("m"))
+      .select(col("node"), col("m.label").as("maj"))
+    val want = asMap(prev.join(maj, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("maj")).as("label")))
+    assert(got == want, s"step mismatch: ${got.toSeq.diff(want.toSeq)}")
+  }
+
   test("graph_triangles: planted triangle, path, and K4 count exactly") {
     import spark.implicits._
     // order 1 = triangle {1,2,3}; orders 2,3 = path 4-5-6 (no triangle);
