@@ -61,7 +61,21 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
 object Iterate {
 
   /** Iterate `step` `iters` times from `init`, materializing every
-    * iteration and truncating lineage.
+    * `stride`-th iteration (and always the last) and truncating
+    * lineage there.
+    *
+    * `stride` (round-17 optimization, guide §1.2): each eager
+    * checkpoint is one whole job submission + state write/read, a
+    * fixed ~0.2–0.4 s at local fixture scale — but lineage only needs
+    * truncating often enough to keep the plan and recovery span
+    * BOUNDED, not after every step. stride = k checkpoints after every
+    * k-th step, so the uncheckpointed plan never spans more than k
+    * steps (flat in total iteration count, exactly the operator's
+    * contract) while paying ⌈iters/k⌉ materializations instead of
+    * `iters`. Values are untouched — checkpointing changes where rows
+    * are recomputed from, never what they are — and the FINAL state is
+    * always materialized (callers and specs pin a checkpoint scan).
+    * Default 1 = the historical every-round behavior.
     *
     * @param init  starting state (NOT checkpointed or unpersisted —
     *              the caller owns it; typically a cheap scan)
@@ -69,10 +83,34 @@ object Iterate {
     * @param step  (state, iteration index 1..iters) → next state; must
     *              be a pure plan constructor (no actions)
     */
-  def fixpoint(init: DataFrame, iters: Int)(
+  def fixpoint(init: DataFrame, iters: Int, stride: Int = 1)(
       step: (DataFrame, Int) => DataFrame): DataFrame = {
     require(iters >= 0, s"iteration count must be >= 0 (got $iters)")
-    loop(init, iters, localCheckpointed, releaseCheckpoint)(step)(neverStop)._1
+    require(stride >= 1, s"checkpoint stride must be >= 1 (got $stride)")
+    if (stride == 1)
+      loop(init, iters, localCheckpointed, releaseCheckpoint)(step)(neverStop)._1
+    else {
+      // strided form: a superseded CHECKPOINT may only be released once
+      // the NEXT checkpoint has materialized — the in-between lazy
+      // steps still read the old one's blocks, so the shared loop's
+      // release-every-round discipline would unpersist blocks a live
+      // lineage needs (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; pinned in
+      // GraphSpec's strided test). init is caller-owned, never touched.
+      var state = init
+      var lastCkpt: DataFrame = null
+      var i = 1
+      while (i <= iters) {
+        var next = step(state, i)
+        if (i % stride == 0 || i == iters) {
+          next = next.localCheckpoint(eager = true)
+          if (lastCkpt != null) releaseCheckpoint(lastCkpt)
+          lastCkpt = next
+        }
+        state = next
+        i += 1
+      }
+      state
+    }
   }
 
   /** Iterate `step` from `init` until `changed(prev, next)` is false

@@ -119,6 +119,12 @@ object Graph extends QueryModule {
     else {
       val r0 = Scale / n
       val base = teleportBase(n)
+      // checkpoint stride examined round-17 and left at 1: an
+      // alternating same-window A/B (stride 2 vs 1, 6 reps each) was
+      // statistically identical at sf0.1 — the per-iteration bill is
+      // the |E|-sized join+aggregate exchanges, not the checkpoint
+      // jobs. Iterate.fixpoint keeps the stride capability (tested)
+      // for cluster shapes where job-submission latency dominates.
       graft.operators.Iterate.fixpoint(nodes.withColumn("r", lit(r0)), iters) {
         (r, _) => pagerankStep(edeg, nodes, base)(r)
       }
@@ -511,8 +517,16 @@ object Graph extends QueryModule {
     // materializes, never a cartesian, never a window.
     "graph_triangles" -> { (s, d) =>
       val o = orientedEdges(s, d)
+      // round-17 (guide §8 computed-once): the adjacency table is
+      // consumed TWICE (as N⁺(u) and N⁺(v)) and the lazy plan rebuilt
+      // its |E|-sized collect_list aggregation once per side (plan-
+      // verified: two identical ObjectHashAggregate+Exchange subtrees);
+      // one eager materialization of the |V|-sized table serves both
+      // broadcasts — sort_array already canonicalizes the list, so the
+      // value is checkpoint-invariant
       val adj = o.groupBy(col("u"))
         .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+        .localCheckpoint()
       val tri = o
         .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
         .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))

@@ -26,6 +26,26 @@ class GraphSpec extends GraftSuite {
     assert(seen.toList == List(1, 2, 3))
   }
 
+  test("Iterate.fixpoint stride: values equal stride-1; final checkpointed; blocks survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // multi-step lazy chains between checkpoints must keep reading the
+    // PREVIOUS checkpoint's blocks until the next one materializes —
+    // the release-too-early bug found in round 17 threw
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on exactly this shape
+    val init = (1L to 64L).toDF("v")
+    def step(df: org.apache.spark.sql.DataFrame, i: Int) =
+      df.select((col("v") * 2 + i).as("v"))
+    for (stride <- Seq(2, 3, 7)) {
+      val got = graft.operators.Iterate.fixpoint(init, 5, stride)(step)
+      val want = graft.operators.Iterate.fixpoint(init, 5)(step)
+      assert(got.orderBy("v").collect().toSeq ==
+        want.orderBy("v").collect().toSeq, s"stride $stride values")
+      assert(org.apache.spark.sql.GraftColumnBridge.isCheckpointScan(got),
+        s"stride $stride final state must be a checkpoint scan")
+    }
+  }
+
   test("Iterate.fixpoint: every iteration truncates lineage to a checkpoint scan") {
     import spark.implicits._
     val init = Seq((1L, 1L)).toDF("k", "v")
