@@ -520,31 +520,35 @@ private[queries] trait SimilarityCore {
     * the flat-PQ variant (over raw vectors) and the IVF-PQ residual
     * variant (over x − centroid residuals) — `vecs` supplies the
     * (vec_id, embedding) training frame. */
-  private[queries] def trainPqCodebooks(s: SparkSession, tag: String, d: String)(
+  private[queries] def trainPqCodebooks(s: SparkSession, tag: String, d: String,
+      materializeInput: Boolean = false)(
       vecs: => DataFrame): DataFrame =
     graft.Staging.stage(s, tag, d) {
       // Round-17 (guide §8 computed-once; the round-16 residual item 1,
       // solved WITHOUT changing the trained artifact): the training
       // frame is consumed ~5× per stage build (seed id scan, seed
       // subvector join, and per Lloyd round the assignment + the
-      // recenter) and lazy plans re-expand per consumer — for the
-      // RESIDUAL variant each consumer re-ran the corpus-sized
-      // assignment + subtraction chain. One eager materialization
-      // serves every consumer; values are untouched (checkpointing
-      // changes where rows come from, never what they are), so the
-      // trained codebooks, the exports, and every PQ consumer's hashes
-      // are bit-identical. At 100 TB the FAISS-style answer is a
-      // bounded deterministic training sample (O(sample) per round and
-      // a smaller artifact to ship) — deliberately NOT taken here
-      // because it changes the trained artifact and re-pins every PQ
-      // oracle export; the materialization captures the same
-      // re-expansion win at fixture scale. The checkpoint materializes
-      // ONLY the two columns the trainer reads — an unprojected
-      // checkpoint would compute every input column (withNorm's n2 is
-      // a per-row decimal self-dot Catalyst otherwise prunes away;
-      // measured 1.5 → 6 s on the flat codebook stage before the
-      // projection was added).
-      val v = vecs.select(col("vec_id"), col("embedding")).localCheckpoint()
+      // recenter) and lazy plans re-expand per consumer. When the frame
+      // is EXPENSIVE to produce (the residual variant re-ran the
+      // corpus-sized assignment + subtraction chain per consumer), one
+      // eager materialization serves every consumer — values untouched
+      // (checkpointing changes where rows come from, never what they
+      // are), so the trained codebooks, the exports, and every PQ
+      // consumer's hashes are bit-identical; measured 6.4 → 3.1–3.7 s
+      // cold on the residual stage. When the frame is a plain
+      // projected SCAN (the flat variant), re-scans are near-free in
+      // the page-cached regime and the checkpoint's blocking job only
+      // adds cost — so materialization is opt-in per variant. The
+      // checkpoint reads ONLY the two columns the trainer uses: an
+      // unprojected one would compute every input column (withNorm's
+      // n2 is a per-row decimal self-dot Catalyst otherwise prunes
+      // away; measured 1.5 → 6 s before the projection was added).
+      // At 100 TB the FAISS-style answer is a bounded deterministic
+      // training sample (O(sample) per round, smaller artifact) —
+      // deliberately NOT taken here because it changes the trained
+      // artifact and re-pins every PQ oracle export.
+      val projected = vecs.select(col("vec_id"), col("embedding"))
+      val v = if (materializeInput) projected.localCheckpoint() else projected
       val seedIds = v.filter(col("vec_id") >= NQ)
         .select(col("vec_id")).orderBy(col("vec_id")).limit(PqKsub)
         .withColumn("code", row_number().over(Window.orderBy(col("vec_id"))) - 1)
@@ -816,7 +820,8 @@ private[queries] trait SimilarityCore {
       centDf: DataFrame,
       centArr: Array[(Long, Seq[Float], Double)]): DataFrame = {
     val nlist = annNlist(s, d)
-    val staged = trainPqCodebooks(s, s"pqres_codebooks_c${iters}_n${nlist}_i2", d)(
+    val staged = trainPqCodebooks(s, s"pqres_codebooks_c${iters}_n${nlist}_i2", d,
+      materializeInput = true)(
       residuals(centDf, centArr)(withNorm(s, d)))
     lastPqRes = (d, iters, nlist)
     pqResExported.computeIfAbsent((d, iters, nlist), _ => {
