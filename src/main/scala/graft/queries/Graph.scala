@@ -64,15 +64,45 @@ object Graph extends QueryModule {
   private[graft] def teleportBase(n: Long): Long = 15L * (Scale / n) / 100L
 
   private def edges(s: SparkSession, d: String): DataFrame =
-    graft.Staging.stage(s, "copurchase_edges", d) {
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-        .distinct()
-    }
+    graft.Staging.stage(s, "copurchase_edges", d)(edgesDerivation(s, d))
+
+  /** Un-staged edge derivation (exposed for the GraphSpec set-equality
+    * test against the verbatim self-join form). Round-17 (guide §2.3 —
+    * shuffle fewer bytes): the original lineitem SELF-JOIN on
+    * l_orderkey scanned the table twice and exchanged BOTH sides
+    * (2·|li| rows) before the pair blowup; since every group is
+    * order-sized, one grouped pass does the same work — collect the
+    * order's distinct part set (collect_set dedups map-side too), then
+    * generate the ordered pairs locally. One scan + one |li|-row
+    * exchange replaces two scans + the two-sided join exchange; the
+    * global distinct over cross-order duplicates is unchanged. Same
+    * hub caveat as before: a group's pair fanout is quadratic (TPC-H
+    * caps it at 7 lines/order); unbounded co-occurrence data takes
+    * [[edgesSalted]]. */
+  private[graft] def edgesDerivation(s: SparkSession, d: String): DataFrame = {
+    val pks = Tables.lineitem(s, d)
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(collect_set(col("l_partkey")).as("pks"))
+    // The pair set is symmetric by construction (both directions of a
+    // co-occurrence are generated), and the DISTINCT over ~|li|·(k−1)
+    // generated pairs is the dominant exchange here — so dedup only the
+    // CANONICAL half (src < dst) and mirror it afterwards with a local
+    // union: half the generated rows, half the exchange bytes, half the
+    // hash-aggregate work, identical final set.
+    // (mirrored via a per-row explode, NOT half.union(half.select(...)) —
+    // a lazy union re-expands the distinct subtree twice; measured 8.6 →
+    // 13–16 s cold before this form)
+    pks.select(explode(col("pks")).as("src"), col("pks"))
+      .select(col("src"), explode(col("pks")).as("dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
 
   /** Out-degree table, STAGED like the edges (review finding: leaving
     * it un-staged nested the |E|-sized aggregation into every unrolled
@@ -125,10 +155,29 @@ object Graph extends QueryModule {
       // the |E|-sized join+aggregate exchanges, not the checkpoint
       // jobs. Iterate.fixpoint keeps the stride capability (tested)
       // for cluster shapes where job-submission latency dominates.
-      graft.operators.Iterate.fixpoint(nodes.withColumn("r", lit(r0)), iters) {
-        (r, _) => pagerankStep(edeg, nodes, base)(r)
+      withLoopCache(edeg, nodes) {
+        graft.operators.Iterate.fixpoint(nodes.withColumn("r", lit(r0)), iters) {
+          (r, _) => pagerankStep(edeg, nodes, base)(r)
+        }
       }
     }
+  }
+
+  /** Persist the loop-INVARIANT inputs for an iterative query's
+    * duration (the GraphX edge-cache recipe; guide §5): without it,
+    * every fixpoint round re-scans the staged edge relation (|E| rows —
+    * at production scale a full distributed read per iteration; here a
+    * page-cached parquet read, measured neutral at sf0.1, kept for the
+    * scale shape exactly like the events_resample single-scan). Scoped
+    * strictly inside one (timed) query invocation: built from parquet
+    * each run and released in the finally once the loop's last eager
+    * checkpoint is materialized — nothing survives across bench reps
+    * or runs. Not applied to label_prop, whose convergence gate
+    * typically ends the loop after ONE round (cache would never be
+    * re-read). */
+  private def withLoopCache[T](dfs: DataFrame*)(body: => T): T = {
+    dfs.foreach(_.persist())
+    try body finally dfs.foreach(_.unpersist(false))
   }
 
   /** ONE damped update: src-keyed join (ranks ⋈ staged edge+degree
@@ -296,14 +345,16 @@ object Graph extends QueryModule {
     val nodes = degrees(s, d).select(col("src").as("node"))
     val init = nodes.withColumn("dist",
       when(col("node") % SsspSeedMod === 0, lit(0L)))
-    graft.operators.Iterate.converge(init, SsspMaxHops) { (prev, _) =>
-      ssspStep(e)(prev)
-    } { (_, next) =>
-      // monotone state: a change is always "smaller or newly reached".
-      // The step computes the per-node change flag where it computes
-      // the new dist (see ssspStep), so the gate is one narrow filter
-      // over the already-checkpointed state — no per-round join.
-      !next.filter(col("chg")).isEmpty
+    withLoopCache(e) {
+      graft.operators.Iterate.converge(init, SsspMaxHops) { (prev, _) =>
+        ssspStep(e)(prev)
+      } { (_, next) =>
+        // monotone state: a change is always "smaller or newly reached".
+        // The step computes the per-node change flag where it computes
+        // the new dist (see ssspStep), so the gate is one narrow filter
+        // over the already-checkpointed state — no per-round join.
+        !next.filter(col("chg")).isEmpty
+      }
     }
   }
 
@@ -355,10 +406,12 @@ object Graph extends QueryModule {
     val nodes = degrees(s, d).select(col("src").as("node"))
     val init = nodes.withColumn("dist",
       when(col("node") % SsspSeedMod === 0, lit(0L)))
-    graft.operators.Iterate.converge(init, WssspMaxRounds) { (prev, _) =>
-      wssspStep(ew)(prev)
-    } { (_, next) =>
-      !next.filter(col("chg")).isEmpty
+    withLoopCache(ew) {
+      graft.operators.Iterate.converge(init, WssspMaxRounds) { (prev, _) =>
+        wssspStep(ew)(prev)
+      } { (_, next) =>
+        !next.filter(col("chg")).isEmpty
+      }
     }
   }
 
@@ -387,17 +440,19 @@ object Graph extends QueryModule {
     val base = if (ns > 0) 15L * (Scale / ns) / 100L else 0L
     val init = nodes.withColumn("r",
       when(col("node") % SsspSeedMod === 0, lit(r0)).otherwise(lit(0L)))
-    graft.operators.Iterate.fixpoint(init, iters) { (r, _) =>
-      // the pagerankStep shape over the staged edge+degree table (see
-      // edgesWithDeg) with the seed-gated teleport term
-      val contrib = edeg
-        .join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), expr("r DIV deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          expr(s"CASE WHEN node % $SsspSeedMod = 0 THEN ${base}L ELSE 0L END" +
-            " + (85 * coalesce(s, 0L)) DIV 100").as("r"))
+    withLoopCache(edeg, nodes) {
+      graft.operators.Iterate.fixpoint(init, iters) { (r, _) =>
+        // the pagerankStep shape over the staged edge+degree table (see
+        // edgesWithDeg) with the seed-gated teleport term
+        val contrib = edeg
+          .join(r.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), expr("r DIV deg").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("s"))
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"CASE WHEN node % $SsspSeedMod = 0 THEN ${base}L ELSE 0L END" +
+              " + (85 * coalesce(s, 0L)) DIV 100").as("r"))
+      }
     }
   }
 

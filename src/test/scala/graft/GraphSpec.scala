@@ -223,6 +223,29 @@ class GraphSpec extends GraftSuite {
     assert(out.count() == 40) // every planted part is a hub part (1..40)
   }
 
+  test("grouped edge derivation equals the verbatim self-join pair set") {
+    import spark.implicits._
+    // randomized orders with REPEATED parts inside an order (the case
+    // collect_set's in-group dedup must not change: the self-join's
+    // duplicate pairs collapse in DISTINCT instead), plus the hub order
+    // and a part shared across orders
+    val dir = java.nio.file.Files.createTempDirectory("graft-edges").toString
+    val rnd = new scala.util.Random(17)
+    val rows = scala.collection.mutable.Buffer[(Long, Long)]()
+    for (ok <- 1L to 30L; _ <- 1 to (1 + rnd.nextInt(6)))
+      rows += ((ok, 1L + rnd.nextInt(15)))
+    rows += ((5L, rows.find(_._1 == 5L).map(_._2).getOrElse(1L))) // forced in-order dup
+    rows ++= (1L to 40L).map(p => (999L, p))
+    rows.toSeq.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val selfJoin = norm(graft.queries.Graph.edgesSalted(spark, dir, 1))
+    val grouped = norm(graft.queries.Graph.edgesDerivation(spark, dir))
+    assert(grouped == selfJoin, "grouped derivation must yield the same edge set")
+    assert(grouped.nonEmpty)
+  }
+
   test("graph_label_prop: planted majority, tie-break, frontier depth, isolation") {
     import spark.implicits._
     // seeds are node % 5 == 0 with label node % 3:
