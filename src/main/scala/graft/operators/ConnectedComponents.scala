@@ -64,8 +64,16 @@ object ConnectedComponents {
     val fp = Integer.toHexString(edges.queryExecution.analyzed.semanticHash())
     val stageKeyFp = s"${stageKey}_$fp"
     val und = Staging.stage(s, s"${stageKeyFp}_edges", dir) {
-      edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      // mirrored per-row (round-17): the former
+      // `edges.union(edges.select(swap))` re-expanded the caller's edge
+      // DERIVATION twice — for the dedup consumers that is the whole
+      // minhash pair pipeline run two times in this one staging build.
+      // A single explode emits both orientations in one pass; same
+      // multiset.
+      edges.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
     }
     val l0 = Staging.stage(s, s"${stageKeyFp}_l0", dir) {
       und.select(col("src").as("id")).distinct()
@@ -82,8 +90,14 @@ object ConnectedComponents {
       releasePrev = _ => ()) { (labels, _) =>
       val nbrMin = und.join(labels, und("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
+      // the round-input label rides along as lbl0 so the convergence
+      // flag is computed WHERE the new label is computed (the ssspStep
+      // `chg` recipe, round-17): labels only decrease, so "changed" ≡
+      // "new ≠ round input", and the gate below becomes one narrow
+      // filter over the already-staged round instead of a prev ⋈ next
+      // join per round.
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("lbl0"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
       // pointer jump: label(v) ← label(label(v)). Every label is some
       // node's id, so the self-join matches (coalesce is defensive);
@@ -91,15 +105,17 @@ object ConnectedComponents {
       val parents = stepped.select(col("id").as("pid"), col("label").as("plabel"))
       stepped.join(parents, stepped("label") === parents("pid"), "left")
         .select(stepped("id"),
-          least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
-    } { (prev, next) =>
-      !next.as("n").join(prev.as("p"), Seq("id"))
-        .filter(col("n.label") =!= col("p.label")).isEmpty
+          least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"),
+          (least(stepped("label"), coalesce(col("plabel"), stepped("label")))
+            =!= col("lbl0")).as("chg"))
+    } { (_, next) =>
+      !next.filter(col("chg")).isEmpty
     }
     require(converged,
       s"connected components did not converge within $maxRounds rounds " +
         "(component diameter exceeds the bound — raise maxRounds or switch " +
         "to star contraction)")
-    labels
+    // chg is loop plumbing — consumers get the (id, label) contract
+    labels.select(col("id"), col("label"))
   }
 }
